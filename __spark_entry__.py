@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline on sf0.001.
+``queries()`` — every implemented operator as (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (value-hash gate).
 """
 
 from __future__ import annotations
@@ -12,27 +10,50 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's canonical curation pipeline shape
+    (load → refine → filter → dedup → aggregate) over documents at
+    sf0.001 — SURVEY §7 step 1."""
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+    from webscale_multimodal_datapipeline_spark.functions import text as TX
+    from webscale_multimodal_datapipeline_spark.operators.base import chain
+    from webscale_multimodal_datapipeline_spark.operators.dedup import text_exact_dedup
+    from webscale_multimodal_datapipeline_spark.operators.filters import (
+        text_length_filter,
+        url_filter,
+    )
+    from webscale_multimodal_datapipeline_spark.operators.refiners import (
+        quality_score_refiner,
+        text_stats_refiner,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    curated = chain(
+        docs,
+        text_stats_refiner(),
+        quality_score_refiner(),
+        text_length_filter(50, 10_000, length_col="n_chars"),
+        url_filter(blocklist=("src1", "src7"), quality_sources=("src3",)),
+        text_exact_dedup(),
+    )
+    return curated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_count").alias("total_tokens"),
+        F.avg("quality_score").alias("avg_quality"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from webscale_multimodal_datapipeline_spark.plans.registry import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,104 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same sf dir, then compares row count, column names/order-insensitive
+sorted values. Reports exact-match and a tolerance diagnostic so float
+divergences are visible before the driver sees them.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from webscale_multimodal_datapipeline_spark.catalog import TABLES  # noqa: E402
+from webscale_multimodal_datapipeline_spark.session import get_spark  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif isinstance(df[c].dtype, object.__class__) or df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return False, f"columns differ: {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    if len(spark_pdf) != len(duck_pdf):
+        return False, f"row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for c in a.columns:
+        if a[c].dtype != b[c].dtype:
+            return False, f"dtype {c}: {a[c].dtype} vs {b[c].dtype}"
+        if a[c].dtype == np.float64:
+            ae, be = a[c].to_numpy(), b[c].to_numpy()
+            if not np.array_equal(ae, be, equal_nan=True):
+                close = np.allclose(ae, be, rtol=1e-9, atol=1e-12, equal_nan=True)
+                worst = np.nanmax(np.abs(ae - be)) if len(ae) else 0.0
+                return False, f"float col {c}: exact mismatch (close={close}, worst={worst:.3e})"
+        else:
+            if not a[c].equals(b[c]):
+                n_bad = int((a[c] != b[c]).sum())
+                ex = a.loc[a[c] != b[c], c].head(3).tolist(), b.loc[a[c] != b[c], c].head(3).tolist()
+                return False, f"col {c}: {n_bad} mismatched values, e.g. {ex}"
+    return True, "ok"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs, oracles = queries(), oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]")
+            n_rows_only += 1
+            continue
+        t0 = time.time()
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        t_duck = time.time() - t0
+        ok, msg = compare(name, sdf, ddf)
+        status = "PASS" if ok else "FAIL"
+        print(f"{status}  {name}: {len(sdf)} rows, {msg} [spark {t_spark:.1f}s, duck {t_duck:.1f}s]")
+        n_pass += ok
+        n_fail += not ok
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

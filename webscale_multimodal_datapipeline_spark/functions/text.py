@@ -1,0 +1,187 @@
+"""Text column expressions.
+
+Native-Spark re-expressions of the reference's text kernels:
+
+- normalization (lowercase + whitespace collapse) — reference
+  ``operators/dedup/text_exact_dedup.py:66-72``;
+- content hashing — ``text_exact_dedup.py:74-83`` (xxhash64/md5);
+- text length — ``operators/filters/text_length_filter.py:43-57``;
+- URL word scoring — ``operators/filters/url_filter.py:24-58,255-282``
+  (score = 0.8 * max(weight) + min(total/3, 0.2));
+- plus the training-data-pipeline extensions: token counting, quality
+  scoring, language-ID heuristic, shingling, fingerprinting.
+
+All are pure Column expressions → whole-stage codegen, no Python in the hot
+path. Each has a matching ANSI-SQL form used by the DuckDB oracle (see
+``plans/``); md5 is the shared cross-engine hash primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Normalization + hashing (exact-dedup keys)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + collapse runs of whitespace + trim.
+
+    Reference semantics: ``text_exact_dedup.py:66-72`` (``" ".join(text
+    .split()).lower()``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def content_hash(col: Column | str) -> Column:
+    """64-bit content hash of normalized text (xxhash64, JVM-native).
+
+    Reference: ``text_exact_dedup.py:74-83`` (xxhash64 preferred, md5
+    fallback). Used as the shuffle/dedup key; for oracle-comparable keys use
+    ``md5_long`` instead (DuckDB lacks xxhash64).
+    """
+    return F.xxhash64(normalize_text(col))
+
+
+def md5_long(col: Column | str) -> Column:
+    """Deterministic 60-bit integer hash shared with DuckDB.
+
+    ``CAST(CONV(SUBSTR(md5(x),1,15),16,10) AS BIGINT)`` — both engines
+    produce identical md5 hex, and 15 hex chars = 60 bits avoids sign issues.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / counting
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the trimmed text (empty text → empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (``length``-style cheap tokenizer)."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: count of maximal runs of word chars plus
+    punctuation marks — a cheap, deterministic proxy for a BPE tokenizer.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(
+            F.split(c, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+            lambda t: F.trim(t) != F.lit(""),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(col)
+    stop = F.filter(toks, lambda t: F.lower(t).isin(*stopwords))
+    return F.when(F.size(toks) > 0, F.size(stop) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite doc-quality score in [0, 1].
+
+    0.4 * length component (saturating at 400 chars) +
+    0.3 * (1 - punct_ratio) + 0.3 * stopword presence component (saturating
+    at ratio 0.2). Deterministic and SQL-expressible for the oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    len_comp = F.least(F.length(c) / F.lit(400.0), F.lit(1.0))
+    stop_comp = F.least(stopword_ratio(c) / F.lit(0.2), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_comp + F.lit(0.3) * (1.0 - punct_ratio(c)) + F.lit(0.3) * stop_comp
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (n-gram / stopword evidence)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Rule-based language guess: the language with the most marker-word hits;
+    ties and no-evidence fall back to 'und'. Deterministic, SQL-expressible.
+    """
+    toks = tokens(col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # Deterministic priority order on ties: en > es > fr > de > zh.
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# Shingling / fingerprinting (near-dup building blocks)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (array<string>).
+
+    Building block for MinHash / Jaccard dedup (SURVEY §2.5 extension).
+    Texts shorter than k words yield a single shingle of the whole text so
+    every row keeps a key (mirrors the reference's fallback-to-id behavior,
+    ``text_exact_dedup.py:84-90``).
+    """
+    toks = tokens(normalize_text(col))
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(n >= k, shingles).otherwise(whole))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: 60-bit integer hash of the normalized text
+    (md5-backed so the DuckDB oracle can reproduce it exactly).
+    """
+    return md5_long(normalize_text(col))

@@ -1,0 +1,314 @@
+"""Deduplication operators (reference ``operators/dedup/`` + SURVEY §2.5,
+plus the near-dup family a web-scale training-data pipeline needs:
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine).
+
+Scale architecture: the reference's dedup backend is a sharded seen-set
+actor service probed synchronously per batch (``framework/backend.py:
+134-179`` — its worst scalability trap). Here every dedup is a hash
+shuffle: signatures are computed row-local with native expressions (zero
+Python, zero RPC), then one ``PARTITION BY key`` window (or groupBy) does
+the global distinct. MinHash/SimHash signatures are pure column expressions,
+so the only shuffles are the band-bucket exchange and the final winner
+selection — exactly the two shuffles a 1000-executor LSH job wants.
+
+Cross-engine determinism: all hashes are md5-derived (shared with DuckDB),
+salts/planes are fixed constants, and winners are min(id) per key — no
+arrival-order nondeterminism (the reference is order-dependent,
+``backend.py:39-47``; divergence documented in SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.functions import text as TX
+from webscale_multimodal_datapipeline_spark.operators.base import DedupOperator
+
+# ---------------------------------------------------------------------------
+# D1: TextExactDeduplicator (text_exact_dedup.py:22-114)
+# ---------------------------------------------------------------------------
+
+
+def text_exact_dedup(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    composite_col: str | None = None,
+    name: str = "text_exact_dedup",
+) -> DedupOperator:
+    """Global exact dedup on hash(normalized text); optional ``source|text``
+    composite key (FineWeb style, ``text_exact_dedup.py:104-108``).
+    Winner = min(id) per key (deterministic; the reference is first-arrival).
+    """
+    norm = TX.normalize_text(text_col)
+    if composite_col:
+        key: Column = F.concat_ws("|", F.col(composite_col), norm)
+    else:
+        key = norm
+    # xxhash64 of the key is the shuffle key at scale; we keep the full
+    # normalized key in the partition key to make collisions impossible.
+    return DedupOperator(name, F.struct(F.xxhash64(key), key), order_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (building block for MinHash-LSH and Jaccard dedup)
+# ---------------------------------------------------------------------------
+
+# Fixed salts — one per hash function. md5(salt || shingle) is uniform, so
+# the lexicographic min over shingles is a valid MinHash.
+MINHASH_SALTS: tuple[str, ...] = tuple(f"mh{i}|" for i in range(12))
+LSH_BANDS = 4  # 12 hashes → 4 bands × 3 rows
+
+
+def minhash_signature(
+    text_col: str = "text",
+    k: int = 3,
+    salts: tuple[str, ...] = MINHASH_SALTS,
+    shingles: Column | None = None,
+) -> Column:
+    """array<string> MinHash signature: element i = min over shingles of
+    md5(salt_i || shingle). Computed row-local (no shuffle, no Python).
+
+    Pass ``shingles`` (a materialized shingle-array column) to avoid
+    re-inlining the shingle expression once per salt — keeps the plan small
+    and the analysis fast."""
+    if shingles is None:
+        shingles = TX.word_shingles(text_col, k=k)
+
+    def _salted(salt: str):
+        # NB: closure factory, not a default-arg lambda — PySpark treats a
+        # two-parameter lambda as (element, index).
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, _salted(salt))) for salt in salts]
+    )
+
+
+def lsh_bands(signature: Column, bands: int = LSH_BANDS) -> Column:
+    """Split a signature into band keys: band j = 'j|' || concat(rows)."""
+    n = len(MINHASH_SALTS)
+    r = n // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(j)),
+                *[F.element_at(signature, j * r + i + 1) for i in range(r)],
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate removal.
+
+    shingle → minhash (row-local) → band → bucket-join candidates →
+    exact-Jaccard verify → drop any row with a verified near-dup of
+    smaller id. Two shuffles total (band exchange + semi-join back).
+    """
+    base = df.withColumn("_shingles", TX.word_shingles(text_col, k=k)).withColumn(
+        "_sig", minhash_signature(text_col, k=k, shingles=F.col("_shingles"))
+    )
+    banded = base.select(
+        F.col(id_col), "_shingles", F.explode(lsh_bands(F.col("_sig"))).alias("_band")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("_lid"),
+            F.col("l._shingles").alias("_ls"),
+            F.col(f"r.{id_col}").alias("_rid"),
+            F.col("r._shingles").alias("_rs"),
+        )
+        .dropDuplicates(["_lid", "_rid"])
+    )
+    jac = F.size(F.array_intersect("_ls", "_rs")) / F.size(F.array_union("_ls", "_rs"))
+    dupes = cand.filter(jac >= jaccard_threshold).select(F.col("_lid").alias(id_col))
+    return df.join(dupes.distinct(), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (bit-sampling near-dup; key-equality dedup like the reference's
+# phash dedup, image_phash_dedup.py:30-84)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(text_col: str = "text", bits: int = SIMHASH_BITS) -> Column:
+    """``bits``-bit SimHash over whitespace tokens of the normalized text.
+
+    bit j of the result = 1 iff sum over tokens of (±1 by bit j of
+    md5-hash(token)) > 0. Pure column expression (no shuffle, no Python);
+    md5-backed so DuckDB reproduces it exactly.
+    """
+    toks = TX.tokens(TX.normalize_text(text_col))
+    hashes = F.transform(toks, lambda t: TX.md5_long(t))
+
+    def _vote(j: int):
+        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote(j))
+        out = out + F.when(vote > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_dedup(
+    text_col: str = "text", id_col: str = "doc_id", name: str = "simhash_dedup"
+) -> DedupOperator:
+    """Key-equality dedup on the SimHash value (the reference's phash dedup
+    semantics: equality only, no Hamming-distance search —
+    ``image_phash_dedup.py`` NOTE in SURVEY §2.5)."""
+    return DedupOperator(name, simhash(text_col), order_col=id_col)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs by Hamming distance on SimHash.
+
+    LSH on bit-chunks: two hashes within Hamming distance < chunks must
+    share at least one of ``chunks`` equal-width chunks — join on chunk
+    value, verify with bit_count(xor). Returns (id_l, id_r, hamming).
+    """
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sh = df.select(F.col(id_col), simhash(text_col, bits).alias("_sh"))
+    chunked = sh.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(c)),
+                        F.shiftright(F.col("_sh"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("_chunk"),
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l._chunk") == F.col("r._chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_l"),
+            F.col(f"r.{id_col}").alias("id_r"),
+            F.bit_count(F.col("l._sh").bitwiseXOR(F.col("r._sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (exact pairwise over LSH candidates)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Jaccard near-dup removal over k-word shingle sets, using MinHash-LSH
+    banding for candidate generation (never all-pairs — that's the part that
+    must survive a 100× scale-up)."""
+    return minhash_lsh_dedup(df, text_col, id_col, k=k, jaccard_threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (semantic dedup, reference D4 design:
+# backend.py:89-93 cluster-bucketed dedup; here: hyperplane-LSH buckets)
+# ---------------------------------------------------------------------------
+
+# Deterministic "random" hyperplanes: plane p, dim i → a small integer in
+# [-3, 3] from a fixed affine congruence. Shared with the DuckDB oracle.
+EMB_LSH_PLANES = 8
+
+
+def _plane_coef(p: int, i: int) -> int:
+    return ((p * 37 + i * 31 + 17) % 7) - 3
+
+
+def hyperplane_bucket(emb_col: str, dim: int, planes: int = EMB_LSH_PLANES) -> Column:
+    """Sign-of-projection LSH bucket id in [0, 2^planes)."""
+    out = F.lit(0).cast("bigint")
+    for p in range(planes):
+        proj = sum(
+            (
+                F.element_at(F.col(emb_col), i + 1).cast("double") * _plane_coef(p, i)
+                for i in range(1, dim)
+            ),
+            F.element_at(F.col(emb_col), 1).cast("double") * _plane_coef(p, 0),
+        )
+        out = out + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return out
+
+
+def embedding_cosine_dedup(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.98,
+    planes: int = EMB_LSH_PLANES,
+) -> DataFrame:
+    """Semantic near-dup removal: hyperplane-LSH bucket → within-bucket
+    cosine verify → drop rows with a near-dup of smaller id.
+
+    Highly similar vectors share sign patterns with high probability; the
+    bucket join replaces the O(n²) cross join (at 100 TB the bucket count
+    scales with ``planes`` — 16-24 planes for billions of rows).
+    """
+    from webscale_multimodal_datapipeline_spark.functions import vectors as VX
+
+    b = df.select(
+        F.col(id_col),
+        F.col(emb_col),
+        hyperplane_bucket(emb_col, dim, planes).alias("_bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cos = VX.cosine(F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}"))
+    dupes = (
+        l.join(
+            r,
+            (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col(f"l.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return df.join(dupes, id_col, "left_anti")

@@ -1,0 +1,45 @@
+"""Operator registry — snake_case name → factory.
+
+Mirrors the reference's ``OperatorRegistry`` + snake_case→class resolution
+(``framework/registry.py:13-133``, ``framework/config.py:21-28``): the YAML
+pipeline compiler resolves operator names through this dict.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from webscale_multimodal_datapipeline_spark.operators import filters as _filters
+from webscale_multimodal_datapipeline_spark.operators import refiners as _refiners
+from webscale_multimodal_datapipeline_spark.operators import dedup as _dedup
+from webscale_multimodal_datapipeline_spark.operators.base import Operator
+
+OPERATORS: dict[str, Callable[..., Operator]] = {}
+
+
+def register(name: str, factory: Callable[..., Operator]) -> None:
+    OPERATORS[name] = factory
+
+
+def create(name: str, **kwargs: Any) -> Operator:
+    if name not in OPERATORS:
+        raise KeyError(f"unknown operator {name!r}; known: {sorted(OPERATORS)}")
+    return OPERATORS[name](**kwargs)
+
+
+# Filters (reference operators/filters/*)
+register("text_length_filter", _filters.text_length_filter)
+register("url_filter", _filters.url_filter)
+register("image_quality_filter", _filters.image_quality_filter)
+register("quality_score_filter", _filters.quality_score_filter)
+
+# Refiners (reference operators/refiners/* + extensions)
+register("text_stats_refiner", _refiners.text_stats_refiner)
+register("quality_score_refiner", _refiners.quality_score_refiner)
+register("lang_id_refiner", _refiners.lang_id_refiner)
+register("fingerprint_refiner", _refiners.fingerprint_refiner)
+register("embedding_norm_refiner", _refiners.embedding_norm_refiner)
+
+# Dedup (reference operators/dedup/* + near-dup family)
+register("text_exact_dedup", _dedup.text_exact_dedup)
+register("simhash_dedup", _dedup.simhash_dedup)

@@ -1,0 +1,271 @@
+"""Deduplication queries over ``documents`` (reference D1-D3 + the near-dup
+family: MinHash+LSH, SimHash, n-gram Jaccard — SURVEY §2.5 and the
+training-pipeline extensions).
+
+The DuckDB oracles reproduce the exact same md5-derived signatures and the
+exact same candidate-generation topology (band join / chunk join), so the
+comparison validates the *algorithm*, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.catalog import load_table
+from webscale_multimodal_datapipeline_spark.functions import text as TX
+from webscale_multimodal_datapipeline_spark.operators import dedup as OD
+from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ
+
+# ---------------------------------------------------------------------------
+# D1: exact dedup (composite key) + rejected side-output
+# ---------------------------------------------------------------------------
+
+
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, ``source|text`` composite key (FineWeb style,
+    ``text_exact_dedup.py:104-108``); winner = min(doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    op = OD.text_exact_dedup(composite_col="source")
+    return op.apply(d).select("doc_id", "source")
+
+
+D_EXACT_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY concat_ws('|', source, {OQ.sql_norm('text')})
+           ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+_COARSE_KEY = F.concat_ws(
+    "|", F.col("lang"), F.substring(TX.normalize_text("text"), 1, 16)
+)
+_COARSE_KEY_SQL = f"concat_ws('|', lang, substr({OQ.sql_norm('text')}, 1, 16))"
+
+
+def d_coarse_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a coarse derived key (lang + 16-char prefix) — same
+    machinery, but actually produces duplicates on the synthetic corpus so
+    the winner-selection path is exercised."""
+    d = load_table(spark, sf_dir, "documents")
+    op = OD.DedupOperator("coarse_dedup", _COARSE_KEY, order_col="doc_id")
+    return op.apply(d).select("doc_id", "lang")
+
+
+D_COARSE_SQL = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY {_COARSE_KEY_SQL} ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def d_coarse_dedup_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejected side-output of the coarse dedup, with the
+    ``_rejection_details`` annotation flattened (reference
+    ``framework/operator.py:345-352``: reason/operator/dedup_key/
+    representative_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    op = OD.DedupOperator("coarse_dedup", _COARSE_KEY, order_col="doc_id")
+    rej = op.split(d).rejected
+    return rej.select(
+        "doc_id",
+        F.col("_rejection_details.reason").alias("reason"),
+        F.col("_rejection_details.operator").alias("operator"),
+        F.col("_rejection_details.dedup_key").alias("dedup_key"),
+        F.col("_rejection_details.representative_id").alias("representative_id"),
+    )
+
+
+D_COARSE_REJ_SQL = f"""
+SELECT doc_id,
+       'duplicate' AS reason,
+       'coarse_dedup' AS operator,
+       dedup_key,
+       CAST(rep AS VARCHAR) AS representative_id
+FROM (
+  SELECT doc_id,
+         {_COARSE_KEY_SQL} AS dedup_key,
+         ROW_NUMBER() OVER (PARTITION BY {_COARSE_KEY_SQL} ORDER BY doc_id) AS rn,
+         MIN(doc_id) OVER (PARTITION BY {_COARSE_KEY_SQL}) AS rep
+  FROM documents
+) WHERE rn > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH dedup + Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def d_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three sampled elements of the 12-element MinHash signature."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_sh", TX.word_shingles("text", k=3)
+    )
+    sig = OD.minhash_signature("text", shingles=F.col("_sh"))
+    return d.select(
+        "doc_id",
+        F.element_at(sig, 1).alias("mh0"),
+        F.element_at(sig, 7).alias("mh6"),
+        F.element_at(sig, 12).alias("mh11"),
+    )
+
+
+_SH_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t FROM documents
+), sh AS (
+  SELECT doc_id, source, {OQ.sql_shingles_from_tokens('t')} AS sh FROM toks
+)
+"""
+
+_SIG_ELEMS = OQ.sql_minhash_sig_elements("sh")
+
+D_MINHASH_SIG_SQL = (
+    _SH_CTE
+    + f"""
+SELECT doc_id, {_SIG_ELEMS[0]} AS mh0, {_SIG_ELEMS[6]} AS mh6, {_SIG_ELEMS[11]} AS mh11
+FROM sh
+"""
+)
+
+
+def d_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→band→bucket-join→Jaccard-verify dedup; survivors."""
+    d = load_table(spark, sf_dir, "documents")
+    return OD.minhash_lsh_dedup(d, jaccard_threshold=0.7).select("doc_id", "source")
+
+
+def _minhash_pipeline_sql(threshold: float) -> str:
+    sig_list = "[" + ", ".join(_SIG_ELEMS) + "]"
+    bands_list = "[" + ", ".join(OQ.sql_lsh_bands("sig")) + "]"
+    return (
+        _SH_CTE
+        + f""", sig AS (
+  SELECT doc_id, sh, {sig_list} AS sig FROM sh
+), bands AS (
+  SELECT doc_id, unnest({bands_list}) AS band FROM sig
+), cand AS (
+  SELECT DISTINCT l.doc_id AS lid, r.doc_id AS rid
+  FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id > r.doc_id
+), ver AS (
+  SELECT c.lid, c.rid,
+         len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) AS jaccard
+  FROM cand c JOIN sh a ON a.doc_id = c.lid JOIN sh b ON b.doc_id = c.rid
+)
+"""
+    )
+
+
+D_MINHASH_DEDUP_SQL = (
+    _minhash_pipeline_sql(0.7)
+    + """
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT lid FROM ver WHERE jaccard >= 0.7)
+"""
+)
+
+
+def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (LSH candidates, exact verify ≥ 0.2):
+    (id_l, id_r, jaccard)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.withColumn("_shingles", TX.word_shingles("text", k=3)).withColumn(
+        "_sig", OD.minhash_signature("text", k=3, shingles=F.col("_shingles"))
+    )
+    banded = base.select(
+        "doc_id", "_shingles", F.explode(OD.lsh_bands(F.col("_sig"))).alias("_band")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    jac = F.size(F.array_intersect("_ls", "_rs")) / F.size(F.array_union("_ls", "_rs"))
+    return (
+        l.join(r, (F.col("l._band") == F.col("r._band")) & (F.col("l.doc_id") > F.col("r.doc_id")))
+        .select(
+            F.col("l.doc_id").alias("id_l"),
+            F.col("l._shingles").alias("_ls"),
+            F.col("r.doc_id").alias("id_r"),
+            F.col("r._shingles").alias("_rs"),
+        )
+        .dropDuplicates(["id_l", "id_r"])
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+D_JACCARD_PAIRS_SQL = (
+    _minhash_pipeline_sql(0.2)
+    + """
+SELECT lid AS id_l, rid AS id_r, CAST(jaccard AS DOUBLE) AS jaccard
+FROM ver WHERE jaccard >= 0.2
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", OD.simhash("text").alias("simhash"))
+
+
+D_SIMHASH_SQL = f"""
+WITH h AS (SELECT doc_id, {OQ.sql_token_hashes('text')} AS h FROM documents)
+SELECT doc_id, {OQ.sql_simhash_from_hashes('h')} AS simhash FROM h
+"""
+
+
+def d_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-near pairs via chunk-LSH (share >= 1 of 4 8-bit chunks) with
+    bit_count(xor) <= 12 verify: (id_l, id_r, hamming)."""
+    d = load_table(spark, sf_dir, "documents")
+    return OD.simhash_near_pairs(d, max_hamming=12)
+
+
+_CHUNKS = [
+    f"concat_ws('|', '{c}', CAST(((sh >> {c * 8}) & 255) AS VARCHAR))" for c in range(4)
+]
+
+D_SIMHASH_PAIRS_SQL = f"""
+WITH h AS (SELECT doc_id, {OQ.sql_token_hashes('text')} AS h FROM documents),
+s AS (SELECT doc_id, {OQ.sql_simhash_from_hashes('h')} AS sh FROM h),
+chunked AS (SELECT doc_id, sh, unnest([{', '.join(_CHUNKS)}]) AS chunk FROM s),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r,
+         bit_count(xor(l.sh, r.sh)) AS hamming
+  FROM chunked l JOIN chunked r ON l.chunk = r.chunk AND l.doc_id < r.doc_id
+)
+SELECT id_l, id_r, CAST(hamming AS INTEGER) AS hamming FROM pairs WHERE hamming <= 12
+"""
+
+
+QUERIES = {
+    "d_exact_dedup": d_exact_dedup,
+    "d_coarse_dedup": d_coarse_dedup,
+    "d_coarse_dedup_rejected": d_coarse_dedup_rejected,
+    "d_minhash_signature": d_minhash_signature,
+    "d_minhash_lsh_dedup": d_minhash_lsh_dedup,
+    "d_jaccard_pairs": d_jaccard_pairs,
+    "d_simhash": d_simhash,
+    "d_simhash_near_pairs": d_simhash_near_pairs,
+}
+
+ORACLE = {
+    "d_exact_dedup": D_EXACT_SQL,
+    "d_coarse_dedup": D_COARSE_SQL,
+    "d_coarse_dedup_rejected": D_COARSE_REJ_SQL,
+    "d_minhash_signature": D_MINHASH_SIG_SQL,
+    "d_minhash_lsh_dedup": D_MINHASH_DEDUP_SQL,
+    "d_jaccard_pairs": D_JACCARD_PAIRS_SQL,
+    "d_simhash": D_SIMHASH_SQL,
+    "d_simhash_near_pairs": D_SIMHASH_PAIRS_SQL,
+}

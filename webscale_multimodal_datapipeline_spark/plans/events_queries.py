@@ -1,0 +1,204 @@
+"""Event-stream queries over ``events`` (SURVEY §2.9: the streaming
+extension surface, expressed in batch form here; ``streaming/`` runs the
+same logic with readStream + watermarks).
+
+Covers: tumbling & sliding event-time windows, sessionization (lag +
+gap-cumsum — the batch analog of ``session_window``), JSON extraction
+(reference's dotted-path JSON partition keys, ``parquet_writer.py:69-87``),
+first-event-per-key dedup (batch analog of
+``dropDuplicatesWithinWatermark``), and funnel-style metrics aggregation
+(``metrics/reporter.py:689-701``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.catalog import load_table
+
+DEC = "decimal(18,6)"
+SESSION_GAP_MIN = 30
+
+
+def e_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window: count + value sum per (window, event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 4).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+E_TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def e_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes: count per (window, type).
+    Each event lands in 2 windows (epoch-aligned, Spark ``window()``
+    semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+E_SLIDING_SQL = """
+WITH slid AS (
+  SELECT event_type,
+         unnest([
+           to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)),
+           to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT))
+         ]) AS wstart
+  FROM events
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       COUNT(*) AS n
+FROM slid GROUP BY 1, 2
+"""
+
+
+def e_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: new session when gap to previous event (per user)
+    exceeds 30 min. Batch analog of ``session_window(ts, '30 minutes')``.
+    Returns per-user session count + event count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = F.when(
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+        > SESSION_GAP_MIN * 60,
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("_new_session", gap_flag)
+        .groupBy("user_id")
+        .agg(
+            (F.sum("_new_session") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+E_SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+def e_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the ``props`` column (reference's
+    dotted-path JSON partition-key extractor, ``parquet_writer.py:69-87``):
+    sum of ``$.k`` per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_total"),
+        F.count(k).alias("k_present"),
+    )
+
+
+E_JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+       COUNT(json_extract_string(props, '$.k')) AS k_present
+FROM events GROUP BY event_type
+"""
+
+
+def e_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user_id, event_type) — the batch analog of
+    streaming ``dropDuplicatesWithinWatermark`` (stateful dedup D3);
+    deterministic winner by (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        )
+    )
+
+
+E_FIRST_SQL = """
+SELECT user_id, event_type, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+"""
+
+
+def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel/metrics-report aggregation (reference
+    ``metrics/reporter.py:689-701``): per event_type totals + value stats."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast(DEC)), 4).cast("double").alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+E_FUNNEL_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "e_tumbling_window": e_tumbling_window,
+    "e_sliding_window": e_sliding_window,
+    "e_sessionization": e_sessionization,
+    "e_json_extract": e_json_extract,
+    "e_first_event_dedup": e_first_event_dedup,
+    "e_funnel": e_funnel,
+}
+
+ORACLE = {
+    "e_tumbling_window": E_TUMBLING_SQL,
+    "e_sliding_window": E_SLIDING_SQL,
+    "e_sessionization": E_SESSION_SQL,
+    "e_json_extract": E_JSON_SQL,
+    "e_first_event_dedup": E_FIRST_SQL,
+    "e_funnel": E_FUNNEL_SQL,
+}

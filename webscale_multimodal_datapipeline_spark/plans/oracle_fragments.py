@@ -1,0 +1,191 @@
+"""DuckDB SQL fragment generators mirroring ``functions/text.py`` and
+``functions/vectors.py`` expression-for-expression.
+
+Every fragment is constructed so the floating-point operation ORDER is
+identical to the Spark Column expression it mirrors (left-fold sums,
+double-division of exact values) — equal inputs then produce bit-equal
+outputs, and the driver's value-hash comparison passes without tolerance.
+
+Shared constants (salts, weights, planes, stopwords) are imported from the
+Spark-side modules — one source of truth.
+"""
+
+from __future__ import annotations
+
+from webscale_multimodal_datapipeline_spark.functions.text import LANG_MARKERS, STOPWORDS
+from webscale_multimodal_datapipeline_spark.operators.dedup import (
+    EMB_LSH_PLANES,
+    LSH_BANDS,
+    MINHASH_SALTS,
+    SIMHASH_BITS,
+    _plane_coef,
+)
+from webscale_multimodal_datapipeline_spark.operators.filters import DEFAULT_WORD_WEIGHTS
+
+# ---------------------------------------------------------------------------
+# Text
+# ---------------------------------------------------------------------------
+
+
+def sql_norm(col: str = "text") -> str:
+    """lower+collapse-whitespace+trim (functions.text.normalize_text)."""
+    return f"lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+
+
+def sql_tokens(expr: str) -> str:
+    """non-empty whitespace tokens (functions.text.tokens)."""
+    return f"list_filter(string_split_regex(trim({expr}), '\\s+'), t -> t <> '')"
+
+
+def sql_token_count(col: str = "text") -> str:
+    return f"len({sql_tokens(col)})"
+
+
+def sql_md5_long(expr: str) -> str:
+    """60-bit integer md5 hash (functions.text.md5_long)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def sql_punct_ratio(col: str = "text") -> str:
+    n_punct = f"(length({col}) - length(regexp_replace({col}, '[^\\w\\s]', '', 'g')))"
+    return f"(CASE WHEN length({col}) > 0 THEN {n_punct} / length({col}) ELSE 0.0 END)"
+
+
+def sql_stopword_ratio(col: str = "text") -> str:
+    stoplist = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    toks = sql_tokens(col)
+    return (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_filter({toks}, t -> list_contains({stoplist}, lower(t)))) / len({toks}) "
+        f"ELSE 0.0 END)"
+    )
+
+
+def sql_mean_word_length(col: str = "text") -> str:
+    toks = sql_tokens(col)
+    return (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE) / len({toks}) "
+        f"ELSE 0.0 END)"
+    )
+
+
+def sql_quality_score(col: str = "text") -> str:
+    """Mirror of functions.text.quality_score — same term order."""
+    len_comp = f"least(length({col}) / 400.0, 1.0)"
+    stop_comp = f"least({sql_stopword_ratio(col)} / 0.2, 1.0)"
+    return f"(0.4 * {len_comp} + 0.3 * (1.0 - {sql_punct_ratio(col)}) + 0.3 * {stop_comp})"
+
+
+def sql_lang_id(col: str = "text") -> str:
+    """Mirror of functions.text.lang_id (tie priority en>es>fr>de>zh)."""
+    toks = sql_tokens(col)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        scores[lang] = f"len(list_filter({toks}, t -> list_contains({lst}, lower(t))))"
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    branches = " ".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"(CASE WHEN {best} > 0 THEN (CASE {branches} END) ELSE 'und' END)"
+
+
+def sql_word_score(col: str = "text", weights: dict[str, float] | None = None) -> str:
+    """Mirror of operators.filters.word_score (0.8*max + min(total/3, 0.2))."""
+    weights = weights or DEFAULT_WORD_WEIGHTS
+    matched = [
+        f"(CASE WHEN regexp_matches({col}, '\\b{w}\\b') THEN {wt} ELSE 0.0 END)"
+        for w, wt in weights.items()
+    ]
+    max_w = "greatest(" + ", ".join(matched) + ")"
+    total = "(" + " + ".join(matched) + ")"
+    return f"(0.8 * {max_w} + least({total} / 3.0, 0.2))"
+
+
+# ---------------------------------------------------------------------------
+# Shingles / MinHash / SimHash
+# ---------------------------------------------------------------------------
+
+
+def sql_shingles_from_tokens(tok_col: str = "t", k: int = 3) -> str:
+    """Mirror of functions.text.word_shingles, applied to a precomputed
+    token-array column (use inside a CTE: ``SELECT <sql_tokens(...)> AS t``).
+    Distinct k-word shingles; short texts → single whole-text shingle."""
+    t = tok_col
+    parts = " || ' ' || ".join(f"{t}[i + {j}]" for j in range(k))
+    shingles = f"list_distinct(list_transform(range(1, len({t}) - {k - 2}), i -> {parts}))"
+    whole = f"[array_to_string({t}, ' ')]"
+    return f"(CASE WHEN len({t}) >= {k} THEN {shingles} ELSE {whole} END)"
+
+
+def sql_minhash_sig_elements(shingles_expr: str) -> list[str]:
+    """One min-hash element per salt (mirror of minhash_signature)."""
+    return [
+        f"list_min(list_transform({shingles_expr}, s -> md5('{salt}' || s)))"
+        for salt in MINHASH_SALTS
+    ]
+
+
+def sql_lsh_bands(sig_col: str, bands: int = LSH_BANDS) -> list[str]:
+    n = len(MINHASH_SALTS)
+    r = n // bands
+    return [
+        "concat_ws('|', '" + str(j) + "', "
+        + ", ".join(f"{sig_col}[{j * r + i + 1}]" for i in range(r))
+        + ")"
+        for j in range(bands)
+    ]
+
+
+def sql_token_hashes(col: str = "text") -> str:
+    """md5-long hash per token of the normalized text (→ alias as ``h``)."""
+    toks = sql_tokens(sql_norm(col))
+    return f"list_transform({toks}, t -> {sql_md5_long('t')})"
+
+
+def sql_simhash_from_hashes(hash_col: str = "h", bits: int = SIMHASH_BITS) -> str:
+    """Mirror of operators.dedup.simhash, over a precomputed token-hash
+    array column (use inside a CTE: ``SELECT <sql_token_hashes(...)> AS h``)."""
+    terms = []
+    for j in range(bits):
+        vote = f"list_sum(list_transform({hash_col}, x -> ((x >> {j}) & 1) * 2 - 1))"
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Vectors — left-fold sums to match F.aggregate exactly
+# ---------------------------------------------------------------------------
+
+
+def sql_dot(a: str, b: str, dim: int) -> str:
+    """((0 + p1) + p2) + ... left fold == Spark F.aggregate order."""
+    terms = " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1))
+    return f"({terms})"
+
+
+def sql_l2_norm(a: str, dim: int) -> str:
+    return f"sqrt({sql_dot(a, a, dim)})"
+
+
+def sql_cosine(a: str, b: str, dim: int) -> str:
+    return f"({sql_dot(a, b, dim)} / ({sql_l2_norm(a, dim)} * {sql_l2_norm(b, dim)}))"
+
+
+def sql_mlp_score(col: str, weights: list[float], bias: float) -> str:
+    terms = " + ".join(
+        f"{col}[{i + 1}]::DOUBLE * {float(w)!r}" for i, w in enumerate(weights)
+    )
+    return f"({float(bias)!r} + {terms})"
+
+
+def sql_hyperplane_bucket(col: str, dim: int, planes: int = EMB_LSH_PLANES) -> str:
+    """Mirror of operators.dedup.hyperplane_bucket."""
+    parts = []
+    for p in range(planes):
+        proj = " + ".join(
+            f"{col}[{i + 1}]::DOUBLE * {_plane_coef(p, i)}" for i in range(dim)
+        )
+        parts.append(f"(CASE WHEN ({proj}) > 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"

@@ -1,0 +1,33 @@
+"""Assembled query catalog — the single source for ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY §2 has a named query here; most have
+a DuckDB oracle (the exceptions are iterative/ML ops, which get the
+driver's rows-only check).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from webscale_multimodal_datapipeline_spark.plans import (
+    dedup_queries,
+    events_queries,
+    relational,
+    text_queries,
+    vector_queries,
+)
+
+_MODULES = (relational, text_queries, dedup_queries, vector_queries, events_queries)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+for _m in _MODULES:
+    for _name, _fn in _m.QUERIES.items():
+        assert _name not in QUERIES, f"duplicate query name {_name}"
+        QUERIES[_name] = _fn
+    for _name, _sql in _m.ORACLE.items():
+        assert _name in _m.QUERIES, f"oracle without query: {_name}"
+        ORACLE[_name] = _sql

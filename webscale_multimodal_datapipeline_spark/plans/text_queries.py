@@ -1,0 +1,196 @@
+"""Text-operator queries over the ``documents`` table (SURVEY §7 step 3 +
+the training-pipeline text-analysis extensions).
+
+Covers: TextLengthFilter (F2), URLFilter semantics (F1: blocklist +
+word-score + quality-source exclusion), text stats / quality scoring,
+language-ID, token counting, fingerprinting.
+
+Everything is a native column expression — at 100 TB these run inside
+whole-stage codegen with the filters pushed at the scan; the reference's
+20K rec/s Python URL scoring becomes a JVM regex over a scanned column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.catalog import load_table
+from webscale_multimodal_datapipeline_spark.functions import text as TX
+from webscale_multimodal_datapipeline_spark.operators import filters as OF
+from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ
+
+BLOCKLIST = ("src1", "src7")
+QUALITY_SOURCES = ("src3",)
+SCORE_THRESHOLD = 0.5
+
+
+def t_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: keep 100 <= n_chars <= 400 (precomputed length column preferred,
+    ``text_length_filter.py:43-57``)."""
+    d = load_table(spark, sf_dir, "documents")
+    op = OF.text_length_filter(100, 400, length_col="n_chars")
+    return op.apply(d).select("doc_id", "n_chars", "lang")
+
+
+T_LENGTH_SQL = """
+SELECT doc_id, n_chars, lang FROM documents WHERE n_chars BETWEEN 100 AND 400
+"""
+
+
+def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-stats refiner output (length/tokens/punct/stopword/word-length)."""
+    from webscale_multimodal_datapipeline_spark.operators.refiners import text_stats_refiner
+
+    d = load_table(spark, sf_dir, "documents")
+    return text_stats_refiner().apply(d).select(
+        "doc_id",
+        "text_length",
+        "token_count",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_word_length",
+    )
+
+
+T_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS text_length,
+       CAST({OQ.sql_token_count('text')} AS BIGINT) AS token_count,
+       CAST({OQ.sql_punct_ratio('text')} AS DOUBLE) AS punct_ratio,
+       CAST({OQ.sql_stopword_ratio('text')} AS DOUBLE) AS stopword_ratio,
+       CAST({OQ.sql_mean_word_length('text')} AS DOUBLE) AS mean_word_length
+FROM documents
+"""
+
+
+def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality-score filter (keep score >= 0.5) + the score."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("quality_score", TX.quality_score("text").cast("double"))
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "quality_score")
+    )
+
+
+T_QUALITY_SQL = f"""
+SELECT doc_id, CAST(q AS DOUBLE) AS quality_score
+FROM (SELECT doc_id, {OQ.sql_quality_score('text')} AS q FROM documents)
+WHERE q >= 0.5
+"""
+
+
+def t_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 semantics on (source, text): blocklist + word-score threshold +
+    quality-source exclusion (``url_filter.py:284-321``)."""
+    d = load_table(spark, sf_dir, "documents")
+    op = OF.url_filter(
+        source_col="source",
+        text_col="text",
+        blocklist=BLOCKLIST,
+        quality_sources=QUALITY_SOURCES,
+        score_threshold=SCORE_THRESHOLD,
+    )
+    return op.apply(d).select("doc_id", "source")
+
+
+T_URL_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE (source NOT IN ('src1', 'src7')
+       AND source NOT IN ('src3')
+       AND {OQ.sql_word_score('text')} < 0.5)
+   OR source IS NULL
+"""
+
+
+def t_word_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL word-score itself (0.8*max(weight) + min(total/3, 0.2),
+    ``url_filter.py:255-282``)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", OF.word_score("text").cast("double").alias("word_score")
+    )
+
+
+T_WORDSCORE_SQL = f"""
+SELECT doc_id, CAST({OQ.sql_word_score('text')} AS DOUBLE) AS word_score
+FROM documents
+"""
+
+
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column: confusion counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lang_pred", TX.lang_id("text"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+T_LANG_SQL = f"""
+SELECT lang, {OQ.sql_lang_id('text')} AS lang_pred, COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-backed 60-bit document fingerprint (dedup-key material)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+T_FP_SQL = f"""
+SELECT doc_id, {OQ.sql_md5_long(OQ.sql_norm('text'))} AS fingerprint
+FROM documents
+"""
+
+
+def t_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source aggregate over refined columns (the reference's metrics
+    report group-by shape, ``metrics/reporter.py:689-701``)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("token_count", TX.token_count("text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("token_count").cast("bigint")).alias("total_tokens"),
+            F.sum(F.col("n_chars")).alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+T_SOURCE_SQL = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM({OQ.sql_token_count('text')}) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
+QUERIES = {
+    "t_length_filter": t_length_filter,
+    "t_text_stats": t_text_stats,
+    "t_quality_filter": t_quality_filter,
+    "t_url_filter": t_url_filter,
+    "t_word_score": t_word_score,
+    "t_lang_id": t_lang_id,
+    "t_fingerprint": t_fingerprint,
+    "t_source_stats": t_source_stats,
+}
+
+ORACLE = {
+    "t_length_filter": T_LENGTH_SQL,
+    "t_text_stats": T_STATS_SQL,
+    "t_quality_filter": T_QUALITY_SQL,
+    "t_url_filter": T_URL_SQL,
+    "t_word_score": T_WORDSCORE_SQL,
+    "t_lang_id": T_LANG_SQL,
+    "t_fingerprint": T_FP_SQL,
+    "t_source_stats": T_SOURCE_SQL,
+}

@@ -1,0 +1,195 @@
+"""Embedding / vector queries over ``embeddings`` (reference R4-R7 output
+shapes + D4 semantic dedup + the similarity-search extension).
+
+Covers: L2 norms & normalization, linear (MLP-head) scoring over
+precomputed embeddings (R6/R7 shape), hyperplane-LSH bucketing, cosine
+near-dup dedup, exact brute-force cosine top-k and LSH-bucketed top-k,
+k-means clustering (pyspark.ml — replaces the reference's 547-line
+hand-rolled distributed Lloyd's, ``models/kmeans/distributed_trainer.py``).
+
+Floating-point parity: all sums are left-folds over double-cast elements
+and the DuckDB oracle generates the same fold order — results are
+bit-identical, no tolerance needed (see plans/oracle_fragments.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.catalog import load_table
+from webscale_multimodal_datapipeline_spark.functions import vectors as VX
+from webscale_multimodal_datapipeline_spark.operators import dedup as OD
+from webscale_multimodal_datapipeline_spark.operators import similarity as OS
+from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ
+
+DIM = 64
+MLP_WEIGHTS = [((i * 7) % 11 - 5) / 10.0 for i in range(DIM)]
+MLP_BIAS = 0.1
+COSINE_DEDUP_THRESHOLD = 0.9
+N_QUERIES = 3
+TOP_K = 5
+
+
+def v_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per embedding (R4/R5 normalization building block)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", VX.l2_norm("embedding").alias("l2_norm"), "label")
+
+
+V_NORMS_SQL = f"""
+SELECT vec_id, {OQ.sql_l2_norm('embedding', DIM)} AS l2_norm, label
+FROM embeddings
+"""
+
+
+def v_mlp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear scoring head over embeddings (R6 aesthetic / R7 AIGC shape,
+    ``image_aesthetic_quality.py:195-233``) + thresholded boolean (R7's
+    ``image_is_aigc`` = score > 0.5, ``image_aigc_detector.py:228-233``)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    score = VX.mlp_score("embedding", MLP_WEIGHTS, MLP_BIAS)
+    return e.select(
+        "vec_id",
+        score.alias("mlp_score"),
+        (score > 0.5).alias("is_positive"),
+    )
+
+
+V_MLP_SQL = f"""
+SELECT vec_id,
+       {OQ.sql_mlp_score('embedding', MLP_WEIGHTS, MLP_BIAS)} AS mlp_score,
+       ({OQ.sql_mlp_score('embedding', MLP_WEIGHTS, MLP_BIAS)} > 0.5) AS is_positive
+FROM embeddings
+"""
+
+
+def v_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket histogram (semantic-dedup bucketing, reference
+    D4 design ``backend.py:89-93``)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.withColumn("bucket", OD.hyperplane_bucket("embedding", DIM))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+V_BUCKETS_SQL = f"""
+SELECT {OQ.sql_hyperplane_bucket('embedding', DIM)} AS bucket, COUNT(*) AS n
+FROM embeddings GROUP BY 1
+"""
+
+
+def v_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal (LSH bucket → cosine >= 0.9 →
+    drop higher id); survivors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return OD.embedding_cosine_dedup(
+        e, dim=DIM, threshold=COSINE_DEDUP_THRESHOLD
+    ).select("vec_id", "label")
+
+
+V_COSINE_DEDUP_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {OQ.sql_hyperplane_bucket('embedding', DIM)} AS bucket
+  FROM embeddings
+), dup AS (
+  SELECT DISTINCT l.vec_id AS vid
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id > r.vec_id
+  WHERE {OQ.sql_cosine('l.embedding', 'r.embedding', DIM)} >= {COSINE_DEDUP_THRESHOLD}
+)
+SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM dup)
+"""
+
+
+def v_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (query set = vec_id < 3, broadcast)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return OS.cosine_topk(e, q, k=TOP_K)
+
+
+V_TOPK_SQL = f"""
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         {OQ.sql_cosine('c.embedding', 'q.embedding', DIM)} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {OQ.sql_cosine('c.embedding', 'q.embedding', DIM)} DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+) WHERE rank <= {TOP_K}
+"""
+
+
+def v_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    (the scale path — bucket equi-join instead of cross join)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return OS.lsh_topk(e, q, dim=DIM, k=TOP_K, planes=4)
+
+
+V_LSH_TOPK_SQL = f"""
+WITH cb AS (
+  SELECT vec_id, embedding, {OQ.sql_hyperplane_bucket('embedding', DIM, 4)} AS bucket
+  FROM embeddings
+), qb AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket
+  FROM cb WHERE vec_id < {N_QUERIES}
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT qb.query_id, cb.vec_id,
+         {OQ.sql_cosine('cb.embedding', 'qb.qe', DIM)} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY qb.query_id
+           ORDER BY {OQ.sql_cosine('cb.embedding', 'qb.qe', DIM)} DESC,
+                    cb.vec_id ASC) AS rank
+  FROM cb JOIN qb ON cb.bucket = qb.bucket
+) WHERE rank <= {TOP_K}
+"""
+
+
+def v_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means over embeddings via pyspark.ml (replaces the reference's
+    hand-rolled distributed Lloyd's iteration wholesale — SURVEY §2.10).
+    Non-SQL-expressible (iterative) → rows-only check: returns cluster
+    sizes, k=10, fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = e.select(
+        "vec_id", array_to_vector(VX.to_double_array("embedding")).alias("features")
+    )
+    model = KMeans(k=10, seed=42, maxIter=20).fit(vec)
+    pred = model.transform(vec)
+    return pred.groupBy(F.col("prediction").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+QUERIES = {
+    "v_embedding_norms": v_embedding_norms,
+    "v_mlp_score": v_mlp_score,
+    "v_lsh_buckets": v_lsh_buckets,
+    "v_cosine_dedup": v_cosine_dedup,
+    "v_cosine_topk": v_cosine_topk,
+    "v_lsh_topk": v_lsh_topk,
+    "v_kmeans_clusters": v_kmeans_clusters,
+}
+
+ORACLE = {
+    "v_embedding_norms": V_NORMS_SQL,
+    "v_mlp_score": V_MLP_SQL,
+    "v_lsh_buckets": V_BUCKETS_SQL,
+    "v_cosine_dedup": V_COSINE_DEDUP_SQL,
+    "v_cosine_topk": V_TOPK_SQL,
+    "v_lsh_topk": V_LSH_TOPK_SQL,
+    # v_kmeans_clusters: iterative — rows-only check by design.
+}
