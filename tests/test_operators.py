@@ -1,0 +1,137 @@
+"""Operator-contract tests (reference ``framework/operator.py`` semantics:
+Refiner adds, Filter drops, Dedup keeps first per key, rejected rows are
+annotated)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.operators import dedup as OD
+from webscale_multimodal_datapipeline_spark.operators import filters as OF
+from webscale_multimodal_datapipeline_spark.operators import registry as REG
+from webscale_multimodal_datapipeline_spark.operators import similarity as OS
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+
+
+def test_text_length_filter_bounds_and_fallback(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "x" * 50, "s", None),  # falls back to length(text)=50
+            (2, "short", "s", 5),
+            (3, "y", "s", 200),  # precomputed wins over actual
+        ],
+    )
+    op = OF.text_length_filter(10, 300, length_col="n_chars")
+    got = {r.doc_id for r in op.apply(df).collect()}
+    assert got == {1, 3}
+
+
+def test_filter_split_rejected_annotation(spark):
+    df = _docs(spark, [(1, "keep me please ok", "s", 100), (2, "no", "s", 2)])
+    op = OF.text_length_filter(10, 300, length_col="n_chars", name="len_f")
+    res = op.split(df)
+    rej = res.rejected.collect()
+    assert [r.doc_id for r in rej] == [2]
+    assert rej[0]["_rejection_details"]["reason"] == "filtered"
+    assert rej[0]["_rejection_details"]["operator"] == "len_f"
+
+
+def test_url_filter_branches(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "clean words", "good", 10),
+            (2, "clean words", "blocked", 10),  # blocklist
+            (3, "casino poker", "good", 10),  # word score
+            (4, "clean words", "wiki", 10),  # quality exclusion
+            (5, "clean words", None, 10),  # null source passes
+        ],
+    )
+    op = OF.url_filter(blocklist=("blocked",), quality_sources=("wiki",))
+    got = {r.doc_id for r in op.apply(df).collect()}
+    assert got == {1, 5}
+
+
+def test_exact_dedup_min_id_wins_and_rejected_has_representative(spark):
+    df = _docs(
+        spark,
+        [
+            (5, "Hello  World", "a", 11),
+            (2, "hello world", "a", 11),  # same normalized text -> dup
+            (7, "different", "a", 9),
+        ],
+    )
+    op = OD.text_exact_dedup()
+    res = op.split(df)
+    kept = {r.doc_id for r in res.passed.collect()}
+    assert kept == {2, 7}
+    rej = res.rejected.collect()
+    assert [r.doc_id for r in rej] == [5]
+    assert rej[0]["_rejection_details"]["representative_id"] == "2"
+    assert rej[0]["_rejection_details"]["reason"] == "duplicate"
+
+
+def test_composite_dedup_distinguishes_sources(spark):
+    df = _docs(spark, [(1, "same text", "a", 9), (2, "same text", "b", 9)])
+    # composite source|text: different sources -> both kept
+    assert OD.text_exact_dedup(composite_col="source").apply(df).count() == 2
+    # plain text key -> one kept
+    assert OD.text_exact_dedup().apply(df).count() == 1
+
+
+def test_minhash_lsh_dedup_removes_near_duplicate(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " extra"
+    other = "completely different words appear in this sentence about spark engines"
+    df = _docs(spark, [(1, base, "s", 1), (2, near, "s", 1), (3, other, "s", 1)])
+    out = {r.doc_id for r in OD.minhash_lsh_dedup(df, jaccard_threshold=0.5).collect()}
+    assert out == {1, 3}
+
+
+def test_simhash_whitespace_invariance(spark):
+    df = _docs(spark, [(1, "Alpha Beta   Gamma", "s", 1), (2, "alpha beta gamma", "s", 1)])
+    vals = [r.sh for r in df.select(OD.simhash("text").alias("sh")).collect()]
+    assert vals[0] == vals[1]
+
+
+def test_embedding_cosine_dedup_drops_duplicate_vector(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),  # identical -> dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id for r in OD.embedding_cosine_dedup(df, dim=4, threshold=0.99).collect()}
+    assert out == {1, 3}
+
+
+def test_cosine_topk_self_is_rank_one(spark):
+    rows = [(i, [float(i == j) + 0.1 for j in range(4)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = OS.cosine_topk(df, q, k=3).collect()
+    assert top[0].vec_id == 0 and top[0].rank == 1
+    assert abs(top[0].cosine - 1.0) < 1e-12
+
+
+def test_registry_create(spark, sf_dir):
+    op = REG.create("text_length_filter", min_length=100, max_length=400)
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    assert op.apply(d).count() > 0
+
+
+def test_registry_unknown_raises():
+    import pytest
+
+    with pytest.raises(KeyError):
+        REG.create("nope_operator")

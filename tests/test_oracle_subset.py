@@ -1,0 +1,80 @@
+"""Differential tests vs the DuckDB oracle at sf0.001 — the house style of
+the reference (Python-vs-Rust parity, ``tests/test_image_technical_quality.py``)
+re-aimed at Spark-vs-DuckDB. A representative subset per query family;
+``tools/oracle_check.py`` runs the full catalog.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from __spark_entry__ import oracle_sql, queries
+from webscale_multimodal_datapipeline_spark.catalog import TABLES
+
+SUBSET = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_top_customers_per_nation",
+    "t_url_filter",
+    "t_text_stats",
+    "d_coarse_dedup_rejected",
+    "d_simhash",
+    "v_mlp_score",
+    "v_cosine_topk",
+    "e_sessionization",
+    "e_funnel",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    sdf = _norm(queries()[name](spark, sf_dir).toPandas())
+    ddf = _norm(duck.sql(oracle_sql()[name]).df())
+    assert list(sdf.columns) == list(ddf.columns)
+    assert len(sdf) == len(ddf)
+    for c in sdf.columns:
+        if sdf[c].dtype == np.float64:
+            assert np.array_equal(
+                sdf[c].to_numpy(), ddf[c].to_numpy(), equal_nan=True
+            ), f"float col {c} differs"
+        else:
+            assert sdf[c].equals(ddf[c]), f"col {c} differs"
+
+
+def test_every_oracle_has_query():
+    qs, osql = queries(), oracle_sql()
+    assert set(osql) <= set(qs)
+    # catalog sanity: substantial coverage with oracles
+    assert len(qs) >= 40 and len(osql) >= 39
+
+
+def test_entry_runs(spark):
+    from __spark_entry__ import entry
+
+    df = entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"lang", "n_docs", "total_tokens", "avg_quality"}

@@ -1,0 +1,64 @@
+"""Unit semantics of the text expression library (reference parity:
+normalization ``text_exact_dedup.py:66-72``, length ``text_length_filter.py:
+43-57``, url scoring ``url_filter.py:255-282``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.functions import text as TX
+from webscale_multimodal_datapipeline_spark.operators import filters as OF
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("x")).first()["x"]
+
+
+def test_normalize_collapses_whitespace_and_case(spark):
+    assert _one(spark, "  Hello   WORLD\t\nfoo ", TX.normalize_text("text")) == "hello world foo"
+
+
+def test_normalize_empty(spark):
+    assert _one(spark, "", TX.normalize_text("text")) == ""
+
+
+def test_token_count(spark):
+    assert _one(spark, " a  b c ", TX.token_count("text")) == 3
+    assert _one(spark, "", TX.token_count("text")) == 0
+    assert _one(spark, "   ", TX.token_count("text")) == 0
+
+
+def test_stopword_ratio(spark):
+    # "the cat and dog": 2 stopwords of 4 tokens
+    assert _one(spark, "the cat and dog", TX.stopword_ratio("text")) == 0.5
+    assert _one(spark, "", TX.stopword_ratio("text")) == 0.0
+
+
+def test_word_shingles_short_text_falls_back_to_whole(spark):
+    assert _one(spark, "one two", TX.word_shingles("text", k=3)) == ["one two"]
+
+
+def test_word_shingles_distinct(spark):
+    got = _one(spark, "a b c a b c a b c", TX.word_shingles("text", k=3))
+    assert sorted(got) == ["a b c", "b c a", "c a b"]
+
+
+def test_word_score_max_and_total(spark):
+    # casino (1.0) + poker (0.9): 0.8*1.0 + min(1.9/3, 0.2) = 1.0
+    score = _one(spark, "visit casino poker now", OF.word_score("text"))
+    assert abs(score - 1.0) < 1e-12
+    # no match: 0
+    assert _one(spark, "clean text here", OF.word_score("text")) == 0.0
+
+
+def test_lang_id_markers(spark):
+    assert _one(spark, "der die und das", TX.lang_id("text")) == "de"
+    assert _one(spark, "xyzzy qwerty", TX.lang_id("text")) == "und"
+    # tie between en and es markers -> en priority
+    assert _one(spark, "the el", TX.lang_id("text")) == "en"
+
+
+def test_md5_long_range(spark):
+    v = _one(spark, "abc", TX.md5_long("text"))
+    assert 0 <= v < 2**60

@@ -162,15 +162,23 @@ def lang_id(col: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
+def word_shingles(
+    col: Column | str, k: int = 3, toks: Column | None = None
+) -> Column:
     """Distinct k-word shingles of the normalized text (array<string>).
 
     Building block for MinHash / Jaccard dedup (SURVEY §2.5 extension).
     Texts shorter than k words yield a single shingle of the whole text so
     every row keeps a key (mirrors the reference's fallback-to-id behavior,
     ``text_exact_dedup.py:84-90``).
+
+    PERF: pass ``toks`` as a materialized token-array *column reference*
+    when calling in a hot path — if the tokenization expression is inlined
+    here, Catalyst re-evaluates the full split once per element_at inside
+    the transform lambda (measured 50x slowdown at 260K shingles).
     """
-    toks = tokens(normalize_text(col))
+    if toks is None:
+        toks = tokens(normalize_text(col))
     n = F.size(toks)
     shingles = F.transform(
         F.sequence(F.lit(0), n - k),

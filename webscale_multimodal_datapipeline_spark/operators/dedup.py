@@ -114,8 +114,11 @@ def minhash_lsh_dedup(
     exact-Jaccard verify → drop any row with a verified near-dup of
     smaller id. Two shuffles total (band exchange + semi-join back).
     """
-    base = df.withColumn("_shingles", TX.word_shingles(text_col, k=k)).withColumn(
-        "_sig", minhash_signature(text_col, k=k, shingles=F.col("_shingles"))
+    base = (
+        df.withColumn("_toks", TX.tokens(TX.normalize_text(text_col)))
+        .withColumn("_shingles", TX.word_shingles(text_col, k=k, toks=F.col("_toks")))
+        .withColumn("_sig", minhash_signature(text_col, k=k, shingles=F.col("_shingles")))
+        .drop("_toks")
     )
     banded = base.select(
         F.col(id_col), "_shingles", F.explode(lsh_bands(F.col("_sig"))).alias("_band")
@@ -149,15 +152,25 @@ def minhash_lsh_dedup(
 SIMHASH_BITS = 32
 
 
-def simhash(text_col: str = "text", bits: int = SIMHASH_BITS) -> Column:
+def token_hashes(text_col: str = "text") -> Column:
+    """md5-long hash per token of the normalized text (SimHash input).
+    Materialize this as a column before calling ``simhash`` in a hot path —
+    otherwise each per-bit aggregate re-evaluates the tokenize+hash chain."""
+    toks = TX.tokens(TX.normalize_text(text_col))
+    return F.transform(toks, lambda t: TX.md5_long(t))
+
+
+def simhash(
+    text_col: str = "text", bits: int = SIMHASH_BITS, hashes: Column | None = None
+) -> Column:
     """``bits``-bit SimHash over whitespace tokens of the normalized text.
 
     bit j of the result = 1 iff sum over tokens of (±1 by bit j of
     md5-hash(token)) > 0. Pure column expression (no shuffle, no Python);
     md5-backed so DuckDB reproduces it exactly.
     """
-    toks = TX.tokens(TX.normalize_text(text_col))
-    hashes = F.transform(toks, lambda t: TX.md5_long(t))
+    if hashes is None:
+        hashes = token_hashes(text_col)
 
     def _vote(j: int):
         return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -194,7 +207,9 @@ def simhash_near_pairs(
     """
     width = bits // chunks
     mask = (1 << width) - 1
-    sh = df.select(F.col(id_col), simhash(text_col, bits).alias("_sh"))
+    sh = df.withColumn("_th", token_hashes(text_col)).select(
+        F.col(id_col), simhash(text_col, bits, hashes=F.col("_th")).alias("_sh")
+    )
     chunked = sh.select(
         id_col,
         "_sh",
@@ -294,13 +309,19 @@ def embedding_cosine_dedup(
     """
     from webscale_multimodal_datapipeline_spark.functions import vectors as VX
 
+    # Precompute the L2 norm per row BEFORE the pair join — cosine inside
+    # the join is then one dot product + one multiply instead of three
+    # folds (identical values: dot/(||a||*||b||) either way).
     b = df.select(
         F.col(id_col),
         F.col(emb_col),
+        VX.l2_norm(emb_col).alias("_norm"),
         hyperplane_bucket(emb_col, dim, planes).alias("_bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
-    cos = VX.cosine(F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}"))
+    cos = VX.dot(F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}")) / (
+        F.col("l._norm") * F.col("r._norm")
+    )
     dupes = (
         l.join(
             r,

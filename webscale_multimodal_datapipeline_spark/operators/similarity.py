@@ -31,13 +31,21 @@ def cosine_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col), F.col(emb_col).alias("_q_emb")
+            F.col(query_id_col),
+            F.col(emb_col).alias("_q_emb"),
+            VX.l2_norm(emb_col).alias("_q_norm"),
         )
     )
-    scored = corpus.crossJoin(q).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        VX.cosine(F.col(emb_col), F.col("_q_emb")).alias("cosine"),
+    # corpus norm precomputed once per row; cosine in the join is a single
+    # dot product + multiply (identical values to cosine()).
+    scored = (
+        corpus.withColumn("_c_norm", VX.l2_norm(emb_col))
+        .crossJoin(q)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (VX.dot(F.col(emb_col), F.col("_q_emb")) / (F.col("_c_norm") * F.col("_q_norm"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -62,18 +70,21 @@ def lsh_topk(
     """Approximate top-k: only corpus vectors in the query's hyperplane-LSH
     bucket are scored. Recall is tunable via ``planes`` (fewer planes →
     bigger buckets → higher recall, more compute)."""
-    cb = corpus.withColumn("_bucket", hyperplane_bucket(emb_col, dim, planes))
+    cb = corpus.withColumn("_bucket", hyperplane_bucket(emb_col, dim, planes)).withColumn(
+        "_c_norm", VX.l2_norm(emb_col)
+    )
     qb = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(emb_col).alias("_q_emb"),
+            VX.l2_norm(emb_col).alias("_q_norm"),
             hyperplane_bucket(emb_col, dim, planes).alias("_bucket"),
         )
     )
     scored = cb.join(qb, "_bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        VX.cosine(F.col(emb_col), F.col("_q_emb")).alias("cosine"),
+        (VX.dot(F.col(emb_col), F.col("_q_emb")) / (F.col("_c_norm") * F.col("_q_norm"))).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()

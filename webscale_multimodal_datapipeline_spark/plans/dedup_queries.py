@@ -40,9 +40,11 @@ SELECT doc_id, source FROM (
 ) WHERE rn = 1
 """
 
-_COARSE_KEY = F.concat_ws(
-    "|", F.col("lang"), F.substring(TX.normalize_text("text"), 1, 16)
-)
+def _coarse_key():
+    # built lazily — Column construction needs an active SparkContext.
+    return F.concat_ws("|", F.col("lang"), F.substring(TX.normalize_text("text"), 1, 16))
+
+
 _COARSE_KEY_SQL = f"concat_ws('|', lang, substr({OQ.sql_norm('text')}, 1, 16))"
 
 
@@ -51,7 +53,7 @@ def d_coarse_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery, but actually produces duplicates on the synthetic corpus so
     the winner-selection path is exercised."""
     d = load_table(spark, sf_dir, "documents")
-    op = OD.DedupOperator("coarse_dedup", _COARSE_KEY, order_col="doc_id")
+    op = OD.DedupOperator("coarse_dedup", _coarse_key(), order_col="doc_id")
     return op.apply(d).select("doc_id", "lang")
 
 
@@ -70,7 +72,7 @@ def d_coarse_dedup_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``framework/operator.py:345-352``: reason/operator/dedup_key/
     representative_id)."""
     d = load_table(spark, sf_dir, "documents")
-    op = OD.DedupOperator("coarse_dedup", _COARSE_KEY, order_col="doc_id")
+    op = OD.DedupOperator("coarse_dedup", _coarse_key(), order_col="doc_id")
     rej = op.split(d).rejected
     return rej.select(
         "doc_id",
@@ -104,8 +106,10 @@ FROM (
 
 def d_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three sampled elements of the 12-element MinHash signature."""
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "_sh", TX.word_shingles("text", k=3)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("_toks", TX.tokens(TX.normalize_text("text")))
+        .withColumn("_sh", TX.word_shingles("text", k=3, toks=F.col("_toks")))
     )
     sig = OD.minhash_signature("text", shingles=F.col("_sh"))
     return d.select(
@@ -175,8 +179,10 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (LSH candidates, exact verify ≥ 0.2):
     (id_l, id_r, jaccard)."""
     d = load_table(spark, sf_dir, "documents")
-    base = d.withColumn("_shingles", TX.word_shingles("text", k=3)).withColumn(
-        "_sig", OD.minhash_signature("text", k=3, shingles=F.col("_shingles"))
+    base = (
+        d.withColumn("_toks", TX.tokens(TX.normalize_text("text")))
+        .withColumn("_shingles", TX.word_shingles("text", k=3, toks=F.col("_toks")))
+        .withColumn("_sig", OD.minhash_signature("text", k=3, shingles=F.col("_shingles")))
     )
     banded = base.select(
         "doc_id", "_shingles", F.explode(OD.lsh_bands(F.col("_sig"))).alias("_band")
@@ -214,8 +220,10 @@ FROM ver WHERE jaccard >= 0.2
 
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", OD.simhash("text").alias("simhash"))
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_th", OD.token_hashes("text")
+    )
+    return d.select("doc_id", OD.simhash("text", hashes=F.col("_th")).alias("simhash"))
 
 
 D_SIMHASH_SQL = f"""
