@@ -1,0 +1,129 @@
+"""Pipeline-compiler tests: YAML parse, operator resolution, filter
+hoisting, rejected side-output, observe() metrics, writer paths."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.compiler import (
+    PipelineConfig,
+    compile_pipeline,
+)
+from webscale_multimodal_datapipeline_spark.operators.base import FilterOperator
+
+YAML_CFG = """
+data_loader:
+  table: documents
+stages:
+  - name: curate
+    operators:
+      - type: text_stats_refiner
+      - type: text_length_filter
+        params: {min_length: 100, max_length: 450}
+  - name: dedup
+    operators:
+      - type: text_exact_dedup
+data_writer: {}
+collect_rejected: true
+"""
+
+
+def test_yaml_parse_and_run(spark, sf_dir):
+    pipe = compile_pipeline(YAML_CFG)
+    res = pipe.run(spark, sf_dir)
+    n = res.output.count()
+    assert 0 < n < 500
+    assert res.rejected is not None
+    assert res.rejected.count() == 500 - n  # filter + dedup rejections
+
+
+def test_filter_hoisted_before_refiner(spark):
+    cfg = PipelineConfig.from_yaml(YAML_CFG)
+    from webscale_multimodal_datapipeline_spark.compiler import _hoist_filters
+
+    ops = _hoist_filters(cfg.stages[0].operators, {"doc_id", "text", "lang", "source", "n_chars"})
+    assert isinstance(ops[0], FilterOperator)  # length filter moved first
+
+
+def test_filter_not_hoisted_when_depends_on_refiner(spark):
+    # image_quality_filter needs refiner-produced columns -> must NOT hoist
+    cfg = {
+        "data_loader": {"table": "documents"},
+        "stages": [
+            {
+                "name": "s",
+                "operators": [
+                    {"type": "quality_score_refiner"},
+                    {"type": "image_quality_filter"},
+                ],
+            }
+        ],
+    }
+    from webscale_multimodal_datapipeline_spark.compiler import _hoist_filters
+
+    pc = PipelineConfig.from_dict(cfg)
+    ops = _hoist_filters(pc.stages[0].operators, {"doc_id", "text"})
+    assert not isinstance(ops[0], FilterOperator)
+
+
+def test_metrics_counts_funnel(spark, sf_dir):
+    pipe = compile_pipeline(YAML_CFG)
+    res = pipe.run(spark, sf_dir)
+    res.output.count()
+    rows = {(m.stage_name, m.operator_name): m for m in res.metrics.harvest()}
+    src = rows[("source", "source")]
+    assert src.input_records == 500
+    flt = rows[("curate", "text_length_filter")]
+    assert flt.input_records == 500 and flt.output_records < 500
+    assert 0 < flt.pass_rate < 1
+
+
+def test_max_samples_limit(spark, sf_dir):
+    cfg = {
+        "data_loader": {"table": "documents", "max_samples": 42},
+        "stages": [],
+    }
+    res = compile_pipeline(cfg).run(spark, sf_dir, observe_metrics=False)
+    assert res.output.count() == 42
+
+
+def test_writer_and_rejected_sink(spark, sf_dir, tmp_path):
+    out, rej = str(tmp_path / "out"), str(tmp_path / "rej")
+    cfg = {
+        "data_loader": {"table": "documents"},
+        "stages": [
+            {
+                "name": "s",
+                "operators": [
+                    {"type": "text_length_filter", "params": {"min_length": 100, "max_length": 450}},
+                    {"type": "text_exact_dedup"},
+                ],
+            }
+        ],
+        "data_writer": {"path": out, "partition_by": ["lang"], "rejected_path": rej},
+        "collect_rejected": True,
+    }
+    res = compile_pipeline(cfg).run(spark, sf_dir, observe_metrics=False)
+    back = spark.read.parquet(out)
+    assert back.count() == res.output.count()
+    assert "lang=en" in " ".join(str(p) for p in (tmp_path / "out").iterdir())
+    rback = spark.read.parquet(rej)
+    # partitioned by rejecting operator
+    assert set(r.operator for r in rback.select("operator").distinct().collect()) == {
+        "text_length_filter"
+    }
+
+
+def test_bad_loader_raises(spark):
+    with pytest.raises(ValueError):
+        compile_pipeline({"data_loader": {}, "stages": []}).run(spark)
+
+
+def test_unknown_operator_raises():
+    with pytest.raises(KeyError):
+        compile_pipeline(
+            {"data_loader": {"table": "documents"}, "stages": [{"operators": [{"type": "bogus"}]}]}
+        )

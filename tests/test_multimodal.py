@@ -1,0 +1,106 @@
+"""Multimodal kernel parity tests — the reference's Rust-vs-Python house
+style (``tests/test_rust_accelerated_ops.py:26-124``) re-aimed at
+Spark-UDF-vs-Python-spec, tolerance 1e-5 on float kernels
+(``test_image_technical_quality.py:145-146``)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.operators import multimodal as MM
+
+
+def _payloads():
+    # deterministic varied byte payloads incl. edge cases
+    out = []
+    for seed in ["a", "b", "gradient", "x" * 100]:
+        h = b""
+        cur = seed.encode()
+        for _ in range(8):
+            cur = hashlib.md5(cur).digest()
+            h += cur
+        out.append(h)
+    out.append(bytes(range(256)))  # max entropy ramp
+    out.append(b"\x00" * 64)  # zero entropy
+    out.append(b"abc")  # too short -> error path
+    out.append(None)  # null -> error path
+    return out
+
+
+@pytest.fixture(scope="module")
+def bin_df(spark):
+    rows = [(i, b) for i, b in enumerate(_payloads())]
+    return spark.createDataFrame(rows, "id long, image_bytes binary")
+
+
+def test_metadata_udf_matches_python_spec(spark, bin_df):
+    got = (
+        MM.image_metadata_refiner()
+        .apply(bin_df)
+        .orderBy("id")
+        .collect()
+    )
+    for row, b in zip(got, _payloads()):
+        w, h, s, fmt = MM.decode_image_meta_py(b)
+        assert (row.image_width, row.image_height, row.image_file_size_bytes, row.image_format) == (w, h, s, fmt)
+
+
+def test_metadata_error_convention(spark, bin_df):
+    rows = {r.id: r for r in MM.image_metadata_refiner().apply(bin_df).collect()}
+    short_id = len(_payloads()) - 2
+    assert rows[short_id].image_format == "ERROR"
+    assert rows[short_id].image_width == 0
+
+
+def test_technical_quality_parity_1e5(spark, bin_df):
+    got = MM.technical_quality_refiner().apply(bin_df).orderBy("id").collect()
+    for row, b in zip(got, _payloads()):
+        art, ent = MM.technical_quality_py(b)
+        assert abs(row.image_compression_artifacts - art) < 1e-5
+        assert abs(row.image_information_entropy - ent) < 1e-5
+
+
+def test_entropy_extremes(spark):
+    # 256-byte ramp: perfectly uniform histogram -> entropy 8.0
+    _, ent = MM.technical_quality_py(bytes(range(256)))
+    assert abs(ent - 8.0) < 1e-9
+    _, ent0 = MM.technical_quality_py(b"\x00" * 64)
+    assert ent0 == 0.0
+
+
+def test_phash_parity_and_fallback(spark, bin_df):
+    got = bin_df.select("id", MM.phash_udf(F.col("image_bytes")).alias("ph")).orderBy("id").collect()
+    for row, b in zip(got, _payloads()):
+        assert row.ph == MM.phash_py(b)
+    # short/None payloads -> None (caller falls back to id)
+    assert got[-1].ph is None and got[-2].ph is None
+
+
+def test_phash_dedup_identical_payloads(spark):
+    b = _payloads()[0]
+    df = spark.createDataFrame(
+        [(1, b), (2, b), (3, _payloads()[1]), (4, None), (5, None)],
+        "doc_id long, image_bytes binary",
+    )
+    kept = {r.doc_id for r in MM.phash_dedup(df).collect()}
+    # 2 dups of payload A -> keep min id; None rows never dedup (id fallback)
+    assert kept == {1, 3, 4, 5}
+
+
+def test_frame_sample_expansion(spark):
+    df = spark.createDataFrame([(1, bytes(64)), (2, None)], "doc_id long, video_bytes binary")
+    frames = MM.frame_sample_map_in_pandas(df, every_n=4)
+    rows = frames.collect()
+    assert {r.doc_id for r in rows} == {1}  # null payload skipped
+    assert len(rows) == 4  # 64 // (4*4)
+    assert all(len(r.frame_bytes) == 4 for r in rows)
+
+
+def test_decode_real_raises_without_pil():
+    if MM.HAVE_PIL:
+        pytest.skip("PIL present")
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_real(b"123")

@@ -1,0 +1,99 @@
+"""Source/sink tests: WARC parse + extract, file sharding (no gaps/overlaps
+— the reference's loader-assignment test, ``test_file_loader.py:19-45``),
+format dispatch, rejected sink partitioning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.sources import files as SF
+from webscale_multimodal_datapipeline_spark.sources import sinks as SK
+from webscale_multimodal_datapipeline_spark.sources import warc as SW
+
+
+def _warc_record(url: str, body: bytes, rtype: bytes = b"response") -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + rtype + b"\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"\r\n" + http + b"\r\n\r\n"
+    )
+
+
+HTML = b"<html><head><title>My Page</title><script>junk()</script></head><body><p>Hello readable world</p></body></html>"
+
+
+def test_html_extract():
+    title, text, n = SW.html_extract_text(HTML)
+    assert title == "My Page"
+    assert "Hello readable world" in text
+    assert "junk" not in text
+    assert n == len(text)
+
+
+def test_html_extract_malformed_returns_none():
+    assert SW.html_extract_text(b"") is None
+    # invalid UTF-8 must not raise (panic-regression from the reference,
+    # test_rust_accelerated_ops.py:62-122)
+    out = SW.html_extract_text(b"<html><body>\xff\xfe ok</body></html>")
+    assert out is None or isinstance(out[1], str)
+
+
+def test_warc_read_end_to_end(spark, tmp_path):
+    payload = (
+        _warc_record("http://a.com/1", HTML)
+        + _warc_record("http://a.com/2", b"not html at all")  # filtered: no <html
+        + _warc_record("http://a.com/3", HTML, rtype=b"request")  # filtered: type
+        + _warc_record("http://a.com/4", b"<html><body>Second doc text</body></html>")
+    )
+    p = tmp_path / "test.warc"
+    p.write_bytes(payload)
+    df = SW.read_warc(spark, str(p), crawl_id="c1")
+    rows = {r.url: r for r in df.collect()}
+    assert set(rows) == {"http://a.com/1", "http://a.com/4"}
+    assert rows["http://a.com/1"].title == "My Page"
+    assert rows["http://a.com/4"].text_length == len("Second doc text")
+    assert all(r.crawl_id == "c1" for r in rows.values())
+
+
+def test_split_files_no_gaps_no_overlaps():
+    files = [f"f{i:03d}" for i in range(10)]
+    shards = SF.split_files(files, 3)
+    assert [len(s) for s in shards] == [4, 3, 3]
+    flat = [f for s in shards for f in s]
+    assert flat == files  # order preserved, no gap/overlap
+
+
+def test_split_more_workers_than_files():
+    shards = SF.split_files(["a"], 4)
+    assert shards == [["a"], [], [], []]
+
+
+def test_read_dataset_dispatch_and_limit(spark, sf_dir, tmp_path):
+    df = SF.read_dataset(spark, sf_dir, pattern="documents*", max_samples=7)
+    assert df.count() == 7
+    with pytest.raises(FileNotFoundError):
+        SF.read_dataset(spark, str(tmp_path), pattern="*.nope")
+
+
+def test_rejected_sink_partitioned_by_operator(spark, sf_dir, tmp_path):
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+    from webscale_multimodal_datapipeline_spark.operators.filters import text_length_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    res = text_length_filter(100, 450).split(d)
+    SK.write_rejected(res.rejected, str(tmp_path / "rej"), mode="overwrite")
+    dirs = {p.name for p in (tmp_path / "rej").iterdir() if p.is_dir()}
+    assert "operator=text_length_filter" in dirs
+
+
+def test_iceberg_gated(spark, sf_dir):
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+
+    if SK.iceberg_available(spark):
+        pytest.skip("iceberg present")
+    with pytest.raises(NotImplementedError):
+        SK.write_iceberg(load_table(spark, sf_dir, "region"), "cat.db.t")

@@ -1,0 +1,292 @@
+"""YAML pipeline compiler — config → one lazy Catalyst plan.
+
+Reference lifecycle (``cli.py`` → ``PipelineConfig.from_yaml``
+``config.py:150-214`` → ``Executor`` actor topology ``executor.py:23-235``
+→ ObjectRef DAG): here the YAML compiles into a single chained DataFrame
+expression — IR#2 (actor topology) and IR#3 (ObjectRef DAG) vanish; the
+plan IS the pipeline, and Catalyst/AQE do scheduling, fusion, backpressure.
+
+Config shape (mirrors the reference's ``data_loader → stages[operators] →
+data_writer`` with snake_case operator names resolved via the registry,
+``framework/registry.py:13-133``)::
+
+    data_loader:
+      table: documents            # or path: /abs/path.parquet
+      max_samples: 100000         # optional → df.limit
+    stages:
+      - name: filter_stage
+        operators:
+          - type: text_length_filter
+            params: {min_length: 100, max_length: 400}
+          - type: text_stats_refiner
+    data_writer:
+      path: /tmp/out              # optional; partition_by: [col]
+      rejected_path: /tmp/rej     # optional side-output
+    collect_rejected: true
+
+Compile-time optimization (the reference does this manually by YAML stage
+ordering, SURVEY §4): within each stage, pure-predicate Filter operators
+whose required columns are all present in the *stage input* schema are
+hoisted ahead of Refiners — cheap row pruning before expensive column
+computation. Catalyst cannot reorder around opaque UDF stages on its own,
+so the compiler guarantees it structurally.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.catalog import load_table
+from webscale_multimodal_datapipeline_spark.operators.base import (
+    REJECTION_COL,
+    FilterOperator,
+    Operator,
+    OperatorResult,
+    RefinerOperator,
+)
+from webscale_multimodal_datapipeline_spark.operators.registry import create as create_operator
+
+
+@dataclass
+class StageConfig:
+    name: str
+    operators: list[Operator]
+
+
+@dataclass
+class PipelineConfig:
+    loader: dict[str, Any]
+    stages: list[StageConfig]
+    writer: dict[str, Any] = field(default_factory=dict)
+    collect_rejected: bool = False
+
+    @classmethod
+    def from_dict(cls, cfg: dict[str, Any]) -> "PipelineConfig":
+        stages = []
+        for s in cfg.get("stages", []):
+            ops = [
+                create_operator(o["type"], **o.get("params", {}))
+                for o in s.get("operators", [])
+            ]
+            stages.append(StageConfig(name=s.get("name", f"stage_{len(stages)}"), operators=ops))
+        return cls(
+            loader=cfg.get("data_loader", {}),
+            stages=stages,
+            writer=cfg.get("data_writer", {}) or {},
+            collect_rejected=bool(cfg.get("collect_rejected", False)),
+        )
+
+    @classmethod
+    def from_yaml(cls, path_or_str: str) -> "PipelineConfig":
+        import yaml
+
+        if "\n" in path_or_str:
+            cfg = yaml.safe_load(path_or_str)
+        else:
+            with open(path_or_str) as f:
+                cfg = yaml.safe_load(f)
+        return cls.from_dict(cfg)
+
+
+def _hoist_filters(ops: list[Operator], input_cols: set[str]) -> list[Operator]:
+    """Stable-partition: filters runnable on the stage input move first."""
+    added: set[str] = set()
+    front: list[Operator] = []
+    back: list[Operator] = []
+    for op in ops:
+        if isinstance(op, FilterOperator):
+            refs = op.requires if op.requires is not None else _referenced_columns(op.predicate)
+            # Hoist only when we can PROVE the predicate doesn't read a
+            # column added earlier in this stage.
+            if refs is not None and refs <= input_cols and not (refs & added):
+                front.append(op)
+                continue
+        if isinstance(op, RefinerOperator):
+            added |= set(op.columns.keys())
+        back.append(op)
+    return front + back
+
+
+def _referenced_columns(col) -> set[str] | None:
+    """Best-effort column references of an expression (None = unknown)."""
+    try:
+        jexpr = col._jc.expr() if hasattr(col, "_jc") else None
+        if jexpr is None:
+            return None
+        refs = jexpr.references()
+        it = refs.iterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next().name())
+        return out
+    except Exception:
+        return None
+
+
+@dataclass
+class OperatorMetric:
+    run_id: str
+    stage_name: str
+    operator_name: str
+    input_records: int
+    output_records: int
+    pass_rate: float
+
+
+@dataclass
+class PipelineResult:
+    output: DataFrame
+    rejected: DataFrame | None
+    metrics: "MetricsCollector"
+
+
+class MetricsCollector:
+    """Per-operator in/out counts via ``df.observe`` (reference A1/A2:
+    ``framework/operator.py:119-184``, ``executor.py:760-846``) — counters
+    ride the normal execution, no extra pass over the data."""
+
+    def __init__(self, spark: SparkSession, run_id: str):
+        from pyspark.sql import Observation
+
+        self.spark = spark
+        self.run_id = run_id
+        self.started = time.time()
+        self._obs: list[tuple[str, str, Any]] = []  # (stage, operator, Observation)
+        self._Observation = Observation
+
+    def instrument(self, df: DataFrame, stage: str, operator: str) -> DataFrame:
+        obs = self._Observation(f"{stage}.{operator}.{uuid.uuid4().hex[:6]}")
+        self._obs.append((stage, operator, obs))
+        return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    def harvest(self) -> list[OperatorMetric]:
+        """Call after an action has run on the instrumented DataFrame."""
+        rows: list[OperatorMetric] = []
+        counts: list[tuple[str, str, int]] = []
+        for stage, op, obs in self._obs:
+            try:
+                counts.append((stage, op, int(obs.get["n"])))
+            except Exception:
+                counts.append((stage, op, -1))
+        for i, (stage, op, n_out) in enumerate(counts):
+            n_in = counts[i - 1][2] if i > 0 else n_out
+            rows.append(
+                OperatorMetric(
+                    run_id=self.run_id,
+                    stage_name=stage,
+                    operator_name=op,
+                    input_records=n_in,
+                    output_records=n_out,
+                    pass_rate=(n_out / n_in) if n_in > 0 else 1.0,
+                )
+            )
+        return rows
+
+    def to_dataframe(self) -> DataFrame:
+        """Metrics as a DataFrame in the reference's operator-metrics
+        parquet shape (``framework/metrics/writer.py:28-54``)."""
+        rows = self.harvest()
+        total_time = time.time() - self.started
+        data = [
+            (
+                m.run_id,
+                m.stage_name,
+                m.operator_name,
+                m.input_records,
+                m.output_records,
+                float(m.pass_rate),
+                float(total_time),
+                (m.output_records / total_time) if total_time > 0 else 0.0,
+            )
+            for m in rows
+        ]
+        return self.spark.createDataFrame(
+            data,
+            "run_id string, stage_name string, operator_name string, "
+            "input_records long, output_records long, pass_rate double, "
+            "total_time double, throughput double",
+        )
+
+
+class Pipeline:
+    """Compiled pipeline: one lazy plan + optional rejected side-plan."""
+
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+
+    def load(self, spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+        ld = self.config.loader
+        if "table" in ld:
+            if sf_dir is None:
+                raise ValueError("sf_dir required for table loader")
+            df = load_table(spark, sf_dir, ld["table"])
+        elif "path" in ld:
+            df = spark.read.parquet(ld["path"])
+        else:
+            raise ValueError("data_loader needs 'table' or 'path'")
+        if ld.get("max_samples"):
+            df = df.limit(int(ld["max_samples"]))
+        return df
+
+    def run(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        observe_metrics: bool = True,
+    ) -> PipelineResult:
+        df = self.load(spark, sf_dir)
+        run_id = uuid.uuid4().hex[:12]
+        metrics = MetricsCollector(spark, run_id)
+        if observe_metrics:
+            # input-count anchor so the first operator's pass_rate is real
+            df = metrics.instrument(df, "source", "source")
+        rejected_parts: list[DataFrame] = []
+
+        for stage in self.config.stages:
+            ops = _hoist_filters(stage.operators, set(df.columns))
+            for op in ops:
+                if self.config.collect_rejected:
+                    res: OperatorResult = op.split(df)
+                    if res.rejected is not None:
+                        rejected_parts.append(res.rejected)
+                    df = res.passed
+                else:
+                    df = op.apply(df)
+                if observe_metrics:
+                    df = metrics.instrument(df, stage.name, op.name)
+
+        rejected = None
+        if rejected_parts:
+            rejected = rejected_parts[0]
+            for part in rejected_parts[1:]:
+                rejected = rejected.unionByName(part, allowMissingColumns=True)
+
+        wr = self.config.writer
+        if wr.get("path"):
+            writer = df.write.mode(wr.get("mode", "overwrite")).option(
+                "compression", wr.get("compression", "snappy")
+            )
+            if wr.get("partition_by"):
+                writer = writer.partitionBy(*wr["partition_by"])
+            writer.parquet(wr["path"])
+        if wr.get("rejected_path") and rejected is not None:
+            # partitioned by rejecting operator (reference executor.py:100-124)
+            (
+                rejected.withColumn("operator", F.col(f"{REJECTION_COL}.operator"))
+                .write.mode("overwrite")
+                .partitionBy("operator")
+                .parquet(wr["rejected_path"])
+            )
+        return PipelineResult(output=df, rejected=rejected, metrics=metrics)
+
+
+def compile_pipeline(cfg: dict[str, Any] | str) -> Pipeline:
+    if isinstance(cfg, str):
+        return Pipeline(PipelineConfig.from_yaml(cfg))
+    return Pipeline(PipelineConfig.from_dict(cfg))

@@ -85,13 +85,19 @@ class RefinerOperator(Operator):
 
 
 class FilterOperator(Operator):
-    """Keeps rows matching a predicate (``framework/operator.py:226-238``)."""
+    """Keeps rows matching a predicate (``framework/operator.py:226-238``).
+
+    ``requires`` declares the columns the predicate reads — the compiler
+    uses it to hoist cheap filters ahead of refiners when provably safe
+    (the reference's manual cheap-filters-first YAML ordering, SURVEY §4).
+    """
 
     kind = "filter"
 
-    def __init__(self, name: str, predicate: Column):
+    def __init__(self, name: str, predicate: Column, requires: set[str] | None = None):
         super().__init__(name)
         self.predicate = predicate
+        self.requires = requires
 
     def apply(self, df: DataFrame) -> DataFrame:
         return df.filter(self.predicate)

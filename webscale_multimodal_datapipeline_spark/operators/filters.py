@@ -37,7 +37,8 @@ def text_length_filter(
     candidates.append(F.length(F.col(text_col)))
     candidates.append(F.lit(0))
     eff_len = F.coalesce(*candidates)
-    return FilterOperator(name, eff_len.between(min_length, max_length))
+    requires = {text_col} | ({length_col} if length_col else set())
+    return FilterOperator(name, eff_len.between(min_length, max_length), requires=requires)
 
 
 # ---------------------------------------------------------------------------
@@ -97,7 +98,7 @@ def url_filter(
     quality = src.isin(*quality_sources) if quality_sources else F.lit(False)
     score_bad = word_score(text_col, weights) >= F.lit(score_threshold)
     keep = (~blocked & ~quality & ~score_bad) | src.isNull()
-    return FilterOperator(name, keep)
+    return FilterOperator(name, keep, requires={source_col, text_col})
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +122,16 @@ def image_quality_filter(
         & (F.col("image_compression_artifacts") <= max_compression_artifacts)
         & (F.col("image_information_entropy") >= min_entropy)
     )
-    return FilterOperator(name, keep)
+    return FilterOperator(
+        name,
+        keep,
+        requires={
+            "image_width",
+            "image_height",
+            "image_compression_artifacts",
+            "image_information_entropy",
+        },
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -133,4 +143,6 @@ def quality_score_filter(
     min_score: float = 0.5, text_col: str = "text", name: str = "quality_score_filter"
 ) -> FilterOperator:
     """Keep documents whose composite quality score clears a threshold."""
-    return FilterOperator(name, TX.quality_score(text_col) >= F.lit(min_score))
+    return FilterOperator(
+        name, TX.quality_score(text_col) >= F.lit(min_score), requires={text_col}
+    )

@@ -1,0 +1,126 @@
+"""Multimodal queries — binary-column pipelines over synthesized image
+payloads (the container has no codecs, so bytes are deterministic
+md5-derived stand-ins; see operators/multimodal.py).
+
+m_image_metadata is oracle-checked end-to-end THROUGH the pandas UDF: the
+fake header parse is pure byte arithmetic, so DuckDB reproduces the UDF's
+output from the same bytes — validating the Arrow batch plumbing, struct
+return schema, and null handling, not just row counts. The numpy kernels
+(entropy/blockiness, phash) are parity-tested against their Python specs
+in tests/test_multimodal.py (the reference's Rust-vs-Python house style,
+tests/test_rust_accelerated_ops.py:26-124).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.catalog import load_table
+from webscale_multimodal_datapipeline_spark.operators import multimodal as MM
+
+# Mirror of fake_image_bytes in SQL: md5 hex chain -> 64 bytes.
+_FAKE_HEX = (
+    "md5(text) || md5(md5(text) || '1') || md5(md5(text) || '2') || md5(md5(text) || '3')"
+)
+
+
+def _with_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.withColumn("image_bytes", MM.fake_image_bytes("text"))
+
+
+def m_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 metadata refiner through the pandas UDF (width/height/size/format
+    from the byte header)."""
+    df = MM.image_metadata_refiner().apply(_with_bytes(spark, sf_dir))
+    return df.select(
+        "doc_id", "image_width", "image_height", "image_file_size_bytes", "image_format"
+    )
+
+
+M_METADATA_SQL = f"""
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 2048 AS INTEGER) AS image_width,
+       CAST(CAST(('0x' || substr(h, 5, 4)) AS INTEGER) % 2048 AS INTEGER) AS image_height,
+       CAST(64 AS BIGINT) AS image_file_size_bytes,
+       CASE CAST(('0x' || substr(h, 9, 2)) AS INTEGER) % 4
+         WHEN 0 THEN 'JPEG' WHEN 1 THEN 'PNG' WHEN 2 THEN 'WEBP' ELSE 'GIF'
+       END AS image_format
+FROM (SELECT doc_id, {_FAKE_HEX} AS h FROM documents)
+"""
+
+
+def m_metadata_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 -> F3 chain: UDF refiner followed by a NATIVE predicate filter —
+    the mixed UDF/Catalyst pipeline shape (predicates over UDF-computed
+    columns stay codegen'd)."""
+    df = MM.image_metadata_refiner().apply(_with_bytes(spark, sf_dir))
+    return (
+        df.filter((F.col("image_width") >= 512) & (F.col("image_height") >= 512))
+        .groupBy("image_format")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+M_META_FILTER_SQL = f"""
+SELECT CASE CAST(('0x' || substr(h, 9, 2)) AS INTEGER) % 4
+         WHEN 0 THEN 'JPEG' WHEN 1 THEN 'PNG' WHEN 2 THEN 'WEBP' ELSE 'GIF'
+       END AS image_format,
+       COUNT(*) AS n
+FROM (SELECT {_FAKE_HEX} AS h FROM documents)
+WHERE CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 2048 >= 512
+  AND CAST(('0x' || substr(h, 5, 4)) AS INTEGER) % 2048 >= 512
+GROUP BY 1
+"""
+
+
+def m_technical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 numpy kernel through the UDF — rows-only check here; exact parity
+    vs the Python spec is in tests/test_multimodal.py."""
+    df = MM.technical_quality_refiner().apply(_with_bytes(spark, sf_dir))
+    return df.select(
+        "doc_id", "image_compression_artifacts", "image_information_entropy"
+    )
+
+
+def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 phash dedup (key equality, unreadable -> id fallback)."""
+    df = _with_bytes(spark, sf_dir)
+    return MM.phash_dedup(df).select("doc_id", "source")
+
+
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling shape (1 row -> N frames via mapInPandas);
+    counts frames per doc bucket."""
+    df = _with_bytes(spark, sf_dir).withColumnRenamed("image_bytes", "video_bytes")
+    frames = MM.frame_sample_map_in_pandas(df, every_n=4)
+    return frames.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_videos"),
+    )
+
+
+M_FRAME_SQL = """
+SELECT source,
+       CAST(COUNT(*) * 4 AS BIGINT) AS n_frames,
+       COUNT(DISTINCT doc_id) AS n_videos
+FROM documents GROUP BY source
+"""
+
+
+QUERIES = {
+    "m_image_metadata": m_image_metadata,
+    "m_metadata_filter_chain": m_metadata_filter_chain,
+    "m_technical_quality": m_technical_quality,
+    "m_phash_dedup": m_phash_dedup,
+    "m_frame_sample": m_frame_sample,
+}
+
+ORACLE = {
+    "m_image_metadata": M_METADATA_SQL,
+    "m_metadata_filter_chain": M_META_FILTER_SQL,
+    # m_technical_quality / m_phash_dedup: numpy kernels — parity-tested in
+    # pytest; driver records rows-only here.
+    "m_frame_sample": M_FRAME_SQL,
+}

@@ -1,0 +1,165 @@
+"""End-to-end pipeline-compiler queries — the reference's canonical
+``mdf run -c config.yaml`` path (SURVEY §3.1) driven through the YAML
+compiler, with the DuckDB oracle reproducing the whole pipeline in SQL.
+
+This is the strongest correctness statement in the catalog: config parse →
+operator resolution → filter hoisting → chained plan → observe() metrics →
+rejected side-output all have to be right for these to match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.compiler import compile_pipeline
+from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ
+
+PIPELINE_CFG = {
+    "data_loader": {"table": "documents"},
+    "stages": [
+        {
+            "name": "curate",
+            "operators": [
+                {
+                    "type": "text_length_filter",
+                    "params": {"min_length": 100, "max_length": 450},
+                },
+                {"type": "text_stats_refiner"},
+                {
+                    "type": "url_filter",
+                    "params": {
+                        "blocklist": ("src1", "src7"),
+                        "quality_sources": ("src3",),
+                        "score_threshold": 0.5,
+                    },
+                },
+            ],
+        },
+        {
+            "name": "dedup",
+            "operators": [{"type": "text_exact_dedup"}],
+        },
+    ],
+    "collect_rejected": True,
+}
+
+# SQL mirror of the pipeline's row flow. Operator order after filter
+# hoisting: length filter, url filter (both hoistable — predicate over
+# input columns), then the stats refiner, then dedup.
+_LEN_PRED = "(n_chars BETWEEN 100 AND 450)"
+_URL_PRED = (
+    f"((source NOT IN ('src1','src7') AND source NOT IN ('src3') "
+    f"AND {OQ.sql_word_score('text')} < 0.5) OR source IS NULL)"
+)
+_SURVIVOR_CTE = f"""
+WITH survivors AS (
+  SELECT * FROM documents
+  WHERE {_LEN_PRED} AND {_URL_PRED}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY {OQ.sql_norm('text')} ORDER BY doc_id) = 1
+)
+"""
+
+
+def p_pipeline_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final curated output aggregated per source."""
+    result = compile_pipeline(PIPELINE_CFG).run(spark, sf_dir, observe_metrics=False)
+    return result.output.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_count").alias("total_tokens"),
+    )
+
+
+P_OUTPUT_SQL = (
+    _SURVIVOR_CTE
+    + f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM({OQ.sql_token_count('text')}) AS BIGINT) AS total_tokens
+FROM survivors GROUP BY source
+"""
+)
+
+
+def p_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-operator observe() metrics of the same run (reference A1/A2
+    funnel counters, ``framework/metrics/writer.py:28-54``)."""
+    result = compile_pipeline(PIPELINE_CFG).run(spark, sf_dir)
+    result.output.count()  # fire the action that populates observations
+    mdf = result.metrics.to_dataframe()
+    return mdf.select(
+        "stage_name", "operator_name", "input_records", "output_records",
+        F.round("pass_rate", 6).alias("pass_rate"),
+    )
+
+
+P_METRICS_SQL = f"""
+WITH n_source AS (SELECT COUNT(*) AS n FROM documents),
+n_len AS (SELECT COUNT(*) AS n FROM documents WHERE {_LEN_PRED}),
+n_url AS (SELECT COUNT(*) AS n FROM documents WHERE {_LEN_PRED} AND {_URL_PRED}),
+n_dedup AS (SELECT COUNT(*) AS n FROM (
+  SELECT 1 FROM documents WHERE {_LEN_PRED} AND {_URL_PRED}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY {OQ.sql_norm('text')} ORDER BY doc_id) = 1
+))
+SELECT * FROM (
+  SELECT 'source' AS stage_name, 'source' AS operator_name,
+         (SELECT n FROM n_source) AS input_records,
+         (SELECT n FROM n_source) AS output_records,
+         1.0 AS pass_rate
+  UNION ALL
+  SELECT 'curate', 'text_length_filter', (SELECT n FROM n_source), (SELECT n FROM n_len),
+         ROUND((SELECT n FROM n_len) / (SELECT n FROM n_source), 6)
+  UNION ALL
+  SELECT 'curate', 'url_filter', (SELECT n FROM n_len), (SELECT n FROM n_url),
+         ROUND((SELECT n FROM n_url) / (SELECT n FROM n_len), 6)
+  UNION ALL
+  SELECT 'curate', 'text_stats_refiner', (SELECT n FROM n_url), (SELECT n FROM n_url), 1.0
+  UNION ALL
+  SELECT 'dedup', 'text_exact_dedup', (SELECT n FROM n_url), (SELECT n FROM n_dedup),
+         ROUND((SELECT n FROM n_dedup) / (SELECT n FROM n_url), 6)
+)
+"""
+
+
+def p_rejected_by_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejected side-output counts per (operator, reason) — the reference's
+    rejected-samples sink partitioned by operator (executor.py:100-124)."""
+    result = compile_pipeline(PIPELINE_CFG).run(spark, sf_dir, observe_metrics=False)
+    rej = result.rejected
+    return rej.groupBy(
+        F.col("_rejection_details.operator").alias("operator"),
+        F.col("_rejection_details.reason").alias("reason"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+P_REJECTED_SQL = f"""
+WITH len_rej AS (
+  SELECT COUNT(*) AS n FROM documents WHERE NOT {_LEN_PRED}
+), url_rej AS (
+  SELECT COUNT(*) AS n FROM documents WHERE {_LEN_PRED} AND NOT {_URL_PRED}
+), dedup_rej AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT 1 FROM documents WHERE {_LEN_PRED} AND {_URL_PRED}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY {OQ.sql_norm('text')} ORDER BY doc_id) > 1
+  )
+)
+SELECT * FROM (
+  SELECT 'text_length_filter' AS operator, 'filtered' AS reason, (SELECT n FROM len_rej) AS n
+  UNION ALL
+  SELECT 'url_filter', 'filtered', (SELECT n FROM url_rej)
+  UNION ALL
+  SELECT 'text_exact_dedup', 'duplicate', (SELECT n FROM dedup_rej)
+) WHERE n > 0
+"""
+
+
+QUERIES = {
+    "p_pipeline_output": p_pipeline_output,
+    "p_pipeline_metrics": p_pipeline_metrics,
+    "p_rejected_by_operator": p_rejected_by_operator,
+}
+
+ORACLE = {
+    "p_pipeline_output": P_OUTPUT_SQL,
+    "p_pipeline_metrics": P_METRICS_SQL,
+    "p_rejected_by_operator": P_REJECTED_SQL,
+}

@@ -14,12 +14,22 @@ from pyspark.sql import DataFrame, SparkSession
 from webscale_multimodal_datapipeline_spark.plans import (
     dedup_queries,
     events_queries,
+    multimodal_queries,
+    pipeline_queries,
     relational,
     text_queries,
     vector_queries,
 )
 
-_MODULES = (relational, text_queries, dedup_queries, vector_queries, events_queries)
+_MODULES = (
+    relational,
+    text_queries,
+    dedup_queries,
+    vector_queries,
+    events_queries,
+    pipeline_queries,
+    multimodal_queries,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}

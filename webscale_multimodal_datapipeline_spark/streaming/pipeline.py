@@ -1,0 +1,137 @@
+"""Streaming pipelines over the ``events`` table (and any parquet dir).
+
+Mapping from the reference's execution knobs (SURVEY §2.9 / §4):
+- backpressure ``max_in_flight`` (executor.py:462-469) →
+  ``maxFilesPerTrigger`` trigger sizing;
+- checkpoint/resume per loader shard (loader_worker.py:236-252) →
+  ``checkpointLocation``;
+- dedup backend actor service (backend.py) →
+  ``dropDuplicatesWithinWatermark`` state store;
+- no event-time in the reference → here: watermarked tumbling/sliding/
+  session windows as the extension surface.
+
+Batch operators (Refiner/Filter chains) apply unchanged to streaming
+DataFrames — the compiler's plan is execution-mode agnostic, which is the
+point of declaring semantics rather than scheduling actors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet with backpressure."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (late data beyond
+    the watermark is dropped; append-mode emits closed windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful streaming dedup — keeps the first event per key within the
+    watermark horizon. The stateful analog of the reference's distributed
+    seen-set (backend.py:13-74): Spark's state store IS the bucketed
+    seen-set, sharded by the same hash-partitioning."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time session windows per user (native session_window — the
+    streaming form of the batch lag/cumsum sessionization)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drive a bounded file-source stream to completion synchronously and
+    register results as table ``name`` (local smoke-test harness)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def foreach_batch_dual_write(
+    df: DataFrame,
+    passed_path: str,
+    rejected_path: str,
+    predicate,
+    checkpoint: str,
+) -> None:
+    """foreachBatch dual-write: per micro-batch, split on a predicate and
+    write both sides (the streaming form of the rejected-rows sink,
+    executor.py:100-124). Exactly-once via checkpointLocation."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.filter(predicate).write.mode("append").parquet(passed_path)
+        batch_df.filter(~predicate).write.mode("append").parquet(rejected_path)
+
+    q = (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
