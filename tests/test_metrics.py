@@ -1,0 +1,61 @@
+"""Metrics round-trip tests (the reference's metrics test shape,
+``tests/test_metrics.py:21-324``: collect → write → read back → assert)."""
+
+from __future__ import annotations
+
+from webscale_multimodal_datapipeline_spark import metrics as M
+from webscale_multimodal_datapipeline_spark.compiler import compile_pipeline
+
+CFG = {
+    "data_loader": {"table": "documents"},
+    "stages": [
+        {
+            "name": "curate",
+            "operators": [
+                {"type": "text_length_filter", "params": {"min_length": 100, "max_length": 450}},
+                {"type": "text_stats_refiner"},
+            ],
+        }
+    ],
+}
+
+
+def test_metrics_parquet_roundtrip(spark, sf_dir, tmp_path):
+    res = compile_pipeline(CFG).run(spark, sf_dir)
+    res.output.count()
+    M.write_metrics(res.metrics, str(tmp_path), config_json='{"k": 1}')
+
+    ops = spark.read.parquet(str(tmp_path / "operators"))
+    expected_cols = {
+        "run_id", "stage_name", "operator_name", "worker_id", "timestamp",
+        "input_records", "output_records", "pass_rate", "total_time",
+        "avg_latency", "min_latency", "max_latency", "p50_latency",
+        "p95_latency", "p99_latency", "throughput", "error_count",
+        "custom_metrics",
+    }
+    assert set(ops.columns) == expected_cols
+    assert ops.count() == 3  # source + 2 operators
+
+    st = spark.read.parquet(str(tmp_path / "stages"))
+    stages = {r.stage_name: r for r in st.collect()}
+    assert set(stages) == {"source", "curate"}
+    assert stages["curate"].num_operators == 2
+    assert 0 < stages["curate"].pass_rate < 1
+
+    runs = spark.read.parquet(str(tmp_path / "runs"))
+    run = runs.first()
+    assert run.num_stages == 2
+    assert run.total_input_records == 500
+    assert run.config == '{"k": 1}'
+    assert 0 < run.overall_pass_rate < 1
+
+
+def test_funnel_and_bottleneck_reports(spark, sf_dir):
+    res = compile_pipeline(CFG).run(spark, sf_dir)
+    res.output.count()
+    ops = M.operator_metrics_df(res.metrics)
+    fun = {r.operator_name: r for r in M.funnel_report(ops).collect()}
+    assert fun["text_length_filter"].total_input == 500
+    assert fun["text_length_filter"].total_output < 500
+    bn = M.bottleneck_report(ops).collect()
+    assert len(bn) == 3

@@ -73,16 +73,15 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Sub-word-ish token count: count of maximal runs of word chars plus
+    """Sub-word-ish token count: maximal alphanumeric runs plus individual
     punctuation marks — a cheap, deterministic proxy for a BPE tokenizer.
+    (Defined via regexp extraction, no lookarounds — RE2-safe so the DuckDB
+    oracle computes the identical count.)
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(
-        F.filter(
-            F.split(c, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
-            lambda t: F.trim(t) != F.lit(""),
-        )
-    )
+    words = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+"), 0))
+    puncts = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    return words + puncts
 
 
 # ---------------------------------------------------------------------------

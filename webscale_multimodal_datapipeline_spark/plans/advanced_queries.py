@@ -1,0 +1,233 @@
+"""Advanced coverage queries: exact percentiles, pivot, as-of join,
+BPE-ish token counting, semantic dedup (k-means bucketed), deep-MLP
+scoring — the SURVEY §2.6/§2.8 "not present in the reference" surface
+made first-class, plus the guide's common-OLAP patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.catalog import load_table
+from webscale_multimodal_datapipeline_spark.functions import text as TX
+from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (the reference's p50/p95/p99 latency stats, A1
+# operator.py:160-168 — here exact `percentile` over event values; Spark's
+# interpolation matches DuckDB's quantile_cont)
+# ---------------------------------------------------------------------------
+
+
+def a_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+A_PCTL_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (reporter-style wide table; SURVEY §2.8 — not in reference)
+# ---------------------------------------------------------------------------
+
+_STATUSES = ("O", "F", "P")
+
+
+def a_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders count pivoted by status per priority."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_STATUSES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in _STATUSES],
+        )
+    )
+
+
+A_PIVOT_SQL = f"""
+SELECT o_orderpriority,
+       {', '.join(f"CAST(COUNT(*) FILTER (WHERE o_orderstatus = '{s}') AS BIGINT) AS n_{s}" for s in _STATUSES)}
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join (guide: Spark lacks a native one → window formulation):
+# for each purchase, the user's most recent prior click.
+# ---------------------------------------------------------------------------
+
+
+def a_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sub = ev.filter(F.col("event_type").isin("click", "purchase"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = sub.withColumn(
+        "prev_click_id",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+        ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    return lagged.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "prev_click_id",
+    )
+
+
+A_ASOF_SQL = """
+SELECT event_id AS purchase_id, user_id, prev_click_id
+FROM (
+  SELECT event_id, user_id, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish) — training-pipeline text analysis
+# ---------------------------------------------------------------------------
+
+
+def a_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").cast("bigint").alias("ws_tokens"),
+        TX.bpe_ish_token_count("text").cast("bigint").alias("bpe_tokens"),
+    )
+
+
+A_TOKENS_SQL = f"""
+SELECT doc_id,
+       CAST({OQ.sql_token_count('text')} AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+            + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (reference D4 design: cluster as dedup bucket,
+# backend.py:89-93 + models/kmeans) — k-means cluster column, then
+# within-cluster near-dup removal. Iterative → rows-only check.
+# ---------------------------------------------------------------------------
+
+
+def a_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from webscale_multimodal_datapipeline_spark.functions import vectors as VX
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = e.withColumn("features", array_to_vector(VX.to_double_array("embedding")))
+    model = KMeans(k=10, seed=42, maxIter=20).fit(vec.select("features"))
+    clustered = model.transform(vec).withColumnRenamed("prediction", "cluster_id")
+    # within-cluster pairwise cosine (cluster = LSH bucket analog)
+    b = clustered.select("vec_id", "embedding", "cluster_id", VX.l2_norm("embedding").alias("_n"))
+    l, r = b.alias("l"), b.alias("r")
+    cos = VX.dot(F.col("l.embedding"), F.col("r.embedding")) / (F.col("l._n") * F.col("r._n"))
+    dupes = (
+        l.join(r, (F.col("l.cluster_id") == F.col("r.cluster_id")) & (F.col("l.vec_id") > F.col("r.vec_id")))
+        .filter(cos >= 0.9)
+        .select(F.col("l.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    survivors = clustered.join(dupes, "vec_id", "left_anti")
+    return survivors.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Deep MLP scoring UDF (R6 aesthetic head shape: 5-layer MLP over
+# precomputed embeddings, image_aesthetic_quality.py:45-69) — numpy pandas
+# UDF with fixed deterministic weights; parity-tested in pytest.
+# ---------------------------------------------------------------------------
+
+MLP_DIMS = (64, 32, 16, 1)
+
+
+def _mlp_weights():
+    """Deterministic pseudo-random weights (no RNG — reproducible)."""
+    import numpy as np
+
+    layers = []
+    for li, (a, b) in enumerate(zip(MLP_DIMS[:-1], MLP_DIMS[1:])):
+        w = np.array(
+            [[(((i * 31 + j * 17 + li * 7) % 13) - 6) / 12.0 for j in range(b)] for i in range(a)]
+        )
+        bias = np.array([(((j * 5 + li) % 7) - 3) / 10.0 for j in range(b)])
+        layers.append((w, bias))
+    return layers
+
+
+def mlp_forward_py(mat):
+    """Parity spec: ReLU MLP forward pass over a (n, 64) matrix."""
+    import numpy as np
+
+    x = mat
+    layers = _mlp_weights()
+    for i, (w, b) in enumerate(layers):
+        x = x @ w + b
+        if i < len(layers) - 1:
+            x = np.maximum(x, 0.0)
+    return x[:, 0]
+
+
+def a_mlp_deep_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vectorized MLP inference via pandas UDF — the per-executor
+    model-singleton pattern (weights built once per worker, reference
+    lazy model loading ``image_visual_degradations.py:73-102``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    # NB: no type annotations — `from __future__ import annotations` turns
+    # them into strings, which pandas_udf's signature inspection rejects.
+    @pandas_udf(T.DoubleType())
+    def _score(embs):
+        mat = np.stack(embs.to_numpy())
+        return pd.Series(mlp_forward_py(mat.astype(np.float64)))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.round(_score(F.col("embedding")), 6).alias("deep_score")
+    )
+
+
+QUERIES = {
+    "a_value_percentiles": a_value_percentiles,
+    "a_orders_pivot": a_orders_pivot,
+    "a_asof_click_before_purchase": a_asof_click_before_purchase,
+    "a_token_counts": a_token_counts,
+    "a_semantic_dedup": a_semantic_dedup,
+    "a_mlp_deep_score": a_mlp_deep_score,
+}
+
+ORACLE = {
+    "a_value_percentiles": A_PCTL_SQL,
+    "a_orders_pivot": A_PIVOT_SQL,
+    "a_asof_click_before_purchase": A_ASOF_SQL,
+    "a_token_counts": A_TOKENS_SQL,
+    # a_semantic_dedup: iterative k-means — rows-only.
+    # a_mlp_deep_score: numpy kernel — parity-tested in pytest, rows-only.
+}

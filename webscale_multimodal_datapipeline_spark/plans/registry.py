@@ -12,6 +12,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from webscale_multimodal_datapipeline_spark.plans import (
+    advanced_queries,
     dedup_queries,
     events_queries,
     multimodal_queries,
@@ -29,6 +30,7 @@ _MODULES = (
     events_queries,
     pipeline_queries,
     multimodal_queries,
+    advanced_queries,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
