@@ -1,0 +1,56 @@
+"""Scale-pattern tests: salted join correctness (must equal plain join),
+co-partition zero-exchange, sized repartition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.operators import scale as SC
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed left: 90% of rows share key 1
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lval"),
+    )
+    right = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("rval"))
+    plain = {(r.k, r.lval, r.rval) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.lval, r.rval) for r in SC.salted_join(left, right, "k", 8).collect()}
+    assert salted == plain
+    assert len(salted) == 900 + len({i for i in range(900, 1000) if i < 50})
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.range(10).select(F.col("id").alias("k"))
+    right = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    out = SC.salted_join(left, right, "k", 4, how="left")
+    rows = {r.k: r.v for r in out.collect()}
+    assert len(rows) == 10
+    assert rows[3] == "x" and rows[9] is None
+
+
+def test_co_partition_no_extra_exchange(spark):
+    a = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("a"))
+    b = spark.range(100).select(F.col("id").alias("k"), F.lit(2).alias("b"))
+    ap, bp = SC.co_partition(a, b, "k", 8)
+    joined = ap.join(bp, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the join itself must not introduce a new exchange beyond the two
+    # repartitions (exchange reuse / ensure-requirements satisfied)
+    assert plan.count("Exchange hashpartitioning(k#") <= 2
+    assert joined.count() == 100
+
+
+def test_sized_repartition(spark):
+    df = spark.range(10_000)
+    out = SC.sized_repartition(df, target_rows_per_partition=2_500)
+    assert out.rdd.getNumPartitions() == 4
+
+
+def test_key_histogram_flags_skew(spark):
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit("hot")).otherwise(F.col("id").cast("string")).alias("k")
+    )
+    top = SC.key_histogram(df, "k", top=1).collect()[0]
+    assert top.k == "hot" and abs(top.share - 0.9) < 1e-9

@@ -93,3 +93,50 @@ def test_batch_operators_apply_to_stream(spark, sf_dir):
     SP.run_stream_to_memory(out, "op_out")
     n_total = load_table(spark, sf_dir, "events").count()
     assert spark.sql("SELECT COUNT(*) AS n FROM op_out").first().n == n_total
+
+
+def test_compiler_stream_applies_operator_chain(spark, sf_dir):
+    """The YAML-compiled operator chain runs unchanged on a stream."""
+    from webscale_multimodal_datapipeline_spark.compiler import compile_pipeline
+
+    cfg = {
+        "data_loader": {"table": "events"},
+        "stages": [
+            {
+                "name": "s",
+                "operators": [
+                    {
+                        "type": "text_length_filter",
+                        "params": {
+                            "min_length": 5,
+                            "max_length": 100,
+                            "length_col": None,
+                            "text_col": "event_type",
+                        },
+                    }
+                ],
+            }
+        ],
+    }
+    pipe = compile_pipeline(cfg)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = pipe.stream(spark, sf_dir, SP.EVENTS_SCHEMA)
+    assert out.isStreaming
+    SP.run_stream_to_memory(out, "cstream_out")
+    got = spark.sql("SELECT COUNT(*) n FROM cstream_out").first().n
+    want = load_table(spark, sf_dir, "events").filter(
+        "length(event_type) BETWEEN 5 AND 100"
+    ).count()
+    assert got == want
+
+
+def test_compiler_stream_rejects_dedup(spark, sf_dir):
+    from webscale_multimodal_datapipeline_spark.compiler import compile_pipeline
+    import pytest as _pt
+
+    cfg = {
+        "data_loader": {"table": "events"},
+        "stages": [{"name": "s", "operators": [{"type": "text_exact_dedup"}]}],
+    }
+    with _pt.raises(ValueError, match="streaming"):
+        compile_pipeline(cfg).stream(spark, sf_dir, SP.EVENTS_SCHEMA)

@@ -286,6 +286,40 @@ class Pipeline:
         return PipelineResult(output=df, rejected=rejected, metrics=metrics)
 
 
+    def stream(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        schema,
+        max_files_per_trigger: int = 1,
+    ) -> DataFrame:
+        """Streaming execution of the SAME operator chain: the plan is
+        execution-mode agnostic (Refiner/Filter operators are plain
+        DataFrame transforms). ``maxFilesPerTrigger`` is the reference's
+        ``max_in_flight`` backpressure knob (executor.py:462-469).
+
+        Deduplicators are skipped here — streaming dedup needs watermark
+        semantics (``streaming.pipeline.streaming_dedup``); mixing the two
+        silently would change semantics, so we fail loudly instead.
+        """
+        df = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
+        for stage in self.config.stages:
+            ops = _hoist_filters(stage.operators, set(df.columns))
+            for op in ops:
+                if op.kind == "deduplicator":
+                    raise ValueError(
+                        f"operator {op.name!r}: batch dedup has no streaming "
+                        "semantics; use streaming.pipeline.streaming_dedup "
+                        "(dropDuplicatesWithinWatermark) instead"
+                    )
+                df = op.apply(df)
+        return df
+
+
 def compile_pipeline(cfg: dict[str, Any] | str) -> Pipeline:
     if isinstance(cfg, str):
         return Pipeline(PipelineConfig.from_yaml(cfg))

@@ -18,12 +18,14 @@ from webscale_multimodal_datapipeline_spark.plans import (
     multimodal_queries,
     pipeline_queries,
     relational,
+    relational2,
     text_queries,
     vector_queries,
 )
 
 _MODULES = (
     relational,
+    relational2,
     text_queries,
     dedup_queries,
     vector_queries,
