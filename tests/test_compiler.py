@@ -127,3 +127,16 @@ def test_unknown_operator_raises():
         compile_pipeline(
             {"data_loader": {"table": "documents"}, "stages": [{"operators": [{"type": "bogus"}]}]}
         )
+
+
+def test_cli_run_and_explain(capsys, sf_dir):
+    from webscale_multimodal_datapipeline_spark import cli
+
+    rc = cli.main(["run", "-c", "/root/repo/examples/curate_documents.yaml", "--sf-dir", sf_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "text_length_filter" in out and "->" in out and "total:" in out
+
+    rc = cli.main(["explain", "-c", "/root/repo/examples/quality_pipeline.yaml", "--sf-dir", sf_dir])
+    assert rc == 0
+    assert "Physical Plan" in capsys.readouterr().out

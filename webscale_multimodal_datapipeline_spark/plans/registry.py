@@ -20,6 +20,8 @@ from webscale_multimodal_datapipeline_spark.plans import (
     relational,
     relational2,
     text_queries,
+    timeseries_queries,
+    url_queries,
     vector_queries,
 )
 
@@ -33,6 +35,8 @@ _MODULES = (
     pipeline_queries,
     multimodal_queries,
     advanced_queries,
+    timeseries_queries,
+    url_queries,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

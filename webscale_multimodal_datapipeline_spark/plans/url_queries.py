@@ -1,0 +1,123 @@
+"""URL-domain queries — the reference F1's real URL semantics
+(``url_filter.py:107-321``): host extraction, subdomain walk-up against a
+domain blocklist, quality-source exclusion, and the broadcast anti-join
+form for large blocklists (SURVEY §2.4 mapping).
+
+``documents`` has no URL column, so a deterministic URL is synthesized
+from (source, doc_id) — both engines build the identical string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.catalog import load_table
+
+BLOCKED_DOMAINS = ("src1.example.com", "badsite.org")
+_URL = "concat('https://www.', source, '.example.com/page/', CAST(doc_id AS VARCHAR))"
+
+
+def _with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+
+
+def domain_of(url: Column | str) -> Column:
+    """Host extraction — native ``parse_url(url, 'HOST')``."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.parse_url(c, F.lit("HOST"))
+
+
+def domain_blocked(domain: Column, blocklist: tuple[str, ...]) -> Column:
+    """Subdomain walk-up (``url_filter.py:207-234``): blocked if the host
+    equals a blocked domain OR is a subdomain of one. Expressed as suffix
+    tests — identical semantics to the reference's iterative strip-one-
+    label loop, but a codegen'd expression."""
+    out = F.lit(False)
+    for d in blocklist:
+        out = out | (domain == d) | domain.endswith("." + d)
+    return out
+
+
+def u_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url HOST + registrable-domain-ish suffix per doc."""
+    df = _with_url(spark, sf_dir)
+    dom = domain_of("url")
+    return df.select(
+        "doc_id",
+        dom.alias("domain"),
+        # last two labels = registrable domain (example.com)
+        F.concat_ws(
+            ".",
+            F.element_at(F.split(dom, r"\."), -2),
+            F.element_at(F.split(dom, r"\."), -1),
+        ).alias("base_domain"),
+    )
+
+
+U_DOMAIN_SQL = f"""
+SELECT doc_id,
+       regexp_extract(u, '://([^/]+)', 1) AS domain,
+       array_to_string(list_slice(string_split(regexp_extract(u, '://([^/]+)', 1), '.'), -2, -1), '.') AS base_domain
+FROM (SELECT doc_id, {_URL} AS u FROM documents)
+"""
+
+
+def u_subdomain_walkup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop docs whose host is (a subdomain of) a blocked domain.
+    www.src1.example.com walks up to src1.example.com → blocked."""
+    df = _with_url(spark, sf_dir)
+    dom = domain_of("url")
+    return df.filter(~domain_blocked(dom, BLOCKED_DOMAINS)).select("doc_id", "source")
+
+
+U_WALKUP_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, regexp_extract({_URL}, '://([^/]+)', 1) AS d
+  FROM documents
+)
+WHERE NOT (d = 'src1.example.com' OR d LIKE '%.src1.example.com'
+        OR d = 'badsite.org' OR d LIKE '%.badsite.org')
+"""
+
+
+def u_blocklist_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-blocklist form: broadcast LEFT ANTI join against a blocklist
+    table (the scale path for RefinedWeb's 4.6M-domain list — ``isin``
+    stops scaling, a broadcast hash anti-join doesn't)."""
+    df = _with_url(spark, sf_dir).withColumn("domain", domain_of("url"))
+    blocklist = spark.createDataFrame(
+        [("www.src1.example.com",), ("www.src7.example.com",)], "domain string"
+    )
+    return df.join(F.broadcast(blocklist), "domain", "left_anti").select(
+        "doc_id", "source"
+    )
+
+
+U_ANTIJOIN_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, regexp_extract({_URL}, '://([^/]+)', 1) AS domain
+  FROM documents
+)
+WHERE domain NOT IN ('www.src1.example.com', 'www.src7.example.com')
+"""
+
+
+QUERIES = {
+    "u_domain_extract": u_domain_extract,
+    "u_subdomain_walkup_filter": u_subdomain_walkup_filter,
+    "u_blocklist_antijoin": u_blocklist_antijoin,
+}
+
+ORACLE = {
+    "u_domain_extract": U_DOMAIN_SQL,
+    "u_subdomain_walkup_filter": U_WALKUP_SQL,
+    "u_blocklist_antijoin": U_ANTIJOIN_SQL,
+}
