@@ -54,47 +54,65 @@ def text_exact_dedup(
 # MinHash signatures (building block for MinHash-LSH and Jaccard dedup)
 # ---------------------------------------------------------------------------
 
-# Fixed salts — one per hash function. md5(salt || shingle) is uniform, so
-# the lexicographic min over shingles is a valid MinHash.
-MINHASH_SALTS: tuple[str, ...] = tuple(f"mh{i}|" for i in range(12))
+# Classic one-hash + affine-rehash MinHash: ONE md5 per shingle, then
+# NUM_HASHES cheap integer permutations h_i(x) = (a_i*x + b_i) mod P.
+# 12x less hashing than salted-md5-per-function; constants shared with the
+# DuckDB oracle (plans/oracle_fragments.py imports them).
+NUM_MINHASHES = 12
 LSH_BANDS = 4  # 12 hashes → 4 bands × 3 rows
+MINHASH_P = 2_147_483_647  # Mersenne prime 2^31-1
+MINHASH_A = tuple(2 * i + 3 for i in range(NUM_MINHASHES))
+MINHASH_B = tuple(7 * i + 1 for i in range(NUM_MINHASHES))
+# retained for backward compat of older call sites/tests
+MINHASH_SALTS: tuple[str, ...] = tuple(f"mh{i}|" for i in range(NUM_MINHASHES))
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """60-bit md5 hash per shingle, reduced mod P (materialize as a column
+    in hot paths — see word_shingles PERF note)."""
+    return F.transform(shingles, lambda s: TX.md5_long(s) % MINHASH_P)
 
 
 def minhash_signature(
     text_col: str = "text",
     k: int = 3,
-    salts: tuple[str, ...] = MINHASH_SALTS,
     shingles: Column | None = None,
+    hashes: Column | None = None,
 ) -> Column:
-    """array<string> MinHash signature: element i = min over shingles of
-    md5(salt_i || shingle). Computed row-local (no shuffle, no Python).
+    """array<bigint> MinHash signature: element i = min over shingles of
+    (a_i * md5long(shingle) + b_i) mod P. Row-local, no shuffle, one md5
+    per shingle total.
 
-    Pass ``shingles`` (a materialized shingle-array column) to avoid
-    re-inlining the shingle expression once per salt — keeps the plan small
-    and the analysis fast."""
-    if shingles is None:
-        shingles = TX.word_shingles(text_col, k=k)
+    Pass ``shingles``/``hashes`` as materialized columns in hot paths to
+    avoid re-inlining the shingle/hash expression per hash function."""
+    if hashes is None:
+        if shingles is None:
+            shingles = TX.word_shingles(text_col, k=k)
+        hashes = shingle_hashes(shingles)
 
-    def _salted(salt: str):
-        # NB: closure factory, not a default-arg lambda — PySpark treats a
+    def _perm(a: int, b: int):
+        # closure factory, not a default-arg lambda — PySpark treats a
         # two-parameter lambda as (element, index).
-        return lambda s: F.md5(F.concat(F.lit(salt), s))
+        return lambda h: (h * a + b) % MINHASH_P
 
     return F.array(
-        *[F.array_min(F.transform(shingles, _salted(salt))) for salt in salts]
+        *[
+            F.array_min(F.transform(hashes, _perm(a, b)))
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
     )
 
 
 def lsh_bands(signature: Column, bands: int = LSH_BANDS) -> Column:
     """Split a signature into band keys: band j = 'j|' || concat(rows)."""
-    n = len(MINHASH_SALTS)
+    n = NUM_MINHASHES
     r = n // bands
     return F.array(
         *[
             F.concat_ws(
                 "|",
                 F.lit(str(j)),
-                *[F.element_at(signature, j * r + i + 1) for i in range(r)],
+                *[F.element_at(signature, j * r + i + 1).cast("string") for i in range(r)],
             )
             for j in range(bands)
         ]
@@ -117,11 +135,16 @@ def minhash_lsh_dedup(
     base = (
         df.withColumn("_toks", TX.tokens(TX.normalize_text(text_col)))
         .withColumn("_shingles", TX.word_shingles(text_col, k=k, toks=F.col("_toks")))
-        .withColumn("_sig", minhash_signature(text_col, k=k, shingles=F.col("_shingles")))
-        .drop("_toks")
+        .withColumn("_hashes", shingle_hashes(F.col("_shingles")))
+        .withColumn("_sig", minhash_signature(text_col, k=k, hashes=F.col("_hashes")))
+        .drop("_toks", "_hashes")
     )
+    # Only (id, band) rides the band-bucket shuffle — shingle arrays are
+    # heavy (50+ strings/row) and would be replicated once per band.
+    # Candidates re-join the shingle table by id for exact verification.
+    sh = base.select(F.col(id_col), "_shingles")
     banded = base.select(
-        F.col(id_col), "_shingles", F.explode(lsh_bands(F.col("_sig"))).alias("_band")
+        F.col(id_col), F.explode(lsh_bands(F.col("_sig"))).alias("_band")
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -133,14 +156,16 @@ def minhash_lsh_dedup(
         )
         .select(
             F.col(f"l.{id_col}").alias("_lid"),
-            F.col("l._shingles").alias("_ls"),
             F.col(f"r.{id_col}").alias("_rid"),
-            F.col("r._shingles").alias("_rs"),
         )
         .dropDuplicates(["_lid", "_rid"])
     )
+    pairs = (
+        cand.join(sh.select(F.col(id_col).alias("_lid"), F.col("_shingles").alias("_ls")), "_lid")
+        .join(sh.select(F.col(id_col).alias("_rid"), F.col("_shingles").alias("_rs")), "_rid")
+    )
     jac = F.size(F.array_intersect("_ls", "_rs")) / F.size(F.array_union("_ls", "_rs"))
-    dupes = cand.filter(jac >= jaccard_threshold).select(F.col("_lid").alias(id_col))
+    dupes = pairs.filter(jac >= jaccard_threshold).select(F.col("_lid").alias(id_col))
     return df.join(dupes.distinct(), id_col, "left_anti")
 
 

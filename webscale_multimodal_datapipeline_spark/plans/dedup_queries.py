@@ -110,8 +110,9 @@ def d_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .withColumn("_toks", TX.tokens(TX.normalize_text("text")))
         .withColumn("_sh", TX.word_shingles("text", k=3, toks=F.col("_toks")))
+        .withColumn("_h", OD.shingle_hashes(F.col("_sh")))
     )
-    sig = OD.minhash_signature("text", shingles=F.col("_sh"))
+    sig = OD.minhash_signature("text", hashes=F.col("_h"))
     return d.select(
         "doc_id",
         F.element_at(sig, 1).alias("mh0"),
@@ -125,16 +126,18 @@ WITH toks AS (
   SELECT doc_id, source, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t FROM documents
 ), sh AS (
   SELECT doc_id, source, {OQ.sql_shingles_from_tokens('t')} AS sh FROM toks
+), hs AS (
+  SELECT doc_id, source, sh, {OQ.sql_shingle_hashes('sh')} AS h FROM sh
 )
 """
 
-_SIG_ELEMS = OQ.sql_minhash_sig_elements("sh")
+_SIG_ELEMS = OQ.sql_minhash_sig_elements("h")
 
 D_MINHASH_SIG_SQL = (
     _SH_CTE
     + f"""
 SELECT doc_id, {_SIG_ELEMS[0]} AS mh0, {_SIG_ELEMS[6]} AS mh6, {_SIG_ELEMS[11]} AS mh11
-FROM sh
+FROM hs
 """
 )
 
@@ -151,7 +154,7 @@ def _minhash_pipeline_sql(threshold: float) -> str:
     return (
         _SH_CTE
         + f""", sig AS (
-  SELECT doc_id, sh, {sig_list} AS sig FROM sh
+  SELECT doc_id, sh, {sig_list} AS sig FROM hs
 ), bands AS (
   SELECT doc_id, unnest({bands_list}) AS band FROM sig
 ), cand AS (
@@ -182,22 +185,21 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         d.withColumn("_toks", TX.tokens(TX.normalize_text("text")))
         .withColumn("_shingles", TX.word_shingles("text", k=3, toks=F.col("_toks")))
-        .withColumn("_sig", OD.minhash_signature("text", k=3, shingles=F.col("_shingles")))
+        .withColumn("_hashes", OD.shingle_hashes(F.col("_shingles")))
+        .withColumn("_sig", OD.minhash_signature("text", k=3, hashes=F.col("_hashes")))
     )
-    banded = base.select(
-        "doc_id", "_shingles", F.explode(OD.lsh_bands(F.col("_sig"))).alias("_band")
-    )
+    sh = base.select("doc_id", "_shingles")
+    banded = base.select("doc_id", F.explode(OD.lsh_bands(F.col("_sig"))).alias("_band"))
     l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l._band") == F.col("r._band")) & (F.col("l.doc_id") > F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+    )
     jac = F.size(F.array_intersect("_ls", "_rs")) / F.size(F.array_union("_ls", "_rs"))
     return (
-        l.join(r, (F.col("l._band") == F.col("r._band")) & (F.col("l.doc_id") > F.col("r.doc_id")))
-        .select(
-            F.col("l.doc_id").alias("id_l"),
-            F.col("l._shingles").alias("_ls"),
-            F.col("r.doc_id").alias("id_r"),
-            F.col("r._shingles").alias("_rs"),
-        )
-        .dropDuplicates(["id_l", "id_r"])
+        cand.join(sh.select(F.col("doc_id").alias("id_l"), F.col("_shingles").alias("_ls")), "id_l")
+        .join(sh.select(F.col("doc_id").alias("id_r"), F.col("_shingles").alias("_rs")), "id_r")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.2)
         .select("id_l", "id_r", "jaccard")

@@ -119,20 +119,35 @@ def sql_shingles_from_tokens(tok_col: str = "t", k: int = 3) -> str:
     return f"(CASE WHEN len({t}) >= {k} THEN {shingles} ELSE {whole} END)"
 
 
-def sql_minhash_sig_elements(shingles_expr: str) -> list[str]:
-    """One min-hash element per salt (mirror of minhash_signature)."""
+def sql_shingle_hashes(shingles_expr: str) -> str:
+    """md5-long mod P per shingle (mirror of operators.dedup.shingle_hashes)."""
+    from webscale_multimodal_datapipeline_spark.operators.dedup import MINHASH_P
+
+    return f"list_transform({shingles_expr}, s -> {sql_md5_long('s')} % {MINHASH_P})"
+
+
+def sql_minhash_sig_elements(hash_col: str) -> list[str]:
+    """One min-hash element per affine permutation (mirror of
+    minhash_signature), over a precomputed shingle-hash array column."""
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
     return [
-        f"list_min(list_transform({shingles_expr}, s -> md5('{salt}' || s)))"
-        for salt in MINHASH_SALTS
+        f"list_min(list_transform({hash_col}, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
     ]
 
 
 def sql_lsh_bands(sig_col: str, bands: int = LSH_BANDS) -> list[str]:
-    n = len(MINHASH_SALTS)
-    r = n // bands
+    from webscale_multimodal_datapipeline_spark.operators.dedup import NUM_MINHASHES
+
+    r = NUM_MINHASHES // bands
     return [
         "concat_ws('|', '" + str(j) + "', "
-        + ", ".join(f"{sig_col}[{j * r + i + 1}]" for i in range(r))
+        + ", ".join(f"CAST({sig_col}[{j * r + i + 1}] AS VARCHAR)" for i in range(r))
         + ")"
         for j in range(bands)
     ]
