@@ -112,12 +112,18 @@ def d_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_sh", TX.word_shingles("text", k=3, toks=F.col("_toks")))
         .withColumn("_h", OD.shingle_hashes(F.col("_sh")))
     )
-    sig = OD.minhash_signature("text", hashes=F.col("_h"))
+
+    # Compute only the three sampled permutations — element_at over the full
+    # signature array gets re-inlined by CollapseProject into 3 copies of a
+    # 12-permutation expression, and the codegen COMPILE dominates runtime.
+    def mh(i: int):
+        a, b = OD.MINHASH_A[i], OD.MINHASH_B[i]
+        return F.array_min(
+            F.transform(F.col("_h"), lambda h: (h * a + b) % OD.MINHASH_P)
+        )
+
     return d.select(
-        "doc_id",
-        F.element_at(sig, 1).alias("mh0"),
-        F.element_at(sig, 7).alias("mh6"),
-        F.element_at(sig, 12).alias("mh11"),
+        "doc_id", mh(0).alias("mh0"), mh(6).alias("mh6"), mh(11).alias("mh11")
     )
 
 

@@ -1,0 +1,133 @@
+"""Remaining coverage odds-and-ends: ntile binning, CUBE grouping sets,
+sha2 fingerprints (the reference D1's md5-fallback hash family,
+``text_exact_dedup.py:74-83`` algo dispatch), and conditional aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.catalog import load_table
+from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ
+from webscale_multimodal_datapipeline_spark.plans.relational import _dec
+
+
+def x_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile binning of customer balances + per-decile stats."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+X_DECILES_SQL = """
+SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM (
+  SELECT c_acctbal, NTILE(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+  FROM customer
+)
+GROUP BY decile
+"""
+
+
+def x_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations
+    (rollup's big sibling — SURVEY §2.6 'not present' in reference)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("o_totalprice")), 4).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+X_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def x_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dedup hash-algo dispatch (xxhash64 preferred, md5
+    fallback, ``text_exact_dedup.py:74-83``) as a column family: md5 and
+    sha2-256 are cross-engine (oracle-checked); xxhash64 is Spark-native
+    (used as the shuffle key, checked indirectly via every dedup query)."""
+    d = load_table(spark, sf_dir, "documents")
+    from webscale_multimodal_datapipeline_spark.functions.text import normalize_text
+
+    norm = normalize_text("text")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("md5_hex"),
+        F.sha2(norm, 256).alias("sha256_hex"),
+    )
+
+
+X_HASH_SQL = f"""
+SELECT doc_id,
+       md5({OQ.sql_norm('text')}) AS md5_hex,
+       sha256({OQ.sql_norm('text')}) AS sha256_hex
+FROM documents
+"""
+
+
+def x_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-style conditional aggregation per nation: high-balance vs
+    low-balance customer counts and sums in one pass."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    high = F.col("c_acctbal") > 5000
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.when(high, 1)).alias("n_high"),
+            F.count(F.when(~high, 1)).alias("n_low"),
+            F.round(F.sum(F.when(high, _dec("c_acctbal"))), 4).cast("double").alias("high_total"),
+        )
+    )
+
+
+X_CONDAGG_SQL = """
+SELECT n_name,
+       COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_high,
+       COUNT(*) FILTER (WHERE NOT (c_acctbal > 5000)) AS n_low,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))) FILTER (WHERE c_acctbal > 5000), 4) AS DOUBLE) AS high_total
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+QUERIES = {
+    "x_acctbal_deciles": x_acctbal_deciles,
+    "x_order_cube": x_order_cube,
+    "x_hash_family": x_hash_family,
+    "x_conditional_agg": x_conditional_agg,
+}
+
+ORACLE = {
+    "x_acctbal_deciles": X_DECILES_SQL,
+    "x_order_cube": X_CUBE_SQL,
+    "x_hash_family": X_HASH_SQL,
+    "x_conditional_agg": X_CONDAGG_SQL,
+}

@@ -15,6 +15,7 @@ from webscale_multimodal_datapipeline_spark.plans import (
     advanced_queries,
     dedup_queries,
     events_queries,
+    misc_queries,
     multimodal_queries,
     pipeline_queries,
     relational,
@@ -37,6 +38,7 @@ _MODULES = (
     advanced_queries,
     timeseries_queries,
     url_queries,
+    misc_queries,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
