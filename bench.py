@@ -73,7 +73,12 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         .withColumn("doc_id", F.col("doc_id") * 1000 + F.col("rep"))
         .drop("rep")
     )
-    big = big.persist()
+    # The single-file sf0.1 parquet collapses the broadcast cross-join to ONE
+    # input split; a real 100 TB table arrives as thousands of splits. Spread
+    # the replicated input across the cores so per-op throughput measures the
+    # operator, not a self-inflicted single-task bottleneck.
+    ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    big = big.repartition(ncpu * 2).persist()
     n = big.count()  # materialize once; ops then measure pure operator cost
 
     out: dict[str, dict[str, float]] = {}

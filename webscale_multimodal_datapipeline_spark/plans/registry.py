@@ -20,6 +20,7 @@ from webscale_multimodal_datapipeline_spark.plans import (
     pipeline_queries,
     relational,
     relational2,
+    relational3,
     text_queries,
     timeseries_queries,
     url_queries,
@@ -29,6 +30,7 @@ from webscale_multimodal_datapipeline_spark.plans import (
 _MODULES = (
     relational,
     relational2,
+    relational3,
     text_queries,
     dedup_queries,
     vector_queries,
