@@ -46,3 +46,31 @@ def test_asof_prev_click_is_before_purchase(spark, sf_dir):
     for r in rows:
         if r.prev_click_id is not None:
             assert ts[r.prev_click_id] <= ts[r.purchase_id]
+
+
+def test_ivf_topk_recall_and_shape(spark, sf_dir):
+    """IVF ANN: exact schema, exact rank discipline, and recall vs the
+    brute-force baseline high enough that probing works (3/8 clusters)."""
+    from webscale_multimodal_datapipeline_spark.plans import vector_queries as VQ
+
+    exact = VQ.v_cosine_topk(spark, sf_dir).collect()
+    approx = VQ.v_ivf_topk(spark, sf_dir).collect()
+    assert {tuple(r.asDict()) for r in approx} and approx[0].asDict().keys() == {
+        "query_id",
+        "vec_id",
+        "cosine",
+        "rank",
+    }
+    # every query returns exactly k ranked rows 1..k
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, VQ.TOP_K + 1)) for v in by_q.values())
+    e_ids = {(r.query_id, r.vec_id) for r in exact}
+    a_ids = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(e_ids & a_ids) / len(e_ids)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # rank-1 must be the query itself (cosine(q, q) = 1 is in its own cluster's probe set)
+    for r in approx:
+        if r.rank == 1:
+            assert r.vec_id == r.query_id

@@ -1,9 +1,11 @@
 """Similarity search over embedding columns.
 
 Brute-force cosine top-k as the exact baseline; hyperplane-LSH bucketed
-top-k as the scale path (candidates from matching buckets only). At 100 TB
-the bucketed variant replaces the cross join with a bucket equi-join — the
-probe side is broadcast when the query set is small.
+top-k and an IVF (KMeans coarse-quantizer) index as the scale paths. At
+100 TB the approximate variants replace the cross join with a
+bucket/cluster equi-join — the probe side is broadcast when the query set
+is small, and the corpus can be written partitioned by cluster id so a
+probe touches only ``n_probe / n_clusters`` of the files.
 """
 
 from __future__ import annotations
@@ -45,6 +47,111 @@ def cosine_topk(
             F.col(query_id_col),
             F.col(id_col),
             (VX.dot(F.col(emb_col), F.col("_q_emb")) / (F.col("_c_norm") * F.col("_q_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    seed: int = 42,
+    emb_col: str = "embedding",
+    max_iter: int = 20,
+):
+    """Fit the IVF coarse quantizer and assign every corpus row a cluster.
+
+    KMeans via ``pyspark.ml`` (replaces the reference's hand-rolled
+    distributed Lloyd's loop, ``models/kmeans/distributed_trainer.py`` —
+    SURVEY §2.10). Returns ``(assigned_df, centroids)`` where
+    ``assigned_df`` has a ``_cluster`` int column and ``centroids`` is the
+    small driver-side list (n_clusters × dim) used to pick probe targets.
+
+    Scale: the fit can run on a ``.sample()`` of the corpus; assignment is
+    one model.transform pass. Writing the corpus ``partitionBy("_cluster")``
+    turns every later probe into a partition-pruned scan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = corpus.withColumn(
+        "_v", array_to_vector(F.col(emb_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="_v", predictionCol="_cluster"
+    ).fit(vec)
+    assigned = model.transform(vec).drop("_v")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are bucketed by nearest KMeans
+    centroid; each query scores only the ``n_probe`` clusters whose
+    centroids are nearest (squared-L2) to it.
+
+    The centroid table is tiny (n_clusters rows) → the query→probe-cluster
+    expansion is a broadcast cross join; the corpus-side join is a cluster
+    equi-join, never a cross join. Recall tunes via ``n_probe``.
+    """
+    spark = corpus.sparkSession
+    assigned, centroids = ivf_assign(corpus, n_clusters, seed, emb_col)
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(cid, c) for cid, c in enumerate(centroids)],
+            f"_cluster int, _centroid array<double>",
+        )
+    )
+    # squared L2 distance query↔centroid, rank, keep n_probe per query
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(emb_col).cast("array<double>"),
+            F.col("_centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("_d2").asc(), F.col("_cluster").asc())
+    probes = (
+        queries.crossJoin(cent_df)
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select(
+            F.col(query_id_col),
+            F.col(emb_col).alias("_q_emb"),
+            VX.l2_norm(emb_col).alias("_q_norm"),
+            "_cluster",
+        )
+    )
+    scored = (
+        assigned.withColumn("_c_norm", VX.l2_norm(emb_col))
+        .join(F.broadcast(probes), "_cluster")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (
+                VX.dot(F.col(emb_col), F.col("_q_emb"))
+                / (F.col("_c_norm") * F.col("_q_norm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(

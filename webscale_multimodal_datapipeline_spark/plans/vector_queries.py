@@ -174,8 +174,20 @@ def v_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer (k=8), 3-cluster
+    probe. Iterative fit → rows-only check; recall-vs-exact is asserted in
+    ``tests/test_advanced.py``."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return OS.ivf_topk(e, q, k=TOP_K, n_clusters=8, n_probe=3)
+
+
 QUERIES = {
     "v_embedding_norms": v_embedding_norms,
+    "v_ivf_topk": v_ivf_topk,
     "v_mlp_score": v_mlp_score,
     "v_lsh_buckets": v_lsh_buckets,
     "v_cosine_dedup": v_cosine_dedup,
