@@ -104,3 +104,49 @@ def test_decode_real_raises_without_pil():
         pytest.skip("PIL present")
     with pytest.raises(NotImplementedError):
         MM.decode_image_real(b"123")
+
+
+def test_resize_pool_parity_and_nulls(spark):
+    import numpy as np
+
+    payloads = _payloads()
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(payloads)] + [(99, None), (100, b"tiny")],
+        "doc_id long, image_bytes binary",
+    )
+    got = {
+        r.doc_id: r.rb
+        for r in df.select(
+            "doc_id", MM.resize_pool_udf("image_bytes").alias("rb")
+        ).collect()
+    }
+    for i, b in enumerate(payloads):
+        want = MM.resize_pool_py(b)
+        if want is None:  # short/None payloads -> None passthrough
+            assert got[i] is None
+        else:
+            assert bytes(got[i]) == want and len(want) == 16
+    assert got[99] is None and got[100] is None
+    # pooling spec: each output byte is the floor-mean of its 2x2 block
+    g = np.frombuffer(payloads[0][:64], dtype=np.uint8).reshape(8, 8)
+    manual = (int(g[0, 0]) + int(g[0, 1]) + int(g[1, 0]) + int(g[1, 1])) // 4
+    assert MM.resize_pool_py(payloads[0])[0] == manual
+
+
+def test_audio_features_parity(spark):
+    import math
+
+    payloads = _payloads()
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(payloads)] + [(99, None)],
+        "doc_id long, audio_bytes binary",
+    )
+    out = MM.audio_features_refiner().apply(df)
+    got = {r.doc_id: r for r in out.collect()}
+    for i, b in enumerate(payloads):
+        d, rms, zcr = MM.audio_features_py(b)
+        assert got[i].audio_duration_s == pytest.approx(d, abs=1e-12)
+        assert got[i].audio_rms == pytest.approx(rms, abs=1e-9)
+        assert got[i].audio_zcr == pytest.approx(zcr, abs=1e-12)
+        assert 0.0 <= zcr <= 1.0 and rms >= 0.0
+    assert got[99].audio_rms == 0.0 and got[99].audio_duration_s == 0.0

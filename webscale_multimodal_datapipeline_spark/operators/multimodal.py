@@ -288,3 +288,104 @@ def image_quality_filter_over_fake(
         & (F.col("image_height") >= 64)
         & (F.col("image_information_entropy") >= min_entropy),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image resize — average-pool downsample (R-family extension; the task's
+# resize op). The fake payload is treated as an 8x8 luminance grid; "resize"
+# = 2x2 average pooling to 4x4 (16 bytes). A real implementation swaps the
+# pooling for PIL's Image.resize via decode_image_real.
+# ---------------------------------------------------------------------------
+
+RESIZE_SRC = 8  # fake payloads are 64 bytes = an 8x8 grid
+
+
+def resize_pool_py(b: bytes | None, factor: int = 2) -> bytes | None:
+    """Parity spec: average-pool the SRCxSRC byte grid by ``factor``
+    (truncating division, matching uint8 floor semantics)."""
+    if b is None or len(b) < RESIZE_SRC * RESIZE_SRC:
+        return None
+    g = np.frombuffer(b[: RESIZE_SRC * RESIZE_SRC], dtype=np.uint8).reshape(
+        RESIZE_SRC, RESIZE_SRC
+    )
+    out = RESIZE_SRC // factor
+    pooled = (
+        g.astype(np.uint32)
+        .reshape(out, factor, out, factor)
+        .sum(axis=(1, 3))
+        // (factor * factor)
+    ).astype(np.uint8)
+    return pooled.tobytes()
+
+
+@pandas_udf(T.BinaryType())
+def resize_pool_udf(data: pd.Series) -> pd.Series:
+    """Arrow-batched binary->binary resize (2x average pool)."""
+    return pd.Series([resize_pool_py(b) for b in data])
+
+
+def image_resize_refiner(
+    bytes_col: str = "image_bytes", name: str = "image_resize_refiner"
+) -> RefinerOperator:
+    """Adds resized payload + its dimensions (native length arithmetic)."""
+    resized = resize_pool_udf(F.col(bytes_col))
+    return RefinerOperator(
+        name,
+        {
+            "image_resized_bytes": resized,
+            "image_resized_width": F.lit(RESIZE_SRC // 2).cast("int"),
+            "image_resized_height": F.lit(RESIZE_SRC // 2).cast("int"),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction (task's audio op): opaque binary + typed
+# metadata out. Features are byte-domain stand-ins for RMS energy /
+# zero-crossing rate / duration; a real implementation decodes PCM first.
+# ---------------------------------------------------------------------------
+
+AUDIO_SAMPLE_RATE = 16000
+
+
+def audio_features_py(b: bytes | None) -> tuple[float, float, float]:
+    """Parity spec: (duration_s, rms, zero_crossing_rate) over the byte
+    payload, centered at 128 (unsigned-PCM midpoint)."""
+    if b is None or len(b) == 0:
+        return 0.0, 0.0, 0.0
+    x = np.frombuffer(b, dtype=np.uint8).astype(np.float64) - 128.0
+    duration = len(x) / AUDIO_SAMPLE_RATE
+    rms = float(np.sqrt(np.mean(x * x)))
+    if len(x) > 1:
+        zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    else:
+        zcr = 0.0
+    return duration, rms, zcr
+
+
+@pandas_udf(
+    T.StructType(
+        [
+            T.StructField("audio_duration_s", T.DoubleType()),
+            T.StructField("audio_rms", T.DoubleType()),
+            T.StructField("audio_zcr", T.DoubleType()),
+        ]
+    )
+)
+def audio_features_udf(data: pd.Series) -> pd.DataFrame:
+    rows = [audio_features_py(b) for b in data]
+    return pd.DataFrame(rows, columns=["audio_duration_s", "audio_rms", "audio_zcr"])
+
+
+def audio_features_refiner(
+    bytes_col: str = "audio_bytes", name: str = "audio_features_refiner"
+) -> RefinerOperator:
+    feats = audio_features_udf(F.col(bytes_col))
+    return RefinerOperator(
+        name,
+        {
+            "audio_duration_s": feats["audio_duration_s"],
+            "audio_rms": feats["audio_rms"],
+            "audio_zcr": feats["audio_zcr"],
+        },
+    )

@@ -109,8 +109,38 @@ FROM documents GROUP BY source
 """
 
 
+def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (2x average-pool over the byte grid) — binary in,
+    binary out through an Arrow-batched UDF; emits a stable digest of the
+    resized payload. Parity vs the numpy spec in tests/test_multimodal.py."""
+    df = MM.image_resize_refiner().apply(_with_bytes(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.md5(F.col("image_resized_bytes")).alias("resized_md5"),
+        F.length("image_resized_bytes").alias("resized_len"),
+        "image_resized_width",
+        "image_resized_height",
+    )
+
+
+def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (duration/RMS/zero-crossing-rate over the
+    opaque payload) — the audio leg of the multimodal surface. Parity vs
+    the numpy spec in tests/test_multimodal.py."""
+    df = _with_bytes(spark, sf_dir).withColumnRenamed("image_bytes", "audio_bytes")
+    out = MM.audio_features_refiner().apply(df)
+    return out.select(
+        "doc_id",
+        F.round("audio_duration_s", 6).alias("audio_duration_s"),
+        F.round("audio_rms", 6).alias("audio_rms"),
+        F.round("audio_zcr", 6).alias("audio_zcr"),
+    )
+
+
 QUERIES = {
     "m_image_metadata": m_image_metadata,
+    "m_resize": m_resize,
+    "m_audio_features": m_audio_features,
     "m_metadata_filter_chain": m_metadata_filter_chain,
     "m_technical_quality": m_technical_quality,
     "m_phash_dedup": m_phash_dedup,
