@@ -35,6 +35,9 @@ BENCH_QUERIES = (
     "q_top_customers_per_nation",
     "q_running_revenue_by_month",
     "q_supplier_rollup",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q13_order_distribution",
     "t_text_stats",
     "t_url_filter",
     "d_exact_dedup",

@@ -54,3 +54,16 @@ def test_key_histogram_flags_skew(spark):
     )
     top = SC.key_histogram(df, "k", top=1).collect()[0]
     assert top.k == "hot" and abs(top.share - 0.9) < 1e-9
+
+
+def test_relational3_plan_shapes(spark, sf_dir):
+    """Scale regression guard for the Q8/Q9/Q11 family: dimension joins
+    must broadcast, and nothing may degrade to a cartesian product or a
+    row-at-a-time Python UDF."""
+    from webscale_multimodal_datapipeline_spark.plans import relational3 as R3
+
+    for name, fn in R3.QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, name

@@ -303,18 +303,23 @@ def _plane_coef(p: int, i: int) -> int:
 
 
 def hyperplane_bucket(emb_col: str, dim: int, planes: int = EMB_LSH_PLANES) -> Column:
-    """Sign-of-projection LSH bucket id in [0, 2^planes)."""
-    out = F.lit(0).cast("bigint")
+    """Sign-of-projection LSH bucket id in [0, 2^planes).
+
+    Built as ONE SQL expression string (single py4j round trip) instead of
+    ``planes * dim`` nested Column objects — the Column form cost ~4s of
+    driver-side plan construction per call at dim=64 (measured); the string
+    parses JVM-side in milliseconds. The ``+`` chain is left-associative
+    exactly like the previous Python ``sum()`` fold, so bucket values are
+    bit-identical (and still mirror the DuckDB oracle's fragment).
+    """
+    plane_cases = []
     for p in range(planes):
-        proj = sum(
-            (
-                F.element_at(F.col(emb_col), i + 1).cast("double") * _plane_coef(p, i)
-                for i in range(1, dim)
-            ),
-            F.element_at(F.col(emb_col), 1).cast("double") * _plane_coef(p, 0),
+        proj = " + ".join(
+            f"(CAST(element_at(`{emb_col}`, {i + 1}) AS DOUBLE) * ({_plane_coef(p, i)}))"
+            for i in range(dim)
         )
-        out = out + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return out
+        plane_cases.append(f"(CASE WHEN ({proj}) > 0 THEN {2 ** p} ELSE 0 END)")
+    return F.expr(f"CAST(0 AS BIGINT) + " + " + ".join(plane_cases))
 
 
 def embedding_cosine_dedup(
