@@ -180,31 +180,47 @@ SIMHASH_BITS = 32
 def token_hashes(text_col: str = "text") -> Column:
     """md5-long hash per token of the normalized text (SimHash input).
     Materialize this as a column before calling ``simhash`` in a hot path —
-    otherwise each per-bit aggregate re-evaluates the tokenize+hash chain."""
+    otherwise the vote aggregate re-evaluates the tokenize+hash chain."""
     toks = TX.tokens(TX.normalize_text(text_col))
     return F.transform(toks, lambda t: TX.md5_long(t))
 
 
+def _token_hashes_sql(text_col: str) -> str:
+    """Spark-SQL mirror of ``token_hashes`` (same chain, string form)."""
+    norm = f"lower(trim(regexp_replace(`{text_col}`, '\\\\s+', ' ')))"
+    toks = f"filter(split(trim({norm}), '\\\\s+'), t -> t != '')"
+    return f"transform({toks}, t -> CAST(CONV(SUBSTR(md5(t), 1, 15), 16, 10) AS BIGINT))"
+
+
 def simhash(
-    text_col: str = "text", bits: int = SIMHASH_BITS, hashes: Column | None = None
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    hashes: str | None = None,
 ) -> Column:
     """``bits``-bit SimHash over whitespace tokens of the normalized text.
 
     bit j of the result = 1 iff sum over tokens of (±1 by bit j of
     md5-hash(token)) > 0. Pure column expression (no shuffle, no Python);
     md5-backed so DuckDB reproduces it exactly.
+
+    ``hashes`` names a precomputed token-hash array column (pass it in hot
+    paths). Implementation is ONE SQL-string aggregate that accumulates all
+    ``bits`` votes in a single pass over the tokens — the earlier per-bit
+    form built ``bits`` separate aggregates (32 passes per row and ~0.8s of
+    driver-side Column construction per call). Votes are integer sums, so
+    the value is identical regardless of accumulation structure.
     """
-    if hashes is None:
-        hashes = token_hashes(text_col)
-
-    def _vote(j: int):
-        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    out = F.lit(0).cast("bigint")
-    for j in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote(j))
-        out = out + F.when(vote > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
-    return out
+    h = f"`{hashes}`" if hashes else _token_hashes_sql(text_col)
+    votes = (
+        f"aggregate({h}, array_repeat(CAST(0 AS BIGINT), {bits}), "
+        f"(acc, x) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, j) -> a + ((shiftright(x, j) & CAST(1 AS BIGINT)) * 2 - 1)))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, j) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
 
 
 def simhash_dedup(
@@ -233,7 +249,7 @@ def simhash_near_pairs(
     width = bits // chunks
     mask = (1 << width) - 1
     sh = df.withColumn("_th", token_hashes(text_col)).select(
-        F.col(id_col), simhash(text_col, bits, hashes=F.col("_th")).alias("_sh")
+        F.col(id_col), simhash(text_col, bits, hashes="_th").alias("_sh")
     )
     chunked = sh.select(
         id_col,

@@ -231,7 +231,7 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").withColumn(
         "_th", OD.token_hashes("text")
     )
-    return d.select("doc_id", OD.simhash("text", hashes=F.col("_th")).alias("simhash"))
+    return d.select("doc_id", OD.simhash("text", hashes="_th").alias("simhash"))
 
 
 D_SIMHASH_SQL = f"""
