@@ -140,3 +140,18 @@ def test_cli_run_and_explain(capsys, sf_dir):
     rc = cli.main(["explain", "-c", "/root/repo/examples/quality_pipeline.yaml", "--sf-dir", sf_dir])
     assert rc == 0
     assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_image_pipeline_yaml_end_to_end(spark, sf_dir):
+    """Multimodal YAML pipeline: payload synth -> UDF refiners -> native
+    filter -> resize, with rejected side-channel."""
+    from webscale_multimodal_datapipeline_spark.compiler import compile_pipeline
+
+    plan = compile_pipeline("/root/repo/examples/image_pipeline.yaml")
+    out = plan.run(spark, sf_dir)
+    rows = out.output.collect()
+    assert rows, "filter should pass some rows"
+    cols = set(out.output.columns)
+    assert {"image_width", "image_information_entropy", "image_resized_bytes"} <= cols
+    for r in rows[:20]:
+        assert r.image_width >= 64 and len(r.image_resized_bytes) == 16

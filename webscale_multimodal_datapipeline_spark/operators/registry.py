@@ -43,3 +43,24 @@ register("embedding_norm_refiner", _refiners.embedding_norm_refiner)
 # Dedup (reference operators/dedup/* + near-dup family)
 register("text_exact_dedup", _dedup.text_exact_dedup)
 register("simhash_dedup", _dedup.simhash_dedup)
+
+# Multimodal refiners (reference operators/refiners/image_* — pandas-UDF
+# tier; payloads synthesized by fake_image_bytes_refiner when the source
+# table has no binary column, mirroring the reference's test configs)
+from webscale_multimodal_datapipeline_spark.operators import multimodal as _mm  # noqa: E402
+from pyspark.sql import functions as _F  # noqa: E402
+from webscale_multimodal_datapipeline_spark.operators.base import RefinerOperator as _R  # noqa: E402
+
+
+def _fake_image_bytes_refiner(
+    text_col: str = "text", bytes_col: str = "image_bytes", name: str = "fake_image_bytes_refiner"
+):
+    return _R(name, {bytes_col: _mm.fake_image_bytes(text_col)})
+
+
+register("fake_image_bytes_refiner", _fake_image_bytes_refiner)
+register("image_metadata_refiner", _mm.image_metadata_refiner)
+register("technical_quality_refiner", _mm.technical_quality_refiner)
+register("phash_refiner", _mm.phash_refiner)
+register("image_resize_refiner", _mm.image_resize_refiner)
+register("audio_features_refiner", _mm.audio_features_refiner)
