@@ -107,6 +107,10 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         "token_count_1m",
         big.select(TX.token_count("text").alias("tc")).filter(F.col("tc") > 0),
     )
+    measure(
+        "lang_id_1m",
+        big.select(TX.lang_id("text").alias("l")).filter(F.col("l") != "und"),
+    )
     big.unpersist()
     return out
 
