@@ -118,11 +118,72 @@ GROUP BY n_name
 """
 
 
+def x_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / dense_rank over supplier balances within
+    nation — the analytic-window long tail (none in the reference; a real
+    engine needs them for report layers)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+X_RANKS_SQL = """
+SELECT s_suppkey, s_nationkey,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS drank
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+"""
+
+
+def x_levenshtein_near_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over part names — levenshtein as the
+    string-similarity primitive (fuzzy-dedup building block). Candidate
+    generation is a first-character block join (never all-pairs), the
+    scale discipline every near-dup op here follows."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    l, r = p.alias("l"), p.alias("r")
+    return (
+        l.join(
+            r,
+            (F.substring(F.col("l.p_name"), 1, 1) == F.substring(F.col("r.p_name"), 1, 1))
+            & (F.col("l.p_partkey") < F.col("r.p_partkey")),
+        )
+        .select(
+            F.col("l.p_partkey").alias("key_l"),
+            F.col("r.p_partkey").alias("key_r"),
+            F.levenshtein(F.col("l.p_name"), F.col("r.p_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+    )
+
+
+X_LEV_SQL = """
+SELECT l.p_partkey AS key_l, r.p_partkey AS key_r,
+       CAST(levenshtein(l.p_name, r.p_name) AS INTEGER) AS dist
+FROM part l JOIN part r
+  ON substring(l.p_name, 1, 1) = substring(r.p_name, 1, 1)
+ AND l.p_partkey < r.p_partkey
+WHERE levenshtein(l.p_name, r.p_name) <= 4
+"""
+
+
 QUERIES = {
     "x_acctbal_deciles": x_acctbal_deciles,
     "x_order_cube": x_order_cube,
     "x_hash_family": x_hash_family,
     "x_conditional_agg": x_conditional_agg,
+    "x_rank_distributions": x_rank_distributions,
+    "x_levenshtein_near_names": x_levenshtein_near_names,
 }
 
 ORACLE = {
@@ -130,4 +191,6 @@ ORACLE = {
     "x_order_cube": X_CUBE_SQL,
     "x_hash_family": X_HASH_SQL,
     "x_conditional_agg": X_CONDAGG_SQL,
+    "x_rank_distributions": X_RANKS_SQL,
+    "x_levenshtein_near_names": X_LEV_SQL,
 }
