@@ -26,6 +26,12 @@ SUBSET = [
     "v_cosine_topk",
     "e_sessionization",
     "e_funnel",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q22_global_sales",
+    "t_lang_id",
+    "x_rank_distributions",
+    "x_levenshtein_near_names",
 ]
 
 
