@@ -62,14 +62,25 @@ def md5_long(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the trimmed text (empty text → empty array)."""
+    """Whitespace tokens of the trimmed text (empty text → empty array).
+
+    After ``trim``, splitting on ``\\s+`` can only produce an empty token
+    when the whole string is empty — so that one case branches instead of
+    running a per-element filter lambda (HOF passes are interpreted; see
+    docs/ARCHITECTURE.md §8)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count (``length``-style cheap tokenizer)."""
-    return F.size(tokens(col))
+    """Whitespace token count (``length``-style cheap tokenizer) — pure
+    size/split, no higher-order function."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
