@@ -115,6 +115,77 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     return out
 
 
+def image_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+    """Image-operator rec/s — the BASELINE.md image-pipeline rows
+    (metadata 27K, technical-quality 2.5K, quality-filter 4.2M, phash
+    1.5K rec/s on 1K LAION records). Payloads here are the 64-byte
+    deterministic stand-ins (no codecs in the container), so these numbers
+    measure the Arrow-UDF machinery + kernel math, not JPEG decode."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from webscale_multimodal_datapipeline_spark.operators import multimodal as MM
+    from webscale_multimodal_datapipeline_spark.operators.filters import (
+        image_quality_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    imgs = (
+        docs.crossJoin(spark.range(20).withColumnRenamed("id", "rep"))
+        .withColumn("doc_id", F.col("doc_id") * 1000 + F.col("rep"))
+        .drop("rep")
+        .withColumn("image_bytes", MM.fake_image_bytes("text"))
+        .repartition(ncpu * 2)
+        .select("doc_id", "image_bytes")
+        .persist()
+    )
+    n = imgs.count()
+    # Spin up the executor Python workers + Arrow channel once before
+    # timing (the reference likewise reports post-warm-up operator rates).
+    MM.image_metadata_refiner().apply(imgs.limit(1000)).count()
+
+    out: dict[str, dict[str, float]] = {}
+
+    def measure(name, df):
+        t0 = _t.time()
+        kept = df.count()
+        dt = _t.time() - t0
+        out[name] = {
+            "rows_in": n,
+            "rows_out": kept,
+            "sec": round(dt, 3),
+            "rec_per_sec": round(n / dt, 1),
+        }
+
+    meta = MM.image_metadata_refiner().apply(imgs)
+    measure("image_metadata_100k", meta.filter(F.col("image_width") >= 0))
+    measure(
+        "technical_quality_100k",
+        MM.technical_quality_refiner().apply(imgs).filter(
+            F.col("image_information_entropy") >= 0
+        ),
+    )
+    measure("phash_100k", MM.phash_dedup(imgs))
+    measure("resize_100k", MM.image_resize_refiner().apply(imgs).filter(
+        F.length("image_resized_bytes") == 16
+    ))
+    # native predicate over precomputed columns (reference: 4.2M rec/s) —
+    # computed columns persisted first so the filter is measured alone.
+    enriched = (
+        MM.technical_quality_refiner().apply(MM.image_metadata_refiner().apply(imgs))
+    ).persist()
+    enriched.count()
+    measure(
+        "image_quality_filter_100k",
+        image_quality_filter(64, 64, 1.0, 1.0).apply(enriched),
+    )
+    enriched.unpersist()
+    imgs.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
@@ -136,6 +207,7 @@ def main() -> None:
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
     tp = throughput_workloads(spark, sf_dir)
+    tp.update(image_workloads(spark, sf_dir))
     for name, m in tp.items():
         print(f"# {name}: {m['rec_per_sec']:.0f} rec/s ({m['rows_in']} rows in {m['sec']}s)", file=sys.stderr)
 

@@ -389,3 +389,15 @@ def audio_features_refiner(
             "audio_zcr": feats["audio_zcr"],
         },
     )
+
+# Mark every kernel UDF non-deterministic (they ARE pure, but the flag is
+# the only supported barrier): with it unset, a Filter over a UDF-output
+# column is pushed into a separate ArrowEvalPython node and Catalyst
+# evaluates the SAME Python UDF twice per row (measured 4x wall on the
+# metadata+filter chain). The compiler hoists non-UDF filters explicitly,
+# so nothing legitimate is lost.
+image_metadata_udf = image_metadata_udf.asNondeterministic()
+technical_quality_udf = technical_quality_udf.asNondeterministic()
+phash_udf = phash_udf.asNondeterministic()
+resize_pool_udf = resize_pool_udf.asNondeterministic()
+audio_features_udf = audio_features_udf.asNondeterministic()
