@@ -67,3 +67,33 @@ def test_relational3_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, name
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Same-key bucketed tables join without any Exchange; an unbucketed
+    join of the same inputs shuffles both sides."""
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+    from webscale_multimodal_datapipeline_spark.operators.scale import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    # spark-warehouse under tmp: keep test hermetic
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(o.withColumnRenamed("o_custkey", "custkey"), "b_orders", "custkey")
+        write_bucketed(c.withColumnRenamed("c_custkey", "custkey"), "b_cust", "custkey")
+        j = bucketed_join(spark, "b_orders", "b_cust", "custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # sanity: same row count as the plain join
+        plain = o.join(c, o.o_custkey == c.c_custkey)
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")

@@ -70,3 +70,30 @@ def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
         .orderBy(F.col("n").desc())
         .limit(top)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join key.
+
+    THE 100 TB co-location pattern: two tables bucketed by the same key
+    into the same bucket count join with ZERO exchange — the shuffle was
+    paid once at write time and amortized over every later join. (The
+    reference's ``hash(key) % num_buckets`` dedup sharding,
+    ``framework/backend.py:134-138``, is this exact layout.)
+    """
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two same-bucketed saved tables (no exchange; sort elided too
+    when both sides were written sorted)."""
+    return spark.table(left_table).join(spark.table(right_table), key)
