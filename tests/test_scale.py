@@ -97,3 +97,17 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_filters_push_into_parquet_scan(spark, sf_dir):
+    """Native predicates must reach the parquet reader (PushedFilters) and
+    projections must prune the read schema — the two properties that decide
+    whether a 100 TB scan reads terabytes or gigabytes."""
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    q = l.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs
