@@ -140,3 +140,37 @@ def test_compiler_stream_rejects_dedup(spark, sf_dir):
     }
     with _pt.raises(ValueError, match="streaming"):
         compile_pipeline(cfg).stream(spark, sf_dir, SP.EVENTS_SCHEMA)
+
+
+def test_compiler_stream_collects_operator_metrics(spark, sf_dir):
+    """A1 per-operator counters on the streaming path: observed counts
+    summed over micro-batches equal the batch-side pass counts."""
+    from webscale_multimodal_datapipeline_spark.compiler import compile_pipeline
+
+    cfg = {
+        "data_loader": {"table": "events"},
+        "stages": [
+            {
+                "name": "s",
+                "operators": [
+                    {
+                        "type": "text_length_filter",
+                        "params": {
+                            "min_length": 5,
+                            "max_length": 100,
+                            "length_col": None,
+                            "text_col": "event_type",
+                        },
+                    }
+                ],
+            }
+        ],
+    }
+    pipe = compile_pipeline(cfg)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = pipe.stream(spark, sf_dir, SP.EVENTS_SCHEMA, max_files_per_trigger=1)
+    counts = SP.run_stream_collect_metrics(out, "mstream_out")
+    want = load_table(spark, sf_dir, "events").filter(
+        "length(event_type) BETWEEN 5 AND 100"
+    ).count()
+    assert counts == {"m.s.text_length_filter": want}

@@ -292,6 +292,7 @@ class Pipeline:
         source_dir: str,
         schema,
         max_files_per_trigger: int = 1,
+        metrics: bool = True,
     ) -> DataFrame:
         """Streaming execution of the SAME operator chain: the plan is
         execution-mode agnostic (Refiner/Filter operators are plain
@@ -317,6 +318,13 @@ class Pipeline:
                         "(dropDuplicatesWithinWatermark) instead"
                     )
                 df = op.apply(df)
+                if metrics:
+                    # string-named observe: streaming-legal; counters land
+                    # in every progress event's observedMetrics (A1 on the
+                    # streaming path — harvest with stream_operator_counts).
+                    df = df.observe(
+                        f"m.{stage.name}.{op.name}", F.count(F.lit(1)).alias("n")
+                    )
         return df
 
 

@@ -135,3 +135,32 @@ def foreach_batch_dual_write(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_stream_collect_metrics(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> dict[str, int]:
+    """Like ``run_stream_to_memory`` but also harvests per-operator
+    observed counters (``m.<stage>.<operator>`` observes attached by
+    ``Pipeline.stream``) summed across all micro-batches — the streaming
+    form of the reference's cross-worker metric aggregation
+    (``framework/executor.py:760-846``)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        counts: dict[str, int] = {}
+        for p in q.recentProgress:
+            om = p.get("observedMetrics") or {}
+            for metric_name, row in om.items():
+                if not metric_name.startswith("m."):
+                    continue
+                n = row["n"] if isinstance(row, dict) else row.n
+                counts[metric_name] = counts.get(metric_name, 0) + int(n)
+        return counts
+    finally:
+        q.stop()
