@@ -194,3 +194,49 @@ ORACLE = {
     "t_fingerprint": T_FP_SQL,
     "t_source_stats": T_SOURCE_SQL,
 }
+
+
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/FineWeb-style repetition quality signals: distinct-token
+    ratio and top-token frequency per document, via explode -> per-token
+    counts -> per-doc re-aggregation (fully relational — the shape that
+    distributes at 100 TB, unlike per-row n^2 scans)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+            F.round(F.col("top_count") / F.col("n_tokens"), 6).alias("top_token_freq"),
+        )
+    )
+
+
+T_REPETITION_SQL = f"""
+SELECT doc_id, n_tokens,
+       ROUND(n_distinct / n_tokens, 6) AS distinct_ratio,
+       ROUND(top_count / n_tokens, 6) AS top_token_freq
+FROM (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_count
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest({OQ.sql_tokens('text')}) AS tok FROM documents)
+    GROUP BY doc_id, tok
+  )
+  GROUP BY doc_id
+)
+"""
+
+QUERIES["t_repetition"] = t_repetition
+ORACLE["t_repetition"] = T_REPETITION_SQL
