@@ -240,3 +240,54 @@ FROM (
 
 QUERIES["t_repetition"] = t_repetition
 ORACLE["t_repetition"] = T_REPETITION_SQL
+
+
+def t_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% document sample: hash-mod on the stable id, the
+    reproducible-at-any-scale sampling idiom (no RNG, no partitioning
+    dependence — re-runs and other engines select the SAME rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(TX.md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    return d.filter(bucket < 10).select("doc_id", "source", "lang")
+
+
+T_HASH_SAMPLE_SQL = f"""
+SELECT doc_id, source, lang FROM documents
+WHERE {OQ.sql_md5_long("CAST(doc_id AS VARCHAR)")} % 100 < 10
+"""
+
+
+def t_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by id-hash bucket) —
+    per-source split-size audit, the pre-training bookkeeping query."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(TX.md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+T_SPLIT_SQL = f"""
+SELECT source,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (SELECT source, n_chars,
+             {OQ.sql_md5_long("CAST(doc_id AS VARCHAR)")} % 100 AS b
+      FROM documents)
+GROUP BY 1, 2
+"""
+
+QUERIES["t_hash_sample"] = t_hash_sample
+QUERIES["t_dataset_split"] = t_dataset_split
+ORACLE["t_hash_sample"] = T_HASH_SAMPLE_SQL
+ORACLE["t_dataset_split"] = T_SPLIT_SQL
