@@ -135,3 +135,20 @@ def test_registry_unknown_raises():
 
     with pytest.raises(KeyError):
         REG.create("nope_operator")
+
+
+def test_simhash_fast_udf_parity(spark, sf_dir):
+    """Fast-path numpy simhash == native-SQL simhash on real docs incl.
+    empty/whitespace texts (the reference's Rust-vs-Python house style)."""
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(500)
+    extra = spark.createDataFrame([(10**9, ""), (10**9 + 1, "   "), (10**9 + 2, "one")],
+                                  "doc_id long, text string")
+    d = d.select("doc_id", "text").unionByName(extra)
+    d = d.withColumn("_th", OD.token_hashes("text"))
+    cmp = d.select(
+        OD.simhash("text", hashes="_th").alias("a"),
+        OD.simhash_fast_udf("_th").alias("b"),
+    )
+    assert cmp.filter("a != b").count() == 0
