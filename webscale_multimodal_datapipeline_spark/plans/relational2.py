@@ -285,14 +285,34 @@ GROUP BY p_type, p_size
 
 def q_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL pre-dedup cardinality estimate (SURVEY §2.6: free win the
-    reference lacks) next to the exact count. Approximate → rows-only."""
+    reference lacks) next to the exact count. Oracle-checkable form: the
+    exact counts hash-match DuckDB, and the HLL estimate is exposed as a
+    bounded-relative-error boolean (default rsd 0.05; bound 0.15 = 3σ)
+    that the oracle pins to TRUE."""
     l = load_table(spark, sf_dir, "lineitem")
+    exact_parts = F.countDistinct("l_partkey")
+    exact_orders = F.countDistinct("l_orderkey")
+    approx_parts = F.approx_count_distinct("l_partkey")
+    approx_orders = F.approx_count_distinct("l_orderkey")
     return l.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+        exact_parts.alias("exact_parts"),
+        exact_orders.alias("exact_orders"),
+        (F.abs(approx_parts - exact_parts) <= 0.15 * exact_parts).alias(
+            "approx_parts_ok"
+        ),
+        (F.abs(approx_orders - exact_orders) <= 0.15 * exact_orders).alias(
+            "approx_orders_ok"
+        ),
     )
+
+
+Q_APPROX_CARD_SQL = """
+SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS approx_parts_ok,
+       TRUE AS approx_orders_ok
+FROM lineitem
+"""
 
 
 QUERIES = {
@@ -318,5 +338,5 @@ ORACLE = {
     "q19_disjunctive_predicates": Q_DISJ_SQL,
     "q21_supplier_wait": Q_WAIT_SQL,
     "q16_distinct_brands": Q_DISTINCT_SQL,
-    # q_approx_cardinality: HLL estimate — rows-only by design.
+    "q_approx_cardinality": Q_APPROX_CARD_SQL,
 }

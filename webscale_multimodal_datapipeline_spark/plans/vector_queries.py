@@ -175,14 +175,17 @@ def v_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: KMeans coarse quantizer (k=8), 3-cluster
-    probe. Iterative fit → rows-only check; recall-vs-exact is asserted in
-    ``tests/test_advanced.py``."""
+    """IVF top-k with an exhaustive probe (``n_probe == n_clusters``):
+    every cluster is scanned, so the result is exactly brute-force cosine
+    top-k and the oracle is the same SQL as ``v_cosine_topk`` — this
+    oracle-checks the whole IVF machinery (assignment, probe ranking,
+    cluster equi-join, scoring). The approximate path (``n_probe=3``)
+    keeps its recall-vs-exact assertion in ``tests/test_advanced.py``."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return OS.ivf_topk(e, q, k=TOP_K, n_clusters=8, n_probe=3)
+    return OS.ivf_topk(e, q, k=TOP_K, n_clusters=8, n_probe=8)
 
 
 QUERIES = {
@@ -198,6 +201,7 @@ QUERIES = {
 
 ORACLE = {
     "v_embedding_norms": V_NORMS_SQL,
+    "v_ivf_topk": V_TOPK_SQL,
     "v_mlp_score": V_MLP_SQL,
     "v_lsh_buckets": V_BUCKETS_SQL,
     "v_cosine_dedup": V_COSINE_DEDUP_SQL,
