@@ -174,7 +174,12 @@ def minhash_lsh_dedup(
 # phash dedup, image_phash_dedup.py:30-84)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 60 bits = the full width of the cross-engine md5-derived token hash
+# (15 hex chars). Width matters for the near-pairs chunk-LSH: 4 chunks of
+# 15 bits give 32768-value chunk keys, so at billions of rows each chunk
+# bucket holds n/32768 rows instead of the n/256 an 8-bit chunk key gives —
+# the within-bucket verify join stays tractable at web scale.
+SIMHASH_BITS = 60
 
 
 def token_hashes(text_col: str = "text") -> Column:
@@ -228,8 +233,9 @@ def simhash_dedup(
 ) -> DedupOperator:
     """Key-equality dedup on the SimHash value (the reference's phash dedup
     semantics: equality only, no Hamming-distance search —
-    ``image_phash_dedup.py`` NOTE in SURVEY §2.5)."""
-    return DedupOperator(name, simhash(text_col), order_col=id_col)
+    ``image_phash_dedup.py`` NOTE in SURVEY §2.5). Hot path = the Arrow
+    kernel; the SQL-HOF ``simhash()`` stays the parity-tested spec."""
+    return DedupOperator(name, simhash_fast_udf(token_hashes(text_col)), order_col=id_col)
 
 
 def simhash_near_pairs(
@@ -245,11 +251,23 @@ def simhash_near_pairs(
     LSH on bit-chunks: two hashes within Hamming distance < chunks must
     share at least one of ``chunks`` equal-width chunks — join on chunk
     value, verify with bit_count(xor). Returns (id_l, id_r, hamming).
+
+    Defaults: 60-bit hash / 4 chunks → 15-bit chunk keys (32768 values),
+    with exact recall guaranteed for hamming < 4. The signature itself is
+    computed with the Arrow-vectorized kernel (``simhash_fast_udf``,
+    parity-tested equal to the SQL-HOF spec form).
     """
     width = bits // chunks
     mask = (1 << width) - 1
+    # fast kernel is compiled for SIMHASH_BITS; fall back to the SQL spec
+    # form for non-default widths
+    sig = (
+        simhash_fast_udf("_th")
+        if bits == SIMHASH_BITS
+        else simhash(text_col, bits, hashes="_th")
+    )
     sh = df.withColumn("_th", token_hashes(text_col)).select(
-        F.col(id_col), simhash(text_col, bits, hashes="_th").alias("_sh")
+        F.col(id_col), sig.alias("_sh")
     )
     chunked = sh.select(
         id_col,

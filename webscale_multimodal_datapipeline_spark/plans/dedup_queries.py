@@ -227,11 +227,13 @@ FROM ver WHERE jaccard >= 0.2
 
 
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document."""
+    """60-bit SimHash per document — Arrow-kernel hot path
+    (``simhash_fast_udf``; the SQL-HOF ``simhash()`` is the parity-tested
+    spec mirrored by this oracle)."""
     d = load_table(spark, sf_dir, "documents").withColumn(
         "_th", OD.token_hashes("text")
     )
-    return d.select("doc_id", OD.simhash("text", hashes="_th").alias("simhash"))
+    return d.select("doc_id", OD.simhash_fast_udf("_th").alias("simhash"))
 
 
 D_SIMHASH_SQL = f"""
@@ -241,14 +243,17 @@ SELECT doc_id, {OQ.sql_simhash_from_hashes('h')} AS simhash FROM h
 
 
 def d_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-near pairs via chunk-LSH (share >= 1 of 4 8-bit chunks) with
+    """Hamming-near pairs via chunk-LSH (share >= 1 of 4 15-bit chunks) with
     bit_count(xor) <= 12 verify: (id_l, id_r, hamming)."""
     d = load_table(spark, sf_dir, "documents")
     return OD.simhash_near_pairs(d, max_hamming=12)
 
 
+_CHUNK_W = OD.SIMHASH_BITS // 4
+_CHUNK_MASK = (1 << _CHUNK_W) - 1
 _CHUNKS = [
-    f"concat_ws('|', '{c}', CAST(((sh >> {c * 8}) & 255) AS VARCHAR))" for c in range(4)
+    f"concat_ws('|', '{c}', CAST(((sh >> {c * _CHUNK_W}) & {_CHUNK_MASK}) AS VARCHAR))"
+    for c in range(4)
 ]
 
 D_SIMHASH_PAIRS_SQL = f"""
