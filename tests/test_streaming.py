@@ -173,4 +173,4 @@ def test_compiler_stream_collects_operator_metrics(spark, sf_dir):
     want = load_table(spark, sf_dir, "events").filter(
         "length(event_type) BETWEEN 5 AND 100"
     ).count()
-    assert counts == {"m.s.text_length_filter": want}
+    assert counts == {"m.s.0.text_length_filter": want}

@@ -62,3 +62,19 @@ def test_lang_id_markers(spark):
 def test_md5_long_range(spark):
     v = _one(spark, "abc", TX.md5_long("text"))
     assert 0 <= v < 2**60
+
+
+def test_tokens_strip_non_space_whitespace_edges(spark):
+    """Tabs/newlines/CR at string edges must not yield empty tokens
+    (F.trim strips only ASCII spaces) — parity with the DuckDB oracle
+    form, which filters t <> ''."""
+    import duckdb
+
+    for s in ["\ttext\n", "\r\n a\tb \r", "\t\n", "", "  x  "]:
+        got = _one(spark, s, TX.tokens("text"))
+        want = duckdb.sql(
+            "SELECT list_filter(string_split_regex(trim($1), '\\s+'), t -> t <> '')",
+            params=[s],
+        ).fetchone()[0]
+        assert got == want, (s, got, want)
+        assert _one(spark, s, TX.token_count("text")) == len(want)

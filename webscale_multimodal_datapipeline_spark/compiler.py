@@ -310,7 +310,7 @@ class Pipeline:
         )
         for stage in self.config.stages:
             ops = _hoist_filters(stage.operators, set(df.columns))
-            for op in ops:
+            for idx, op in enumerate(ops):
                 if op.kind == "deduplicator":
                     raise ValueError(
                         f"operator {op.name!r}: batch dedup has no streaming "
@@ -322,8 +322,13 @@ class Pipeline:
                     # string-named observe: streaming-legal; counters land
                     # in every progress event's observedMetrics (A1 on the
                     # streaming path — harvest with stream_operator_counts).
+                    # The in-stage index keeps names unique when two
+                    # operators of the same type (default name = type name)
+                    # share a stage — Spark rejects duplicate observation
+                    # names at analysis time.
                     df = df.observe(
-                        f"m.{stage.name}.{op.name}", F.count(F.lit(1)).alias("n")
+                        f"m.{stage.name}.{idx}.{op.name}",
+                        F.count(F.lit(1)).alias("n"),
                     )
         return df
 

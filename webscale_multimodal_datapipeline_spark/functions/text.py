@@ -61,15 +61,23 @@ def md5_long(col: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the trimmed text (empty text → empty array).
+def _strip_ws(c: Column) -> Column:
+    # F.trim strips only ASCII spaces — tabs/newlines/CR at string edges
+    # would survive it and split() would emit empty '' tokens. Strip the
+    # full \s class so the edge case can't arise.
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
 
-    After ``trim``, splitting on ``\\s+`` can only produce an empty token
-    when the whole string is empty — so that one case branches instead of
-    running a per-element filter lambda (HOF passes are interpreted; see
-    docs/ARCHITECTURE.md §8)."""
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the text (empty/all-whitespace → empty array).
+
+    All leading/trailing whitespace (the full ``\\s`` class, not just
+    spaces) is stripped before splitting, so ``\\s+``-split can only
+    produce an empty token when the whole string is empty — that one case
+    branches instead of running a per-element filter lambda (HOF passes
+    are interpreted; see docs/ARCHITECTURE.md §8)."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
+    t = _strip_ws(c)
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
@@ -79,7 +87,7 @@ def token_count(col: Column | str) -> Column:
     """Whitespace token count (``length``-style cheap tokenizer) — pure
     size/split, no higher-order function."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
+    t = _strip_ws(c)
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
@@ -150,7 +158,10 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_id(col: Column | str) -> Column:
+LANG_ID_MAX_TOKENS = 4095  # one 12-bit packed counter per language
+
+
+def lang_id(col: str) -> Column:
     """Rule-based language guess: the language with the most marker-word hits;
     ties and no-evidence fall back to 'und'. Deterministic, SQL-expressible.
 
@@ -160,12 +171,20 @@ def lang_id(col: Column | str) -> Column:
     78K rec/s → this form is one pass). Counts are integers, so the argmax
     and tie-break (declaration order: en > es > fr > de > zh) are
     value-identical to the old expression and to the DuckDB oracle.
+
+    Evidence is taken from the first ``LANG_ID_MAX_TOKENS`` tokens (the
+    oracle mirrors the same slice): each language owns a 12-bit field of
+    the packed counter, so an unbounded token stream could overflow into
+    the neighboring language's count.
     """
     name = col if isinstance(col, str) else None
     if name is None:
         raise TypeError("lang_id requires a column name (built as a SQL string)")
     langs = list(LANG_MARKERS)
-    toks = f"filter(split(trim(`{name}`), '\\\\s+'), t -> t != '')"
+    toks = (
+        f"slice(filter(split(trim(`{name}`), '\\\\s+'), t -> t != ''), "
+        f"1, {LANG_ID_MAX_TOKENS})"
+    )
     # Bit-packed single-pass accumulation: language i gets a 12-bit counter
     # inside one BIGINT (token counts are << 4095), so the per-token work is
     # a handful of IN checks and one integer add — no per-token array

@@ -78,8 +78,13 @@ def sql_quality_score(col: str = "text") -> str:
 
 
 def sql_lang_id(col: str = "text") -> str:
-    """Mirror of functions.text.lang_id (tie priority en>es>fr>de>zh)."""
-    toks = sql_tokens(col)
+    """Mirror of functions.text.lang_id (tie priority en>es>fr>de>zh;
+    same first-LANG_ID_MAX_TOKENS evidence slice)."""
+    from webscale_multimodal_datapipeline_spark.functions.text import (
+        LANG_ID_MAX_TOKENS,
+    )
+
+    toks = f"({sql_tokens(col)})[1:{LANG_ID_MAX_TOKENS}]"
     scores = {}
     for lang, markers in LANG_MARKERS.items():
         lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"

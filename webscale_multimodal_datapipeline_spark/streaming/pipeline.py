@@ -144,7 +144,18 @@ def run_stream_collect_metrics(
     observed counters (``m.<stage>.<operator>`` observes attached by
     ``Pipeline.stream``) summed across all micro-batches — the streaming
     form of the reference's cross-worker metric aggregation
-    (``framework/executor.py:760-846``)."""
+    (``framework/executor.py:760-846``).
+
+    ``recentProgress`` keeps only the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` entries (default 100),
+    which would silently undercount long streams — raise it before the
+    query starts so every micro-batch's counters are retained. (A
+    StreamingQueryListener avoids the buffer entirely but delivers events
+    asynchronously, which makes the sum racy in a bounded harness.)"""
+    spark = df.sparkSession
+    cap = int(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100"))
+    if cap < 100_000:
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     q = (
         df.writeStream.outputMode(output_mode)
         .format("memory")
