@@ -75,31 +75,73 @@ def decode_image_meta_py(b: bytes | None) -> tuple[int, int, int, str]:
     return width, height, len(b), fmt
 
 
-@pandas_udf(
-    T.StructType(
-        [
-            T.StructField("image_width", T.IntegerType()),
-            T.StructField("image_height", T.IntegerType()),
-            T.StructField("image_file_size_bytes", T.LongType()),
-            T.StructField("image_format", T.StringType()),
-        ]
-    )
+def decode_image_meta_pil(b: bytes | None) -> tuple[int, int, int, str]:
+    """Real R1 kernel (PIL branch, ``image_metadata.py:38-62``): open the
+    actual payload; decode errors take the 0/'ERROR' path exactly like the
+    reference."""
+    if b is None:
+        return 0, 0, 0, "ERROR"
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        img = Image.open(BytesIO(b))
+        return int(img.width), int(img.height), len(b), str(img.format or "ERROR")
+    except Exception:
+        return 0, 0, len(b), "ERROR"
+
+
+_META_SCHEMA = T.StructType(
+    [
+        T.StructField("image_width", T.IntegerType()),
+        T.StructField("image_height", T.IntegerType()),
+        T.StructField("image_file_size_bytes", T.LongType()),
+        T.StructField("image_format", T.StringType()),
+    ]
 )
-def image_metadata_udf(data: pd.Series) -> pd.DataFrame:
-    """R1 ImageMetadataRefiner kernel (image_metadata.py:25-67). With PIL
-    present this would open real bytes; here: deterministic header parse."""
-    rows = [decode_image_meta_py(b) for b in data]
-    return pd.DataFrame(
-        rows, columns=["image_width", "image_height", "image_file_size_bytes", "image_format"]
-    ).astype(
-        {"image_width": "int32", "image_height": "int32", "image_file_size_bytes": "int64"}
-    )
+
+
+def _resolve_backend(backend: str) -> str:
+    """'fake' | 'pil' | 'auto' (auto → pil when importable).
+
+    Registered queries pin 'fake' (deterministic, oracle-mirrored);
+    real-codec deployments pass 'pil'/'auto'."""
+    if backend == "auto":
+        return "pil" if HAVE_PIL else "fake"
+    if backend == "pil" and not HAVE_PIL:
+        raise NotImplementedError(
+            "backend='pil' requires PIL; this container has no codecs. "
+            "Use backend='fake' (deterministic byte-header kernels)."
+        )
+    return backend
+
+
+def image_metadata_udf_for(backend: str = "fake"):
+    """R1 ImageMetadataRefiner kernel factory (image_metadata.py:25-67):
+    Arrow batch in → width/height/size/format struct out, per-row decode
+    picked by backend."""
+    decode = decode_image_meta_pil if _resolve_backend(backend) == "pil" else decode_image_meta_py
+
+    @pandas_udf(_META_SCHEMA)
+    def _meta(data):
+        rows = [decode(b) for b in data]
+        return pd.DataFrame(
+            rows,
+            columns=["image_width", "image_height", "image_file_size_bytes", "image_format"],
+        ).astype(
+            {"image_width": "int32", "image_height": "int32", "image_file_size_bytes": "int64"}
+        )
+
+    return _meta.asNondeterministic()
 
 
 def image_metadata_refiner(
-    bytes_col: str = "image_bytes", name: str = "image_metadata_refiner"
+    bytes_col: str = "image_bytes",
+    backend: str = "fake",
+    name: str = "image_metadata_refiner",
 ) -> RefinerOperator:
-    meta = image_metadata_udf(F.col(bytes_col))
+    meta = image_metadata_udf_for(backend)(F.col(bytes_col))
     return RefinerOperator(
         name,
         {
@@ -144,25 +186,67 @@ def technical_quality_py(b: bytes | None) -> tuple[float, float]:
     return float(artifacts), entropy
 
 
-@pandas_udf(
-    T.StructType(
-        [
-            T.StructField("image_compression_artifacts", T.FloatType()),
-            T.StructField("image_information_entropy", T.FloatType()),
-        ]
-    )
+def technical_quality_pil(b: bytes | None) -> tuple[float, float]:
+    """Real R2 kernel (PIL branch): pixel-domain per-channel Shannon
+    entropy averaged over RGB + 8-aligned luminance blockiness (≤64
+    boundaries sampled) ⊕ compression-ratio score, 0.6/0.4 blend —
+    the reference's formula structure (``image_technical_quality.py:
+    98-186``, ``image_ops.rs:13-146``) over actually-decoded pixels."""
+    if b is None:
+        return 0.0, 0.0
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        rgb = np.asarray(Image.open(BytesIO(b)).convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return 0.0, 0.0
+    ents = []
+    for c in range(3):
+        counts = np.bincount(rgb[..., c].reshape(-1), minlength=256)
+        p = counts[counts > 0] / rgb[..., c].size
+        ents.append(float(-(p * np.log2(p)).sum()))
+    entropy = sum(ents) / 3.0
+    lum = rgb.astype(np.float64).mean(axis=2)
+    ratio_score = float(min(lum.size / (len(b) * 10.0), 1.0))
+    n8 = lum.shape[1] // 8 - 1
+    if n8 <= 0:
+        return 0.4 * ratio_score, entropy
+    cols = (np.arange(min(n8, 64)) + 1) * 8
+    jumps = np.abs(lum[:, cols] - lum[:, cols - 1]).mean()
+    grads = np.abs(np.diff(lum, axis=1)).mean() + 1e-9
+    blockiness = float(min(jumps / (grads * 2.0), 1.0))
+    return 0.6 * blockiness + 0.4 * ratio_score, entropy
+
+
+_QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_compression_artifacts", T.FloatType()),
+        T.StructField("image_information_entropy", T.FloatType()),
+    ]
 )
-def technical_quality_udf(data: pd.Series) -> pd.DataFrame:
-    rows = [technical_quality_py(b) for b in data]
-    return pd.DataFrame(
-        rows, columns=["image_compression_artifacts", "image_information_entropy"]
-    ).astype("float32")
+
+
+def technical_quality_udf_for(backend: str = "fake"):
+    kernel = technical_quality_pil if _resolve_backend(backend) == "pil" else technical_quality_py
+
+    @pandas_udf(_QUALITY_SCHEMA)
+    def _quality(data):
+        rows = [kernel(b) for b in data]
+        return pd.DataFrame(
+            rows, columns=["image_compression_artifacts", "image_information_entropy"]
+        ).astype("float32")
+
+    return _quality.asNondeterministic()
 
 
 def technical_quality_refiner(
-    bytes_col: str = "image_bytes", name: str = "image_technical_quality_refiner"
+    bytes_col: str = "image_bytes",
+    backend: str = "fake",
+    name: str = "image_technical_quality_refiner",
 ) -> RefinerOperator:
-    q = technical_quality_udf(F.col(bytes_col))
+    q = technical_quality_udf_for(backend)(F.col(bytes_col))
     return RefinerOperator(
         name,
         {
@@ -181,6 +265,18 @@ def technical_quality_refiner(
 PHASH_SIZE = 8
 
 
+def _gradient_hash_hex(grid: np.ndarray, hash_size: int = PHASH_SIZE) -> str:
+    """DoubleGradient bit extraction shared by both backends: horizontal
+    then vertical gradient signs over an (hash_size+1)² grid, hex-packed."""
+    hbits = (grid[:hash_size, 1:] > grid[:hash_size, :-1]).flatten()
+    vbits = (grid[1:, :hash_size] > grid[:-1, :hash_size]).flatten()
+    bits = np.concatenate([hbits, vbits])
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return f"{val:0{len(bits) // 4}x}"
+
+
 def phash_py(b: bytes | None, hash_size: int = PHASH_SIZE) -> str | None:
     """Parity spec: resize bytes into (hash_size+1) x hash_size grid by
     nearest-neighbor, emit horizontal then vertical gradient sign bits as
@@ -193,30 +289,55 @@ def phash_py(b: bytes | None, hash_size: int = PHASH_SIZE) -> str | None:
     # nearest-neighbor "resample" to n*n luminance grid
     idx = (np.arange(n * n) * arr.size) // (n * n)
     grid = arr[idx].reshape(n, n)
-    hbits = (grid[:hash_size, 1:] > grid[:hash_size, :-1]).flatten()
-    vbits = (grid[1:, :hash_size] > grid[:-1, :hash_size]).flatten()
-    bits = np.concatenate([hbits, vbits])
-    val = 0
-    for bit in bits:
-        val = (val << 1) | int(bit)
-    return f"{val:0{len(bits) // 4}x}"
+    return _gradient_hash_hex(grid, hash_size)
 
 
-@pandas_udf(T.StringType())
-def phash_udf(data: pd.Series) -> pd.Series:
-    return pd.Series([phash_py(b) for b in data])
+def phash_pil(b: bytes | None, hash_size: int = PHASH_SIZE) -> str | None:
+    """Real D2 kernel (PIL branch): decode, grayscale, resize to the
+    (hash_size+1)² grid, same DoubleGradient bits (``image_ops.rs:149-174``
+    semantics over real luminance)."""
+    if b is None:
+        return None
+    from io import BytesIO
+
+    from PIL import Image
+
+    n = hash_size + 1
+    try:
+        img = Image.open(BytesIO(b)).convert("L").resize((n, n))
+    except Exception:
+        return None
+    grid = np.asarray(img, dtype=np.float64)
+    return _gradient_hash_hex(grid, hash_size)
 
 
-def phash_refiner(bytes_col: str = "image_bytes", name: str = "phash_refiner") -> RefinerOperator:
-    return RefinerOperator(name, {"phash": phash_udf(F.col(bytes_col))})
+def phash_udf_for(backend: str = "fake"):
+    kernel = phash_pil if _resolve_backend(backend) == "pil" else phash_py
+
+    @pandas_udf(T.StringType())
+    def _phash(data):
+        return pd.Series([kernel(b) for b in data])
+
+    return _phash.asNondeterministic()
 
 
-def phash_dedup(df: DataFrame, id_col: str = "doc_id", bytes_col: str = "image_bytes") -> DataFrame:
+def phash_refiner(
+    bytes_col: str = "image_bytes", backend: str = "fake", name: str = "phash_refiner"
+) -> RefinerOperator:
+    return RefinerOperator(name, {"phash": phash_udf_for(backend)(F.col(bytes_col))})
+
+
+def phash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "image_bytes",
+    backend: str = "fake",
+) -> DataFrame:
     """D2 ImagePhashDeduplicator: key-equality dedup on phash, unreadable
     rows fall back to their own id as key (never deduped)."""
     from pyspark.sql import Window
 
-    keyed = df.withColumn("_phash", phash_udf(F.col(bytes_col))).withColumn(
+    keyed = df.withColumn("_phash", phash_udf_for(backend)(F.col(bytes_col))).withColumn(
         "_key", F.coalesce(F.col("_phash"), F.col(id_col).cast("string"))
     )
     w = Window.partitionBy("_key").orderBy(F.col(id_col))
@@ -395,9 +516,13 @@ def audio_features_refiner(
 # column is pushed into a separate ArrowEvalPython node and Catalyst
 # evaluates the SAME Python UDF twice per row (measured 4x wall on the
 # metadata+filter chain). The compiler hoists non-UDF filters explicitly,
-# so nothing legitimate is lost.
-image_metadata_udf = image_metadata_udf.asNondeterministic()
-technical_quality_udf = technical_quality_udf.asNondeterministic()
-phash_udf = phash_udf.asNondeterministic()
+# so nothing legitimate is lost. (The *_udf_for factories apply the flag
+# themselves.)
 resize_pool_udf = resize_pool_udf.asNondeterministic()
 audio_features_udf = audio_features_udf.asNondeterministic()
+
+# Backward-compat module-level UDFs (fake backend — the oracle-mirrored
+# deterministic kernels the registered queries use).
+image_metadata_udf = image_metadata_udf_for("fake")
+technical_quality_udf = technical_quality_udf_for("fake")
+phash_udf = phash_udf_for("fake")

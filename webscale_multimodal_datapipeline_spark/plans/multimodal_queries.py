@@ -137,6 +137,50 @@ def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_clip_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 embedding refiner through the lazy per-executor-singleton model
+    UDF (numpy-checkpoint backend in-container; torch branch gated). The
+    oracle pins the invariants the reference guarantees: output dim and
+    L2 normalization of every emitted vector
+    (``image_clip_embedding.py:134-169``)."""
+    from webscale_multimodal_datapipeline_spark.operators import model_udfs as MU
+
+    df = MU.clip_embedding_refiner(model_name="vitl14sim").apply(
+        _with_bytes(spark, sf_dir)
+    )
+    emb = F.col("image_clip_emb_vitl14sim")
+    sq = F.transform(emb, lambda x: x.cast("double") * x.cast("double"))
+    norm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x))
+    return df.select(
+        "doc_id",
+        F.size(emb).alias("dim"),
+        (F.abs(norm - 1.0) < 1e-5).alias("unit_norm"),
+    )
+
+
+M_CLIP_EMB_SQL = """
+SELECT doc_id, 64 AS dim, TRUE AS unit_norm FROM documents
+"""
+
+
+def m_visual_degradations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 multi-head degradation scores through the singleton model UDF;
+    the oracle pins the every-row-scored invariant (payloads here are
+    always decodable; NULL-score path covered in tests)."""
+    from webscale_multimodal_datapipeline_spark.operators import model_udfs as MU
+
+    df = MU.visual_degradations_refiner().apply(_with_bytes(spark, sf_dir))
+    scored = F.lit(True)
+    for h in MU.VD_HEADS:
+        scored = scored & F.col(f"img_vd_{h}").isNotNull()
+    return df.select("doc_id", scored.alias("scored"))
+
+
+M_VD_SQL = """
+SELECT doc_id, TRUE AS scored FROM documents
+"""
+
+
 QUERIES = {
     "m_image_metadata": m_image_metadata,
     "m_resize": m_resize,
@@ -145,6 +189,8 @@ QUERIES = {
     "m_technical_quality": m_technical_quality,
     "m_phash_dedup": m_phash_dedup,
     "m_frame_sample": m_frame_sample,
+    "m_clip_embedding": m_clip_embedding,
+    "m_visual_degradations": m_visual_degradations,
 }
 
 ORACLE = {
@@ -153,4 +199,6 @@ ORACLE = {
     # m_technical_quality / m_phash_dedup: numpy kernels — parity-tested in
     # pytest; driver records rows-only here.
     "m_frame_sample": M_FRAME_SQL,
+    "m_clip_embedding": M_CLIP_EMB_SQL,
+    "m_visual_degradations": M_VD_SQL,
 }
