@@ -59,3 +59,36 @@ def test_funnel_and_bottleneck_reports(spark, sf_dir):
     assert fun["text_length_filter"].total_output < 500
     bn = M.bottleneck_report(ops).collect()
     assert len(bn) == 3
+
+
+def test_html_report_render_and_cli(spark, sf_dir, tmp_path):
+    """Report layer: funnel/stages/bottleneck sections render from the
+    operators metrics table (reference reporter.py HTML output, sans
+    plotly), via both the library call and the CLI subcommand."""
+    from webscale_multimodal_datapipeline_spark import report as R
+
+    res = compile_pipeline(CFG).run(spark, sf_dir)
+    res.output.count()
+    M.write_metrics(res.metrics, str(tmp_path / "m"))
+
+    ops = spark.read.parquet(str(tmp_path / "m" / "operators"))
+    out = R.write_html_report(ops, str(tmp_path / "report.html"))
+    html_text = open(out).read()
+    for needle in (
+        "<h2>Funnel</h2>",
+        "<h2>Bottlenecks</h2>",
+        "<h2>Stages</h2>",
+        "<h2>Run summary</h2>",
+        "text_length_filter",
+        "text_stats_refiner",
+        "curate",
+    ):
+        assert needle in html_text, needle
+
+    from webscale_multimodal_datapipeline_spark.cli import main as cli_main
+
+    rc = cli_main(
+        ["report", "--metrics-dir", str(tmp_path / "m"), "--out", str(tmp_path / "r2.html")]
+    )
+    assert rc == 0
+    assert "<h2>Funnel</h2>" in open(tmp_path / "r2.html").read()

@@ -49,6 +49,25 @@ def cmd_run(args: argparse.Namespace) -> int:
 
         write_metrics(result.metrics, args.metrics_dir)
         print(f"  metrics -> {args.metrics_dir}/(operators|stages|runs)")
+    if getattr(args, "report", None):
+        from webscale_multimodal_datapipeline_spark.metrics import operator_metrics_df
+        from webscale_multimodal_datapipeline_spark.report import write_html_report
+
+        write_html_report(operator_metrics_df(result.metrics), args.report)
+        print(f"  report -> {args.report}")
+    return 0
+
+
+def cmd_report(args: argparse.Namespace) -> int:
+    """Render the HTML report from a previously-written metrics dir
+    (reference ``reporter.py`` entry shape: read parquet → report)."""
+    from webscale_multimodal_datapipeline_spark.report import write_html_report
+    from webscale_multimodal_datapipeline_spark.session import get_spark
+
+    spark = get_spark("cli-report")
+    operators = spark.read.parquet(f"{args.metrics_dir}/operators")
+    write_html_report(operators, args.out)
+    print(f"report -> {args.out}")
     return 0
 
 
@@ -72,7 +91,12 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
         sp.add_argument("--metrics-dir", default=None)
         sp.add_argument("--show-rejected", action="store_true")
+        sp.add_argument("--report", default=None, help="write HTML report here")
         sp.set_defaults(fn=fn)
+    rp = sub.add_parser("report")
+    rp.add_argument("--metrics-dir", required=True)
+    rp.add_argument("--out", required=True)
+    rp.set_defaults(fn=cmd_report)
     args = p.parse_args(argv)
     return args.fn(args)
 
