@@ -97,3 +97,49 @@ def test_iceberg_gated(spark, sf_dir):
         pytest.skip("iceberg present")
     with pytest.raises(NotImplementedError):
         SK.write_iceberg(load_table(spark, sf_dir, "region"), "cat.db.t")
+
+
+class _FakeRemoteFS:
+    """Minimal fsspec-like filesystem: find + unstrip_protocol."""
+
+    def __init__(self, files):
+        self._files = files
+
+    def find(self, path):
+        return [f for f in self._files if f.startswith(path)]
+
+    def unstrip_protocol(self, p):
+        return f"hf://{p}"
+
+
+def test_remote_listing_with_mock_fs():
+    from webscale_multimodal_datapipeline_spark.sources import files as SF
+
+    fs = _FakeRemoteFS(
+        [
+            "datasets/org/repo/data/b.parquet",
+            "datasets/org/repo/data/a.parquet",
+            "datasets/org/repo/data/readme.md",
+            "datasets/org/repo/data/c.csv",
+        ]
+    )
+    got = SF.list_remote_data_files("hf://datasets/org/repo", fs=fs)
+    # parquet family wins over csv; sorted; protocol re-attached
+    assert got == [
+        "hf://datasets/org/repo/data/a.parquet",
+        "hf://datasets/org/repo/data/b.parquet",
+    ]
+    # pattern filtering + family fallback
+    got_csv = SF.list_remote_data_files("hf://datasets/org/repo", pattern="*.csv", fs=fs)
+    assert got_csv == ["hf://datasets/org/repo/data/c.csv"]
+
+
+def test_remote_listing_gate_without_fsspec():
+    import pytest as _pt
+
+    from webscale_multimodal_datapipeline_spark.sources import files as SF
+
+    if SF.HAVE_FSSPEC:  # pragma: no cover
+        _pt.skip("fsspec present")
+    with _pt.raises(NotImplementedError, match="fsspec"):
+        SF.list_remote_data_files("hf://datasets/org/repo")

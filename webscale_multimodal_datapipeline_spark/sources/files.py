@@ -19,24 +19,76 @@ from pyspark.sql import DataFrame, SparkSession
 
 EXTENSION_PRIORITY = (".parquet", ".arrow", ".csv", ".jsonl", ".json")
 
+HAVE_FSSPEC = False
+try:  # pragma: no cover - fsspec absent in this container
+    import fsspec  # noqa: F401
 
-def list_data_files(root: str, pattern: str = "*") -> list[str]:
-    """Deterministic sorted file listing (``huggingface_loader.py:71``:
-    sorted for stable worker assignment). Picks the best extension family
-    present, mirroring the reference's priority order."""
+    HAVE_FSSPEC = True
+except ImportError:
+    pass
+
+
+def _pick_extension_family(
+    paths: list[str], pattern: str, join=os.path.join
+) -> list[str]:
+    """Shared listing semantics: fnmatch on the basename, keep the best
+    extension family present (``huggingface_loader.py:42-74`` priority),
+    sorted for deterministic sharding (``:71``)."""
     found: dict[str, list[str]] = {ext: [] for ext in EXTENSION_PRIORITY}
-    for dirpath, _, files in os.walk(root):
-        for f in files:
-            if not fnmatch.fnmatch(f, pattern):
-                continue
-            for ext in EXTENSION_PRIORITY:
-                if f.endswith(ext):
-                    found[ext].append(os.path.join(dirpath, f))
-                    break
+    for p in paths:
+        base = p.rsplit("/", 1)[-1]
+        if not fnmatch.fnmatch(base, pattern):
+            continue
+        for ext in EXTENSION_PRIORITY:
+            if base.endswith(ext):
+                found[ext].append(p)
+                break
     for ext in EXTENSION_PRIORITY:
         if found[ext]:
             return sorted(found[ext])
     return []
+
+
+def list_data_files(root: str, pattern: str = "*") -> list[str]:
+    """Deterministic sorted file listing (``huggingface_loader.py:71``:
+    sorted for stable worker assignment). Picks the best extension family
+    present, mirroring the reference's priority order. Remote URLs
+    (``hf://``, ``s3://``, …) route through the fsspec hook."""
+    if "://" in root:
+        return list_remote_data_files(root, pattern)
+    paths = []
+    for dirpath, _, files in os.walk(root):
+        paths.extend(os.path.join(dirpath, f) for f in files)
+    return _pick_extension_family(paths, pattern)
+
+
+def list_remote_data_files(url: str, pattern: str = "*", fs=None) -> list[str]:
+    """Remote dataset listing via fsspec (``hf://datasets/...``-style repos
+    and any other fsspec protocol), mirroring the reference's HF listing
+    semantics (``huggingface_loader.py:42-74``): recursive find, extension
+    family priority, sorted full URLs.
+
+    Gated: raises ``NotImplementedError`` without fsspec installed. ``fs``
+    injects a filesystem object (tests use a fake; production resolves the
+    URL's protocol). Reading the listed files through Spark additionally
+    needs the matching Hadoop connector on the cluster classpath — the
+    listing itself only needs fsspec."""
+    if fs is None:
+        if not HAVE_FSSPEC:
+            raise NotImplementedError(
+                "remote listing requires fsspec (pip install fsspec "
+                "huggingface_hub for hf://); this container has neither. "
+                "Local paths work without it."
+            )
+        import fsspec as _fsspec
+
+        fs, _ = _fsspec.core.url_to_fs(url)
+    path = url.split("://", 1)[1] if "://" in url else url
+    paths = [str(p) for p in fs.find(path)]
+    picked = _pick_extension_family(paths, pattern)
+    # re-attach the protocol so Spark/readers receive full URLs
+    unstrip = getattr(fs, "unstrip_protocol", None)
+    return [unstrip(p) if unstrip else p for p in picked]
 
 
 def split_files(files: list[str], num_workers: int) -> list[list[str]]:
