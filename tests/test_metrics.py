@@ -92,3 +92,23 @@ def test_html_report_render_and_cli(spark, sf_dir, tmp_path):
     )
     assert rc == 0
     assert "<h2>Funnel</h2>" in open(tmp_path / "r2.html").read()
+
+
+def test_task_latency_distributions_populate_columns(spark, sf_dir):
+    """A1 latency approximation: after an action has run, the status-store
+    task-duration distribution fills the latency columns (schema unchanged;
+    NULL fallback covered by passing latencies=None)."""
+    res = compile_pipeline(CFG).run(spark, sf_dir)
+    res.output.count()
+
+    lat = M.task_latency_distributions(spark)
+    assert lat is not None
+    assert lat["min"] <= lat["p50"] <= lat["p95"] <= lat["p99"] <= lat["max"]
+    assert lat["avg"] > 0
+
+    row = M.operator_metrics_df(res.metrics).first()
+    assert row.p50_latency is not None and row.p50_latency > 0
+    assert row.min_latency <= row.max_latency
+
+    null_row = M.operator_metrics_df(res.metrics, latencies=None).first()
+    assert null_row.p50_latency is None

@@ -9,8 +9,12 @@ over those tables.
 Divergence note (documented, SURVEY §2.6): per-record latency percentiles
 (p50/p95/p99 over a 10k reservoir, ``operator.py:160-168``) have no
 meaning in a whole-stage-codegen'd plan — operators aren't timed
-per-record. Those columns are carried as NULL; wall-clock totals and
-throughput are real.
+per-record. The latency columns are instead filled with TASK-duration
+distributions from Spark's app status store (the same data the UI's
+task-summary quantiles show): min/max and avg are exact over completed
+tasks, p50/p95/p99 are task-count-weighted means of per-stage quantiles.
+If the status store is unreachable the columns fall back to NULL; the
+schema is unchanged either way.
 """
 
 from __future__ import annotations
@@ -23,8 +27,63 @@ from pyspark.sql import functions as F
 from webscale_multimodal_datapipeline_spark.compiler import MetricsCollector
 
 
-def operator_metrics_df(collector: MetricsCollector) -> DataFrame:
-    """operators_*.parquet shape (metrics/writer.py:28-54)."""
+def task_latency_distributions(spark: SparkSession) -> dict[str, float] | None:
+    """Task-duration distribution (seconds) across this app's completed
+    stages, read from ``AppStatusStore`` — the listener-fed store behind
+    the UI/REST ``taskSummary`` quantiles. Pure driver-side metadata reads;
+    no job is triggered. None when no stage has completed task metrics."""
+    try:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        store = sc._jsc.sc().statusStore()
+        empty = jvm.java.util.ArrayList()
+        quants = sc._gateway.new_array(jvm.double, 5)
+        for i, q in enumerate((0.0, 0.5, 0.95, 0.99, 1.0)):
+            quants[i] = q
+        stages = store.stageList(empty, False, False, quants, empty)
+        per_stage: list[tuple[int, list[float], float]] = []
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            opt = store.taskSummary(s.stageId(), s.attemptId(), quants)
+            n = int(s.numCompleteTasks())
+            if not opt.isDefined() or n <= 0:
+                continue
+            d = opt.get().duration()
+            qs = [float(d.apply(j)) for j in range(d.size())]
+            per_stage.append((n, qs, float(s.executorRunTime())))
+        if not per_stage:
+            return None
+        total_tasks = sum(n for n, _, _ in per_stage)
+        wmean = lambda idx: sum(n * qs[idx] for n, qs, _ in per_stage) / total_tasks
+        ms = 1e-3  # store reports milliseconds
+        return {
+            "min": min(qs[0] for _, qs, _ in per_stage) * ms,
+            "p50": wmean(1) * ms,
+            "p95": wmean(2) * ms,
+            "p99": wmean(3) * ms,
+            "max": max(qs[4] for _, qs, _ in per_stage) * ms,
+            "avg": sum(rt for _, _, rt in per_stage) / total_tasks * ms,
+        }
+    except Exception:
+        return None
+
+
+def operator_metrics_df(
+    collector: MetricsCollector, latencies: dict[str, float] | None | bool = True
+) -> DataFrame:
+    """operators_*.parquet shape (metrics/writer.py:28-54).
+
+    ``latencies``: True (default) reads the task-duration distribution from
+    the status store; a dict injects one; None/False leaves the columns
+    NULL (the pre-listener behavior)."""
+    if latencies is True:
+        latencies = task_latency_distributions(collector.spark)
+    lat = latencies or {}
+
+    def _lat(key: str):
+        v = lat.get(key)
+        return F.lit(v).cast("double").alias(f"{key}_latency")
+
     base = collector.to_dataframe()
     return base.select(
         "run_id",
@@ -36,12 +95,12 @@ def operator_metrics_df(collector: MetricsCollector) -> DataFrame:
         "output_records",
         "pass_rate",
         "total_time",
-        F.lit(None).cast("double").alias("avg_latency"),
-        F.lit(None).cast("double").alias("min_latency"),
-        F.lit(None).cast("double").alias("max_latency"),
-        F.lit(None).cast("double").alias("p50_latency"),
-        F.lit(None).cast("double").alias("p95_latency"),
-        F.lit(None).cast("double").alias("p99_latency"),
+        _lat("avg"),
+        _lat("min"),
+        _lat("max"),
+        _lat("p50"),
+        _lat("p95"),
+        _lat("p99"),
         "throughput",
         F.lit(0).cast("long").alias("error_count"),
         F.lit("{}").alias("custom_metrics"),
