@@ -152,3 +152,35 @@ def test_simhash_fast_udf_parity(spark, sf_dir):
         OD.simhash_fast_udf("_th").alias("b"),
     )
     assert cmp.filter("a != b").count() == 0
+
+
+def test_gopher_flags_rule_semantics(spark):
+    from webscale_multimodal_datapipeline_spark.functions import text as TXF
+
+    long_ok = "the quick brown fox jumps over the lazy dog and runs on " * 6
+    rows = [
+        (1, long_ok),                           # passes everything
+        (2, "too short"),                       # fails word count
+        (3, "### " * 60 + "the a of is"),       # fails symbol ratio
+        (4, "\n".join(["- item the a of"] * 20)),  # fails bullet ratio
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    flags = TXF.gopher_flags("text")
+    out = {r.id: r for r in df.select("id", *[c.alias(n) for n, c in flags.items()],
+                                      TXF.gopher_keep("text").alias("keep")).collect()}
+    assert out[1].keep is True
+    assert out[2].ok_word_count is False and out[2].keep is False
+    assert out[3].ok_symbol_ratio is False and out[3].keep is False
+    assert out[4].ok_bullet_ratio is False and out[4].keep is False
+
+
+def test_shared_shingle_dedup_drops_span_sharers(spark):
+    rows = [
+        (1, "a b c d e"),
+        (2, "x y z w v"),
+        (3, "q r c d e"),   # shares shingle "c d e" with doc 1
+        (4, "a b c"),       # shares "a b c" with doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in OD.shared_shingle_dedup(df, k=3).collect())
+    assert kept == [1, 2]

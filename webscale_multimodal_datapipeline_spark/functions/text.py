@@ -146,6 +146,87 @@ def quality_score(col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+# FineWeb/RefinedWeb-era heuristic battery). All pure column expressions;
+# DuckDB mirrors in plans/oracle_fragments.py.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def symbol_word_ratio(col: Column | str) -> Column:
+    """(# of '#' or '...' symbols) / word count — Gopher's symbol spam rule."""
+    c = F.col(col) if isinstance(col, str) else col
+    syms = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0))
+    n = token_count(c)
+    return F.when(n > 0, syms / n).otherwise(F.lit(0.0))
+
+
+def alpha_word_ratio(col: Column | str) -> Column:
+    """Fraction of words containing at least one alphabetic character."""
+    toks = tokens(col)
+    alpha = F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    return F.when(F.size(toks) > 0, F.size(alpha) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def bullet_line_ratio(col: Column | str) -> Column:
+    """Fraction of lines starting with a bullet ('-' or '*' or '•')."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, r"\n")
+    bullets = F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")
+    )
+    return F.when(F.size(lines) > 0, F.size(bullets) / F.size(lines)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def ellipsis_line_ratio(col: Column | str) -> Column:
+    """Fraction of lines ending with '...'."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, r"\n")
+    ell = F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))
+    return F.when(F.size(lines) > 0, F.size(ell) / F.size(lines)).otherwise(F.lit(0.0))
+
+
+def stopword_hits(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(col)
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+
+
+def gopher_flags(col: Column | str) -> dict[str, Column]:
+    """Per-rule pass booleans (True = rule satisfied)."""
+    n = token_count(col)
+    return {
+        "ok_word_count": n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS),
+        "ok_mean_word_len": mean_word_length(col).between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        ),
+        "ok_symbol_ratio": symbol_word_ratio(col) < GOPHER_MAX_SYMBOL_RATIO,
+        "ok_bullet_ratio": bullet_line_ratio(col) < GOPHER_MAX_BULLET_RATIO,
+        "ok_ellipsis_ratio": ellipsis_line_ratio(col) < GOPHER_MAX_ELLIPSIS_RATIO,
+        "ok_alpha_ratio": alpha_word_ratio(col) > GOPHER_MIN_ALPHA_RATIO,
+        "ok_stopwords": stopword_hits(col) >= GOPHER_MIN_STOPWORDS,
+    }
+
+
+def gopher_keep(col: Column | str) -> Column:
+    """Conjunction of all Gopher rules (the filter predicate)."""
+    out = F.lit(True)
+    for flag in gopher_flags(col).values():
+        out = out & flag
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Language-ID heuristic (n-gram / stopword evidence)
 # ---------------------------------------------------------------------------
 

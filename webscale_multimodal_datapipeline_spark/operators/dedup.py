@@ -305,6 +305,53 @@ def simhash_near_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better" — simplified to word-shingle granularity)
+# ---------------------------------------------------------------------------
+
+
+def shared_shingle_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Drop every document that shares ANY k-word shingle with an
+    earlier (smaller-id) document — exact repeated-span dedup, the
+    substring-level analog of exact dedup (vs MinHash's whole-doc
+    similarity).
+
+    Scale shape: explode (id, shingle-hash) pairs → ``min(id)`` per hash
+    (map-side combinable) → per-doc min over its hashes' owners; a doc
+    survives iff it is the first owner of every span it contains. Two
+    hash-shuffles, no pair join, no state service — the heavy part is the
+    explode, bounded by tokens/doc (use larger ``k`` or a stride at 100 TB
+    to cut the factor).
+    """
+    # materialize tokens before shingling (see word_shingles PERF note)
+    base = df.withColumn("_toks", TX.tokens(TX.normalize_text(text_col)))
+    pairs = (
+        base.select(
+            F.col(id_col),
+            F.explode(
+                shingle_hashes(
+                    TX.word_shingles(text_col, k=k, toks=F.col("_toks"))
+                )
+            ).alias("_h"),
+        )
+        .dropDuplicates([id_col, "_h"])
+    )
+    owners = pairs.groupBy("_h").agg(F.min(id_col).alias("_owner"))
+    first_owner = (
+        pairs.join(owners, "_h")
+        .groupBy(id_col)
+        .agg(F.min("_owner").alias("_first_owner"))
+    )
+    keep = first_owner.filter(F.col("_first_owner") == F.col(id_col)).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard dedup (exact pairwise over LSH candidates)
 # ---------------------------------------------------------------------------
 
@@ -414,6 +461,35 @@ from pyspark.sql import types as _T  # noqa: E402
 from pyspark.sql.functions import pandas_udf as _pandas_udf  # noqa: E402
 
 
+# Token-chunk bound per inner call: keeps the cumsum working set tens of
+# MB so the segment-sum stays cache-friendly regardless of Arrow batch
+# size (the naive whole-batch int64 bit matrix collapses to memory-
+# bandwidth speed once it outgrows LLC; ufunc.reduceat is worse still —
+# its per-segment casting buffers cost ~100ns/element).
+_SIMHASH_CHUNK_TOKENS = 65_536
+
+
+def _simhash_batch_np(arrs, lens, out, sel) -> None:
+    """Vote + pack for the selected docs: unpackbits/packbits do the bit
+    (de)expansion byte-wise in C (uint8, little-endian — bit j of the
+    int64 is column j); the per-doc segment sum is a column cumsum plus
+    two fancy-index rows per doc (all flat vectorized C loops)."""
+    import numpy as np
+
+    flat = np.concatenate([arrs[i] for i in sel])
+    bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    seg_lens = lens[sel]
+    offsets = np.zeros(len(sel), dtype=np.int64)
+    np.cumsum(seg_lens[:-1], out=offsets[1:])
+    cs = np.cumsum(bits, axis=0, dtype=np.int64)
+    ones = cs[offsets + seg_lens - 1]
+    ones[1:] -= cs[offsets[1:] - 1]
+    # columns >= SIMHASH_BITS hold zero bits -> majority vote false -> 0,
+    # so packing all 64 columns yields exactly the SIMHASH_BITS-bit value
+    votes = 2 * ones > seg_lens[:, None]
+    out[sel] = np.packbits(votes, axis=1, bitorder="little").view(np.int64).ravel()
+
+
 # DataType object, not a DDL string — string return types are parsed via
 # the active session, which fails at import time with no SparkContext.
 @_pandas_udf(_T.LongType())
@@ -427,15 +503,14 @@ def simhash_fast_udf(hashes: _pd.Series) -> _pd.Series:
         for a in hashes
     ]
     lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
-    nz = lens > 0
-    if nz.any():
-        flat = np.concatenate([a for a in arrs if len(a)])
-        bits = ((flat[:, None] >> np.arange(SIMHASH_BITS)) & 1).astype(np.int64)
-        offsets = np.zeros(int(nz.sum()), dtype=np.int64)
-        np.cumsum(lens[nz][:-1], out=offsets[1:])
-        ones = np.add.reduceat(bits, offsets, axis=0)
-        votes = 2 * ones > lens[nz][:, None]
-        out[np.flatnonzero(nz)] = (votes.astype(np.int64) << np.arange(SIMHASH_BITS)).sum(
-            axis=1
-        )
+    nz = np.flatnonzero(lens > 0)
+    start = 0
+    while start < len(nz):
+        end = start
+        tokens = 0
+        while end < len(nz) and (tokens == 0 or tokens + lens[nz[end]] <= _SIMHASH_CHUNK_TOKENS):
+            tokens += lens[nz[end]]
+            end += 1
+        _simhash_batch_np(arrs, lens, out, nz[start:end])
+        start = end
     return pd.Series(out)

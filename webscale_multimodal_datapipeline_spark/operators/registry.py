@@ -44,6 +44,17 @@ register("embedding_norm_refiner", _refiners.embedding_norm_refiner)
 register("text_exact_dedup", _dedup.text_exact_dedup)
 register("simhash_dedup", _dedup.simhash_dedup)
 
+
+# Gopher-style quality rule filter (Rae et al. 2021 heuristic battery)
+def _gopher_quality_filter(text_col: str = "text", name: str = "gopher_quality_filter"):
+    from webscale_multimodal_datapipeline_spark.functions import text as _TX
+    from webscale_multimodal_datapipeline_spark.operators.base import FilterOperator as _FO
+
+    return _FO(name, _TX.gopher_keep(text_col), requires={text_col})
+
+
+register("gopher_quality_filter", _gopher_quality_filter)
+
 # Multimodal refiners (reference operators/refiners/image_* — pandas-UDF
 # tier; payloads synthesized by fake_image_bytes_refiner when the source
 # table has no binary column, mirroring the reference's test configs)

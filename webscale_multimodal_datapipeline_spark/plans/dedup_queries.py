@@ -290,3 +290,34 @@ ORACLE = {
     "d_simhash": D_SIMHASH_SQL,
     "d_simhash_near_pairs": D_SIMHASH_PAIRS_SQL,
 }
+
+
+def d_shared_shingle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2021 simplified): drop docs
+    sharing any k-word shingle with an earlier doc; survivors. k=3 here so
+    the synthetic corpus actually produces shared spans."""
+    d = load_table(spark, sf_dir, "documents")
+    return OD.shared_shingle_dedup(d, k=3).select("doc_id", "source")
+
+
+D_SHARED_SHINGLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {OQ.sql_shingles_from_tokens('t')} AS sh FROM toks
+), pairs AS (
+  SELECT DISTINCT doc_id, h
+  FROM (SELECT doc_id, unnest({OQ.sql_shingle_hashes('sh')}) AS h FROM sh)
+), owners AS (
+  SELECT h, MIN(doc_id) AS owner FROM pairs GROUP BY h
+), first_owner AS (
+  SELECT p.doc_id, MIN(o.owner) AS fo
+  FROM pairs p JOIN owners o ON p.h = o.h
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN first_owner f ON d.doc_id = f.doc_id AND f.fo = d.doc_id
+"""
+
+QUERIES["d_shared_shingle_dedup"] = d_shared_shingle_dedup
+ORACLE["d_shared_shingle_dedup"] = D_SHARED_SHINGLE_SQL

@@ -109,6 +109,42 @@ def sql_word_score(col: str = "text", weights: dict[str, float] | None = None) -
 
 
 # ---------------------------------------------------------------------------
+# Gopher quality rules (mirror of functions.text.gopher_flags)
+# ---------------------------------------------------------------------------
+
+
+def sql_gopher_flags(col: str = "text") -> dict[str, str]:
+    from webscale_multimodal_datapipeline_spark.functions import text as TXX
+
+    toks = sql_tokens(col)
+    n = f"len({toks})"
+    syms = f"len(regexp_extract_all({col}, '#|\\.\\.\\.'))"
+    symbol_ratio = f"(CASE WHEN {n} > 0 THEN {syms} / {n} ELSE 0.0 END)"
+    alpha = f"len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]')))"
+    alpha_ratio = f"(CASE WHEN {n} > 0 THEN {alpha} / {n} ELSE 0.0 END)"
+    lines = f"string_split({col}, chr(10))"
+    nl = f"len({lines})"
+    bullets = f"len(list_filter({lines}, l -> regexp_matches(trim(l), '^[-*•]')))"
+    bullet_ratio = f"(CASE WHEN {nl} > 0 THEN {bullets} / {nl} ELSE 0.0 END)"
+    ells = f"len(list_filter({lines}, l -> regexp_matches(trim(l), '\\.\\.\\.$')))"
+    ellipsis_ratio = f"(CASE WHEN {nl} > 0 THEN {ells} / {nl} ELSE 0.0 END)"
+    stoplist = "[" + ", ".join(f"'{w}'" for w in TXX.STOPWORDS) + "]"
+    stops = f"len(list_filter({toks}, t -> list_contains({stoplist}, lower(t))))"
+    return {
+        "ok_word_count": f"({n} BETWEEN {TXX.GOPHER_MIN_WORDS} AND {TXX.GOPHER_MAX_WORDS})",
+        "ok_mean_word_len": (
+            f"({sql_mean_word_length(col)} BETWEEN {TXX.GOPHER_MIN_MEAN_WORD_LEN}"
+            f" AND {TXX.GOPHER_MAX_MEAN_WORD_LEN})"
+        ),
+        "ok_symbol_ratio": f"({symbol_ratio} < {TXX.GOPHER_MAX_SYMBOL_RATIO})",
+        "ok_bullet_ratio": f"({bullet_ratio} < {TXX.GOPHER_MAX_BULLET_RATIO})",
+        "ok_ellipsis_ratio": f"({ellipsis_ratio} < {TXX.GOPHER_MAX_ELLIPSIS_RATIO})",
+        "ok_alpha_ratio": f"({alpha_ratio} > {TXX.GOPHER_MIN_ALPHA_RATIO})",
+        "ok_stopwords": f"({stops} >= {TXX.GOPHER_MIN_STOPWORDS})",
+    }
+
+
+# ---------------------------------------------------------------------------
 # Shingles / MinHash / SimHash
 # ---------------------------------------------------------------------------
 

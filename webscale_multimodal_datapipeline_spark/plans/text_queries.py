@@ -291,3 +291,26 @@ QUERIES["t_hash_sample"] = t_hash_sample
 QUERIES["t_dataset_split"] = t_dataset_split
 ORACLE["t_hash_sample"] = T_HASH_SAMPLE_SQL
 ORACLE["t_dataset_split"] = T_SPLIT_SQL
+
+
+def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule battery (Rae et al. 2021 §A1.1 /
+    FineWeb heuristics): per-rule pass booleans + the conjunctive keep
+    flag, all native column expressions mirrored exactly by the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    flags = TX.gopher_flags("text")
+    cols = [F.col("doc_id")] + [c.alias(nm) for nm, c in flags.items()]
+    return d.select(*cols, TX.gopher_keep("text").alias("keep"))
+
+
+def _gopher_sql() -> str:
+    flags = OQ.sql_gopher_flags("text")
+    cols = ",\n       ".join(f"{expr} AS {nm}" for nm, expr in flags.items())
+    keep = " AND ".join(flags.values())
+    return f"SELECT doc_id,\n       {cols},\n       ({keep}) AS keep\nFROM documents"
+
+
+T_GOPHER_SQL = _gopher_sql()
+
+QUERIES["t_gopher_rules"] = t_gopher_rules
+ORACLE["t_gopher_rules"] = T_GOPHER_SQL
