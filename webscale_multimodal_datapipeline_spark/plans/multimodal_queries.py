@@ -75,19 +75,91 @@ GROUP BY 1
 """
 
 
+# byte k (0-based) of the fake payload, as an INTEGER, from the hex chain
+_BYTES_LIST = "list_transform(range(1, 65), i -> CAST(('0x' || substr(h, 2*i-1, 2)) AS INTEGER))"
+
+
 def m_technical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2 numpy kernel through the UDF — rows-only check here; exact parity
-    vs the Python spec is in tests/test_multimodal.py."""
+    """R2 numpy kernel through the UDF — oracle-checked END TO END: the
+    byte-grid entropy/blockiness math is reproduced in SQL (float32 cast
+    quantizes away double-accumulation ulp; verified exact on the
+    deterministic fixtures). 1e-5 parity vs the Python spec additionally
+    in tests/test_multimodal.py."""
     df = MM.technical_quality_refiner().apply(_with_bytes(spark, sf_dir))
     return df.select(
         "doc_id", "image_compression_artifacts", "image_information_entropy"
     )
 
 
+# Mirrors technical_quality_py over the 64-byte payload: bincount entropy
+# (ascending byte value = numpy bincount order), 8-aligned boundary jumps
+# (n8 = 64//8 - 1 = 7 boundaries) vs mean |diff| gradient, 0.6/0.4 blend
+# with ratio score min(64/4096, 1) = 0.015625.
+M_TECH_QUALITY_SQL = f"""
+WITH b AS (
+  SELECT doc_id, {_BYTES_LIST} AS b
+  FROM (SELECT doc_id, {_FAKE_HEX} AS h FROM documents)
+), ent AS (
+  SELECT doc_id, -SUM((c / 64.0) * log2(c / 64.0)) AS entropy FROM (
+    SELECT doc_id, v, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(b) AS v FROM b) GROUP BY doc_id, v
+  ) GROUP BY doc_id
+), blk AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(1, 8), k -> abs(b[k*8 + 1] - b[k*8]))) / 7.0 AS jumps,
+    list_sum(list_transform(range(2, 65), i -> abs(b[i] - b[i-1]))) / 63.0 + 1e-9 AS grads
+  FROM b
+)
+SELECT e.doc_id,
+       CAST(0.6 * least(jumps / (grads * 2.0), 1.0) + 0.4 * 0.015625 AS FLOAT)
+         AS image_compression_artifacts,
+       CAST(entropy AS FLOAT) AS image_information_entropy
+FROM ent e JOIN blk USING (doc_id)
+"""
+
+
 def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2 phash dedup (key equality, unreadable -> id fallback)."""
+    """D2 phash dedup (key equality, unreadable -> id fallback) —
+    oracle-checked END TO END: the oracle reproduces the DoubleGradient
+    bit pattern as a '0'/'1' string (an equivalence-preserving encoding of
+    the hex key, so survivor selection is identical)."""
     df = _with_bytes(spark, sf_dir)
     return MM.phash_dedup(df).select("doc_id", "source")
+
+
+def _phash_bitkey_sql() -> str:
+    """The 128 gradient-sign bits of phash_py over the 64-byte payload, as
+    a concatenated bit string (equality-equivalent to the hex key)."""
+    n = MM.PHASH_SIZE + 1  # 9x9 grid
+
+    def g(r: int, c: int) -> str:
+        flat = r * n + c
+        byte_idx = (flat * 64) // (n * n)  # nearest-neighbor resample
+        return f"b[{byte_idx + 1}]"
+
+    bits = []
+    for r in range(MM.PHASH_SIZE):  # horizontal gradients
+        for c in range(1, n):
+            bits.append(f"(CASE WHEN {g(r, c)} > {g(r, c - 1)} THEN '1' ELSE '0' END)")
+    for r in range(1, n):  # vertical gradients
+        for c in range(MM.PHASH_SIZE):
+            bits.append(f"(CASE WHEN {g(r, c)} > {g(r - 1, c)} THEN '1' ELSE '0' END)")
+    # flat concat() call — a 128-term `||` chain exceeds DuckDB's binder
+    # recursion depth
+    return "concat(" + ", ".join(bits) + ")"
+
+
+M_PHASH_DEDUP_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+  FROM (
+    SELECT doc_id, source, {_phash_bitkey_sql()} AS k
+    FROM (SELECT doc_id, source, {_BYTES_LIST} AS b
+          FROM (SELECT doc_id, source, {_FAKE_HEX} AS h FROM documents))
+  )
+) WHERE rn = 1
+"""
 
 
 def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,22 +183,50 @@ FROM documents GROUP BY source
 
 def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize (2x average-pool over the byte grid) — binary in,
-    binary out through an Arrow-batched UDF; emits a stable digest of the
-    resized payload. Parity vs the numpy spec in tests/test_multimodal.py."""
+    binary out through an Arrow-batched UDF, oracle-checked END TO END:
+    the pooled payload's hex is reproduced byte-for-byte in SQL. Parity
+    vs the numpy spec additionally in tests/test_multimodal.py."""
     df = MM.image_resize_refiner().apply(_with_bytes(spark, sf_dir))
     return df.select(
         "doc_id",
-        F.md5(F.col("image_resized_bytes")).alias("resized_md5"),
+        F.lower(F.hex(F.col("image_resized_bytes"))).alias("resized_hex"),
         F.length("image_resized_bytes").alias("resized_len"),
         "image_resized_width",
         "image_resized_height",
     )
 
 
+def _pooled_hex_sql() -> str:
+    """2x2 truncating average pool of the 8x8 byte grid, emitted as hex
+    (mirror of resize_pool_py)."""
+    terms = []
+    for r in range(4):
+        for c in range(4):
+            ks = [2 * r * 8 + 2 * c, 2 * r * 8 + 2 * c + 1,
+                  (2 * r + 1) * 8 + 2 * c, (2 * r + 1) * 8 + 2 * c + 1]
+            s = " + ".join(
+                f"CAST(('0x' || substr(h, {2 * k + 1}, 2)) AS INTEGER)" for k in ks
+            )
+            terms.append(f"lpad(lower(to_hex(({s}) // 4)), 2, '0')")
+    return " || ".join(terms)
+
+
+M_RESIZE_SQL = f"""
+SELECT doc_id,
+       {_pooled_hex_sql()} AS resized_hex,
+       16 AS resized_len,
+       4 AS image_resized_width,
+       4 AS image_resized_height
+FROM (SELECT doc_id, {_FAKE_HEX} AS h FROM documents)
+"""
+
+
 def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction (duration/RMS/zero-crossing-rate over the
-    opaque payload) — the audio leg of the multimodal surface. Parity vs
-    the numpy spec in tests/test_multimodal.py."""
+    opaque payload) — the audio leg of the multimodal surface,
+    oracle-checked END TO END (6-decimal rounding absorbs numpy's pairwise
+    vs SQL's left-fold mean accumulation; verified exact on the fixtures).
+    Parity vs the numpy spec additionally in tests/test_multimodal.py."""
     df = _with_bytes(spark, sf_dir).withColumnRenamed("image_bytes", "audio_bytes")
     out = MM.audio_features_refiner().apply(df)
     return out.select(
@@ -135,6 +235,20 @@ def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("audio_rms", 6).alias("audio_rms"),
         F.round("audio_zcr", 6).alias("audio_zcr"),
     )
+
+
+# Mirror of audio_features_py: x = byte - 128.0; rms = sqrt(mean(x^2));
+# zcr = mean(signbit flips) over consecutive samples (signbit(x) <=> byte < 128).
+M_AUDIO_SQL = f"""
+SELECT doc_id,
+  ROUND(len(b) / 16000.0, 6) AS audio_duration_s,
+  ROUND(sqrt(list_sum(list_transform(b, x -> (x - 128.0) * (x - 128.0))) / len(b)), 6)
+    AS audio_rms,
+  ROUND(CAST(len(list_filter(range(2, len(b) + 1), i -> (b[i] < 128) != (b[i-1] < 128)))
+             AS DOUBLE) / (len(b) - 1), 6) AS audio_zcr
+FROM (SELECT doc_id, {_BYTES_LIST} AS b
+      FROM (SELECT doc_id, {_FAKE_HEX} AS h FROM documents))
+"""
 
 
 def m_clip_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,8 +310,10 @@ QUERIES = {
 ORACLE = {
     "m_image_metadata": M_METADATA_SQL,
     "m_metadata_filter_chain": M_META_FILTER_SQL,
-    # m_technical_quality / m_phash_dedup: numpy kernels — parity-tested in
-    # pytest; driver records rows-only here.
+    "m_technical_quality": M_TECH_QUALITY_SQL,
+    "m_resize": M_RESIZE_SQL,
+    "m_audio_features": M_AUDIO_SQL,
+    "m_phash_dedup": M_PHASH_DEDUP_SQL,
     "m_frame_sample": M_FRAME_SQL,
     "m_clip_embedding": M_CLIP_EMB_SQL,
     "m_visual_degradations": M_VD_SQL,
