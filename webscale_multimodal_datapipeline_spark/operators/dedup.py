@@ -133,7 +133,7 @@ def minhash_lsh_dedup(
     smaller id. Two shuffles total (band exchange + semi-join back).
     """
     base = (
-        df.withColumn("_toks", TX.tokens(TX.normalize_text(text_col)))
+        df.withColumn("_toks", TX.tokens(TX.normalize_text(text_col), clean=True))
         .withColumn("_shingles", TX.word_shingles(text_col, k=k, toks=F.col("_toks")))
         .withColumn("_hashes", shingle_hashes(F.col("_shingles")))
         .withColumn("_sig", minhash_signature(text_col, k=k, hashes=F.col("_hashes")))
@@ -186,7 +186,7 @@ def token_hashes(text_col: str = "text") -> Column:
     """md5-long hash per token of the normalized text (SimHash input).
     Materialize this as a column before calling ``simhash`` in a hot path —
     otherwise the vote aggregate re-evaluates the tokenize+hash chain."""
-    toks = TX.tokens(TX.normalize_text(text_col))
+    toks = TX.tokens(TX.normalize_text(text_col), clean=True)
     return F.transform(toks, lambda t: TX.md5_long(t))
 
 
@@ -328,18 +328,17 @@ def shared_shingle_dedup(
     explode, bounded by tokens/doc (use larger ``k`` or a stride at 100 TB
     to cut the factor).
     """
-    # materialize tokens before shingling (see word_shingles PERF note)
-    base = df.withColumn("_toks", TX.tokens(TX.normalize_text(text_col)))
-    pairs = (
-        base.select(
-            F.col(id_col),
-            F.explode(
-                shingle_hashes(
-                    TX.word_shingles(text_col, k=k, toks=F.col("_toks"))
-                )
-            ).alias("_h"),
-        )
-        .dropDuplicates([id_col, "_h"])
+    # materialize tokens before shingling (see word_shingles PERF note).
+    # No (id, hash) distinct pass: word_shingles is already per-doc
+    # distinct, and both downstream aggregates are min() — duplicate pairs
+    # (possible only via within-doc hash collisions) can't change either
+    # result, so the extra full-table shuffle would buy nothing.
+    base = df.withColumn("_toks", TX.tokens(TX.normalize_text(text_col), clean=True))
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            shingle_hashes(TX.word_shingles(text_col, k=k, toks=F.col("_toks")))
+        ).alias("_h"),
     )
     owners = pairs.groupBy("_h").agg(F.min(id_col).alias("_owner"))
     first_owner = (
