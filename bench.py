@@ -40,11 +40,14 @@ BENCH_QUERIES = (
     "q13_order_distribution",
     "t_text_stats",
     "t_url_filter",
+    "t_gopher_rules",
     "d_exact_dedup",
     "d_minhash_lsh_dedup",
     "d_simhash",
+    "d_shared_shingle_dedup",
     "v_cosine_topk",
     "v_cosine_dedup",
+    "m_clip_embedding",
     "e_tumbling_window",
     "e_sessionization",
     "e_first_event_dedup",
@@ -118,6 +121,18 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     measure(
         "simhash_1m",
         big.withColumn("_th", OD.token_hashes("text"))
+        .select(OD.simhash_fast_udf("_th").alias("sh"))
+        .filter(F.col("sh") != 0),
+    )
+    measure(
+        "gopher_rules_1m",
+        big.filter(TX.gopher_keep("text")),
+    )
+    # production scale path: JVM-native xxhash64 token hashes (md5 lane
+    # above is the cross-engine oracle spec; same SimHash semantics)
+    measure(
+        "simhash_1m_xxhash",
+        big.withColumn("_th", OD.token_hashes("text", algo="xxhash64"))
         .select(OD.simhash_fast_udf("_th").alias("sh"))
         .filter(F.col("sh") != 0),
     )

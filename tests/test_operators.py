@@ -184,3 +184,23 @@ def test_shared_shingle_dedup_drops_span_sharers(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = sorted(r.doc_id for r in OD.shared_shingle_dedup(df, k=3).collect())
     assert kept == [1, 2]
+
+
+def test_token_hashes_xxhash_variant(spark):
+    """The xxhash64 scale path stays within SIMHASH_BITS and yields the
+    same simhash SEMANTICS (deterministic, whitespace-invariant) — values
+    differ from the md5 oracle spec by design."""
+    df = spark.createDataFrame(
+        [(1, "hello   world foo"), (2, "hello world\tfoo"), (3, "other text")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        OD.simhash_fast_udf(OD.token_hashes("text", algo="xxhash64")).alias("sh"),
+    )
+    rows = {r.id: r.sh for r in out.collect()}
+    assert rows[1] == rows[2]          # whitespace-invariant
+    assert rows[1] != rows[3]
+    assert all(0 <= v < 2**OD.SIMHASH_BITS for v in rows.values())
+    rows2 = {r.id: r.sh for r in out.collect()}
+    assert rows == rows2               # deterministic

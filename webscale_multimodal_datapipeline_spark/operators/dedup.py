@@ -182,11 +182,20 @@ def minhash_lsh_dedup(
 SIMHASH_BITS = 60
 
 
-def token_hashes(text_col: str = "text") -> Column:
-    """md5-long hash per token of the normalized text (SimHash input).
+def token_hashes(text_col: str = "text", algo: str = "md5") -> Column:
+    """Integer hash per token of the normalized text (SimHash input).
     Materialize this as a column before calling ``simhash`` in a hot path —
-    otherwise the vote aggregate re-evaluates the tokenize+hash chain."""
+    otherwise the vote aggregate re-evaluates the tokenize+hash chain.
+
+    ``algo='md5'`` (default) is the cross-engine oracle spec (60 usable
+    bits). ``algo='xxhash64'`` is the production scale path: JVM-native,
+    no hex round-trip, ~3x the lane throughput — same SimHash semantics,
+    different (non-oracle-reproducible) hash values; only bits 0-59 are
+    used so signatures stay within SIMHASH_BITS."""
     toks = TX.tokens(TX.normalize_text(text_col), clean=True)
+    if algo == "xxhash64":
+        mask = (1 << SIMHASH_BITS) - 1
+        return F.transform(toks, lambda t: F.xxhash64(t).bitwiseAND(F.lit(mask)))
     return F.transform(toks, lambda t: TX.md5_long(t))
 
 
