@@ -136,6 +136,11 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         .select(OD.simhash_fast_udf("_th").alias("sh"))
         .filter(F.col("sh") != 0),
     )
+    # fastest lane: text -> simhash entirely inside one Arrow batch pass
+    measure(
+        "simhash_1m_arrow",
+        OD.simhash_text_column(big, "text", "sh").filter(F.col("sh") != 0),
+    )
     big.unpersist()
     return out
 

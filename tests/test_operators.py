@@ -204,3 +204,49 @@ def test_token_hashes_xxhash_variant(spark):
     assert all(0 <= v < 2**OD.SIMHASH_BITS for v in rows.values())
     rows2 = {r.id: r.sh for r in out.collect()}
     assert rows == rows2               # deterministic
+
+
+def test_simhash_fast_udf_parity_long_doc(spark):
+    """Docs with >= 256 tokens exercise the SWAR byte-lane overflow
+    fallback — parity with the SQL spec must hold there too."""
+    long_text = " ".join(f"tok{i % 37}" for i in range(700))
+    df = spark.createDataFrame([(1, long_text), (2, "short doc")], "doc_id long, text string")
+    df = df.withColumn("_th", OD.token_hashes("text"))
+    cmp = df.select(
+        OD.simhash("text", hashes="_th").alias("a"),
+        OD.simhash_fast_udf("_th").alias("b"),
+    )
+    assert cmp.filter("a != b").count() == 0
+
+
+def test_simhash_text_udf_semantics(spark):
+    """The text-direct production lane: whitespace-invariant,
+    case-folded, deterministic, 60-bit range, null/empty -> 0."""
+    rows = [
+        (1, "Hello   World foo"),
+        (2, "hello world\tfoo"),
+        (3, "other text entirely"),
+        (4, ""),
+        (5, None),
+        (6, "  \t \n "),
+        (7, " ".join(f"w{i % 53}" for i in range(600))),  # long-doc lane
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.sh for r in df.select("id", OD.simhash_text_udf("text").alias("sh")).collect()}
+    assert out[1] == out[2]            # ws + case invariant
+    assert out[1] != out[3]
+    assert out[4] == 0 and out[5] == 0 and out[6] == 0
+    assert all(0 <= v < 2**OD.SIMHASH_BITS for v in out.values())
+    out2 = {r.id: r.sh for r in df.select("id", OD.simhash_text_udf("text").alias("sh")).collect()}
+    assert out == out2                 # deterministic across runs
+
+
+def test_simhash_text_column_matches_udf(spark):
+    rows = [(1, "Hello   World foo"), (2, "x y z"), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    a = {r.id: r.sh for r in OD.simhash_text_column(df, "text", "sh").collect()}
+    b = {r.id: r.sh for r in df.select("id", OD.simhash_text_udf("text").alias("sh")).collect()}
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        OD.simhash_text_column(df, "text", "text")

@@ -469,33 +469,37 @@ from pyspark.sql import types as _T  # noqa: E402
 from pyspark.sql.functions import pandas_udf as _pandas_udf  # noqa: E402
 
 
-# Token-chunk bound per inner call: keeps the cumsum working set tens of
-# MB so the segment-sum stays cache-friendly regardless of Arrow batch
-# size (the naive whole-batch int64 bit matrix collapses to memory-
-# bandwidth speed once it outgrows LLC; ufunc.reduceat is worse still —
-# its per-segment casting buffers cost ~100ns/element).
-_SIMHASH_CHUNK_TOKENS = 65_536
+def _simhash_votes_swar(h64, starts, seg_lens):
+    """Majority-vote + pack for contiguous token segments of ``h64``
+    (int64 token hashes): returns one packed int64 per segment.
 
+    Per-bit counting is done SWAR-style: unpackbits expands each hash to
+    64 bit-bytes, viewed as 8 uint64 words of 8 byte-lanes each, then ONE
+    ``np.add.reduceat`` over uint64 does all 64 per-position counts with
+    an 8th of the element traffic (native-dtype reduceat, no casting
+    buffers). Byte lanes can't carry into each other while every count
+    ≤ 255, so segments of ≥ 256 tokens are recomputed exactly via a
+    direct slice sum (rare at web-scale doc lengths; correctness never
+    depends on the fast lane). Replaces the earlier per-chunk uint8
+    cumsum (~3 ns per bit-element — a scalar serial loop in numpy):
+    measured 190 ms → 21 ms per 540K-token batch.
 
-def _simhash_batch_np(arrs, lens, out, sel) -> None:
-    """Vote + pack for the selected docs: unpackbits/packbits do the bit
-    (de)expansion byte-wise in C (uint8, little-endian — bit j of the
-    int64 is column j); the per-doc segment sum is a column cumsum plus
-    two fancy-index rows per doc (all flat vectorized C loops)."""
+    Columns ≥ SIMHASH_BITS hold zero bits → majority false → packed 0,
+    so packing all 64 columns yields exactly the SIMHASH_BITS-bit value.
+    """
     import numpy as np
 
-    flat = np.concatenate([arrs[i] for i in sel])
-    bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    seg_lens = lens[sel]
-    offsets = np.zeros(len(sel), dtype=np.int64)
-    np.cumsum(seg_lens[:-1], out=offsets[1:])
-    cs = np.cumsum(bits, axis=0, dtype=np.int64)
-    ones = cs[offsets + seg_lens - 1]
-    ones[1:] -= cs[offsets[1:] - 1]
-    # columns >= SIMHASH_BITS hold zero bits -> majority vote false -> 0,
-    # so packing all 64 columns yields exactly the SIMHASH_BITS-bit value
-    votes = 2 * ones > seg_lens[:, None]
-    out[sel] = np.packbits(votes, axis=1, bitorder="little").view(np.int64).ravel()
+    n = len(seg_lens)
+    bits = np.unpackbits(h64.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    w = bits.reshape(len(h64), 8, 8).view(np.uint64).reshape(len(h64), 8)
+    ones = np.add.reduceat(w, starts, axis=0).view(np.uint8).reshape(n, 64)
+    counts = ones.astype(np.int64)
+    for d in np.flatnonzero(seg_lens >= 256):
+        counts[d] = bits[starts[d] : starts[d] + seg_lens[d]].sum(
+            axis=0, dtype=np.int64
+        )
+    votes = 2 * counts > seg_lens[:, None]
+    return np.packbits(votes, axis=1, bitorder="little").view(np.int64).ravel()
 
 
 # DataType object, not a DDL string — string return types are parsed via
@@ -512,13 +516,136 @@ def simhash_fast_udf(hashes: _pd.Series) -> _pd.Series:
     ]
     lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
     nz = np.flatnonzero(lens > 0)
-    start = 0
-    while start < len(nz):
-        end = start
-        tokens = 0
-        while end < len(nz) and (tokens == 0 or tokens + lens[nz[end]] <= _SIMHASH_CHUNK_TOKENS):
-            tokens += lens[nz[end]]
-            end += 1
-        _simhash_batch_np(arrs, lens, out, nz[start:end])
-        start = end
+    if len(nz):
+        flat = np.concatenate([arrs[i] for i in nz])
+        seg_lens = lens[nz]
+        starts = np.cumsum(seg_lens) - seg_lens
+        out[nz] = _simhash_votes_swar(flat, starts, seg_lens)
     return pd.Series(out)
+
+
+# Byte positions hashed per token (longer tokens fall back to prefix +
+# exact length as the identity — two tokens collide only when they share
+# the first 16 bytes AND their total lengths match, which for natural-
+# language/URL tokens is overwhelmingly the same token).
+_SIMHASH_TOKEN_PREFIX = 16
+_SIMHASH_WEIGHTS = None
+
+
+def _simhash_weights():
+    global _SIMHASH_WEIGHTS
+    if _SIMHASH_WEIGHTS is None:
+        import numpy as np
+
+        rng = np.random.default_rng(0x5EEDED)
+        _SIMHASH_WEIGHTS = rng.integers(
+            1, 2**63, _SIMHASH_TOKEN_PREFIX, dtype=np.uint64
+        ) | np.uint64(1)
+    return _SIMHASH_WEIGHTS
+
+
+def _simhash_text_block(texts) -> "object":
+    """text → SimHash for one Arrow batch, zero per-row Python.
+
+    Stages (all C loops): ``utf8_lower`` + ``utf8_split_whitespace``
+    (Arrow), per-token hash = position-weighted byte sum over the flat
+    token buffer (column-wise: ``_SIMHASH_TOKEN_PREFIX`` masked-gather
+    passes, no (tokens × width) matrix) + murmur-style finalizer, then
+    the SWAR vote kernel. Nulls and whitespace-only docs → 0.
+
+    This is the production lane for raw text (same role as the xxhash64
+    ``token_hashes`` variant: SimHash semantics — deterministic,
+    whitespace-invariant, case-folded — with non-oracle hash values; the
+    md5 SQL form stays the cross-engine spec)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, pa.Array) else pa.array(
+        texts, type=pa.string(), from_pandas=True
+    )
+    nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    toks = pc.utf8_split_whitespace(pc.fill_null(pc.utf8_lower(arr), ""))
+    doc_offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_offs = doc_offs - doc_offs[0]  # flatten() re-bases token indices
+    flat = toks.flatten()
+    tok_offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+        flat.offset : flat.offset + len(flat) + 1
+    ].astype(np.int64)
+    buf = np.frombuffer(flat.buffers()[2], dtype=np.uint8) if flat.buffers()[2] else np.empty(0, np.uint8)
+    starts, ends = tok_offs[:-1], tok_offs[1:]
+    tok_lens = ends - starts
+    valid = tok_lens > 0  # split emits '' edge tokens for leading/trailing ws
+    vstarts, vends = starts[valid], ends[valid]
+    weights = _simhash_weights()
+    h = (tok_lens[valid].astype(np.uint64)) * np.uint64(0x9E3779B97F4A7C15)
+    nb = len(buf)
+    for i in range(_SIMHASH_TOKEN_PREFIX):
+        pos = vstarts + i
+        inb = pos < vends
+        if not inb.any():
+            break
+        vals = buf[np.minimum(pos, nb - 1)].astype(np.uint64)
+        vals[~inb] = 0
+        h += vals * weights[i]
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    h &= np.uint64((1 << SIMHASH_BITS) - 1)
+    h64 = h.view(np.int64)
+    # per-doc count of VALID tokens (prefix-sum of the validity mask)
+    cmask = np.zeros(len(valid) + 1, dtype=np.int64)
+    np.cumsum(valid, out=cmask[1:])
+    doc_lens = cmask[doc_offs[1:]] - cmask[doc_offs[:-1]]
+    out = np.zeros(len(doc_lens), dtype=np.int64)
+    nz = np.flatnonzero(doc_lens > 0)
+    if len(nz):
+        seg_lens = doc_lens[nz]
+        seg_starts = np.cumsum(seg_lens) - seg_lens
+        out[nz] = _simhash_votes_swar(h64, seg_starts, seg_lens)
+    out[nulls] = 0
+    return out
+
+
+@_pandas_udf(_T.LongType())
+def simhash_text_udf(texts: _pd.Series) -> _pd.Series:
+    """SimHash straight from raw text as a column expression (composable
+    anywhere a Column fits). The pandas string round-trip at the UDF
+    boundary costs ~3x vs ``simhash_text_column`` — prefer that
+    DataFrame-level form in hot paths."""
+    import pandas as pd
+
+    return pd.Series(_simhash_text_block(texts))
+
+
+def simhash_text_column(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """Append a SimHash column straight from raw text — the highest-
+    throughput production lane (``mapInArrow``: RecordBatches reach
+    ``_simhash_text_block`` with zero pandas object conversion; measured
+    524K rec/s vs 141K for the pandas-UDF form at 1M rows x 54 tokens).
+
+    Narrow map — no shuffle; schema = input + ``out_col`` long."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    idx_schema = df.schema
+    if out_col in idx_schema.names:
+        raise ValueError(f"column {out_col!r} already exists")
+
+    def _gen(batches):
+        for b in batches:
+            sh = _simhash_text_block(b.column(b.schema.get_field_index(text_col)))
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [pa.array(sh, type=pa.int64())],
+                names=list(b.schema.names) + [out_col],
+            )
+
+    out_schema = T.StructType(
+        list(idx_schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+    return df.mapInArrow(_gen, out_schema)
