@@ -68,6 +68,7 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
 
     from webscale_multimodal_datapipeline_spark.functions import text as TX
     from webscale_multimodal_datapipeline_spark.operators import dedup as OD
+    from webscale_multimodal_datapipeline_spark.operators import filters as FO
     from webscale_multimodal_datapipeline_spark.operators.dedup import text_exact_dedup
     from webscale_multimodal_datapipeline_spark.operators.filters import (
         text_length_filter,
@@ -126,7 +127,7 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     )
     measure(
         "gopher_rules_1m",
-        big.filter(TX.gopher_keep("text")),
+        FO.gopher_flags_column(big, "text").filter(F.col("keep")),
     )
     # production scale path: JVM-native xxhash64 token hashes (md5 lane
     # above is the cross-engine oracle spec; same SimHash semantics)

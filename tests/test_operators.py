@@ -250,3 +250,28 @@ def test_simhash_text_column_matches_udf(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         OD.simhash_text_column(df, "text", "text")
+
+
+def test_gopher_kernel_matches_column_spec(spark, sf_dir):
+    """The one-pass Arrow gopher kernel == the column-expression spec on
+    real docs plus nulls/empties/bullet/ellipsis edge rows."""
+    from webscale_multimodal_datapipeline_spark.functions import text as TXF
+    from webscale_multimodal_datapipeline_spark.operators.filters import (
+        gopher_flags_column,
+    )
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, None), (9003, "   \t "),
+         (9004, "- a\n- b\nmore...\nthe end is of a to in it and"),
+         (9005, "### ...... the and of " + "ok " * 60)],
+        "doc_id long, text string")
+    d = docs.unionByName(extra)
+    flags = TXF.gopher_flags("text")
+    spec = d.select("doc_id", *[c.alias(nm) for nm, c in flags.items()],
+                    TXF.gopher_keep("text").alias("keep"))
+    fast = gopher_flags_column(d, "text").select(spec.columns)
+    a = {r.doc_id: tuple(r)[1:] for r in spec.collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in fast.collect()}
+    assert a == b

@@ -128,8 +128,12 @@ def punct_ratio(col: Column | str) -> Column:
 
 
 def mean_word_length(col: Column | str) -> Column:
-    toks = tokens(col)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    """Every non-whitespace char belongs to exactly one token, so the
+    token-length sum is one strip pass (``length`` after removing all
+    ``\\s``) — replaces an interpreted per-token ``aggregate`` fold."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    total = F.length(F.regexp_replace(c, r"\s", ""))
     return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
         F.lit(0.0)
     )
@@ -167,6 +171,15 @@ GOPHER_MIN_ALPHA_RATIO = 0.8
 GOPHER_MIN_STOPWORDS = 2
 
 
+# The rule expressions below are all SINGLE whole-string regex passes
+# (regexp_extract_all counts), not per-element HOF lambdas over a split
+# array — HOF ``filter(..., rlike)`` re-enters the interpreted expression
+# evaluator once per token/line (measured: the dominant cost of the
+# gopher lane at 1M rows). Each rewrite is value-identical to the
+# per-element form it replaces (the DuckDB oracle keeps the list_filter
+# spelling, so the oracle gate pins the equivalence).
+
+
 def symbol_word_ratio(col: Column | str) -> Column:
     """(# of '#' or '...' symbols) / word count — Gopher's symbol spam rule."""
     c = F.col(col) if isinstance(col, str) else col
@@ -176,35 +189,50 @@ def symbol_word_ratio(col: Column | str) -> Column:
 
 
 def alpha_word_ratio(col: Column | str) -> Column:
-    """Fraction of words containing at least one alphabetic character."""
-    toks = tokens(col)
-    alpha = F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
-    return F.when(F.size(toks) > 0, F.size(alpha) / F.size(toks)).otherwise(F.lit(0.0))
+    """Fraction of words containing at least one alphabetic character.
+
+    A word = maximal ``\\S`` run; ``\\S*[A-Za-z]\\S*`` greedily covers the
+    whole run whenever it contains a letter (and cannot span whitespace),
+    so the global non-overlapping match count = # words with a letter."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    alpha = F.size(F.regexp_extract_all(c, F.lit(r"\S*[A-Za-z]\S*"), 0))
+    return F.when(F.size(toks) > 0, alpha / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def _line_count(c: Column) -> Column:
+    # size(split(c, '\n')) without materializing the line array
+    return F.length(c) - F.length(F.replace(c, F.lit("\n"), F.lit(""))) + 1
 
 
 def bullet_line_ratio(col: Column | str) -> Column:
-    """Fraction of lines starting with a bullet ('-' or '*' or '•')."""
+    """Fraction of lines starting with a bullet ('-' or '*' or '•').
+
+    ``(?:^|\\n) *`` anchors each line start explicitly (no ``(?m)`` — Java
+    multiline anchors also fire around bare ``\\r``, which the split+trim
+    form this replaces never did)."""
     c = F.col(col) if isinstance(col, str) else col
-    lines = F.split(c, r"\n")
-    bullets = F.filter(
-        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")
-    )
-    return F.when(F.size(lines) > 0, F.size(bullets) / F.size(lines)).otherwise(
-        F.lit(0.0)
-    )
+    bullets = F.size(F.regexp_extract_all(c, F.lit(r"(?:^|\n) *[-*•]"), 0))
+    lines = _line_count(c)
+    return F.when(lines > 0, bullets / lines).otherwise(F.lit(0.0))
 
 
 def ellipsis_line_ratio(col: Column | str) -> Column:
-    """Fraction of lines ending with '...'."""
+    """Fraction of lines ending with '...' (trailing spaces ignored)."""
     c = F.col(col) if isinstance(col, str) else col
-    lines = F.split(c, r"\n")
-    ell = F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))
-    return F.when(F.size(lines) > 0, F.size(ell) / F.size(lines)).otherwise(F.lit(0.0))
+    ell = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\. *(?=\n|$)"), 0))
+    lines = _line_count(c)
+    return F.when(lines > 0, ell / lines).otherwise(F.lit(0.0))
 
 
 def stopword_hits(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
-    toks = tokens(col)
-    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+    """# words that exactly equal a stopword (case-folded): a word is a
+    maximal ``\\S`` run, so 'start-or-whitespace' lookbehind + 'whitespace-
+    or-end' lookahead around the literal alternation is exact equality."""
+    c = F.col(col) if isinstance(col, str) else col
+    alt = "|".join(stopwords)
+    pat = r"(?i)(?:^|(?<=\s))(?:" + alt + r")(?=\s|$)"
+    return F.size(F.regexp_extract_all(c, F.lit(pat), 0))
 
 
 def gopher_flags(col: Column | str) -> dict[str, Column]:

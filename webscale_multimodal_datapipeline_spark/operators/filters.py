@@ -149,3 +149,128 @@ def quality_score_filter(
     return FilterOperator(
         name, TX.quality_score(text_col) >= F.lit(min_score), requires={text_col}
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule battery, Arrow-kernel lane (one batch pass for all rules)
+# ---------------------------------------------------------------------------
+
+
+def _segment_sum(values, starts, lens):
+    """Per-segment sums of ``values`` (1-D numpy) at ``starts``/``lens``;
+    empty segments yield 0 and a trailing empty segment is legal (sentinel
+    row keeps every reduceat index in range)."""
+    import numpy as np
+
+    ext = np.concatenate([values, np.zeros(1, dtype=values.dtype)])
+    out = np.add.reduceat(ext, starts) if len(starts) else np.empty(0, values.dtype)
+    out = np.asarray(out)
+    out[lens == 0] = 0
+    return out
+
+
+def gopher_flags_column(df, text_col: str = "text"):
+    """Append every Gopher rule boolean + the conjunctive ``keep`` flag in
+    ONE Arrow batch pass (``mapInArrow``) — value-identical to the
+    ``TX.gopher_flags``/``TX.gopher_keep`` column expressions (same ASCII
+    ``\\s+`` tokenization via RE2 ``split_pattern_regex``, same codepoint
+    word lengths via ``utf8_length``, same IEEE double ratio math), which
+    stay as the oracle-mirrored spec. The column form re-runs the
+    tokenizer per rule; this lane runs it once per batch.
+
+    Nulls in ``text_col`` yield null flags (the column form propagates
+    null the same way). Schema = input + 7 ``ok_*`` booleans + ``keep``.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql import types as T
+
+    from webscale_multimodal_datapipeline_spark.functions import text as TXN
+
+    flag_names = [
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_ratio", "ok_ellipsis_ratio", "ok_alpha_ratio",
+        "ok_stopwords",
+    ]
+    stopwords = list(TXN.STOPWORDS)
+
+    def _gen(batches):
+        for b in batches:
+            text = b.column(b.schema.get_field_index(text_col))
+            nulls = pc.is_null(text).to_numpy(zero_copy_only=False)
+            c = pc.fill_null(text, "")
+            toks = pc.split_pattern_regex(c, r"\s+")
+            doc_offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_offs = doc_offs - doc_offs[0]
+            flat = toks.flatten()
+            starts, raw_lens = doc_offs[:-1], np.diff(doc_offs)
+            tok_chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+            valid = (tok_chars > 0).astype(np.int64)
+            n = _segment_sum(valid, starts, raw_lens).astype(np.float64)
+            word_chars = _segment_sum(tok_chars, starts, raw_lens)
+            alpha = _segment_sum(
+                pc.match_substring_regex(flat, "[A-Za-z]")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                starts, raw_lens,
+            )
+            stops = _segment_sum(
+                pc.is_in(pc.utf8_lower(flat), value_set=pa.array(stopwords))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                starts, raw_lens,
+            )
+            syms = pc.count_substring_regex(c, r"#|\.\.\.").to_numpy(zero_copy_only=False).astype(np.int64)
+            bullets = pc.count_substring_regex(c, r"(?m)^ *[-*•]").to_numpy(zero_copy_only=False).astype(np.int64)
+            ells = pc.count_substring_regex(c, r"(?m)\.\.\. *$").to_numpy(zero_copy_only=False).astype(np.int64)
+            lines = (pc.count_substring(c, "\n").to_numpy(zero_copy_only=False).astype(np.int64) + 1).astype(np.float64)
+            nz = n > 0
+            mean_wl = np.where(nz, word_chars / np.maximum(n, 1), 0.0)
+            sym_r = np.where(nz, syms / np.maximum(n, 1), 0.0)
+            alpha_r = np.where(nz, alpha / np.maximum(n, 1), 0.0)
+            bullet_r = bullets / lines
+            ell_r = ells / lines
+            flags = {
+                "ok_word_count": (n >= TXN.GOPHER_MIN_WORDS) & (n <= TXN.GOPHER_MAX_WORDS),
+                "ok_mean_word_len": (mean_wl >= TXN.GOPHER_MIN_MEAN_WORD_LEN)
+                & (mean_wl <= TXN.GOPHER_MAX_MEAN_WORD_LEN),
+                "ok_symbol_ratio": sym_r < TXN.GOPHER_MAX_SYMBOL_RATIO,
+                "ok_bullet_ratio": bullet_r < TXN.GOPHER_MAX_BULLET_RATIO,
+                "ok_ellipsis_ratio": ell_r < TXN.GOPHER_MAX_ELLIPSIS_RATIO,
+                "ok_alpha_ratio": alpha_r > TXN.GOPHER_MIN_ALPHA_RATIO,
+                "ok_stopwords": stops >= TXN.GOPHER_MIN_STOPWORDS,
+            }
+            keep = np.logical_and.reduce(list(flags.values()))
+            # Null-text parity with the column spec: the ratio rules hit
+            # their `otherwise(0.0)` branch on null input (0.0 fails the
+            # mean/alpha bounds, passes the symbol/bullet/ellipsis caps),
+            # the count rules propagate null, and `null AND false` makes
+            # keep false. Replicate that exact mix.
+            null_value = {
+                "ok_word_count": None, "ok_mean_word_len": False,
+                "ok_symbol_ratio": True, "ok_bullet_ratio": True,
+                "ok_ellipsis_ratio": True, "ok_alpha_ratio": False,
+                "ok_stopwords": None, "keep": False,
+            }
+            mask = pa.array(nulls)
+            cols = list(b.columns)
+            names = list(b.schema.names)
+            for nm, v in list(flags.items()) + [("keep", keep)]:
+                nv = null_value[nm]
+                fill = (
+                    pa.nulls(len(v), pa.bool_())
+                    if nv is None
+                    else pa.array(np.full(len(v), nv, dtype=bool))
+                )
+                cols.append(pc.if_else(mask, fill, pa.array(v)))
+                names.append(nm)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(nm, T.BooleanType()) for nm in flag_names]
+        + [T.StructField("keep", T.BooleanType())]
+    )
+    return df.mapInArrow(_gen, out_schema)

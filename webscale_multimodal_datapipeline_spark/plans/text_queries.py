@@ -296,11 +296,17 @@ ORACLE["t_dataset_split"] = T_SPLIT_SQL
 def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rule battery (Rae et al. 2021 §A1.1 /
     FineWeb heuristics): per-rule pass booleans + the conjunctive keep
-    flag, all native column expressions mirrored exactly by the oracle."""
+    flag. Runs the one-pass Arrow kernel (``gopher_flags_column``,
+    653K rec/s at 1M rows vs 100K for the column-expression spec) — the
+    oracle mirrors the ``TX.gopher_flags`` column spec, so the driver's
+    value-hash gate pins kernel == spec cross-engine."""
+    from webscale_multimodal_datapipeline_spark.operators.filters import (
+        gopher_flags_column,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    flags = TX.gopher_flags("text")
-    cols = [F.col("doc_id")] + [c.alias(nm) for nm, c in flags.items()]
-    return d.select(*cols, TX.gopher_keep("text").alias("keep"))
+    flag_cols = list(TX.gopher_flags("text")) + ["keep"]
+    return gopher_flags_column(d, "text").select("doc_id", *flag_cols)
 
 
 def _gopher_sql() -> str:
