@@ -32,6 +32,9 @@ SUBSET = [
     "t_lang_id",
     "x_rank_distributions",
     "x_levenshtein_near_names",
+    "t_pii_redact",
+    "t_domain_mix",
+    "d_decontaminate",
 ]
 
 

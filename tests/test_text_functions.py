@@ -78,3 +78,47 @@ def test_tokens_strip_non_space_whitespace_edges(spark):
         ).fetchone()[0]
         assert got == want, (s, got, want)
         assert _one(spark, s, TX.token_count("text")) == len(want)
+
+
+# ---------------------------------------------------------------------------
+# PII primitives (functions/pii.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_counts_and_redact(spark):
+    from pyspark.sql import functions as F
+
+    from webscale_multimodal_datapipeline_spark.functions import pii as PII
+
+    rows = [
+        ("mail bob.smith+x@sub.example.co.uk now", 1, 0, 0),
+        ("server at 192.168.0.1 and 10.0.0.255", 0, 2, 0),
+        ("call +1 555-0100 or 800-555-1234 today", 0, 0, 2),
+        ("clean text, no pii at all", 0, 0, 0),
+        ("a@b.io from 1.2.3.4 dial 555-123-4567", 1, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, *_ in rows], ["text"]
+    ).select("text", *[c.alias(n) for n, c in PII.pii_counts("text").items()],
+             PII.redact_pii("text").alias("red"))
+    got = {r["text"]: r for r in df.collect()}
+    for t, ne, ni, np_ in rows:
+        r = got[t]
+        assert (r["n_email"], r["n_ip"], r["n_phone"]) == (ne, ni, np_), t
+        if ne or ni or np_:
+            assert "@" not in r["red"] or "<EMAIL>" in r["red"]
+        else:
+            assert r["red"] == t
+
+
+def test_pii_redaction_is_complete(spark):
+    """After redaction, re-running the counters finds nothing."""
+    from webscale_multimodal_datapipeline_spark.functions import pii as PII
+
+    df = spark.createDataFrame(
+        [("x a@b.io 1.2.3.4 +1 555-0100 c@d.com y",)], ["text"]
+    ).select(PII.redact_pii("text").alias("t"))
+    counts = df.select(*[c.alias(n) for n, c in PII.pii_counts("t").items()]).head()
+    assert counts["n_email"] == 0 and counts["n_phone"] == 0
+    # the <IP> token leaves no dotted-quad behind
+    assert counts["n_ip"] == 0

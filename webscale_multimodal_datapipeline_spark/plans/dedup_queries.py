@@ -321,3 +321,53 @@ FROM documents d JOIN first_owner f ON d.doc_id = f.doc_id AND f.fo = d.doc_id
 
 QUERIES["d_shared_shingle_dedup"] = d_shared_shingle_dedup
 ORACLE["d_shared_shingle_dedup"] = D_SHARED_SHINGLE_SQL
+
+
+def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (public FineWeb / GPT-3-appendix practice;
+    no reference analog — training-pipeline extension): flag training docs
+    that share any k-word shingle with a held-out eval split, so benchmark
+    text can be removed before training.
+
+    The "benchmark" is a deterministic slice (``doc_id % 41 == 0``); the
+    rest is the corpus. Scale shape: the benchmark shingle-hash set is tiny
+    relative to the corpus (eval suites are thousands of docs vs billions),
+    so it is collected into a broadcast hash join — the corpus side stays
+    a narrow scan + explode with NO shuffle except the final per-doc
+    aggregation, which AQE coalesces.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.withColumn("_toks", TX.tokens(TX.normalize_text("text"), clean=True))
+        .withColumn("_sh", TX.word_shingles("text", k=3, toks=F.col("_toks")))
+        .select("doc_id", OD.shingle_hashes(F.col("_sh")).alias("_h"))
+    )
+    pairs = base.select("doc_id", F.explode("_h").alias("h")).distinct()
+    bench = pairs.filter(F.col("doc_id") % 41 == 0).select("h").distinct()
+    corpus = pairs.filter(F.col("doc_id") % 41 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+D_DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {OQ.sql_shingles_from_tokens('t')} AS sh FROM toks
+), pairs AS (
+  SELECT DISTINCT doc_id, h
+  FROM (SELECT doc_id, unnest({OQ.sql_shingle_hashes('sh')}) AS h FROM sh)
+), bench AS (
+  SELECT DISTINCT h FROM pairs WHERE doc_id % 41 = 0
+)
+SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pairs p JOIN bench b ON p.h = b.h
+WHERE p.doc_id % 41 <> 0
+GROUP BY p.doc_id
+"""
+
+QUERIES["d_decontaminate"] = d_decontaminate
+ORACLE["d_decontaminate"] = D_DECONTAMINATE_SQL

@@ -320,3 +320,99 @@ T_GOPHER_SQL = _gopher_sql()
 
 QUERIES["t_gopher_rules"] = t_gopher_rules
 ORACLE["t_gopher_rules"] = T_GOPHER_SQL
+
+
+def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (C4/FineWeb practice; no reference analog — §2-adjacent
+    training-data op): the corpus has no real PII, so the query embeds a
+    deterministic email/phone/IP per row derived from doc_id — both engines
+    build the identical string — then counts and redacts. Pure regexp
+    column expressions, narrow, codegen'd."""
+    from webscale_multimodal_datapipeline_spark.functions import pii as PII
+
+    d = load_table(spark, sf_dir, "documents")
+    inp = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 :: "), F.col("text"),
+    )
+    counts = PII.pii_counts(inp)
+    return d.select(
+        "doc_id",
+        *[c.cast("int").alias(nm) for nm, c in counts.items()],
+        PII.redact_pii(inp).alias("redacted"),
+    )
+
+
+def _pii_sql() -> str:
+    from webscale_multimodal_datapipeline_spark.functions import pii as PII
+
+    inp = (
+        "concat('contact user', CAST(doc_id AS VARCHAR), "
+        "'@mail.example.com or +1 555-', "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), "
+        "' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 :: ', text)"
+    )
+    counts = PII.sql_pii_counts(inp)
+    cols = ",\n       ".join(
+        f"CAST({expr} AS INTEGER) AS {nm}" for nm, expr in counts.items()
+    )
+    return (
+        f"SELECT doc_id,\n       {cols},\n"
+        f"       {PII.sql_redact_pii(inp)} AS redacted\nFROM documents"
+    )
+
+
+T_PII_SQL = _pii_sql()
+
+QUERIES["t_pii_redact"] = t_pii_redact
+ORACLE["t_pii_redact"] = T_PII_SQL
+
+
+def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling (DoReMi / The Pile practice; no
+    reference analog): each source domain gets a target weight and rows are
+    deterministically up-/down-sampled to hit it — downsampling drops rows
+    by hash coin, upsampling emits floor(w) copies plus a hash-Bernoulli
+    extra, so the expected multiplicity is exactly w and reruns are
+    reproducible cross-engine (no RNG).
+
+    Weights here derive from the source id (0.5/1.0/1.5/2.0 by
+    ``src_num % 4``) so the query is self-contained. Scale shape: narrow
+    per-row math + explode; no shuffle at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    w = (F.lit(0.5) + F.lit(0.5) * (src_num % 4)).alias("w")
+    u = (TX.md5_long(F.concat_ws("|", F.col("doc_id").cast("string"), "source"))
+         % 1000000) / 1000000.0
+    copies = (F.floor(w) + F.when(u < w - F.floor(w), 1).otherwise(0)).cast("int")
+    return (
+        d.withColumn("_n", copies)
+        .filter(F.col("_n") >= 1)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .select("doc_id", "source", "copy_idx",
+                F.col("_n").cast("int").alias("n_copies"))
+    )
+
+
+def _domain_mix_sql() -> str:
+    w = "(0.5 + 0.5 * (CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 4))"
+    key = "concat_ws('|', CAST(doc_id AS VARCHAR), source)"
+    u = f"({OQ.sql_md5_long(key)} % 1000000) / 1000000.0"
+    copies = f"CAST(FLOOR({w}) + (CASE WHEN {u} < {w} - FLOOR({w}) THEN 1 ELSE 0 END) AS INTEGER)"
+    return f"""
+WITH sized AS (
+  SELECT doc_id, source, {copies} AS n_copies FROM documents
+)
+SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_idx, n_copies
+FROM sized WHERE n_copies >= 1
+"""
+
+
+T_DOMAIN_MIX_SQL = _domain_mix_sql()
+
+QUERIES["t_domain_mix"] = t_domain_mix
+ORACLE["t_domain_mix"] = T_DOMAIN_MIX_SQL
