@@ -332,9 +332,12 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The "benchmark" is a deterministic slice (``doc_id % 41 == 0``); the
     rest is the corpus. Scale shape: the benchmark shingle-hash set is tiny
     relative to the corpus (eval suites are thousands of docs vs billions),
-    so it is collected into a broadcast hash join — the corpus side stays
-    a narrow scan + explode with NO shuffle except the final per-doc
-    aggregation, which AQE coalesces.
+    so it is collected into a broadcast hash join applied BEFORE any
+    corpus-side shuffle — the join prunes the exploded corpus down to
+    contaminated (doc_id, h) pairs map-side, and the only shuffle is the
+    final per-doc countDistinct over that pruned set (per-doc h dupes are
+    rare mod-P collisions; countDistinct absorbs them without a corpus-wide
+    pre-distinct).
     """
     d = load_table(spark, sf_dir, "documents")
     base = (
@@ -342,13 +345,13 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_sh", TX.word_shingles("text", k=3, toks=F.col("_toks")))
         .select("doc_id", OD.shingle_hashes(F.col("_sh")).alias("_h"))
     )
-    pairs = base.select("doc_id", F.explode("_h").alias("h")).distinct()
+    pairs = base.select("doc_id", F.explode("_h").alias("h"))
     bench = pairs.filter(F.col("doc_id") % 41 == 0).select("h").distinct()
     corpus = pairs.filter(F.col("doc_id") % 41 != 0)
     return (
         corpus.join(F.broadcast(bench), "h")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(F.countDistinct("h").alias("n_shared"))
     )
 
 
