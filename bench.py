@@ -129,6 +129,22 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         "gopher_rules_1m",
         FO.gopher_flags_column(big, "text").filter(F.col("keep")),
     )
+    measure(
+        "quality_clf_1m",
+        big.select(TX.hashed_quality_clf("text")["keep"].alias("k")).filter("k"),
+    )
+    measure(
+        "quality_clf_1m_xxhash",
+        big.select(
+            TX.hashed_quality_clf("text", algo="xxhash64")["keep"].alias("k")
+        ).filter("k"),
+    )
+    from webscale_multimodal_datapipeline_spark.functions import pii as PII
+
+    measure(
+        "pii_redact_1m",
+        big.select(PII.redact_pii("text").alias("r")).filter(F.length("r") > 0),
+    )
     # production scale path: JVM-native xxhash64 token hashes (md5 lane
     # above is the cross-engine oracle spec; same SimHash semantics)
     measure(

@@ -275,3 +275,30 @@ def test_gopher_kernel_matches_column_spec(spark, sf_dir):
     a = {r.doc_id: tuple(r)[1:] for r in spec.collect()}
     b = {r.doc_id: tuple(r)[1:] for r in fast.collect()}
     assert a == b
+
+
+def test_connected_components_labels_min_reachable(spark):
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # two chains and a triangle: {1-2-3}, {10-11}, {20-21-22 triangle}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_l", "id_r"],
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_chain_diameter(spark):
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 9-node path: propagation needs several rounds; all collapse to 0
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_l", "id_r"]
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(9)}

@@ -35,6 +35,8 @@ SUBSET = [
     "t_pii_redact",
     "t_domain_mix",
     "d_decontaminate",
+    "t_quality_classifier",
+    "d_dedup_components",
 ]
 
 

@@ -362,3 +362,55 @@ def fingerprint(col: Column | str) -> Column:
     (md5-backed so the DuckDB oracle can reproduce it exactly).
     """
     return md5_long(normalize_text(col))
+
+
+# ---------------------------------------------------------------------------
+# Hashed-token linear quality classifier (FineWeb-edu / fastText shape)
+# ---------------------------------------------------------------------------
+
+CLF_BUCKETS = 4096
+CLF_MIX = 2654435761  # Knuth multiplicative-hash constant
+CLF_MAX_TOKENS = 256
+
+
+def hashed_quality_clf(col: Column | str, algo: str = "md5") -> dict[str, Column]:
+    """Model-based quality score: hash each of the first CLF_MAX_TOKENS
+    tokens into a CLF_BUCKETS-entry weight table, average, squash with the
+    rational fast-sigmoid ``0.5 + 0.5*x/(1+|x|)``.
+
+    The "trained" weights are a deterministic function of the bucket id
+    (``(bucket*CLF_MIX) % 2000001 - 1e6`` milli-units) so both engines
+    materialize the identical model with no weights file; a real model
+    swaps that expression for a broadcast map lookup — the plumbing
+    (hash → bucket → weight → mean → squash) is identical. Every step is
+    integer or single-IEEE-op arithmetic → bit-identical cross-engine
+    (no libm exp divergence).
+
+    Returns ``{n_scored_tokens, clf_score, keep}`` columns; pure per-row
+    array math inside whole-stage codegen — no shuffle, no UDF.
+
+    ``algo='md5'`` is the cross-engine oracle spec; ``algo='xxhash64'`` is
+    the production hot path (JVM-native token hash, ~4x the md5 lane —
+    same model shape, different bucket assignment).
+    """
+    toks = F.slice(tokens(normalize_text(col), clean=True), 1, CLF_MAX_TOKENS)
+
+    def _milli(t: Column) -> Column:
+        if algo == "xxhash64":
+            bucket = F.pmod(F.xxhash64(t), F.lit(CLF_BUCKETS))
+        else:
+            bucket = (
+                F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % CLF_BUCKETS
+            )
+        return (bucket * CLF_MIX) % 2000001 - 1000000
+
+    milli = F.transform(toks, _milli)
+    n = F.size(milli)
+    s = F.aggregate(milli, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    raw = F.when(n > 0, s / (n.cast("double") * 1000000.0)).otherwise(F.lit(0.0))
+    score = F.round(F.lit(0.5) + F.lit(0.5) * raw / (F.lit(1.0) + F.abs(raw)), 4)
+    return {
+        "n_scored_tokens": n.cast("int"),
+        "clf_score": score,
+        "keep": raw > 0,
+    }

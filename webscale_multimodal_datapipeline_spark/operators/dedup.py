@@ -649,3 +649,61 @@ def simhash_text_column(
         list(idx_schema.fields) + [T.StructField(out_col, T.LongType())]
     )
     return df.mapInArrow(_gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pair graphs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_l", dst: str = "id_r", max_iter: int = 25
+) -> DataFrame:
+    """Resolve near-dup pairs into dedup clusters: (id, comp) where comp is
+    the minimum id reachable through the pair graph — the cluster
+    representative every real near-dup pipeline keeps.
+
+    Iterative min-label propagation (the standard Spark formulation; the
+    reference has no analog — its dedup is single-key equality only):
+    each round joins labels to the symmetrized edge list, takes the min of
+    own and neighbor labels, and stops when a round changes nothing.
+    Rounds = graph diameter; near-dup clusters are shallow (dozens of
+    members, diameter ~2-4), so this converges in a few rounds. For
+    adversarial chain graphs switch to large-star/small-star (Kiveris et
+    al. 2014), which is O(log n) rounds of the same join shape.
+
+    Scale notes: `localCheckpoint` truncates the lineage each round (an
+    unbounded iterative plan otherwise re-executes from the scan); the
+    convergence probe is a `limit(1).count()` existence check, not a full
+    diff count. Labels shuffle on id each round — at 100 TB, pre-partition
+    the edge list by src so the join reuses one exchange.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.localCheckpoint(eager=False)
+    nodes = (
+        sym.select(F.col("src").alias("id")).union(sym.select(F.col("dst").alias("id")))
+    ).distinct()
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.select("id", "comp")
+            .union(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

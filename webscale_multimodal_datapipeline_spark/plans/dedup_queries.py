@@ -374,3 +374,54 @@ GROUP BY p.doc_id
 
 QUERIES["d_decontaminate"] = d_decontaminate
 ORACLE["d_decontaminate"] = D_DECONTAMINATE_SQL
+
+
+def d_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: SimHash hamming pairs → connected
+    components → every doc labeled with its cluster representative
+    (min reachable doc_id; singletons label themselves). The step between
+    pair generation and row dropping in every real near-dup pipeline.
+
+    Iterative (min-label propagation, `operators/dedup.py::
+    connected_components`); the DuckDB oracle computes the same closure
+    with a recursive CTE, so even this non-single-query op is value-checked
+    exactly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = OD.simhash_near_pairs(d, max_hamming=12)
+    comp = OD.connected_components(pairs, "id_l", "id_r")
+    return d.select("doc_id").join(
+        comp, d["doc_id"] == comp["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp"),
+        (F.coalesce(F.col("comp"), F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_representative"
+        ),
+    )
+
+
+D_COMPONENTS_SQL = f"""
+WITH RECURSIVE npairs AS (
+  {D_SIMHASH_PAIRS_SQL}
+), edges AS (
+  SELECT id_l AS src, id_r AS dst FROM npairs
+  UNION ALL
+  SELECT id_r AS src, id_l AS dst FROM npairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       COALESCE(c.comp, d.doc_id) AS comp,
+       COALESCE(c.comp, d.doc_id) = d.doc_id AS is_representative
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+QUERIES["d_dedup_components"] = d_dedup_components
+ORACLE["d_dedup_components"] = D_COMPONENTS_SQL

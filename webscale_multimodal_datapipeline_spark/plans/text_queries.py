@@ -416,3 +416,47 @@ T_DOMAIN_MIX_SQL = _domain_mix_sql()
 
 QUERIES["t_domain_mix"] = t_domain_mix
 ORACLE["t_domain_mix"] = T_DOMAIN_MIX_SQL
+
+
+def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (FineWeb-edu classifier practice; no
+    reference analog — training-pipeline extension): hashed-token linear
+    model — see :func:`functions.text.hashed_quality_clf` for the exact
+    cross-engine-deterministic formulation.
+
+    Scale shape: pure per-row array math inside whole-stage codegen — no
+    shuffle, no UDF, no weight broadcast (the 'table' is an expression).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cols = TX.hashed_quality_clf("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def _quality_classifier_sql() -> str:
+    toks = f"list_slice({OQ.sql_tokens(OQ.sql_norm('text'))}, 1, {TX.CLF_MAX_TOKENS})"
+    bucket = f"({OQ.sql_md5_long('x')} % {TX.CLF_BUCKETS})"
+    milli = f"list_transform({toks}, x -> ({bucket} * {TX.CLF_MIX}) % 2000001 - 1000000)"
+    return f"""
+WITH m AS (
+  SELECT doc_id, {milli} AS milli FROM documents
+), agg AS (
+  SELECT doc_id, len(milli) AS n,
+         CAST(coalesce(list_aggregate(milli, 'sum'), 0) AS BIGINT) AS s
+  FROM m
+), raw AS (
+  SELECT doc_id, n,
+         CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+              ELSE 0.0 END AS raw
+  FROM agg
+)
+SELECT doc_id, CAST(n AS INTEGER) AS n_scored_tokens,
+       round(0.5 + 0.5 * raw / (1.0 + abs(raw)), 4) AS clf_score,
+       raw > 0 AS keep
+FROM raw
+"""
+
+
+T_CLASSIFIER_SQL = _quality_classifier_sql()
+
+QUERIES["t_quality_classifier"] = t_quality_classifier
+ORACLE["t_quality_classifier"] = T_CLASSIFIER_SQL
