@@ -155,3 +155,27 @@ def test_image_pipeline_yaml_end_to_end(spark, sf_dir):
     assert {"image_width", "image_information_entropy", "image_resized_bytes"} <= cols
     for r in rows[:20]:
         assert r.image_width >= 64 and len(r.image_resized_bytes) == 16
+
+
+def test_scrub_pipeline_yaml_ops(spark, sf_dir):
+    """PII scrub + classifier ops resolve through the registry and compose
+    into one Catalyst plan."""
+    cfg = {
+        "data_loader": {"table": "documents"},
+        "stages": [
+            {
+                "name": "scrub",
+                "operators": [
+                    {"type": "pii_redact_refiner"},
+                    {"type": "quality_classifier_refiner"},
+                    {"type": "quality_classifier_filter"},
+                ],
+            }
+        ],
+    }
+    res = compile_pipeline(cfg).run(spark, sf_dir, observe_metrics=False)
+    out = res.output
+    for c in ("text_redacted", "n_email", "clf_score", "clf_keep"):
+        assert c in out.columns
+    rows = out.limit(5).collect()
+    assert all(r["clf_keep"] for r in rows)

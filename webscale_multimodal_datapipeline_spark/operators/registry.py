@@ -75,3 +75,41 @@ register("technical_quality_refiner", _mm.technical_quality_refiner)
 register("phash_refiner", _mm.phash_refiner)
 register("image_resize_refiner", _mm.image_resize_refiner)
 register("audio_features_refiner", _mm.audio_features_refiner)
+
+
+# Training-data scrubbing / scoring extensions (round 2)
+def _pii_redact_refiner(
+    text_col: str = "text", out_col: str = "text_redacted", name: str = "pii_redact_refiner"
+):
+    from webscale_multimodal_datapipeline_spark.functions import pii as _PII
+
+    counts = _PII.pii_counts(text_col)
+    cols = {out_col: _PII.redact_pii(text_col)}
+    cols.update({k: v.cast("int") for k, v in counts.items()})
+    return _R(name, cols)
+
+
+def _quality_classifier_filter(
+    text_col: str = "text",
+    algo: str = "xxhash64",
+    name: str = "quality_classifier_filter",
+):
+    from webscale_multimodal_datapipeline_spark.functions import text as _TX
+
+    return _FO2(name, _TX.hashed_quality_clf(text_col, algo=algo)["keep"], requires={text_col})
+
+
+def _quality_classifier_refiner(
+    text_col: str = "text", algo: str = "xxhash64", name: str = "quality_classifier_refiner"
+):
+    from webscale_multimodal_datapipeline_spark.functions import text as _TX
+
+    cols = _TX.hashed_quality_clf(text_col, algo=algo)
+    return _R(name, {"clf_score": cols["clf_score"], "clf_keep": cols["keep"]})
+
+
+from webscale_multimodal_datapipeline_spark.operators.base import FilterOperator as _FO2  # noqa: E402
+
+register("pii_redact_refiner", _pii_redact_refiner)
+register("quality_classifier_filter", _quality_classifier_filter)
+register("quality_classifier_refiner", _quality_classifier_refiner)
