@@ -174,3 +174,25 @@ def test_compiler_stream_collects_operator_metrics(spark, sf_dir):
         "length(event_type) BETWEEN 5 AND 100"
     ).count()
     assert counts == {"m.s.0.text_length_filter": want}
+
+
+def test_stream_static_dimension_join_matches_batch(spark, sf_dir, events_stream):
+    """Stream-static broadcast enrichment agrees with the batch join."""
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("user_tier", (F.col("user_id") % 3).cast("int"))
+    )
+    enriched = SP.enrich_with_dimension(events_stream, dim, "user_id")
+    agg = enriched.groupBy("user_tier").agg(F.count(F.lit(1)).alias("n"))
+    SP.run_stream_to_memory(agg, "tier_out", "complete")
+    got = {r.user_tier: r.n for r in spark.sql("SELECT * FROM tier_out").collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(dim), "user_id", "left")
+        .groupBy("user_tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {r.user_tier: r.n for r in batch.collect()}
+    assert got == want

@@ -175,3 +175,18 @@ def run_stream_collect_metrics(
         return counts
     finally:
         q.stop()
+
+
+def enrich_with_dimension(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static dimension enrichment: broadcast-join the (small,
+    batch-side) dimension onto the stream. Structured Streaming plans the
+    static side once per micro-batch; the broadcast hint keeps it off the
+    shuffle path entirely — no state store is involved, so this scales
+    with the dimension's size in executor memory, not with stream history.
+
+    Covers the reference's per-record metadata-lookup enrichment shape
+    (Refiners reading side tables) in streaming mode.
+    """
+    return events.join(F.broadcast(dim), key, "left")
