@@ -219,6 +219,29 @@ def image_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     measure("resize_100k", MM.image_resize_refiner().apply(imgs).filter(
         F.length("image_resized_bytes") == 16
     ))
+    # html-extract kernel (reference Rust readability: 5,000 doc/s)
+    from webscale_multimodal_datapipeline_spark.sources.warc import (
+        html_extract_len_udf,
+    )
+
+    html = (
+        docs.crossJoin(spark.range(20).withColumnRenamed("id", "rep"))
+        .withColumn(
+            "html",
+            F.concat(
+                F.lit("<html><head><title>t</title><script>var x=1;</script></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ).cast("binary"),
+        )
+        .repartition(ncpu * 2)
+        .select("html")
+        .persist()
+    )
+    html.count()
+    _ex = html_extract_len_udf()
+    measure("html_extract_100k", html.select(_ex("html").alias("n")).filter(F.col("n") > 0))
+    html.unpersist()
     # native predicate over precomputed columns (reference: 4.2M rec/s) —
     # computed columns persisted first so the filter is measured alone; at
     # 100K rows the ~0.2s per-job floor dominates, so replicate to 1M.

@@ -143,3 +143,23 @@ def test_remote_listing_gate_without_fsspec():
         _pt.skip("fsspec present")
     with _pt.raises(NotImplementedError, match="fsspec"):
         SF.list_remote_data_files("hf://datasets/org/repo")
+
+
+def test_html_extract_len_udf_matches_function(spark):
+    from pyspark.sql import functions as F
+
+    from webscale_multimodal_datapipeline_spark.sources.warc import (
+        html_extract_len_udf,
+        html_extract_text,
+    )
+
+    samples = [
+        b"<html><head><title>t</title></head><body><p>hello world</p></body></html>",
+        b"<html><script>junk()</script><body>text here</body></html>",
+        b"",
+        b"\xff\xfe garbage \x00",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["html"])
+    got = [r["n"] for r in df.select(html_extract_len_udf()("html").alias("n")).collect()]
+    want = [(html_extract_text(s) or ("", "", 0))[2] for s in samples]
+    assert got == want

@@ -111,3 +111,21 @@ def read_warc(spark: SparkSession, path_glob: str, crawl_id: str = "crawl") -> D
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields])
 
     return binary.select("path", "content").mapInPandas(_parse, WARC_RECORD_SCHEMA)
+
+
+def html_extract_len_udf():
+    """Vectorized html-extract lane (bench comparison surface for the
+    reference's Rust readability kernel, 5,000 doc/s single-node —
+    ``docs/ARCHITECTURE.md:408-414``): binary html → extracted text length
+    (0 when unparseable). Arrow-batched so the Python kernel amortizes
+    per-row overhead the way the Rust batch kernel does."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("int")
+    def _extract_len(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: (html_extract_text(b) or ("", "", 0))[2]
+        ).astype("int32")
+
+    return _extract_len
