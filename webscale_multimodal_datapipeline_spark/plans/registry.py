@@ -57,6 +57,12 @@ for _m in _MODULES:
         assert _name in _m.QUERIES, f"oracle without query: {_name}"
         ORACLE[_name] = _sql
 
+# Recorded in round 1 but with an ``err: no_oracle`` row — both gained a
+# real oracle in round 2 (exhaustive-probe IVF == brute force; bounded
+# relative-error HLL check), so they must re-record ahead of everything
+# else to flip their driver rows green.
+_PRIORITY_R2 = ("v_ivf_topk", "q_approx_cardinality")
+
 # Queries with a green driver CORRECTNESS row from round 1. The driver
 # records the FIRST 50 registry entries per round, so everything not yet
 # recorded (including queries added later) is ordered ahead of these —
@@ -81,6 +87,7 @@ _RECORDED_R1 = {
 }
 
 QUERIES = {
+    **{k: QUERIES[k] for k in _PRIORITY_R2},
     **{k: v for k, v in QUERIES.items() if k not in _RECORDED_R1},
-    **{k: v for k, v in QUERIES.items() if k in _RECORDED_R1},
+    **{k: v for k, v in QUERIES.items() if k in _RECORDED_R1 and k not in _PRIORITY_R2},
 }
