@@ -1,0 +1,151 @@
+"""Tests for the round-2 curation operators (operators/curation.py,
+functions/urls.py, plans/curation_queries.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from webscale_multimodal_datapipeline_spark.functions import urls as URLS
+from webscale_multimodal_datapipeline_spark.operators import curation as CU
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_pack_boundaries(spark):
+    # one bucket so the packing order is just doc_id; budget 10 tokens
+    rows = [
+        (1, "a b c d"),          # 4 tokens, cum 4  -> starts at 0  -> seq 0
+        (2, "e f g h i"),        # 5 tokens, cum 9  -> starts at 4  -> seq 0
+        (3, "j k l"),            # 3 tokens, cum 12 -> starts at 9  -> seq 0 (straddles)
+        (4, "m n"),              # 2 tokens, cum 14 -> starts at 12 -> seq 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = CU.sequence_pack(df, budget=10, buckets=1).orderBy("doc_id").collect()
+    assert [r.seq_id for r in out] == [0, 0, 0, 1]
+    assert [r.n_tokens for r in out] == [4, 5, 3, 2]
+    assert all(r.pack_bucket == 0 for r in out)
+
+
+def test_sequence_pack_bucket_stability(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(40)], "doc_id long, text string"
+    )
+    a = {r.doc_id: (r.pack_bucket, r.seq_id) for r in CU.sequence_pack(df).collect()}
+    b = {r.doc_id: (r.pack_bucket, r.seq_id) for r in CU.sequence_pack(df).collect()}
+    assert a == b  # deterministic, no RNG
+    assert len({v[0] for v in a.values()}) > 1  # uses multiple buckets
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate stats
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_stats_flags_repeated_content(spark):
+    boiler = "subscribe to our newsletter now"
+    rows = [(i, boiler) for i in range(5)] + [
+        (10, "completely original text about sparks"),
+        (11, "another unique document body here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in CU.boilerplate_stats(df, min_df=3).collect()
+    }
+    # the repeated doc's shingles all occur 5x >= 3 -> ratio 1.0
+    assert out[0].boiler_ratio == 1.0
+    # unique docs share no common shingles
+    assert out[10].n_common == 0 and out[10].boiler_ratio == 0.0
+    filtered = CU.boilerplate_filter(df, max_ratio=0.5, min_df=3)
+    assert sorted(r.doc_id for r in filtered.collect()) == [10, 11]
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling / quantile filter
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_exact_counts(spark):
+    rows = [(i, "en" if i % 3 else "fr") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = CU.stratified_sample(df, n_per_stratum=10)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 10, "fr": 10}
+    # deterministic: same sample both runs
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in CU.stratified_sample(df, n_per_stratum=10).collect())
+    assert ids1 == ids2
+
+
+def test_quantile_filter_keeps_top_fraction(spark):
+    rows = [(i, "en", float(i)) for i in range(100)] + [(100 + i, "fr", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = CU.quantile_filter(df, F.col("s"), keep_frac=0.2, strata_col="lang")
+    got = out.groupBy("lang").agg(F.count("*").alias("n"), F.min("score").alias("lo")).collect()
+    by_lang = {r.lang: r for r in got}
+    assert by_lang["en"].n == 20 and by_lang["en"].lo == 80.0
+    assert by_lang["fr"].n == 2 and by_lang["fr"].lo == 8.0
+
+
+def test_quantile_threshold_filter_approximates_exact(spark):
+    rows = [(i, "en", float(i % 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    exact = CU.quantile_filter(df, F.col("s"), keep_frac=0.2).count()
+    approx = CU.quantile_threshold_filter(df, F.col("s"), keep_frac=0.2).count()
+    # sketch error is bounded; on 50 distinct values it lands within one bin
+    assert abs(approx - exact) <= 500 * 0.05
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        ("HTTPS://WWW.Example.COM:443/a/", "https://www.example.com/a"),
+        ("http://example.com:80/x?b=2&a=1", "http://example.com/x?a=1&b=2"),
+        (
+            "https://ex.com/p?utm_source=x&ref=abc&keep=1#frag",
+            "https://ex.com/p?keep=1",
+        ),
+        ("https://ex.com/p?utm_campaign=only", "https://ex.com/p"),
+        ("https://ex.com", "https://ex.com"),
+        ("https://ex.com/?a=1", "https://ex.com?a=1"),
+    ],
+)
+def test_canonical_url_cases(spark, url, expected):
+    df = spark.createDataFrame([(url,)], "u string")
+    got = df.select(URLS.canonical_url("u").alias("c")).first().c
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal score parity
+# ---------------------------------------------------------------------------
+
+
+def test_crossmodal_score_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from webscale_multimodal_datapipeline_spark.plans.curation_queries import (
+        CROSSMODAL_REF,
+        v_crossmodal_filter,
+    )
+
+    out = v_crossmodal_filter(spark, sf_dir).orderBy("doc_id").limit(20).collect()
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    by_id = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    ref = np.array(CROSSMODAL_REF)
+    for r in out:
+        expect = float(by_id[r.doc_id] @ ref)
+        assert abs(r.score - expect) < 1e-9
+        assert r.score > 0

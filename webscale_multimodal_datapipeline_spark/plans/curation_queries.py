@@ -1,0 +1,340 @@
+"""Round-2 curation queries: sequence packing, boilerplate detection,
+stratified sampling, quantile filtering, URL canonicalization, cross-modal
+join scoring, vocabulary extraction.
+
+These extend the training-data-pipeline operator set (VERDICT r1 grades
+these as first-class alongside SURVEY §2). Every query has an exact DuckDB
+oracle; shared constants are imported from the operator modules so the two
+engines can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.catalog import load_table
+from webscale_multimodal_datapipeline_spark.functions import text as TX
+from webscale_multimodal_datapipeline_spark.functions import urls as URLS
+from webscale_multimodal_datapipeline_spark.functions import vectors as VX
+from webscale_multimodal_datapipeline_spark.operators import curation as CU
+from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def c_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence rollup of the packed corpus: how many docs and tokens
+    landed in each (bucket, seq) training sequence."""
+    d = load_table(spark, sf_dir, "documents")
+    packed = CU.sequence_pack(d)
+    return packed.groupBy("pack_bucket", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def _sql_pack_bucket() -> str:
+    return f"{OQ.sql_md5_long('CAST(doc_id AS VARCHAR)')} % {CU.PACK_BUCKETS}"
+
+
+C_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_sql_pack_bucket()} AS pack_bucket,
+         CAST({OQ.sql_token_count('text')} AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, pack_bucket, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT pack_bucket,
+       CAST(floor((cum - n_tokens) / {CU.PACK_BUDGET}) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc
+FROM c GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate (shingle document-frequency) stats
+# ---------------------------------------------------------------------------
+
+
+def c_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate ratio + keep flag (CCNet-style repeated-content
+    heuristic over word shingles)."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = CU.boilerplate_stats(d)
+    return stats.select(
+        "doc_id",
+        "n_shingles",
+        "n_common",
+        F.col("boiler_ratio").cast("double").alias("boiler_ratio"),
+        (F.col("boiler_ratio") <= CU.BOILER_MAX_RATIO).alias("keep"),
+    )
+
+
+C_BOILER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {OQ.sql_tokens(OQ.sql_norm('text'))} AS tk FROM documents
+), s AS (
+  SELECT doc_id, {OQ.sql_shingles_from_tokens('tk', CU.BOILER_K)} AS sh FROM t
+), e AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s
+), common AS (
+  SELECT shingle FROM e GROUP BY shingle HAVING COUNT(*) >= {CU.BOILER_MIN_DF}
+), pd AS (
+  SELECT e.doc_id, COUNT(*) AS n_common
+  FROM e JOIN common USING (shingle) GROUP BY e.doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.sh) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(pd.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(pd.n_common, 0) AS DOUBLE) / len(s.sh) AS boiler_ratio,
+       (CAST(COALESCE(pd.n_common, 0) AS DOUBLE) / len(s.sh)) <= {CU.BOILER_MAX_RATIO} AS keep
+FROM s LEFT JOIN pd USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling / quantile filtering
+# ---------------------------------------------------------------------------
+
+SAMPLE_PER_STRATUM = 30
+QUANTILE_KEEP_FRAC = 0.2
+
+
+def c_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = CU.stratified_sample(d, n_per_stratum=SAMPLE_PER_STRATUM)
+    return out.select("doc_id", "lang", "sample_rank")
+
+
+C_SAMPLE_SQL = f"""
+SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {OQ.sql_md5_long('CAST(doc_id AS VARCHAR)')}, doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {SAMPLE_PER_STRATUM}
+"""
+
+
+def c_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20% by quality score within each language (exact rank form;
+    the approx-threshold form is ``CU.quantile_threshold_filter`` — the
+    100 TB path, sketch-error tolerant so not the oracle spec)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = CU.quantile_filter(
+        d, TX.quality_score("text").cast("double"), keep_frac=QUANTILE_KEEP_FRAC
+    )
+    return out.select("doc_id", "lang", F.col("score").cast("double").alias("score"))
+
+
+C_QUANTILE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST({OQ.sql_quality_score('text')} AS DOUBLE) AS score
+  FROM documents
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM t
+)
+SELECT doc_id, lang, score FROM r WHERE rnk <= CEIL(n * {QUANTILE_KEEP_FRAC})
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + canonical-key dedup
+# ---------------------------------------------------------------------------
+
+# Deterministic messy URL per doc: mixed-case scheme/host, default port,
+# path-dupe modulus, trailing slash, tracking params, fragment — exercises
+# every canonicalization rule; both engines build the identical string.
+_URL_PATH_MOD = 40
+
+_SPARK_MESSY = None  # built in _with_messy_url
+
+
+def _with_messy_url(d: DataFrame) -> DataFrame:
+    host = F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
+    return d.withColumn(
+        "url",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(F.col("doc_id") % 3 == 0, F.upper(host)).otherwise(host),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/page/"),
+            (F.col("doc_id") % _URL_PATH_MOD).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&b=2&ref=abc&a=1"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ),
+    )
+
+
+_SQL_MESSY = f"""concat(
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+  CASE WHEN doc_id % 3 = 0 THEN upper('www.' || source || '.example.com')
+       ELSE 'www.' || source || '.example.com' END,
+  CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+  '/page/', CAST(doc_id % {_URL_PATH_MOD} AS VARCHAR),
+  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+  '?utm_source=feed&b=2&ref=abc&a=1',
+  CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"""
+
+# DuckDB mirror of functions/urls.py (token-for-token)
+_SQL_CANON = """(
+  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+  lower(regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':(443|80)$', '')) ||
+  regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/$', '') ||
+  (CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract(u, '\\?([^#]*)', 1), '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref)='))), '&') <> ''
+        THEN '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract(u, '\\?([^#]*)', 1), '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref)='))), '&')
+        ELSE '' END)
+)"""
+
+
+def u_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_messy_url(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "url", URLS.canonical_url("url").alias("canonical")
+    )
+
+
+U_CANON_SQL = f"""
+SELECT doc_id, u AS url, {_SQL_CANON} AS canonical
+FROM (SELECT doc_id, {_SQL_MESSY} AS u FROM documents)
+"""
+
+
+def u_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup on the canonical key: keeper = min doc_id, with the
+    duplicate count per canonical URL (web-crawl re-fetch collapse)."""
+    d = _with_messy_url(load_table(spark, sf_dir, "documents"))
+    return (
+        d.withColumn("canonical", URLS.canonical_url("url"))
+        .groupBy("canonical")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+U_CANON_DEDUP_SQL = f"""
+SELECT {_SQL_CANON} AS canonical, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+FROM (SELECT doc_id, {_SQL_MESSY} AS u FROM documents)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal join + embedding-score filter
+# ---------------------------------------------------------------------------
+
+CROSSMODAL_DIM = 64
+# Deterministic "CLIP text anchor" direction — same Knuth-mix construction
+# as the MLP heads (functions/vectors.py), materialized identically by both
+# engines, so no weights file is needed.
+CROSSMODAL_REF = [
+    ((i * 2654435761 + 12345) % 2001 - 1000) / 1000.0 for i in range(CROSSMODAL_DIM)
+]
+
+
+def v_crossmodal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings (doc_id = vec_id) scored against a reference
+    direction; keep positive alignment. The join is key-equi on the shared
+    id — at scale both sides co-partition on the id (bucketed layout), so
+    this is a zero-extra-shuffle sort-merge join; the scoring is a codegen'd
+    fold, no UDF."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings")
+    ref = F.array(*[F.lit(float(x)) for x in CROSSMODAL_REF])
+    prods = F.zip_with(
+        VX.to_double_array("embedding"), ref, lambda x, y: x * y
+    )
+    score = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .withColumn("score", score)
+        .filter(F.col("score") > 0)
+        .select("doc_id", "lang", "label", "score")
+    )
+
+
+_SQL_XMODAL_DOT = "(" + " + ".join(
+    f"embedding[{i + 1}]::DOUBLE * {float(c)!r}" for i, c in enumerate(CROSSMODAL_REF)
+) + ")"
+
+V_CROSSMODAL_SQL = f"""
+SELECT doc_id, lang, label, score FROM (
+  SELECT d.doc_id, d.lang, e.label, {_SQL_XMODAL_DOT} AS score
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+) WHERE score > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary extraction (global top-k tokens)
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 50
+
+
+def c_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency (count desc, token asc
+    — a total order, so the top-k set is unique). Partial aggregation
+    map-side; the final top-k is TakeOrderedAndProject over the (small)
+    aggregated vocab, never a global row sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(TX.normalize_text(F.col("text")), clean=True)
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(VOCAB_TOP_K)
+    )
+
+
+C_VOCAB_SQL = f"""
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS token FROM documents)
+GROUP BY token ORDER BY cnt DESC, token LIMIT {VOCAB_TOP_K}
+"""
+
+
+QUERIES = {
+    "c_sequence_pack": c_sequence_pack,
+    "c_boilerplate": c_boilerplate,
+    "c_stratified_sample": c_stratified_sample,
+    "c_quantile_filter": c_quantile_filter,
+    "u_url_canonicalize": u_url_canonicalize,
+    "u_canonical_dedup": u_canonical_dedup,
+    "v_crossmodal_filter": v_crossmodal_filter,
+    "c_vocab_topk": c_vocab_topk,
+}
+
+ORACLE = {
+    "c_sequence_pack": C_PACK_SQL,
+    "c_boilerplate": C_BOILER_SQL,
+    "c_stratified_sample": C_SAMPLE_SQL,
+    "c_quantile_filter": C_QUANTILE_SQL,
+    "u_url_canonicalize": U_CANON_SQL,
+    "u_canonical_dedup": U_CANON_DEDUP_SQL,
+    "v_crossmodal_filter": V_CROSSMODAL_SQL,
+    "c_vocab_topk": C_VOCAB_SQL,
+}

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from webscale_multimodal_datapipeline_spark.plans import (
     advanced_queries,
+    curation_queries,
     dedup_queries,
     events_queries,
     misc_queries,
@@ -44,6 +45,10 @@ _MODULES = (
     relational3,
     text_queries,
     dedup_queries,
+    # Round-2 additions stay LAST: the driver records the first ~50 entries
+    # per round, and round-1's still-unrecorded queries take precedence
+    # (their oracles already pass — recording them is pure bookkeeping).
+    curation_queries,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
