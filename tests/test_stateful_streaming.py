@@ -16,20 +16,21 @@ def multi_file_events(spark, sf_dir, tmp_path_factory):
     """events split into 4 parquet files -> 4 micro-batches."""
     out = str(tmp_path_factory.mktemp("ev_stream"))
     ev = load_table(spark, sf_dir, "events")
-    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(out)
+    ev.withColumn("ts", F.col("ts").cast("timestamp_ntz")).repartition(
+        4
+    ).write.mode("overwrite").parquet(out)
     return out
 
 
 def _stream(spark, path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from webscale_multimodal_datapipeline_spark.catalog import normalize_events_ts
+
     raw = (
-        spark.readStream.schema(SP.EVENTS_SCHEMA)
+        spark.readStream.schema(SP.events_schema(spark, path))
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(raw)
 
 
 def test_running_totals_accumulate_across_batches(spark, sf_dir, multi_file_events):

@@ -31,18 +31,33 @@ TABLES = (
 )
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-timezone TimestampType regardless
+    of how the fixture generation wrote it:
+
+    - TIMESTAMP(NANOS) read as long (``nanosAsLong``) → integer ``div`` to
+      micros (double division of 1e18-scale nanos loses the final digit),
+      matching DuckDB's TIMESTAMP_NS → micro truncation;
+    - TIMESTAMP(MICROS) isAdjustedToUTC=false → TIMESTAMP_NTZ → cast to
+      TimestampType (value-preserving under the UTC session timezone);
+    - already TimestampType → no-op.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and convert to micros (matches
-        # DuckDB's TIMESTAMP_NS → micro truncation in strftime/epoch_us).
+        # Tolerate either fixture generation (nanos-as-long or micros).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div`, not `/` — double division of 1e18-scale nanos loses
-        # the final microsecond digit.
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -21,10 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Matches the fixture's current physical layout: ts is parquet
+# TIMESTAMP(MICROS) isAdjustedToUTC=false → TIMESTAMP_NTZ. (Earlier fixture
+# generations wrote TIMESTAMP(NANOS), declared LongType + nanosAsLong; use
+# ``events_schema`` to stay generation-agnostic.)
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -33,18 +37,29 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def events_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Physical schema of an events parquet dir/file via a batch footer
+    read — streaming sources require an explicit schema, and declaring one
+    that disagrees with the footer (e.g. long vs timestamp ts) fails at
+    scan time."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source stream over the events parquet with backpressure."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from webscale_multimodal_datapipeline_spark.catalog import normalize_events_ts
+
+    schema = events_schema(spark, f"{sf_dir}/events.parquet")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(raw)
 
 
 def windowed_counts(
