@@ -51,6 +51,8 @@ BENCH_QUERIES = (
     "e_tumbling_window",
     "e_sessionization",
     "e_first_event_dedup",
+    "c_line_dedup",
+    "ts_gap_fill",
 )
 
 
@@ -119,8 +121,15 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         "lang_id_1m",
         big.select(TX.lang_id("text").alias("l")).filter(F.col("l") != "und"),
     )
+    # simhash_1m is the PRODUCTION default (text -> simhash in one Arrow
+    # batch pass); the md5 lane below keeps the cross-engine oracle spec
+    # honest (same SimHash semantics, DuckDB-reproducible md5 token hashes).
     measure(
         "simhash_1m",
+        OD.simhash_text_column(big, "text", "sh").filter(F.col("sh") != 0),
+    )
+    measure(
+        "simhash_1m_md5_oracle",
         big.withColumn("_th", OD.token_hashes("text"))
         .select(OD.simhash_fast_udf("_th").alias("sh"))
         .filter(F.col("sh") != 0),
@@ -152,11 +161,6 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         big.withColumn("_th", OD.token_hashes("text", algo="xxhash64"))
         .select(OD.simhash_fast_udf("_th").alias("sh"))
         .filter(F.col("sh") != 0),
-    )
-    # fastest lane: text -> simhash entirely inside one Arrow batch pass
-    measure(
-        "simhash_1m_arrow",
-        OD.simhash_text_column(big, "text", "sh").filter(F.col("sh") != 0),
     )
     big.unpersist()
     return out

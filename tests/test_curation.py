@@ -149,3 +149,82 @@ def test_crossmodal_score_matches_numpy(spark, sf_dir):
         expect = float(by_id[r.doc_id] @ ref)
         assert abs(r.score - expect) < 1e-9
         assert r.score > 0
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-line removal
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_line_removal_scrubs_cross_doc_lines(spark):
+    from webscale_multimodal_datapipeline_spark.operators.curation import (
+        duplicate_line_removal,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha\nSubscribe now\nmore words"),
+            (2, "subscribe now\ndifferent body"),
+            (3, "Subscribe NOW \nonly boilerplate here not shared"),
+            (4, "Subscribe now"),  # becomes empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_line_removal(df).collect()}
+    # 'subscribe now' key appears in docs 1,2,3,4 (case/trim-insensitive)
+    assert out[1].text == "unique alpha\nmore words"
+    assert out[1].n_lines == 3 and out[1].n_removed == 1
+    assert out[2].text == "different body"
+    assert out[3].text == "only boilerplate here not shared"
+    assert out[4].text == "" and out[4].n_removed == 1
+    # unique lines in a single doc survive untouched
+    assert out[2].n_lines == 2
+
+
+def test_duplicate_line_removal_min_df_threshold(spark):
+    from webscale_multimodal_datapipeline_spark.operators.curation import (
+        duplicate_line_removal,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc"), (3, "a\nd")],
+        "doc_id long, text string",
+    )
+    out3 = {
+        r.doc_id: r.text for r in duplicate_line_removal(df, min_df=3).collect()
+    }
+    # 'a' is in 3 docs -> removed at min_df=3; 'b'/'c'/'d' survive
+    assert out3 == {1: "b", 2: "c", 3: "d"}
+    out4 = {
+        r.doc_id: r.text for r in duplicate_line_removal(df, min_df=4).collect()
+    }
+    assert out4 == {1: "a\nb", 2: "a\nc", 3: "a\nd"}
+
+
+# ---------------------------------------------------------------------------
+# Merge / upsert
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_update_insert_carryover(spark):
+    from webscale_multimodal_datapipeline_spark.operators.curation import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    delta = spark.createDataFrame(
+        [(2, "b2", 22.0), (9, "new", 90.0)],
+        "k long, name string, v double",
+    )
+    got = {r.k: (r.name, r.v) for r in merge_upsert(base, delta, "k").collect()}
+    assert got == {
+        1: ("a", 10.0),   # carryover
+        2: ("b2", 22.0),  # delta wins on collision
+        3: ("c", 30.0),
+        9: ("new", 90.0), # insert
+    }
+    # column order preserved from base
+    assert merge_upsert(base, delta, "k").columns == ["k", "name", "v"]

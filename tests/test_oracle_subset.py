@@ -37,6 +37,10 @@ SUBSET = [
     "d_decontaminate",
     "t_quality_classifier",
     "d_dedup_components",
+    "c_line_dedup",
+    "c_upsert",
+    "ts_gap_fill",
+    "v_quantize_int8",
 ]
 
 

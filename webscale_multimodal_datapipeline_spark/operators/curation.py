@@ -247,3 +247,119 @@ def quantile_threshold_filter(
         .drop("_cut")
         .withColumnRenamed("_q_score", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-line removal (CCNet paragraph-hash dedup / RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+
+LINE_MIN_DF = 2  # a line is "duplicated" if it appears in >= this many docs
+
+
+def duplicate_line_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_df: int = LINE_MIN_DF,
+) -> DataFrame:
+    """Rewrite each document with its cross-document duplicated lines
+    removed — the CCNet paragraph-hash / RefinedWeb line-dedup step (drop
+    "subscribe to our newsletter"-style lines that recur across pages)
+    applied WITHIN the engine rather than as a whole-doc drop.
+
+    A line's key is ``lower(trim(line))``; a line is duplicated when its
+    key occurs in >= ``min_df`` distinct documents. Documents keep their
+    surviving lines in original order; a fully-boilerplate document
+    becomes the empty string (it stays in the output so a downstream
+    length filter can make the drop decision explicitly).
+
+    Plan shape (three shuffles, no pair join, no state):
+    1. ``posexplode(split(text))`` — narrow;
+    2. line-key groupBy counting DISTINCT docs (partial-agg combinable
+       after the per-doc ``distinct``-by-construction explode);
+    3. the duplicated-key set is small (boilerplate is rare among distinct
+       keys) → broadcast left-anti join back, then per-doc ordered
+       reassembly via ``array_sort(collect_list(struct(pos, line)))`` —
+       one groupBy on the id, no global sort.
+
+    ``sep`` is a Java-regex split pattern on the way in and a literal on
+    the way out (the common '\\n' is both).
+
+    Adds ``n_lines``/``n_removed`` and replaces ``text_col``.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    ).withColumn("_k", F.lower(F.trim("_line")))
+    dup_keys = (
+        # (id, key) distinct first so count(*) is the distinct-doc frequency
+        lines.select(id_col, "_k")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_k")
+    )
+    kept = lines.join(F.broadcast(dup_keys), "_k", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep.replace("\\n", "\n"),
+        ).alias("_new_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_lines = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).alias("n_lines"),
+    )
+    return (
+        df.drop(text_col)
+        .join(n_lines, id_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce("_new_text", F.lit("")))
+        .withColumn(
+            "n_removed",
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).cast("bigint"),
+        )
+        .drop("_new_text", "_n_kept")
+        .withColumn("n_lines", F.col("n_lines").cast("bigint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge / upsert (CDC-style delta application)
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    key: str,
+) -> DataFrame:
+    """MERGE semantics without a table format: delta rows win on key
+    collision, unmatched delta rows insert, unmatched base rows carry
+    over — i.e. ``MERGE WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *``
+    (the operation Iceberg/Delta run transactionally; here as a pure
+    dataflow so pipelines can apply CDC deltas before a sink exists).
+
+    One full-outer hash join on the key. At 100 TB the base side should be
+    bucketed by the key (``operators/scale.py::write_bucketed``) so only
+    the (much smaller) delta shuffles; with a table format, swap this for
+    the engine's native row-level MERGE.
+
+    Columns = base's columns; delta must carry the same schema.
+    """
+    cols = base.columns
+    b = base.select(*cols)
+    d = delta.select(*cols)
+    joined = b.alias("b").join(d.alias("d"), F.col(f"b.{key}") == F.col(f"d.{key}"), "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"d.{c}"), F.col(f"b.{c}")).alias(c)
+            for c in cols
+        ]
+    )

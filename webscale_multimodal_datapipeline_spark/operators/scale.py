@@ -97,3 +97,52 @@ def bucketed_join(spark, left_table: str, right_table: str, key: str) -> DataFra
     """Join two same-bucketed saved tables (no exchange; sort elided too
     when both sides were written sorted)."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering — multi-column data layout for file skipping
+# ---------------------------------------------------------------------------
+
+
+def zorder_key(cols: list[str], bits: int = 8) -> Column:
+    """Morton interleave of ``bits`` low bits per column (column j's bit i
+    lands at position ``i * n_cols + j``) — one codegen'd integer
+    expression, no UDF.
+
+    Z-ordering is how lakehouse tables (Delta OPTIMIZE ZORDER, Iceberg
+    sort orders) get min/max file-skipping on MULTIPLE filter columns at
+    once: neighbors in key space are neighbors in every dimension, so a
+    range-partitioned write clusters all ``cols`` simultaneously.
+    """
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        v = F.col(c).cast("long")
+        for i in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(v, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+    return key
+
+
+def zorder_sql(cols: list[str], bits: int = 8) -> str:
+    """DuckDB mirror of ``zorder_key`` (kept in lockstep by construction)."""
+    n = len(cols)
+    terms = [
+        f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * n + j})"
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], partitions: int, bits: int = 8
+) -> DataFrame:
+    """Range-partition + locally sort by the Morton key: the write-side
+    layout pass. Each output file then covers a compact hyper-rectangle of
+    the key space, so parquet min/max stats prune on any of ``cols``."""
+    keyed = df.withColumn("_zkey", zorder_key(cols, bits))
+    return keyed.repartitionByRange(partitions, "_zkey").sortWithinPartitions(
+        "_zkey"
+    )

@@ -231,3 +231,44 @@ ORACLE = {
     # a_semantic_dedup: iterative k-means — rows-only.
     # a_mlp_deep_score: numpy kernel — parity-tested in pytest, rows-only.
 }
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (the inverse of a_orders_pivot — wide metrics back to
+# tidy rows; Spark's native unpivot == SQL UNPIVOT / pandas melt)
+# ---------------------------------------------------------------------------
+
+
+def a_orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: pivot per-priority status counts wide, then ``unpivot``
+    back to (priority, status, n) tidy rows — pinning that melt is lossless
+    (the oracle computes the tidy form directly)."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_STATUSES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in _STATUSES],
+        )
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=[f"n_{s}" for s in _STATUSES],
+            variableColumnName="status",
+            valueColumnName="n",
+        )
+        .withColumn("status", F.expr("substring(status, 3)"))
+        .filter(F.col("n") > 0)
+    )
+
+
+A_UNPIVOT_SQL = """
+SELECT o_orderpriority, o_orderstatus AS status, COUNT(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+QUERIES["a_orders_unpivot"] = a_orders_unpivot
+ORACLE["a_orders_unpivot"] = A_UNPIVOT_SQL

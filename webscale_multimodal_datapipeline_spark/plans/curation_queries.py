@@ -338,3 +338,117 @@ ORACLE = {
     "v_crossmodal_filter": V_CROSSMODAL_SQL,
     "c_vocab_topk": C_VOCAB_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-line removal (CCNet paragraph-hash / RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+
+# The fixture corpus has no newlines, so the query materializes a "lined"
+# view first: a line break after every 3rd word (non-overlapping regex
+# replace, identical left-to-right semantics in Java regex and RE2).
+_LINE_RE_SPARK = r"(\S+ \S+ \S+) "
+
+
+def c_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-line removal over a line-structured view
+    of documents: any 3-word line occurring in >= 2 distinct docs is
+    scrubbed; docs are rebuilt in original line order."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", _LINE_RE_SPARK, "$1\n")
+    )
+    out = CU.duplicate_line_removal(d)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_removed",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("bigint").alias("new_len"),
+    )
+
+
+C_LINE_DEDUP_SQL = r"""
+WITH lined AS (
+  SELECT doc_id, source,
+         regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM lined
+), keyed AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS k FROM lines
+), dup_keys AS (
+  SELECT k FROM (SELECT k, COUNT(DISTINCT doc_id) AS df FROM keyed GROUP BY k)
+  WHERE df >= 2
+), kept AS (
+  SELECT doc_id, pos, line FROM keyed WHERE k NOT IN (SELECT k FROM dup_keys)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS new_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id, l.source,
+       CAST(len(string_split(l.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(l.text, chr(10))) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(r.new_text, '')) AS text_md5,
+       CAST(length(COALESCE(r.new_text, '')) AS BIGINT) AS new_len
+FROM lined l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
+"""
+
+QUERIES["c_line_dedup"] = c_line_dedup
+ORACLE["c_line_dedup"] = C_LINE_DEDUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Merge / upsert (CDC delta application)
+# ---------------------------------------------------------------------------
+
+
+def c_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC-style delta to orders: every key % 97 == 0 is an update
+    (price bump), every key % 193 == 0 arrives as a brand-new order id.
+    Returns a per-status rollup of the merged table (count + exact decimal
+    price sum) so the oracle pins both match arms and the insert arm."""
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    inserts = o.filter(F.col("o_orderkey") % 193 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+    )
+    merged = CU.merge_upsert(o, updates.unionByName(inserts), "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("total_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+C_UPSERT_SQL = """
+WITH delta AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 193 = 0
+), merged AS (
+  SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+         COALESCE(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+         COALESCE(d.o_totalprice, b.o_totalprice) AS o_totalprice
+  FROM orders b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_price,
+       MAX(o_orderkey) AS max_key
+FROM merged GROUP BY o_orderstatus
+"""
+
+QUERIES["c_upsert"] = c_upsert
+ORACLE["c_upsert"] = C_UPSERT_SQL

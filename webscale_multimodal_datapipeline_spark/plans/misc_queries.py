@@ -258,3 +258,62 @@ ORACLE = {
     "x_rank_distributions": X_RANKS_SQL,
     "x_levenshtein_near_names": X_LEV_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key — lakehouse layout-optimization math
+# ---------------------------------------------------------------------------
+
+
+def x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-interleaved key over (l_partkey % 256, l_suppkey % 256), plus
+    per-range-bucket extents: within each of 16 key ranges, BOTH columns'
+    min/max spans are narrow — the property parquet min/max skipping needs.
+    The oracle pins the interleave math and the per-bucket extents."""
+    from webscale_multimodal_datapipeline_spark.operators.scale import (
+        zorder_key,
+        zorder_sql,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        (F.col("l_partkey") % 256).alias("px"),
+        (F.col("l_suppkey") % 256).alias("sy"),
+    ).withColumn("zkey", zorder_key(["px", "sy"], bits=8))
+    # deterministic range buckets (key space is 16 bits -> 4096 per bucket)
+    return (
+        keyed.withColumn("bucket", F.floor(F.col("zkey") / 4096).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax"),
+            F.min("px").alias("px_min"),
+            F.max("px").alias("px_max"),
+            F.min("sy").alias("sy_min"),
+            F.max("sy").alias("sy_max"),
+        )
+    )
+
+
+def _x_zorder_sql() -> str:
+    from webscale_multimodal_datapipeline_spark.operators.scale import zorder_sql
+
+    z = zorder_sql(["px", "sy"], bits=8)
+    return f"""
+WITH keyed AS (
+  SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sy
+  FROM lineitem
+), z AS (
+  SELECT px, sy, {z} AS zkey FROM keyed
+)
+SELECT CAST(zkey // 4096 AS INT) AS bucket, COUNT(*) AS n,
+       MIN(zkey) AS zmin, MAX(zkey) AS zmax,
+       MIN(px) AS px_min, MAX(px) AS px_max,
+       MIN(sy) AS sy_min, MAX(sy) AS sy_max
+FROM z GROUP BY 1
+"""
+
+
+QUERIES["x_zorder_key"] = x_zorder_key
+ORACLE["x_zorder_key"] = _x_zorder_sql()

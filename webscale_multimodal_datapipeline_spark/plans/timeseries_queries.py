@@ -121,14 +121,125 @@ GROUP BY user_id
 """
 
 
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + forward-fill (the hypertable ``time_bucket_gapfill`` +
+    ``locf`` shape): build an hour spine per user with ``sequence()``,
+    left-join the hourly rollup, and carry the last observed value across
+    the gaps. ``user_id < 10`` bounds the oracle result; the plan is
+    per-user partitioned — the spine explode is narrow off a tiny bounds
+    table and the fill window shuffles once on ``user_id`` (no global
+    sort), so the shape survives a 1000-user → 100M-user scale-up.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    j = spine.join(hourly, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        F.col("n").isNull().alias("is_gap"),
+        F.round(F.last("v", ignorenulls=True).over(w), 4)
+        .cast("double")
+        .alias("filled_value"),
+    )
+
+
+TS_GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v, COUNT(*) AS n
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM hourly GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+)
+SELECT s.user_id,
+       strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hr,
+       h.n IS NULL AS is_gap,
+       CAST(ROUND(LAST_VALUE(h.v IGNORE NULLS) OVER (
+            PARTITION BY s.user_id ORDER BY s.hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+         AS filled_value
+FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
+"""
+
+
+def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling aggregate per event_type over the daily
+    rollup — a RANGE-framed window (``rangeBetween(-6, 0)`` over the day
+    number), so missing days genuinely shrink the frame (a ROWS frame
+    would silently look further back across gaps).
+
+    Scale shape: the window runs over the ~60x-reduced daily rollup, not
+    raw events, and partitions by event_type — no global sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("v"), F.count(F.lit(1)).alias("n"))
+    dn = F.datediff("day", F.lit("2024-01-01"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(dn)
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.sum("v").over(w), 4).cast("double").alias("sum_7d"),
+        F.sum("n").over(w).cast("bigint").alias("n_7d"),
+    )
+
+
+TS_MOVING_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(ROUND(SUM(v) OVER w, 4) AS DOUBLE) AS sum_7d,
+       CAST(SUM(n) OVER w AS BIGINT) AS n_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY datediff('day', DATE '2024-01-01', day)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "ts_rollup_ladder": ts_rollup_ladder,
     "ts_range_join": ts_range_join,
     "ts_event_gaps": ts_event_gaps,
+    "ts_gap_fill": ts_gap_fill,
+    "ts_moving_avg": ts_moving_avg,
 }
 
 ORACLE = {
     "ts_rollup_ladder": TS_ROLLUP_SQL,
     "ts_range_join": TS_RANGE_SQL,
     "ts_event_gaps": TS_GAPS_SQL,
+    "ts_gap_fill": TS_GAP_FILL_SQL,
+    "ts_moving_avg": TS_MOVING_SQL,
 }

@@ -209,3 +209,77 @@ ORACLE = {
     "v_lsh_topk": V_LSH_TOPK_SQL,
     # v_kmeans_clusters: iterative — rows-only check by design.
 }
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (4x storage cut for the ANN index tier)
+# ---------------------------------------------------------------------------
+
+
+def v_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale) — the standard storage layout for a
+    billion-vector ANN index (4x smaller than float32, dot products stay
+    SIMD-friendly). Pure codegen'd array expressions, zero UDF/shuffle;
+    the int codes compare exactly cross-engine (joined to CSV because the
+    driver hashes scalar columns), the reconstruction error pins the
+    dequantization math."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    base = (
+        e.withColumn("scale", mx.cast("double") / F.lit(127.0))
+        .filter(F.col("scale") > 0)
+        # materialize the codes once and derive the error from them (the
+        # error of the *stored* codes is the semantically right quantity)
+        .withColumn(
+            "q",
+            F.transform(
+                "embedding", lambda x: F.round(x / F.col("scale")).cast("int")
+            ),
+        )
+        # err must be materialized BEFORE the output select: that select
+        # re-aliases round(scale, 6) under the same name "scale", and an
+        # unresolved F.col("scale") inside a sibling lambda would bind to
+        # the ROUNDED value (name shadowing), skewing the error by up to
+        # 5e-7 per code unit.
+        .withColumn(
+            "_err",
+            F.array_max(
+                F.zip_with(
+                    "embedding",
+                    "q",
+                    lambda x, qi: F.abs(x - qi.cast("double") * F.col("scale")),
+                )
+            ),
+        )
+    )
+    return base.select(
+        "vec_id",
+        "label",
+        F.array_join(
+            F.transform("q", lambda v: v.cast("string")), ","
+        ).alias("q_csv"),
+        F.round("scale", 6).cast("double").alias("scale"),
+        F.round("_err", 6).cast("double").alias("max_err"),
+    )
+
+
+V_QUANT_SQL = """
+WITH s AS (
+  SELECT vec_id, label, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
+           AS scale
+  FROM embeddings
+)
+SELECT vec_id, label,
+       array_to_string(
+         list_transform(embedding, x -> CAST(round(x / scale) AS INT)), ','
+       ) AS q_csv,
+       CAST(ROUND(scale, 6) AS DOUBLE) AS scale,
+       CAST(ROUND(list_max(list_transform(embedding,
+            x -> abs(x - round(x / scale) * scale))), 6) AS DOUBLE) AS max_err
+FROM s WHERE scale > 0
+"""
+
+QUERIES["v_quantize_int8"] = v_quantize_int8
+ORACLE["v_quantize_int8"] = V_QUANT_SQL
