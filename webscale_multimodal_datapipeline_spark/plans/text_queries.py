@@ -460,3 +460,139 @@ T_CLASSIFIER_SQL = _quality_classifier_sql()
 
 QUERIES["t_quality_classifier"] = t_quality_classifier
 ORACLE["t_quality_classifier"] = T_CLASSIFIER_SQL
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (search-index / keyword-extraction shape)
+# ---------------------------------------------------------------------------
+
+
+def t_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document, ranked by (tf DESC,
+    df ASC, term) — the tf-idf ordering with the idf monotonicity made
+    exact-integer (no float log in the ranking, so the oracle pins it
+    bit-for-bit).
+
+    Plan shape: explode → (doc, term) counts → term document-frequency
+    (partial-agg combinable) joined back — the DF table is vocabulary-
+    sized, broadcastable at any corpus scale — → per-doc top-k window
+    over ≤ tokens/doc rows."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text("text"), clean=True)).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+T_TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 3
+"""
+
+QUERIES["t_tfidf_topterms"] = t_tfidf_topterms
+ORACLE["t_tfidf_topterms"] = T_TFIDF_SQL
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-encoded tokenization (vocab broadcast -> id sequences)
+# ---------------------------------------------------------------------------
+
+
+def t_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id sequences: build a deterministic vocabulary (term →
+    dense id by (count DESC, term)), broadcast it, and re-encode every
+    document as its id sequence in original token order (OOV → -1 —
+    here only when a vocab cap is applied).
+
+    The tokenizer-encode step every training pipeline runs before
+    packing; the vocab is vocabulary-sized (broadcast), the re-encode is
+    one narrow posexplode + broadcast join + ordered re-collect.
+
+    Scale note: the id-assigning ``row_number`` runs over the AGGREGATED
+    vocab table (named-language vocabularies are bounded — ~1e6 rows —
+    regardless of corpus size), not the corpus; that single-partition
+    sort is deliberate and tiny, unlike an unpartitioned window over
+    data-sized input."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(TX.tokens(TX.normalize_text("text"), clean=True)).alias(
+            "pos", "term"
+        ),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "tok_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+            .cast("int"),
+        )
+    )
+    encoded = (
+        toks.join(F.broadcast(vocab.select("term", "tok_id")), "term", "left")
+        .withColumn("tok_id", F.coalesce("tok_id", F.lit(-1)))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                    lambda s: s["tok_id"].cast("string"),
+                ),
+                ",",
+            ).alias("ids_csv"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return encoded.select("doc_id", "ids_csv", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+
+
+T_TOKENIZE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.term, t.pos FROM (
+    SELECT doc_id,
+           unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS term,
+           generate_subscripts({OQ.sql_tokens(OQ.sql_norm('text'))}, 1) AS pos
+    FROM documents
+  ) AS t(doc_id, term, pos)
+), vocab AS (
+  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term ASC) AS INT) AS tok_id
+  FROM toks GROUP BY term
+)
+SELECT toks.doc_id,
+       string_agg(CAST(COALESCE(vocab.tok_id, -1) AS VARCHAR), ',' ORDER BY toks.pos) AS ids_csv,
+       COUNT(*) AS n_tokens
+FROM toks LEFT JOIN vocab USING (term)
+GROUP BY toks.doc_id
+"""
+
+QUERIES["t_tokenize_ids"] = t_tokenize_ids
+ORACLE["t_tokenize_ids"] = T_TOKENIZE_SQL
