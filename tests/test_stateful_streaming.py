@@ -87,3 +87,47 @@ def test_stateful_seen_filter_one_winner_per_key(spark, sf_dir, multi_file_event
         .count()
     )
     assert len(keys) == n_keys
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, sf_dir, multi_file_events):
+    """Spark 4 transformWithStateInPandas agrees with the
+    applyInPandasWithState op on final cumulative totals (RocksDB state
+    store, state crossing micro-batches).
+
+    Capability-gated: the TransformWithState Python driver worker speaks
+    protobuf to the JVM; without the ``google.protobuf`` package the
+    runner crashes at init, so this skips where protobuf is absent (the
+    ``applyInPandasWithState`` tests above cover the stateful semantics
+    either way)."""
+    pytest.importorskip("google.protobuf")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        st = _stream(spark, multi_file_events)
+        SP.run_stream_to_memory(ST.running_user_totals_tws(st), "tws_tot", "update")
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql(
+                "SELECT user_id, MAX(n_events) n_events, MAX(total_value) total_value"
+                " FROM tws_tot GROUP BY user_id"
+            ).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        want = {
+            r.user_id: (r.n, r.tv)
+            for r in ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k, (n, tv) in want.items():
+            assert got[k][0] == n
+            assert abs(got[k][1] - tv) < 1e-6
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -119,3 +119,57 @@ def stateful_seen_filter(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas form (Spark 4 successor API): typed state
+# handles + timers + per-key TTL, RocksDB-backed. Same semantics as
+# running_user_totals, expressed as a StatefulProcessor.
+# ---------------------------------------------------------------------------
+
+
+class RunningTotalsProcessor:
+    """Per-user cumulative counters with a typed ValueState handle.
+
+    Subclasses ``StatefulProcessor`` lazily (import at class-build time
+    would make this module require Spark 4 everywhere)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", RUNNING_STATE)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = self._state.get() if self._state.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``running_user_totals`` on the Spark 4 ``transformWithStateInPandas``
+    API — typed state handles instead of a monolithic state tuple; the
+    state store must be RocksDB
+    (``spark.sql.streaming.stateStore.providerClass``).
+
+    Capability-gated: the TransformWithState Python driver worker requires
+    the ``google.protobuf`` package at runtime (crashes at init without
+    it); ``running_user_totals`` is the dependency-free equivalent."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    proc_cls = type(
+        "RunningTotalsStatefulProcessor",
+        (RunningTotalsProcessor, StatefulProcessor),
+        {},
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(),
+        outputStructType=RUNNING_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
