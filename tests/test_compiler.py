@@ -179,3 +179,32 @@ def test_scrub_pipeline_yaml_ops(spark, sf_dir):
         assert c in out.columns
     rows = out.limit(5).collect()
     assert all(r["clf_keep"] for r in rows)
+
+
+def test_pack_pipeline_yaml_end_to_end(spark, sf_dir):
+    """Line-scrub -> filter -> dedup -> sequence-pack YAML pipeline: every
+    output row carries pack coordinates and per-sequence budgets hold."""
+    from webscale_multimodal_datapipeline_spark.compiler import compile_pipeline
+    from webscale_multimodal_datapipeline_spark.operators.curation import PACK_BUDGET
+
+    plan = compile_pipeline("/root/repo/examples/pack_pipeline.yaml")
+    out = plan.run(spark, sf_dir).output
+    assert {"pack_bucket", "seq_id", "n_tokens"} <= set(out.columns)
+    # greedy-chunking invariant: a doc belongs to the sequence its first
+    # token lands in, so everything EXCEPT a sequence's last doc must fit
+    # strictly inside one budget window (the last doc may straddle out)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("pack_bucket", "seq_id").orderBy(F.desc("doc_id"))
+    seqs = (
+        out.withColumn("_r", F.row_number().over(w))
+        .groupBy("pack_bucket", "seq_id")
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            F.sum(F.when(F.col("_r") > 1, F.col("n_tokens")).otherwise(0)).alias(
+                "tot_wo_last"
+            ),
+        )
+    )
+    assert seqs.filter(F.col("tot_wo_last") >= PACK_BUDGET).count() == 0
+    assert out.count() > 0

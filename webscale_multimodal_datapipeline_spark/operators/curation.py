@@ -330,6 +330,12 @@ def duplicate_line_removal(
     )
 
 
+def duplicate_line_removal_op(**kw) -> LambdaOperator:
+    return LambdaOperator(
+        "duplicate_line_removal", lambda df: duplicate_line_removal(df, **kw), "refiner"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Merge / upsert (CDC-style delta application)
 # ---------------------------------------------------------------------------

@@ -113,3 +113,19 @@ from webscale_multimodal_datapipeline_spark.operators.base import FilterOperator
 register("pii_redact_refiner", _pii_redact_refiner)
 register("quality_classifier_filter", _quality_classifier_filter)
 register("quality_classifier_refiner", _quality_classifier_refiner)
+
+
+def _duplicate_line_removal(**kw):
+    from webscale_multimodal_datapipeline_spark.operators import curation as _CU
+
+    return _CU.duplicate_line_removal_op(**kw)
+
+
+def _sequence_pack(**kw):
+    from webscale_multimodal_datapipeline_spark.operators import curation as _CU
+
+    return _CU.sequence_pack_op(**kw)
+
+
+register("duplicate_line_removal", _duplicate_line_removal)
+register("sequence_pack", _sequence_pack)
