@@ -156,3 +156,37 @@ def test_zorder_layout_clusters_both_columns(spark, sf_dir):
         f"SELECT {zorder_sql(['px','sy'])} AS z FROM (SELECT 3 AS px, 5 AS sy)"
     ).fetchone()[0]
     assert k == kd == 0b100111  # x bits at even positions, y at odd
+
+
+def test_star_join_dimensions_broadcast(spark, sf_dir):
+    """q3/q5's star shape must broadcast every dimension side — a plan
+    regression to sort-merge on a dimension would add full-table shuffles
+    that dominate at 100x scale."""
+    from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES
+
+    for name in ("q3_shipping_priority", "q5_region_revenue"):
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan[:800]}"
+        assert "SortMergeJoin" not in plan, f"{name}: dimension fell to SMJ"
+
+
+def test_lsh_dedup_shuffles_only_small_columns(spark, sf_dir):
+    """MinHash-LSH dedup must never shuffle document text with the band
+    keys — the (id, band) projection is what makes the plan survive
+    100 TB; text is re-joined by id only for candidate verification."""
+    from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES
+
+    plan = (
+        QUERIES["d_minhash_lsh_dedup"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the explode of band keys must sit above a projection without `text`
+    import re
+
+    m = re.search(r"Generate explode[^\n]*\n(.*?)Relation", plan, re.S)
+    assert m, plan[:500]
+    assert "text" not in m.group(1).split("Project")[1].split("\n")[0], (
+        "band explode carries text into the shuffle"
+    )

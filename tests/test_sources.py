@@ -163,3 +163,42 @@ def test_html_extract_len_udf_matches_function(spark):
     got = [r["n"] for r in df.select(html_extract_len_udf()("html").alias("n")).collect()]
     want = [(html_extract_text(s) or ("", "", 0))[2] for s in samples]
     assert got == want
+
+
+def test_jsonl_and_csv_sinks_round_trip(spark, sf_dir, tmp_path):
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+    from webscale_multimodal_datapipeline_spark.sources import sinks
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    jp, cp = str(tmp_path / "j"), str(tmp_path / "c")
+    sinks.write_jsonl(d, jp)
+    back = spark.read.json(jp)
+    assert back.count() == d.count()
+    assert set(back.columns) == set(d.columns)
+    sinks.write_csv(d, cp)
+    back_csv = spark.read.option("header", "true").csv(cp, inferSchema=True)
+    assert back_csv.count() == d.count()
+    # nested columns are rejected loudly
+    import pytest as _pt
+
+    nested = d.withColumn("arr", F.array(F.lit(1)))
+    with _pt.raises(ValueError, match="nested"):
+        sinks.write_csv(nested, str(tmp_path / "c2"))
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    import os
+
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+    from webscale_multimodal_datapipeline_spark.sources import sinks
+
+    d = load_table(spark, sf_dir, "documents")
+    frag, out = str(tmp_path / "frag"), str(tmp_path / "compact")
+    d.repartition(37).write.parquet(frag)  # simulate small-files buildup
+    n_in = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_in == 37
+    n_files = sinks.compact_parquet(spark, frag, out, target_rows_per_file=10**6)
+    assert n_files == 1
+    n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_out == 1
+    assert spark.read.parquet(out).count() == d.count()

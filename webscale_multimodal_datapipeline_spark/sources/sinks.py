@@ -88,3 +88,59 @@ def write_iceberg(df: DataFrame, table: str) -> None:
             "and retry. Parquet sink (write_parquet) is the supported path here."
         )
     df.writeTo(table).append()
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "append", compression: str | None = "gzip") -> None:
+    """JSONL sink (the interchange format HF datasets / most curation
+    tooling consume). One JSON object per line per row; binary columns
+    are base64 (Spark's JSON writer convention)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "append", header: bool = True
+) -> None:
+    """CSV sink for flat exports; nested/array columns must be projected
+    or serialized first (CSV is flat by definition — fail loudly rather
+    than silently stringify)."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        raise ValueError(
+            f"CSV cannot represent nested columns {bad}; project or to_json them first"
+        )
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``ceil(rows / target)`` evenly-sized files. The operational fix for
+    streaming/append sinks that accumulate thousands of tiny parts (each
+    part costs a task + a footer read downstream).
+
+    Row-count-based sizing keeps this a metadata-cheap two-pass job:
+    ``count()`` reads footers only, and the rewrite is one narrow
+    ``repartition``. Returns the number of output files written.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).parquet(out_path)
+    return n_files
