@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) — random-input parity between the
+Spark column expressions and plain-Python reference models.
+
+The reference's test strategy is differential (Python vs Rust, SURVEY §5)
+but example-based only; these add randomized coverage over the ASCII
+domain, where Java regex and Python ``re`` agree on ``\\s``/``\\d``/``\\b``
+semantics (each example is a BATCH of strings -> one Spark job, keeping
+runtime bounded)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.functions import pii as PII
+from webscale_multimodal_datapipeline_spark.functions import text as TX
+
+# printable ASCII + the whitespace set where Python re and Java regex agree
+_ALPHABET = st.sampled_from(
+    list("abcdefghijkXYZ0189 \t\n\r\f\v.,!?#@-_%+:/()'\"")
+)
+_TEXTS = st.lists(st.text(_ALPHABET, max_size=120), min_size=1, max_size=40)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _run(spark, texts, col):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [r.v for r in df.select(col.alias("v")).collect()]
+
+
+@given(texts=_TEXTS)
+@settings(**_SETTINGS)
+def test_tokens_and_count_match_python_split(spark, texts):
+    got_toks = _run(spark, texts, TX.tokens("text"))
+    got_counts = _run(spark, texts, TX.token_count("text"))
+    for t, toks, n in zip(texts, got_toks, got_counts):
+        assert list(toks) == t.split(), repr(t)
+        assert n == len(t.split()), repr(t)
+
+
+@given(texts=_TEXTS)
+@settings(**_SETTINGS)
+def test_normalize_text_matches_python(spark, texts):
+    got = _run(spark, texts, TX.normalize_text("text"))
+    for t, g in zip(texts, got):
+        assert g == " ".join(t.split()).lower(), repr(t)
+
+
+@given(texts=_TEXTS)
+@settings(**_SETTINGS)
+def test_mean_word_length_matches_python(spark, texts):
+    got = _run(spark, texts, TX.mean_word_length("text"))
+    for t, g in zip(texts, got):
+        toks = t.split()
+        want = (sum(len(w) for w in toks) / len(toks)) if toks else 0.0
+        assert g == pytest.approx(want, abs=1e-12), repr(t)
+
+
+_PII_BITS = st.sampled_from(
+    [
+        "contact bob@example.com now",
+        "10.0.0.1",
+        "555-123-4567",
+        "+1 555 1234",
+        "no pii here",
+        "a@b.io and 192.168.300.5",
+        "999.999.999.999",
+        "x",
+        " ",
+    ]
+)
+
+
+@given(texts=st.lists(st.lists(_PII_BITS, min_size=1, max_size=5), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_pii_redaction_matches_python_re(spark, texts):
+    joined = [" ".join(parts) for parts in texts]
+    got = _run(spark, joined, PII.redact_pii("text"))
+    counts = {
+        kind: _run(spark, joined, PII.pii_counts("text")[f"n_{kind}"])
+        for kind, _, _ in PII.PII_PATTERNS
+    }
+    for i, t in enumerate(joined):
+        want = t
+        for _, pat, token in PII.PII_PATTERNS:
+            want = re.sub(pat, token, want)
+        assert got[i] == want, repr(t)
+        for kind, pat, _ in PII.PII_PATTERNS:
+            assert counts[kind][i] == len(re.findall(pat, t)), (kind, t)
+
+
+@given(texts=_TEXTS)
+@settings(**_SETTINGS)
+def test_md5_long_matches_python_hashlib(spark, texts):
+    import hashlib
+
+    got = _run(spark, texts, TX.md5_long("text"))
+    for t, g in zip(texts, got):
+        want = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        assert g == want, repr(t)
