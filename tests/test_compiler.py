@@ -208,3 +208,23 @@ def test_pack_pipeline_yaml_end_to_end(spark, sf_dir):
     )
     assert seqs.filter(F.col("tot_wo_last") >= PACK_BUDGET).count() == 0
     assert out.count() > 0
+
+
+def test_stage_partitions_knob(spark, sf_dir):
+    """stages[].partitions repartitions at stage entry (the per-stage
+    replica-count knob, declaratively)."""
+    from webscale_multimodal_datapipeline_spark.compiler import compile_pipeline
+
+    cfg = {
+        "data_loader": {"table": "documents"},
+        "stages": [
+            {
+                "name": "s",
+                "partitions": 7,
+                "operators": [{"type": "text_stats_refiner"}],
+            }
+        ],
+    }
+    out = compile_pipeline(cfg).run(spark, sf_dir, observe_metrics=False).output
+    assert out.rdd.getNumPartitions() == 7
+    assert out.count() > 0

@@ -15,6 +15,7 @@ data_writer`` with snake_case operator names resolved via the registry,
       max_samples: 100000         # optional → df.limit
     stages:
       - name: filter_stage
+        partitions: 64              # optional repartition at stage entry
         operators:
           - type: text_length_filter
             params: {min_length: 100, max_length: 400}
@@ -57,6 +58,10 @@ from webscale_multimodal_datapipeline_spark.operators.registry import create as 
 class StageConfig:
     name: str
     operators: list[Operator]
+    # Optional repartition width at stage entry — the declarative analog of
+    # the reference's per-stage worker replica count (``config.py:31-65``):
+    # widen ahead of heavy UDF stages, narrow before a coalesced write.
+    partitions: int | None = None
 
 
 @dataclass
@@ -74,7 +79,13 @@ class PipelineConfig:
                 create_operator(o["type"], **o.get("params", {}))
                 for o in s.get("operators", [])
             ]
-            stages.append(StageConfig(name=s.get("name", f"stage_{len(stages)}"), operators=ops))
+            stages.append(
+                StageConfig(
+                    name=s.get("name", f"stage_{len(stages)}"),
+                    operators=ops,
+                    partitions=int(s["partitions"]) if s.get("partitions") else None,
+                )
+            )
         return cls(
             loader=cfg.get("data_loader", {}),
             stages=stages,
@@ -249,6 +260,8 @@ class Pipeline:
         rejected_parts: list[DataFrame] = []
 
         for stage in self.config.stages:
+            if stage.partitions:
+                df = df.repartition(stage.partitions)
             ops = _hoist_filters(stage.operators, set(df.columns))
             for op in ops:
                 if self.config.collect_rejected:

@@ -317,3 +317,85 @@ FROM z GROUP BY 1
 
 QUERIES["x_zorder_key"] = x_zorder_key
 ORACLE["x_zorder_key"] = _x_zorder_sql()
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD per group)
+# ---------------------------------------------------------------------------
+
+
+def x_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority robust outlier count on order totals: median + MAD
+    (median absolute deviation), then count rows beyond median ± 3·MAD —
+    the heavy-tail-safe alternative to mean/stddev flagging.
+
+    Two grouped exact-percentile aggregations (partial-merge sketch-free;
+    at 100 TB swap `percentile` for `percentile_approx` and accept the
+    documented rank error — same plan shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .withColumn("_adev", F.abs(F.col("o_totalprice") - F.col("med")))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(_adev, 0.5)").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    out = (
+        o.join(
+            F.broadcast(dev.select("o_orderpriority", "med", "mad")),
+            "o_orderpriority",
+        )
+        .withColumn(
+            "_is_out",
+            (
+                F.abs(F.col("o_totalprice") - F.col("med"))
+                > F.lit(3.0) * F.col("mad")
+            ).cast("int"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("_is_out").alias("n_outliers"))
+    )
+    return (
+        dev.join(out, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.round("med", 6).cast("double").alias("med"),
+            F.round("mad", 6).cast("double").alias("mad"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+X_MAD_SQL = """
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY 1
+), dev AS (
+  SELECT o.o_orderpriority, ANY_VALUE(m.med) AS med,
+         quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad,
+         COUNT(*) AS n
+  FROM orders o JOIN med m USING (o_orderpriority)
+  GROUP BY 1
+), outl AS (
+  SELECT o.o_orderpriority,
+         SUM(CASE WHEN abs(o.o_totalprice - d.med) > 3.0 * d.mad THEN 1 ELSE 0 END) AS n_outliers
+  FROM orders o JOIN dev d USING (o_orderpriority)
+  GROUP BY 1
+)
+SELECT d.o_orderpriority,
+       CAST(ROUND(d.med, 6) AS DOUBLE) AS med,
+       CAST(ROUND(d.mad, 6) AS DOUBLE) AS mad,
+       CAST(d.n AS BIGINT) AS n,
+       CAST(o.n_outliers AS BIGINT) AS n_outliers
+FROM dev d JOIN outl o USING (o_orderpriority)
+"""
+
+QUERIES["x_mad_outliers"] = x_mad_outliers
+ORACLE["x_mad_outliers"] = X_MAD_SQL

@@ -596,3 +596,53 @@ GROUP BY toks.doc_id
 
 QUERIES["t_tokenize_ids"] = t_tokenize_ids
 ORACLE["t_tokenize_ids"] = T_TOKENIZE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (search-index posting lists)
+# ---------------------------------------------------------------------------
+
+
+def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists for mid-frequency terms (5 <= df <= 50): term →
+    ordered doc-id list — the search-index build as one explode + two
+    groupBys; posting lists stay bounded because high-df stopword-ish
+    terms are excluded up front (the classic index-build guard)."""
+    d = load_table(spark, sf_dir, "documents")
+    postings = (
+        d.select(
+            "doc_id",
+            F.explode(TX.tokens(TX.normalize_text("text"), clean=True)).alias(
+                "term"
+            ),
+        )
+        .distinct()
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d_: d_.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+    return postings.filter(F.col("df").between(5, 50)).select(
+        "term", F.col("df").cast("bigint").alias("df"), "postings"
+    )
+
+
+T_INVIDX_SQL = f"""
+WITH terms AS (
+  SELECT DISTINCT doc_id, unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM terms GROUP BY term HAVING COUNT(*) BETWEEN 5 AND 50
+"""
+
+QUERIES["t_inverted_index"] = t_inverted_index
+ORACLE["t_inverted_index"] = T_INVIDX_SQL
