@@ -90,16 +90,26 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     big = big.repartition(ncpu * 2).persist()
     n = big.count()  # materialize once; ops then measure pure operator cost
-    # spin up executor Python workers before any UDF-backed measurement
+    # spin up executor Python workers before any UDF-backed measurement —
+    # BOTH kernel entry points, so each lane's cold-start (numpy import +
+    # kernel state per worker) lands here and not in a timed run
     big.limit(1000).select(OD.simhash_fast_udf(OD.token_hashes("text"))).count()
+    OD.simhash_text_column(big, "text", "sh").count()
 
     out: dict[str, dict[str, float]] = {}
 
     def measure(name, df):
-        df.count()  # absorb per-plan codegen; report steady-state rec/s
-        t0 = _t.time()
-        kept = df.count()
-        dt = _t.time() - t0
+        # warm-up absorbs per-plan codegen; two timed runs with the min
+        # reported make the steady-state number robust to transient host
+        # noise (page-cache reclaim after a prior JVM, CPU contention) —
+        # observed to inflate a 1.7s lane to 26s on a freshly-released box.
+        df.count()
+        dt = float("inf")
+        kept = 0
+        for _ in range(2):
+            t0 = _t.time()
+            kept = df.count()
+            dt = min(dt, _t.time() - t0)
         out[name] = {
             "rows_in": n,
             "rows_out": kept,
@@ -200,10 +210,17 @@ def image_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     out: dict[str, dict[str, float]] = {}
 
     def measure(name, df):
-        df.count()  # absorb per-plan codegen; report steady-state rec/s
-        t0 = _t.time()
-        kept = df.count()
-        dt = _t.time() - t0
+        # warm-up absorbs per-plan codegen; two timed runs with the min
+        # reported make the steady-state number robust to transient host
+        # noise (page-cache reclaim after a prior JVM, CPU contention) —
+        # observed to inflate a 1.7s lane to 26s on a freshly-released box.
+        df.count()
+        dt = float("inf")
+        kept = 0
+        for _ in range(2):
+            t0 = _t.time()
+            kept = df.count()
+            dt = min(dt, _t.time() - t0)
         out[name] = {
             "rows_in": n,
             "rows_out": kept,
