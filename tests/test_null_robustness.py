@@ -1,0 +1,79 @@
+"""Null/empty-input robustness: every text-family operator must survive
+NULL text, empty strings, and whitespace-only rows without raising —
+web-crawl corpora contain all three in volume (the reference's operators
+guard per-record with try/except; here the guarantee must hold at the
+column-expression level)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    return spark.createDataFrame(
+        [
+            (1, None, None, None, None),
+            (2, "", "en", "src0", 0),
+            (3, "   \t\n  ", "es", None, 7),
+            (4, "normal text with words", "fr", "src1", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_text_functions_null_safe(spark, messy):
+    from webscale_multimodal_datapipeline_spark.functions import pii as PII
+    from webscale_multimodal_datapipeline_spark.functions import text as TX
+
+    out = messy.select(
+        "doc_id",
+        TX.tokens("text").alias("toks"),
+        TX.token_count("text").alias("tc"),
+        TX.normalize_text("text").alias("norm"),
+        TX.quality_score("text").alias("q"),
+        TX.lang_id("text").alias("lid"),
+        TX.mean_word_length("text").alias("mwl"),
+        TX.hashed_quality_clf("text")["clf_score"].alias("clf"),
+        PII.redact_pii("text").alias("red"),
+        TX.gopher_keep("text").alias("keep"),
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    # null text -> null-ish outputs, never an exception
+    assert rows[1].tc is None or rows[1].tc == 0
+    # empty + whitespace-only -> zero tokens
+    assert rows[2].tc == 0 and list(rows[2].toks) == []
+    assert rows[3].tc == 0 and list(rows[3].toks) == []
+    assert rows[3].mwl == 0.0
+    assert rows[4].tc == 4
+
+
+def test_operators_null_safe(spark, messy):
+    from webscale_multimodal_datapipeline_spark.operators.curation import (
+        duplicate_line_removal,
+        sequence_pack,
+    )
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        simhash,
+        text_exact_dedup,
+    )
+    from webscale_multimodal_datapipeline_spark.operators.filters import (
+        text_length_filter,
+        url_filter,
+    )
+
+    # filters: null text/source rows must not raise; null source passes (F1)
+    kept = url_filter(blocklist=("src1",)).apply(messy).collect()
+    assert 3 in {r.doc_id for r in kept}  # null source passes
+    assert 4 not in {r.doc_id for r in kept}  # blocklisted
+    n = text_length_filter(1, 100).apply(messy).count()
+    assert n >= 1
+    # dedup on messy input: no exception, row count preserved or reduced
+    assert 0 < text_exact_dedup().apply(messy).count() <= 4
+    assert messy.select(simhash("text")).count() == 4
+    # curation ops
+    out = duplicate_line_removal(messy.fillna({"text": ""})).collect()
+    assert len(out) == 4
+    packed = sequence_pack(messy.fillna({"text": ""}))
+    assert packed.count() == 4
