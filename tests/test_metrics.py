@@ -79,6 +79,8 @@ def test_html_report_render_and_cli(spark, sf_dir, tmp_path):
         "<h2>Bottlenecks</h2>",
         "<h2>Stages</h2>",
         "<h2>Run summary</h2>",
+        "<h2>Rejection flow</h2>",
+        "<h2>Waterfall</h2>",
         "text_length_filter",
         "text_stats_refiner",
         "curate",

@@ -196,3 +196,77 @@ def test_stream_static_dimension_join_matches_batch(spark, sf_dir, events_stream
     )
     want = {r.user_tier: r.n for r in batch.collect()}
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed counts must DROP a row that arrives after the
+    watermark has passed its window — the late-data contract that
+    distinguishes event-time streaming from batch re-aggregation.
+
+    File 1 carries the on-time rows plus a watermark-advancing event;
+    file 2 (strictly later mtime -> later micro-batch) carries a late row
+    whose event time is behind the advanced watermark."""
+    import os
+    import datetime as dt
+
+    from webscale_multimodal_datapipeline_spark.streaming import pipeline as SP
+
+    d = str(tmp_path / "late_stream")
+    os.makedirs(d)
+
+    def _write(name, rows, mtime):
+        # the file stream source lists FILES in the dir — stage the parquet
+        # part and move it in flat, with a controlled mtime so
+        # maxFilesPerTrigger=1 processes files in write order
+        import glob
+        import shutil
+
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+            " value double, props string",
+        )
+        stage = f"{d}_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        p = f"{d}/{name}.parquet"
+        shutil.move(part, p)
+        shutil.rmtree(stage)
+        os.utime(p, (mtime, mtime))
+        return p
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    adv = dt.datetime(2024, 3, 1, 15, 0, 0)  # watermark -> 13:00 (2h delay)
+    late = dt.datetime(2024, 3, 1, 10, 15, 0)  # < 13:00 -> must be dropped
+    p1 = _write(
+        "ev1",
+        [
+            (1, t0, 1, "click", 1.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=30), 1, "click", 1.0, "{}"),
+            (3, adv, 1, "click", 1.0, "{}"),
+        ],
+        1_000_000,
+    )
+    # the input-side watermark filter uses the PREVIOUS batch's watermark
+    # (global watermark lags one micro-batch), so the late row must arrive
+    # two batches after the advancing event to be genuinely dropped —
+    # batch 1 closes the 10:00 window, batch 2 faces wm=13:00 on input
+    _write("ev2", [(4, adv + dt.timedelta(minutes=30), 1, "click", 1.0, "{}")], 2_000_000)
+    _write("ev3", [(5, late, 1, "click", 1.0, "{}")], 3_000_000)
+
+    schema = SP.events_schema(spark, p1)
+    from webscale_multimodal_datapipeline_spark.catalog import normalize_events_ts
+
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    SP.run_stream_to_memory(
+        SP.windowed_counts(stream, "1 hour", "2 hours"), "late_out", "append"
+    )
+    got = {
+        r.window_start: r.n
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # the 10:00 window closed with exactly the two on-time rows; the late
+    # arrival in micro-batch 2 was discarded by the watermark
+    assert got[dt.datetime(2024, 3, 1, 10, 0, 0)] == 2, got

@@ -151,6 +151,50 @@ def render_html_report(operators: DataFrame, title: str = "Pipeline Report") -> 
         )
     )
 
+    # Rejection flow (reporter.py Sankey semantics as a table): every
+    # operator's drop count + share of total input — where rows went
+    total_in = max((r.total_input for r in funnel), default=0) or 1
+    drops = [
+        (r.stage_name, r.operator_name, r.total_input - r.total_output)
+        for r in funnel
+        if (r.total_input or 0) > (r.total_output or 0)
+    ]
+    parts.append("<h2>Rejection flow</h2>")
+    parts.append(
+        _table(
+            ["stage", "operator", "rejected", "share of input"],
+            [
+                [
+                    _esc(s),
+                    _esc(o),
+                    _fmt(d),
+                    _pass_bar(d / total_in),
+                ]
+                for s, o, d in sorted(drops, key=lambda x: -x[2])
+            ],
+            name_cols=2,
+        )
+    )
+
+    # Waterfall (reporter.py waterfall chart): surviving rows after each
+    # operator, in pipeline order
+    parts.append("<h2>Waterfall</h2>")
+    parts.append(
+        _table(
+            ["stage", "operator", "rows remaining", "of input"],
+            [
+                [
+                    _esc(r.stage_name),
+                    _esc(r.operator_name),
+                    _fmt(r.total_output),
+                    _pass_bar((r.total_output or 0) / total_in),
+                ]
+                for r in funnel
+            ],
+            name_cols=2,
+        )
+    )
+
     # Bottleneck (reporter.py:962): slowest operators first
     parts.append("<h2>Bottlenecks</h2>")
     parts.append(
