@@ -302,3 +302,38 @@ def test_connected_components_chain_diameter(spark):
     )
     got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {i: 0 for i in range(9)}
+
+
+def test_compression_ratio_parity_and_signal(spark):
+    """UDF matches the plain-Python model exactly, and the signal orders
+    repetitive text below prose-like text."""
+    import pytest
+
+    from webscale_multimodal_datapipeline_spark.operators.refiners import (
+        compression_ratio_py,
+        compression_ratio_refiner,
+    )
+
+    rows = [
+        (1, "spam " * 200),
+        (2, "the quick brown fox jumps over the lazy dog " * 5),
+        # non-repetitive high-entropy text (hex of distinct hashes)
+        (3, __import__("hashlib").sha256(b"x").hexdigest().join(
+            __import__("hashlib").sha256(str(i).encode()).hexdigest()
+            for i in range(6)
+        )),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.compression_ratio
+        for r in compression_ratio_refiner().apply(df).collect()
+    }
+    for i, t in rows:
+        want = compression_ratio_py(t)
+        if want is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(want, abs=1e-12)
+    assert got[1] < got[2] < got[3]  # repetition compresses best

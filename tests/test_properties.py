@@ -107,3 +107,59 @@ def test_md5_long_matches_python_hashlib(spark, texts):
     for t, g in zip(texts, got):
         want = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
         assert g == want, repr(t)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["spark", "data", "row", "scan", "agg", "x1", "y2"]), min_size=0, max_size=30),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_simhash_kernels_agree(spark, docs):
+    """SimHash lane contracts on random token streams: the SWAR fast UDF
+    is VALUE-identical to the SQL-HOF oracle spec (same md5 token hashes);
+    the Arrow text-direct lane is a different (faster, in-kernel) hash
+    family, so it is held to its semantic contract instead — determinism,
+    empty -> 0, and whitespace invariance."""
+    from webscale_multimodal_datapipeline_spark.operators import dedup as OD
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    sql_form = {
+        r.id: r.v
+        for r in df.select("id", OD.simhash("text").alias("v")).collect()
+    }
+    fast = {
+        r.id: r.v
+        for r in df.withColumn("_th", OD.token_hashes("text"))
+        .select("id", OD.simhash_fast_udf("_th").alias("v"))
+        .collect()
+    }
+    assert sql_form == fast
+    arrow = {
+        r.id: r.v
+        for r in OD.simhash_text_column(df, "text", "v").select("id", "v").collect()
+    }
+    # determinism + empty-doc convention
+    arrow2 = {
+        r.id: r.v
+        for r in OD.simhash_text_column(df, "text", "v").select("id", "v").collect()
+    }
+    assert arrow == arrow2
+    for i, t in enumerate(texts):
+        if not t.split():
+            assert arrow[i] == 0
+    # whitespace invariance: doubled separators must not change the hash
+    df_ws = spark.createDataFrame(
+        [(i, t.replace(" ", "  \t")) for i, t in enumerate(texts)],
+        "id long, text string",
+    )
+    arrow_ws = {
+        r.id: r.v
+        for r in OD.simhash_text_column(df_ws, "text", "v").select("id", "v").collect()
+    }
+    assert arrow_ws == arrow

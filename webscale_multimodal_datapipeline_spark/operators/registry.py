@@ -129,3 +129,12 @@ def _sequence_pack(**kw):
 
 register("duplicate_line_removal", _duplicate_line_removal)
 register("sequence_pack", _sequence_pack)
+
+
+def _compression_ratio_refiner(**kw):
+    from webscale_multimodal_datapipeline_spark.operators import refiners as _RF
+
+    return _RF.compression_ratio_refiner(**kw)
+
+
+register("compression_ratio_refiner", _compression_ratio_refiner)
