@@ -67,12 +67,17 @@ def test_html_report_render_and_cli(spark, sf_dir, tmp_path):
     plotly), via both the library call and the CLI subcommand."""
     from webscale_multimodal_datapipeline_spark import report as R
 
-    res = compile_pipeline(CFG).run(spark, sf_dir)
+    res = compile_pipeline({**CFG, "collect_rejected": True}).run(spark, sf_dir)
     res.output.count()
     M.write_metrics(res.metrics, str(tmp_path / "m"))
 
     ops = spark.read.parquet(str(tmp_path / "m" / "operators"))
-    out = R.write_html_report(ops, str(tmp_path / "report.html"))
+    out = R.write_html_report(
+        ops,
+        str(tmp_path / "report.html"),
+        rejected=res.rejected,
+        debug_samples_per_operator=5,
+    )
     html_text = open(out).read()
     for needle in (
         "<h2>Funnel</h2>",
@@ -81,6 +86,7 @@ def test_html_report_render_and_cli(spark, sf_dir, tmp_path):
         "<h2>Run summary</h2>",
         "<h2>Rejection flow</h2>",
         "<h2>Waterfall</h2>",
+        "<h2>Rejected samples (debug)</h2>",
         "text_length_filter",
         "text_stats_refiner",
         "curate",

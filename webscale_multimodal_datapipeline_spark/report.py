@@ -19,6 +19,7 @@ import html as _html
 import time
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from webscale_multimodal_datapipeline_spark.metrics import (
     bottleneck_report,
@@ -78,9 +79,20 @@ def _table(headers: list[str], rows: list[list[str]], name_cols: int = 1) -> str
     return f"<table><tr>{head}</tr>{body}</table>"
 
 
-def render_html_report(operators: DataFrame, title: str = "Pipeline Report") -> str:
+def render_html_report(
+    operators: DataFrame,
+    title: str = "Pipeline Report",
+    rejected: DataFrame | None = None,
+    debug_samples_per_operator: int = 20,
+) -> str:
     """Render the funnel / bottleneck / stage-rollup sections from the
-    operators metrics table (the ``operators_*.parquet`` shape)."""
+    operators metrics table (the ``operators_*.parquet`` shape).
+
+    ``rejected`` (the pipeline's rejected side-output) adds a debug
+    section with up to ``debug_samples_per_operator`` sample rows per
+    rejecting operator (reference ``config.py:120`` /
+    ``reporter.py:132-168`` semantics) — sampled with ONE partitioned
+    window pass, not a job per operator."""
     stages = stage_metrics_df(operators)
     runs = run_metrics_df(operators, stages).collect()
     funnel = funnel_report(operators).orderBy("first_seen", "stage_name").collect()
@@ -207,15 +219,65 @@ def render_html_report(operators: DataFrame, title: str = "Pipeline Report") -> 
         )
     )
 
+    # Rejected-sample debug section (reference reporter.py:132-168)
+    if rejected is not None and debug_samples_per_operator > 0:
+        from pyspark.sql import Window
+
+        from webscale_multimodal_datapipeline_spark.operators.base import (
+            REJECTION_COL,
+        )
+
+        w = Window.partitionBy(f"{REJECTION_COL}.operator").orderBy(
+            F.monotonically_increasing_id()
+        )
+        sampled = (
+            rejected.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= debug_samples_per_operator)
+            .drop("_rn")
+            .collect()
+        )
+        by_op: dict[str, list] = {}
+        for r in sampled:
+            det = r[REJECTION_COL]
+            by_op.setdefault(det["operator"], []).append((det["reason"], r))
+        parts.append("<h2>Rejected samples (debug)</h2>")
+        show_cols = [c for c in (rejected.columns) if c != REJECTION_COL][:6]
+        for op_name in sorted(by_op):
+            parts.append(f"<h3>{_esc(op_name)}</h3>")
+            parts.append(
+                _table(
+                    ["reason", *show_cols],
+                    [
+                        [
+                            _esc(reason),
+                            *[
+                                _esc(str(row[c])[:80]) if row[c] is not None else ""
+                                for c in show_cols
+                            ],
+                        ]
+                        for reason, row in by_op[op_name]
+                    ],
+                )
+            )
+
     parts.append("</body></html>")
     return "".join(parts)
 
 
 def write_html_report(
-    operators: DataFrame, path: str, title: str = "Pipeline Report"
+    operators: DataFrame,
+    path: str,
+    title: str = "Pipeline Report",
+    rejected: DataFrame | None = None,
+    debug_samples_per_operator: int = 20,
 ) -> str:
     """Render and write the report; returns the path."""
-    html_text = render_html_report(operators, title)
+    html_text = render_html_report(
+        operators,
+        title,
+        rejected=rejected,
+        debug_samples_per_operator=debug_samples_per_operator,
+    )
     with open(path, "w", encoding="utf-8") as f:
         f.write(html_text)
     return path
