@@ -131,18 +131,28 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         "lang_id_1m",
         big.select(TX.lang_id("text").alias("l")).filter(F.col("l") != "und"),
     )
-    # simhash_1m is the PRODUCTION default (text -> simhash in one Arrow
-    # batch pass); the md5 lane below keeps the cross-engine oracle spec
-    # honest (same SimHash semantics, DuckDB-reproducible md5 token hashes).
+    # simhash_1m is the PRODUCTION default: JVM-native xxhash64 token
+    # hashes + the SWAR vote kernel — stable ~400-500K rec/s. The md5 lane
+    # keeps the cross-engine oracle spec honest (same SimHash semantics,
+    # DuckDB-reproducible hashes); the Arrow text-direct lane below peaks
+    # higher (~750K) but is bimodal across processes (worker cold-start
+    # sensitivity), so it is reported separately rather than as the
+    # headline number.
     measure(
         "simhash_1m",
-        OD.simhash_text_column(big, "text", "sh").filter(F.col("sh") != 0),
+        big.withColumn("_th", OD.token_hashes("text", algo="xxhash64"))
+        .select(OD.simhash_fast_udf("_th").alias("sh"))
+        .filter(F.col("sh") != 0),
     )
     measure(
         "simhash_1m_md5_oracle",
         big.withColumn("_th", OD.token_hashes("text"))
         .select(OD.simhash_fast_udf("_th").alias("sh"))
         .filter(F.col("sh") != 0),
+    )
+    measure(
+        "simhash_1m_arrow",
+        OD.simhash_text_column(big, "text", "sh").filter(F.col("sh") != 0),
     )
     measure(
         "gopher_rules_1m",
@@ -163,14 +173,6 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     measure(
         "pii_redact_1m",
         big.select(PII.redact_pii("text").alias("r")).filter(F.length("r") > 0),
-    )
-    # production scale path: JVM-native xxhash64 token hashes (md5 lane
-    # above is the cross-engine oracle spec; same SimHash semantics)
-    measure(
-        "simhash_1m_xxhash",
-        big.withColumn("_th", OD.token_hashes("text", algo="xxhash64"))
-        .select(OD.simhash_fast_udf("_th").alias("sh"))
-        .filter(F.col("sh") != 0),
     )
     big.unpersist()
     return out

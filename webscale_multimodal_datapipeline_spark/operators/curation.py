@@ -312,13 +312,13 @@ def duplicate_line_removal(
         ).alias("_new_text"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    n_lines = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), sep)).alias("n_lines"),
-    )
+    # n_lines folds into the base projection (no self-join for it — the
+    # only join in the rebuild path is the id-keyed one against `rebuilt`)
     return (
-        df.drop(text_col)
-        .join(n_lines, id_col)
+        df.withColumn(
+            "n_lines", F.size(F.split(F.col(text_col), sep)).cast("bigint")
+        )
+        .drop(text_col)
         .join(rebuilt, id_col, "left")
         .withColumn(text_col, F.coalesce("_new_text", F.lit("")))
         .withColumn(
@@ -326,7 +326,6 @@ def duplicate_line_removal(
             (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).cast("bigint"),
         )
         .drop("_new_text", "_n_kept")
-        .withColumn("n_lines", F.col("n_lines").cast("bigint"))
     )
 
 

@@ -476,7 +476,10 @@ def t_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: explode → (doc, term) counts → term document-frequency
     (partial-agg combinable) joined back — the DF table is vocabulary-
     sized, broadcastable at any corpus scale — → per-doc top-k window
-    over ≤ tokens/doc rows."""
+    over ≤ tokens/doc rows. Both join sides derive from the tf aggregate,
+    so at 100 TB persist/checkpoint tf to make the explode+count pass run
+    once instead of twice (cheap here; the pass is the dominant cost at
+    scale)."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
