@@ -150,3 +150,24 @@ def test_audio_features_parity(spark):
         assert got[i].audio_zcr == pytest.approx(zcr, abs=1e-12)
         assert 0.0 <= zcr <= 1.0 and rms >= 0.0
     assert got[99].audio_rms == 0.0 and got[99].audio_duration_s == 0.0
+
+
+def test_dominant_color_parity_and_nulls(spark):
+    from webscale_multimodal_datapipeline_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc"), (3, "gamma")], "id long, text string"
+    ).withColumn("image_bytes", MM.fake_image_bytes("text"))
+    out = {r.id: r for r in MM.dominant_color_refiner().apply(df).collect()}
+    src = {r.id: bytes(r.image_bytes) for r in df.collect()}
+    for i, b in src.items():
+        want = MM.dominant_color_py(b)
+        got = (out[i].color_r, out[i].color_g, out[i].color_b)
+        assert got == want
+        assert all(0 <= v <= 255 for v in got)
+    # null payload -> null channels, no crash
+    nulls = spark.createDataFrame([(9,)], "id long").withColumn(
+        "image_bytes", F.lit(None).cast("binary")
+    )
+    r = MM.dominant_color_refiner().apply(nulls).first()
+    assert r.color_r is None and r.color_g is None and r.color_b is None

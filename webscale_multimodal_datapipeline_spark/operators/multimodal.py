@@ -560,3 +560,66 @@ audio_features_udf = audio_features_udf.asNondeterministic()
 image_metadata_udf = image_metadata_udf_for("fake")
 technical_quality_udf = technical_quality_udf_for("fake")
 phash_udf = phash_udf_for("fake")
+
+
+# ---------------------------------------------------------------------------
+# Dominant color (palette extraction over the byte grid; PIL path would
+# run the same argmax over real decoded pixels)
+# ---------------------------------------------------------------------------
+
+
+def dominant_color_py(b: bytes | None) -> tuple[int, int, int] | None:
+    """Parity spec: interpret the payload as RGB triples and return the
+    per-channel value of the modal 3-bit-quantized color bucket — the
+    thumbnail-palette trick real pipelines use for cheap color search."""
+    if b is None or len(b) < 3:
+        return None
+    import numpy as np
+
+    arr = np.frombuffer(b[: len(b) - len(b) % 3], dtype=np.uint8).reshape(-1, 3)
+    buckets = (arr >> 5).astype(np.int32)  # 3 bits/channel -> 512 buckets
+    keys = (buckets[:, 0] << 6) | (buckets[:, 1] << 3) | buckets[:, 2]
+    mode_key = np.bincount(keys, minlength=512).argmax()
+    members = arr[keys == mode_key]
+    mean = members.mean(axis=0)
+    return int(mean[0]), int(mean[1]), int(mean[2])
+
+
+_COLOR_SCHEMA = T.StructType(
+    [
+        T.StructField("color_r", T.IntegerType()),
+        T.StructField("color_g", T.IntegerType()),
+        T.StructField("color_b", T.IntegerType()),
+    ]
+)
+
+
+def dominant_color_udf():
+    @pandas_udf(_COLOR_SCHEMA)
+    def _color(data: pd.Series) -> pd.DataFrame:
+        rows = [
+            dominant_color_py(b) or (None, None, None) for b in data
+        ]
+        return pd.DataFrame(rows, columns=["color_r", "color_g", "color_b"]).astype(
+            "Int32"
+        )
+
+    return _color.asNondeterministic()
+
+
+def dominant_color_refiner(
+    bytes_col: str = "image_bytes", name: str = "dominant_color_refiner"
+):
+    """Adds color_r/g/b of the modal quantized color bucket."""
+    from webscale_multimodal_datapipeline_spark.operators.base import RefinerOperator
+
+    udf = dominant_color_udf()
+    struct = udf(F.col(bytes_col))
+    return RefinerOperator(
+        name,
+        {
+            "color_r": struct["color_r"],
+            "color_g": struct["color_g"],
+            "color_b": struct["color_b"],
+        },
+    )

@@ -202,3 +202,63 @@ ORACLE = {
     "e_first_event_dedup": E_FIRST_SQL,
     "e_funnel": E_FUNNEL_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (product-analytics staple; SURVEY §2.6 extension)
+# ---------------------------------------------------------------------------
+
+
+def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users cohorted by first-activity day,
+    counted by day-offset of each later active day. Two grouped
+    aggregations + a broadcast-size cohort map (distinct users is
+    bounded-small relative to events; at larger user counts the join
+    flips to a plain hash join on the same plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    return (
+        active.join(first_day, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"))
+        .pivot("day_offset", list(range(0, 7)))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "cohort",
+            *[
+                F.coalesce(F.col(str(i)), F.lit(0)).cast("bigint").alias(f"d{i}")
+                for i in range(0, 7)
+            ],
+        )
+    )
+
+
+E_RETENTION_SQL = """
+WITH first_day AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), offs AS (
+  SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+         datediff('day', f.cohort_day, a.day) AS day_offset
+  FROM active a JOIN first_day f USING (user_id)
+)
+SELECT cohort,
+       COUNT(*) FILTER (WHERE day_offset = 0) AS d0,
+       COUNT(*) FILTER (WHERE day_offset = 1) AS d1,
+       COUNT(*) FILTER (WHERE day_offset = 2) AS d2,
+       COUNT(*) FILTER (WHERE day_offset = 3) AS d3,
+       COUNT(*) FILTER (WHERE day_offset = 4) AS d4,
+       COUNT(*) FILTER (WHERE day_offset = 5) AS d5,
+       COUNT(*) FILTER (WHERE day_offset = 6) AS d6
+FROM offs GROUP BY cohort
+"""
+
+QUERIES["e_retention_cohorts"] = e_retention_cohorts
+ORACLE["e_retention_cohorts"] = E_RETENTION_SQL

@@ -399,3 +399,26 @@ FROM dev d JOIN outl o USING (o_orderpriority)
 
 QUERIES["x_mad_outliers"] = x_mad_outliers
 ORACLE["x_mad_outliers"] = X_MAD_SQL
+
+
+def x_segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set-op (completes the UNION/EXCEPT family): customers in
+    the top-balance quartile who ALSO placed an urgent-priority order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return rich.intersect(urgent)
+
+
+X_INTERSECT_SQL = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+QUERIES["x_segment_intersect"] = x_segment_intersect
+ORACLE["x_segment_intersect"] = X_INTERSECT_SQL
