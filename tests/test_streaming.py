@@ -270,3 +270,42 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window closed with exactly the two on-time rows; the late
     # arrival in micro-batch 2 was discarded by the watermark
     assert got[dt.datetime(2024, 3, 1, 10, 0, 0)] == 2, got
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Two-sided streaming join (clicks x purchases, 1h attribution
+    window) must equal the same join evaluated in batch."""
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+    from webscale_multimodal_datapipeline_spark.streaming import pipeline as SPL
+
+    ev_stream = SPL.read_events_stream(spark, sf_dir)
+    clicks_s = ev_stream.filter(F.col("event_type") == "click")
+    purch_s = ev_stream.filter(F.col("event_type") == "purchase")
+    joined = SPL.stream_stream_click_purchase_join(clicks_s, purch_s)
+    SPL.run_stream_to_memory(joined, "ssj_out")
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0

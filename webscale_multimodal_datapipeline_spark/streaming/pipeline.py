@@ -205,3 +205,44 @@ def enrich_with_dimension(
     (Refiners reading side tables) in streaming mode.
     """
     return events.join(F.broadcast(dim), key, "left")
+
+
+def stream_stream_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "2 hours",
+    max_gap: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks in the preceding ``max_gap`` — the event-attribution shape as
+    a true two-sided streaming join (state on BOTH sides, bounded by the
+    watermarks + the time-range predicate; without the range condition
+    Spark would have to keep unbounded state and rejects the plan in
+    append mode).
+
+    Batch parity: the same expression evaluated on static frames gives
+    the exact reference result (see tests).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+    )
