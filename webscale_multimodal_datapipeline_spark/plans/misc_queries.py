@@ -422,3 +422,57 @@ SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 
 QUERIES["x_segment_intersect"] = x_segment_intersect
 ORACLE["x_segment_intersect"] = X_INTERSECT_SQL
+
+
+def x_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total report: per-nation revenue and its share of the
+    grand total. The share window runs over the already-aggregated
+    25-row nation rollup (bounded by the nation dimension, not the data),
+    so the unpartitioned frame is deliberate and tiny."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("rev")
+        )
+    )
+    total = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round("rev", 4).cast("double").alias("revenue"),
+        F.round(
+            _dec(F.col("rev") / F.sum("rev").over(total) * 100), 4
+        )
+        .cast("double")
+        .alias("share_pct"),
+    )
+
+
+X_REVSHARE_SQL = """
+WITH rev AS (
+  SELECT n_name,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name,
+       CAST(ROUND(rev, 4) AS DOUBLE) AS revenue,
+       CAST(ROUND(CAST(rev / SUM(rev) OVER () * 100 AS DECIMAL(18,6)), 4) AS DOUBLE) AS share_pct
+FROM rev
+"""
+
+QUERIES["x_revenue_share"] = x_revenue_share
+ORACLE["x_revenue_share"] = X_REVSHARE_SQL
