@@ -311,6 +311,32 @@ def main() -> None:
     for name, m in tp.items():
         print(f"# {name}: {m['rec_per_sec']:.0f} rec/s ({m['rows_in']} rows in {m['sec']}s)", file=sys.stderr)
 
+    # Verbose record first (full per-lane detail) — consumed by humans/tools
+    # that read the whole log. The driver stores only a bounded (~4 KB) tail
+    # of combined output, so this big line must NOT be last: in round 2 it
+    # was, outgrew the tail buffer, and BENCH_r02.json came back
+    # `parsed: null`.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "throughput": tp,
+                "sf": sf,
+                # Methodology note (stable since r2): each throughput lane
+                # reports min of 2 timed runs after a warm-up run; r1 used a
+                # single timed run, so r1-vs-r2+ comparisons carry that delta.
+                "method": "throughput=min_of_2_after_warmup",
+            }
+        )
+    )
+    sys.stdout.flush()
+
+    # Compact machine line LAST — must always fit the driver's tail buffer.
+    # Per-query walls (the brief's required "queries" map) + per-lane rec/s
+    # as bare ints; no nested row/sec detail (that lives in the line above).
     print(
         json.dumps(
             {
@@ -318,9 +344,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
-                "throughput": tp,
+                "rec_per_sec": {k: int(m["rec_per_sec"]) for k, m in tp.items()},
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

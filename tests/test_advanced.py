@@ -13,14 +13,14 @@ from webscale_multimodal_datapipeline_spark.plans import advanced_queries as AQ
 
 def test_mlp_deep_score_parity(spark, sf_dir):
     got = {
-        r.vec_id: r.deep_score
+        r.vec_id: r.deep_score_e5
         for r in AQ.a_mlp_deep_score(spark, sf_dir).collect()
     }
     pdf = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     want = AQ.mlp_forward_py(mat)
     for vid, w in zip(pdf["vec_id"], want):
-        assert got[vid] == pytest.approx(round(w, 6), abs=1e-9)
+        assert got[vid] == int(round(w * 1e5))
 
 
 def test_mlp_has_nonlinearity():
@@ -33,9 +33,9 @@ def test_mlp_has_nonlinearity():
 
 def test_semantic_dedup_clusters_complete(spark, sf_dir):
     out = AQ.a_semantic_dedup(spark, sf_dir)
-    rows = out.collect()
-    assert len(rows) == 10  # k=10 clusters, all non-empty (seeded)
-    assert sum(r.n for r in rows) <= 500
+    [row] = out.collect()
+    assert row.n_input == 500
+    assert row.survivors_subset and row.cluster_coverage and row.count_ok
 
 
 def test_asof_prev_click_is_before_purchase(spark, sf_dir):

@@ -63,19 +63,20 @@ def test_duckdb_can_prepare_every_oracle():
 
 
 def test_priority_order_front_loads_unrecorded_queries():
-    """The driver records ~50 rows/round: the two formerly-no-oracle
-    queries come first, and no round-1-recorded query may appear before
-    any still-unrecorded one."""
+    """The driver records ~50 rows/round: the three formerly-no-oracle
+    queries come first (their rows must flip from err to green), and no
+    already-recorded query may appear before any still-unrecorded one."""
     from webscale_multimodal_datapipeline_spark.plans.registry import (
-        _PRIORITY_R2,
-        _RECORDED_R1,
+        _PRIORITY_R3,
+        _RECORDED,
     )
 
     names = list(QUERIES)
-    assert names[:2] == list(_PRIORITY_R2)
+    k = len(_PRIORITY_R3)
+    assert names[:k] == list(_PRIORITY_R3)
     seen_recorded = False
-    for n in names[2:]:
-        if n in _RECORDED_R1:
+    for n in names[k:]:
+        if n in _RECORDED:
             seen_recorded = True
         else:
             assert not seen_recorded, f"unrecorded {n!r} ordered after recorded queries"

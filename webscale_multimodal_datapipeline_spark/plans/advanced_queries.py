@@ -133,6 +133,17 @@ FROM documents
 
 
 def a_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means clusters as LSH-bucket
+    analogs, within-cluster pairwise cosine >= 0.9 marks the larger
+    ``vec_id`` of each near-pair as a duplicate (reference designed-only
+    D4, ``framework/backend.py:89-93``).
+
+    k-means is iterative, so the oracle pins run invariants instead of
+    cluster contents (the ``m_clip_embedding`` pattern): survivors are a
+    subset of the input ids, at least one row survives per nonempty
+    cluster (the minimum ``vec_id`` of a cluster can never be marked —
+    removal requires a smaller surviving id in the same cluster), and the
+    survivor count is within [1, n]."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -153,7 +164,27 @@ def a_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     survivors = clustered.join(dupes, "vec_id", "left_anti")
-    return survivors.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+
+    n_input = e.count()
+    not_in_input = survivors.join(e.select("vec_id"), "vec_id", "left_anti").count()
+    clusters_nonempty = clustered.select("cluster_id").distinct()
+    clusters_with_survivor = survivors.select("cluster_id").distinct()
+    uncovered = clusters_nonempty.join(
+        clusters_with_survivor, "cluster_id", "left_anti"
+    ).count()
+    return survivors.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.lit(n_input).alias("n_input"),
+        F.lit(not_in_input == 0).alias("survivors_subset"),
+        F.lit(uncovered == 0).alias("cluster_coverage"),
+        ((F.col("_n") >= 1) & (F.col("_n") <= n_input)).alias("count_ok"),
+    )
+
+
+A_SEMDEDUP_SQL = """
+SELECT COUNT(*) AS n_input, TRUE AS survivors_subset,
+       TRUE AS cluster_coverage, TRUE AS count_ok
+FROM embeddings
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +226,13 @@ def mlp_forward_py(mat):
 def a_mlp_deep_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vectorized MLP inference via pandas UDF — the per-executor
     model-singleton pattern (weights built once per worker, reference
-    lazy model loading ``image_visual_degradations.py:73-102``)."""
+    lazy model loading ``image_visual_degradations.py:73-102``).
+
+    The oracle is genuinely differential: the same deterministic weights
+    are rendered into DuckDB list-lambda SQL (an independent matmul
+    implementation), and both sides emit the score in integer micro-units
+    — numpy-vs-SQL association error is ~1e-13, five orders below the
+    rounding grain."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -210,8 +247,54 @@ def a_mlp_deep_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
-        "vec_id", F.round(_score(F.col("embedding")), 6).alias("deep_score")
+        "vec_id",
+        F.round(_score(F.col("embedding")) * 1e5)
+        .cast("long")
+        .alias("deep_score_e5"),
     )
+
+
+def _mlp_oracle_sql() -> str:
+    """Render the deterministic MLP weights as DuckDB list literals and the
+    forward pass as list-lambda matmuls — an independent implementation of
+    ``mlp_forward_py`` for the differential oracle."""
+    layers = _mlp_weights()
+    lits = []
+    for w, b in layers:
+        wl = "[" + ",".join(
+            "[" + ",".join(repr(float(v)) for v in row) + "]" for row in w
+        ) + "]"
+        bl = "[" + ",".join(repr(float(v)) for v in b) + "]"
+        lits.append((wl, bl))
+    d0, d1, d2 = MLP_DIMS[0], MLP_DIMS[1], MLP_DIMS[2]
+    return f"""
+WITH params AS (
+  SELECT {lits[0][0]} AS w0, {lits[0][1]} AS b0,
+         {lits[1][0]} AS w1, {lits[1][1]} AS b1,
+         {lits[2][0]} AS w2, {lits[2][1]} AS b2
+), x AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+), h1 AS (
+  SELECT vec_id, list_transform(range(1, {d1 + 1}), j ->
+           greatest(0.0, b0[j] + list_sum(list_transform(range(1, {d0 + 1}),
+             i -> x[i] * w0[i][j])))) AS h
+  FROM x, params
+), h2 AS (
+  SELECT vec_id, list_transform(range(1, {d2 + 1}), j ->
+           greatest(0.0, b1[j] + list_sum(list_transform(range(1, {d1 + 1}),
+             i -> h[i] * w1[i][j])))) AS h
+  FROM h1, params
+), s AS (
+  SELECT vec_id, b2[1] + list_sum(list_transform(range(1, {d2 + 1}),
+           i -> h[i] * w2[i][1])) AS score
+  FROM h2, params
+)
+SELECT vec_id, CAST(ROUND(score * 1e5) AS BIGINT) AS deep_score_e5 FROM s
+"""
+
+
+A_MLP_DEEP_SQL = _mlp_oracle_sql()
 
 
 QUERIES = {
@@ -228,8 +311,12 @@ ORACLE = {
     "a_orders_pivot": A_PIVOT_SQL,
     "a_asof_click_before_purchase": A_ASOF_SQL,
     "a_token_counts": A_TOKENS_SQL,
-    # a_semantic_dedup: iterative k-means — rows-only.
-    # a_mlp_deep_score: numpy kernel — parity-tested in pytest, rows-only.
+    # a_semantic_dedup is iterative k-means — the oracle checks run
+    # invariants (subset/coverage/count), not cluster contents.
+    "a_semantic_dedup": A_SEMDEDUP_SQL,
+    # a_mlp_deep_score: differential — same weights, independent DuckDB
+    # list-lambda matmul.
+    "a_mlp_deep_score": A_MLP_DEEP_SQL,
 }
 
 

@@ -62,11 +62,11 @@ for _m in _MODULES:
         assert _name in _m.QUERIES, f"oracle without query: {_name}"
         ORACLE[_name] = _sql
 
-# Recorded in round 1 but with an ``err: no_oracle`` row — both gained a
-# real oracle in round 2 (exhaustive-probe IVF == brute force; bounded
-# relative-error HLL check), so they must re-record ahead of everything
-# else to flip their driver rows green.
-_PRIORITY_R2 = ("v_ivf_topk", "q_approx_cardinality")
+# Recorded in round 2 with an ``err: no_oracle`` row — all three gained an
+# invariant oracle in round 3 (the m_clip_embedding pattern: invariants
+# computed as oracle-checkable boolean/count columns), so they re-record
+# ahead of everything else to flip their driver rows green.
+_PRIORITY_R3 = ("v_kmeans_clusters", "a_semantic_dedup", "a_mlp_deep_score")
 
 # Queries with a green driver CORRECTNESS row from round 1. The driver
 # records the FIRST 50 registry entries per round, so everything not yet
@@ -91,8 +91,30 @@ _RECORDED_R1 = {
     "d_simhash", "d_simhash_near_pairs", "v_embedding_norms", "v_ivf_topk",
 }
 
+# Queries with a green (or no_oracle) driver row from round 2's
+# CORRECTNESS_r02.json — exactly the 50 names the driver recorded.
+_RECORDED_R2 = {
+    "v_ivf_topk", "q_approx_cardinality", "v_mlp_score", "v_lsh_buckets",
+    "v_cosine_dedup", "v_cosine_topk", "v_lsh_topk", "v_kmeans_clusters",
+    "v_quantize_int8", "e_tumbling_window", "e_sliding_window",
+    "e_sessionization", "e_json_extract", "e_first_event_dedup", "e_funnel",
+    "e_retention_cohorts", "p_pipeline_output", "p_pipeline_metrics",
+    "p_rejected_by_operator", "m_image_metadata", "m_resize",
+    "m_audio_features", "m_metadata_filter_chain", "m_technical_quality",
+    "m_phash_dedup", "m_frame_sample", "m_clip_embedding",
+    "m_visual_degradations", "a_value_percentiles", "a_orders_pivot",
+    "a_asof_click_before_purchase", "a_token_counts", "a_semantic_dedup",
+    "a_mlp_deep_score", "a_orders_unpivot", "ts_rollup_ladder",
+    "ts_range_join", "ts_event_gaps", "ts_gap_fill", "ts_moving_avg",
+    "u_domain_extract", "u_subdomain_walkup_filter", "u_blocklist_antijoin",
+    "x_acctbal_deciles", "x_order_cube", "x_hash_family", "x_conditional_agg",
+    "x_rank_distributions", "x_levenshtein_near_names", "x_zorder_key",
+}
+
+_RECORDED = _RECORDED_R1 | _RECORDED_R2
+
 QUERIES = {
-    **{k: QUERIES[k] for k in _PRIORITY_R2},
-    **{k: v for k, v in QUERIES.items() if k not in _RECORDED_R1},
-    **{k: v for k, v in QUERIES.items() if k in _RECORDED_R1 and k not in _PRIORITY_R2},
+    **{k: QUERIES[k] for k in _PRIORITY_R3},
+    **{k: v for k, v in QUERIES.items() if k not in _RECORDED},
+    **{k: v for k, v in QUERIES.items() if k in _RECORDED and k not in _PRIORITY_R3},
 }
