@@ -158,14 +158,18 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         "gopher_rules_1m",
         FO.gopher_flags_column(big, "text").filter(F.col("keep")),
     )
+    # quality_clf_1m is now the PRODUCTION default (xxhash64 bucket hash);
+    # the md5 oracle-spec kernel keeps its own lane — the SimHash lane
+    # split. (r1/r2's "quality_clf_1m" measured the md5 kernel; the rename
+    # below preserves that series as quality_clf_1m_md5_oracle.)
     measure(
         "quality_clf_1m",
         big.select(TX.hashed_quality_clf("text")["keep"].alias("k")).filter("k"),
     )
     measure(
-        "quality_clf_1m_xxhash",
+        "quality_clf_1m_md5_oracle",
         big.select(
-            TX.hashed_quality_clf("text", algo="xxhash64")["keep"].alias("k")
+            TX.hashed_quality_clf("text", algo="md5")["keep"].alias("k")
         ).filter("k"),
     )
     from webscale_multimodal_datapipeline_spark.functions import pii as PII

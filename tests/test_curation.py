@@ -228,3 +228,28 @@ def test_merge_upsert_update_insert_carryover(spark):
     }
     # column order preserved from base
     assert merge_upsert(base, delta, "k").columns == ["k", "name", "v"]
+
+
+def test_merge_upsert_delta_null_wins_and_unique_key_guard(spark):
+    import pytest
+
+    from webscale_multimodal_datapipeline_spark.operators.curation import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, v double"
+    )
+    delta = spark.createDataFrame(
+        [(2, None, None)], "k long, name string, v double"
+    )
+    # UPDATE SET * semantics: a matched delta row wins wholesale — its
+    # NULLs overwrite base values (not per-column COALESCE carryover)
+    got = {r.k: (r.name, r.v) for r in merge_upsert(base, delta, "k").collect()}
+    assert got == {1: ("a", 10.0), 2: (None, None)}
+
+    dup_delta = spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0)], "k long, name string, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate delta keys"):
+        merge_upsert(base, dup_delta, "k", check_unique_delta_keys=True)

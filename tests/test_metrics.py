@@ -87,11 +87,16 @@ def test_html_report_render_and_cli(spark, sf_dir, tmp_path):
         "<h2>Rejection flow</h2>",
         "<h2>Waterfall</h2>",
         "<h2>Rejected samples (debug)</h2>",
+        "<h2>Dataflow (Sankey)</h2>",
+        "<h2>Stage timeline</h2>",
+        "<h2>Latency heatmap</h2>",
         "text_length_filter",
         "text_stats_refiner",
         "curate",
     ):
         assert needle in html_text, needle
+    # the two SVG sections actually rendered vector content
+    assert html_text.count("<svg") >= 2 and "rect" in html_text
 
     from webscale_multimodal_datapipeline_spark.cli import main as cli_main
 

@@ -170,6 +170,79 @@ def test_star_join_dimensions_broadcast(spark, sf_dir):
         assert "SortMergeJoin" not in plan, f"{name}: dimension fell to SMJ"
 
 
+def _tree_depth(ln: str) -> int:
+    j = 0
+    while j < len(ln) and ln[j] in " :+-":
+        j += 1
+    return j
+
+
+def _subtree(lines: list[str], i: int) -> str:
+    d = _tree_depth(lines[i])
+    out = []
+    for ln in lines[i + 1:]:
+        if ln.strip() and _tree_depth(ln) <= d:
+            break
+        out.append(ln)
+    return "\n".join(out)
+
+
+def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir):
+    """Explicit broadcast hints are reserved for bounded dimension tables
+    (nation/region/supplier-sized). customer/orders/lineitem scale linearly
+    with the corpus — hundreds of millions of rows at 100 TB — so a forced
+    broadcast of a BASE scan of those tables would OOM executors and
+    override AQE's size-based judgment. Hints over *aggregated/deduplicated*
+    derivations (per-group rollups, distinct key sets) are fine: those are
+    reduced before broadcast."""
+    from webscale_multimodal_datapipeline_spark.plans import (
+        misc_queries,
+        relational,
+        relational2,
+        relational3,
+    )
+
+    scaling_keys = ("c_custkey", "o_orderkey", "l_orderkey")
+    for mod in (relational, relational2, relational3, misc_queries):
+        for name, fn in mod.QUERIES.items():
+            plan = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+            lines = plan.split("\n")
+            for i, ln in enumerate(lines):
+                if "ResolvedHint" not in ln:
+                    continue
+                sub = _subtree(lines, i)
+                if "Aggregate" in sub or "Deduplicate" in sub:
+                    continue  # reduced before broadcast — allowed
+                for rl in sub.split("\n"):
+                    if "Relation" not in rl:
+                        continue
+                    assert not any(k in rl for k in scaling_keys), (
+                        f"{name}: broadcast hint over scaling base table: {rl.strip()[:120]}"
+                    )
+
+
+def test_no_single_partition_exchange_in_rank_queries(spark, sf_dir):
+    """The two dense-rank queries built on the range-repartition +
+    broadcast-offset pattern must not fall back to a single-task global
+    sort: no `Exchange SinglePartition` anywhere in the physical plan
+    (an unpartitioned window or global sort would introduce one)."""
+    from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES
+
+    for name in ("x_acctbal_deciles", "t_tokenize_ids"):
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        lines = plan.split("\n")
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            # the only allowed single-partition stage is the FINAL step of
+            # a global scalar aggregate — its input is one partial-agg row
+            # per partition, bounded by parallelism, not by data size
+            nxt = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "Aggregate(keys=[]" in nxt and "partial_" in nxt, (
+                f"{name}: data-sized single-task stage\n{ln}\n{nxt}"
+            )
+
+
 def test_lsh_dedup_shuffles_only_small_columns(spark, sf_dir):
     """MinHash-LSH dedup must never shuffle document text with the band
     keys — the (id, band) projection is what makes the plan survive

@@ -373,7 +373,7 @@ CLF_MIX = 2654435761  # Knuth multiplicative-hash constant
 CLF_MAX_TOKENS = 256
 
 
-def hashed_quality_clf(col: Column | str, algo: str = "md5") -> dict[str, Column]:
+def hashed_quality_clf(col: Column | str, algo: str = "xxhash64") -> dict[str, Column]:
     """Model-based quality score: hash each of the first CLF_MAX_TOKENS
     tokens into a CLF_BUCKETS-entry weight table, average, squash with the
     rational fast-sigmoid ``0.5 + 0.5*x/(1+|x|)``.
@@ -389,9 +389,11 @@ def hashed_quality_clf(col: Column | str, algo: str = "md5") -> dict[str, Column
     Returns ``{n_scored_tokens, clf_score, keep}`` columns; pure per-row
     array math inside whole-stage codegen — no shuffle, no UDF.
 
-    ``algo='md5'`` is the cross-engine oracle spec; ``algo='xxhash64'`` is
-    the production hot path (JVM-native token hash, ~4x the md5 lane —
-    same model shape, different bucket assignment).
+    ``algo='xxhash64'`` (the default) is the production hot path
+    (JVM-native token hash, ~4x the md5 lane); ``algo='md5'`` is the
+    cross-engine oracle spec (DuckDB-reproducible bucket assignment) —
+    same model shape, different bucket assignment. Same split as SimHash:
+    fast kernel by default, md5 retained as the differential spec.
     """
     toks = F.slice(tokens(normalize_text(col), clean=True), 1, CLF_MAX_TOKENS)
 

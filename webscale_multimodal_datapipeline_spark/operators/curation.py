@@ -278,10 +278,13 @@ def duplicate_line_removal(
     1. ``posexplode(split(text))`` — narrow;
     2. line-key groupBy counting DISTINCT docs (partial-agg combinable
        after the per-doc ``distinct``-by-construction explode);
-    3. the duplicated-key set is small (boilerplate is rare among distinct
-       keys) → broadcast left-anti join back, then per-doc ordered
-       reassembly via ``array_sort(collect_list(struct(pos, line)))`` —
-       one groupBy on the id, no global sort.
+    3. left-anti join the duplicated-key set back (NO forced broadcast:
+       "boilerplate is rare among distinct keys" is a corpus assumption —
+       on boilerplate-heavy corpora at 100 TB the dup-key set can exceed
+       broadcast limits, so AQE decides broadcast-vs-shuffle from runtime
+       size), then per-doc ordered reassembly via
+       ``array_sort(collect_list(struct(pos, line)))`` — one groupBy on
+       the id, no global sort.
 
     ``sep`` is a Java-regex split pattern on the way in and a literal on
     the way out (the common '\\n' is both).
@@ -301,7 +304,7 @@ def duplicate_line_removal(
         .filter(F.col("_df") >= min_df)
         .select("_k")
     )
-    kept = lines.join(F.broadcast(dup_keys), "_k", "left_anti")
+    kept = lines.join(dup_keys, "_k", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -344,12 +347,23 @@ def merge_upsert(
     base: DataFrame,
     delta: DataFrame,
     key: str,
+    check_unique_delta_keys: bool = False,
 ) -> DataFrame:
     """MERGE semantics without a table format: delta rows win on key
     collision, unmatched delta rows insert, unmatched base rows carry
     over — i.e. ``MERGE WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *``
     (the operation Iceberg/Delta run transactionally; here as a pure
     dataflow so pipelines can apply CDC deltas before a sink exists).
+
+    A matched row takes the delta row WHOLESALE (matched-flag pick, not
+    per-column COALESCE), so a delta row CAN set a column to NULL —
+    exactly ``UPDATE SET *``.
+
+    Precondition: delta keys must be unique (one delta row per key),
+    as row-level MERGE requires — duplicate delta keys would fan out
+    through the join, like SQL MERGE's "multiple matched rows" error
+    condition. Pass ``check_unique_delta_keys=True`` to pay one extra
+    aggregate job that raises instead of silently fanning out.
 
     One full-outer hash join on the key. At 100 TB the base side should be
     bucketed by the key (``operators/scale.py::write_bucketed``) so only
@@ -360,11 +374,19 @@ def merge_upsert(
     """
     cols = base.columns
     b = base.select(*cols)
-    d = delta.select(*cols)
+    d = delta.select(*cols).withColumn("_matched", F.lit(True))
+    if check_unique_delta_keys:
+        dup = (
+            d.groupBy(key).agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1)
+        )
+        n_dup = dup.limit(1).count()
+        if n_dup:
+            raise ValueError(f"merge_upsert: duplicate delta keys on {key!r}")
     joined = b.alias("b").join(d.alias("d"), F.col(f"b.{key}") == F.col(f"d.{key}"), "full_outer")
+    take_delta = F.col("d._matched").isNotNull()
     return joined.select(
         *[
-            F.coalesce(F.col(f"d.{c}"), F.col(f"b.{c}")).alias(c)
+            F.when(take_delta, F.col(f"d.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
             for c in cols
         ]
     )

@@ -439,9 +439,12 @@ WITH delta AS (
          o_orderdate, o_orderpriority
   FROM orders WHERE o_orderkey % 193 = 0
 ), merged AS (
-  SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
-         COALESCE(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
-         COALESCE(d.o_totalprice, b.o_totalprice) AS o_totalprice
+  -- matched-flag row pick (UPDATE SET *): a matched delta row wins
+  -- WHOLESALE, so delta NULLs overwrite base values — mirrors
+  -- operators/curation.py::merge_upsert
+  SELECT CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderkey ELSE b.o_orderkey END AS o_orderkey,
+         CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+         CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice ELSE b.o_totalprice END AS o_totalprice
   FROM orders b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
 )
 SELECT o_orderstatus, COUNT(*) AS n_orders,

@@ -78,14 +78,19 @@ GROUP BY l_returnflag, l_linestatus
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + group + deterministic top-10.
-    customer is broadcast; orders⋈lineitem shuffles on orderkey once."""
+    orders⋈lineitem shuffles on orderkey once. customer carries NO
+    broadcast hint: it scales linearly with the corpus (hundreds of
+    millions of rows at 100 TB), so a forced broadcast would OOM
+    executors — AQE picks broadcast on its own when the filtered side
+    is genuinely small. Hints stay only on bounded dims
+    (nation/region/supplier)."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
     revenue = F.sum(_dec("l_extendedprice") * _dec(1 - F.col("l_discount")))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(revenue, 4).cast("double").alias("revenue"))
         .select(
@@ -130,7 +135,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(_dec("l_extendedprice") * _dec(1 - F.col("l_discount")))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

@@ -52,7 +52,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _dec("l_extendedprice") * _dec(1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
@@ -90,7 +90,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * _dec(1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())

@@ -42,7 +42,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"), "left_semi")
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))

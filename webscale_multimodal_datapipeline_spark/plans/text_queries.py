@@ -428,7 +428,9 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no UDF, no weight broadcast (the 'table' is an expression).
     """
     d = load_table(spark, sf_dir, "documents")
-    cols = TX.hashed_quality_clf("text")
+    # md5 lane: the cross-engine oracle spec (production default is the
+    # xxhash64 lane — same model, JVM-native bucket hash).
+    cols = TX.hashed_quality_clf("text", algo="md5")
     return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
@@ -528,19 +530,20 @@ ORACLE["t_tfidf_topterms"] = T_TFIDF_SQL
 
 def t_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-id sequences: build a deterministic vocabulary (term →
-    dense id by (count DESC, term)), broadcast it, and re-encode every
-    document as its id sequence in original token order (OOV → -1 —
-    here only when a vocab cap is applied).
+    dense id by (count DESC, term)) and re-encode every document as its
+    id sequence in original token order (OOV → -1 — here only when a
+    vocab cap is applied).
 
     The tokenizer-encode step every training pipeline runs before
-    packing; the vocab is vocabulary-sized (broadcast), the re-encode is
-    one narrow posexplode + broadcast join + ordered re-collect.
-
-    Scale note: the id-assigning ``row_number`` runs over the AGGREGATED
-    vocab table (named-language vocabularies are bounded — ~1e6 rows —
-    regardless of corpus size), not the corpus; that single-partition
-    sort is deliberate and tiny, unlike an unpartitioned window over
-    data-sized input."""
+    packing. Scale shape: web-scale term space is 1e8+ distinct terms,
+    so neither a global unpartitioned rank window nor a vocab broadcast
+    survives 100×. The dense rank is computed with the range-repartition
+    + broadcast-offset pattern (``x_acctbal_deciles``): range-partition
+    the vocab on the rank key so partition ids are globally ordered,
+    rank locally, and add tiny per-partition count offsets (triangular
+    self-join over the P-row histogram). The re-encode is a plain
+    shuffle join on ``term`` — AQE converts it to broadcast on its own
+    when the vocabulary is genuinely small."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -550,18 +553,26 @@ def t_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", "term"
         ),
     )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    num_parts = 32  # at cluster scale: ≈ the vocab's shuffle parallelism
+    ranged = counts.repartitionByRange(
+        num_parts, F.col("cnt").desc(), F.col("term").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    hist = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offs = (
+        hist.alias("l")
+        .join(hist.alias("r"), F.col("r._pid") < F.col("l._pid"), "left")
+        .groupBy(F.col("l._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("r._cnt"), F.lit(0)).alias("_off"))
+    )
+    wl = Window.partitionBy("_pid").orderBy(F.col("cnt").desc(), F.col("term").asc())
     vocab = (
-        toks.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "tok_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cnt"), F.asc("term")))
-            .cast("int"),
-        )
+        ranged.withColumn("_lr", F.row_number().over(wl))
+        .join(F.broadcast(offs), "_pid")
+        .select("term", (F.col("_off") + F.col("_lr")).cast("int").alias("tok_id"))
     )
     encoded = (
-        toks.join(F.broadcast(vocab.select("term", "tok_id")), "term", "left")
+        toks.join(vocab, "term", "left")
         .withColumn("tok_id", F.coalesce("tok_id", F.lit(-1)))
         .groupBy("doc_id")
         .agg(

@@ -79,6 +79,144 @@ def _table(headers: list[str], rows: list[list[str]], name_cols: int = 1) -> str
     return f"<table><tr>{head}</tr>{body}</table>"
 
 
+def _svg_sankey(funnel_rows) -> str:
+    """Operator-flow Sankey as dependency-free inline SVG (reference
+    ``reporter.py:762-906`` node semantics: Input → per-stage filter nodes
+    for each dropping operator + a stage-output node → Output; link width
+    ∝ record flow)."""
+    stages: list[tuple[str, list]] = []
+    for r in funnel_rows:
+        if not stages or stages[-1][0] != r.stage_name:
+            stages.append((r.stage_name, []))
+        stages[-1][1].append(r)
+    if not stages:
+        return "<p class='muted'>no flow data</p>"
+    total_in = max((r.total_input or 0) for _, ops in stages for r in ops) or 1
+    width, height = 960, 150 + 60 * max(len(ops) for _, ops in stages)
+    col_w = width // (len(stages) + 2)
+    mid_y = height // 2
+
+    def _w(v) -> float:  # link stroke width ∝ share of input, 1..18px
+        return 1.0 + 17.0 * min(1.0, (v or 0) / total_in)
+
+    parts = [
+        f"<svg viewBox='0 0 {width} {height}' width='{width}' "
+        f"xmlns='http://www.w3.org/2000/svg' font-size='11'>"
+    ]
+    # Input node
+    parts.append(
+        f"<rect x='4' y='{mid_y - 22}' width='{col_w - 30}' height='44' fill='#3498db' rx='4'/>"
+        f"<text x='10' y='{mid_y}' fill='#fff'>Input {total_in:,}</text>"
+    )
+    prev_x, prev_y, flow = col_w - 26, mid_y, total_in
+    for si, (stage, ops) in enumerate(stages):
+        x = (si + 1) * col_w + 4
+        fy = 30
+        for r in ops:
+            dropped = (r.total_input or 0) - (r.total_output or 0)
+            if dropped <= 0:
+                continue
+            # link into the filter node, then the node itself
+            parts.append(
+                f"<line x1='{prev_x}' y1='{prev_y}' x2='{x}' y2='{fy + 14}' "
+                f"stroke='#95a5a6' stroke-opacity='0.5' stroke-width='{_w(dropped):.1f}'/>"
+                f"<rect x='{x}' y='{fy}' width='{col_w - 30}' height='28' fill='#95a5a6' rx='4'/>"
+                f"<text x='{x + 4}' y='{fy + 12}' fill='#fff'>{_esc(r.operator_name)[:22]}</text>"
+                f"<text x='{x + 4}' y='{fy + 24}' fill='#fff'>-{dropped:,}</text>"
+            )
+            fy += 60
+        out = min((r.total_output or 0) for r in ops)
+        oy = height - 70
+        parts.append(
+            f"<line x1='{prev_x}' y1='{prev_y}' x2='{x}' y2='{oy + 22}' "
+            f"stroke='#667eea' stroke-opacity='0.5' stroke-width='{_w(out):.1f}'/>"
+            f"<rect x='{x}' y='{oy}' width='{col_w - 30}' height='44' fill='#667eea' rx='4'/>"
+            f"<text x='{x + 4}' y='{oy + 18}' fill='#fff'>{_esc(stage)[:22]}</text>"
+            f"<text x='{x + 4}' y='{oy + 34}' fill='#fff'>{out:,}</text>"
+        )
+        prev_x, prev_y, flow = x + col_w - 30, oy + 22, out
+    # Output node
+    x = (len(stages) + 1) * col_w + 4
+    parts.append(
+        f"<line x1='{prev_x}' y1='{prev_y}' x2='{x}' y2='{mid_y}' "
+        f"stroke='#27ae60' stroke-opacity='0.6' stroke-width='{_w(flow):.1f}'/>"
+        f"<rect x='{x}' y='{mid_y - 22}' width='{col_w - 10}' height='44' fill='#27ae60' rx='4'/>"
+        f"<text x='{x + 4}' y='{mid_y}' fill='#fff'>Output {flow:,}</text>"
+    )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _svg_timeline(stage_rows) -> str:
+    """Stage-execution timeline as horizontal offset bars (reference
+    ``reporter.py:908-948``): each stage starts at the cumulative duration
+    of the stages before it; bar length ∝ ``total_time``."""
+    rows = [r for r in stage_rows if r.total_time is not None]
+    if not rows:
+        return "<p class='muted'>no timing data</p>"
+    total = sum(float(r.total_time) for r in rows) or 1.0
+    width, bar_h, label_w = 860, 24, 180
+    height = (bar_h + 8) * len(rows) + 30
+    scale = (width - label_w - 80) / total
+    parts = [
+        f"<svg viewBox='0 0 {width} {height}' width='{width}' "
+        f"xmlns='http://www.w3.org/2000/svg' font-size='11'>"
+    ]
+    start = 0.0
+    for i, r in enumerate(rows):
+        y = 10 + i * (bar_h + 8)
+        x = label_w + start * scale
+        w = max(2.0, float(r.total_time) * scale)
+        parts.append(
+            f"<text x='4' y='{y + 16}'>{_esc(r.stage_name)[:28]}</text>"
+            f"<rect x='{x:.1f}' y='{y}' width='{w:.1f}' height='{bar_h}' "
+            f"fill='rgb({50 + i * 40 % 200},{100 + i * 30 % 150},{max(60, 200 - i * 20)})' rx='3'/>"
+            f"<text x='{x + w + 6:.1f}' y='{y + 16}'>{float(r.total_time):.2f}s</text>"
+        )
+        start += float(r.total_time)
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+_LAT_KEYS = ("min", "p50", "p95", "p99", "max")
+
+
+def _heatmap_table(lat_rows) -> str:
+    """Latency percentile heatmap (reference ``reporter.py:1014-1057``):
+    operator × [min, p50, p95, p99, max] grid, cell color green→red by
+    value relative to the grid max."""
+    vals = [
+        getattr(r, f"{k}_latency")
+        for r in lat_rows
+        for k in _LAT_KEYS
+        if getattr(r, f"{k}_latency") is not None
+    ]
+    if not vals:
+        return "<p class='muted'>no latency data (status store empty)</p>"
+    vmax = max(vals) or 1.0
+
+    def _cell(v) -> str:
+        if v is None:
+            return "<td class='muted'>—</td>"
+        t = min(1.0, float(v) / vmax)  # 0 → green, 1 → red (RdYlGn_r)
+        red, green = int(80 + 175 * t), int(200 - 140 * t)
+        return (
+            f"<td style='background: rgb({red},{green},80); color:#fff'>"
+            f"{float(v):.3f}s</td>"
+        )
+
+    head = "<tr><th class='name'>operator</th>" + "".join(
+        f"<th>{k}</th>" for k in _LAT_KEYS
+    ) + "</tr>"
+    body = "".join(
+        f"<tr><td class='name'>{_esc(r.operator_name)}</td>"
+        + "".join(_cell(getattr(r, f"{k}_latency")) for k in _LAT_KEYS)
+        + "</tr>"
+        for r in lat_rows
+    )
+    return f"<table>{head}{body}</table>"
+
+
 def render_html_report(
     operators: DataFrame,
     title: str = "Pipeline Report",
@@ -219,27 +357,74 @@ def render_html_report(
         )
     )
 
-    # Rejected-sample debug section (reference reporter.py:132-168)
-    if rejected is not None and debug_samples_per_operator > 0:
-        from pyspark.sql import Window
+    # Dataflow Sankey (reporter.py:762-906): Input → per-stage filter
+    # nodes + stage output → Output, link width ∝ records
+    parts.append("<h2>Dataflow (Sankey)</h2>")
+    parts.append(_svg_sankey(funnel))
 
+    # Stage timeline (reporter.py:908-948): cumulative-offset bars
+    parts.append("<h2>Stage timeline</h2>")
+    parts.append(_svg_timeline(stage_rows))
+
+    # Latency heatmap (reporter.py:1014-1057): operator × percentile grid
+    lat_rows = (
+        operators.groupBy("operator_name")
+        .agg(
+            *[
+                F.avg(f"{k}_latency").alias(f"{k}_latency")
+                for k in _LAT_KEYS
+            ]
+        )
+        .orderBy("operator_name")
+        .collect()
+    )
+    parts.append("<h2>Latency heatmap</h2>")
+    parts.append(_heatmap_table(lat_rows))
+
+    # Rejected-sample debug section (reference reporter.py:132-168).
+    # The sample is ARBITRARY (first-seen rows, partition order) — it is a
+    # debug peek, not a statistical sample. Plan shape: each partition is
+    # truncated to ≤N rows per operator first (mapInPandas, no shuffle), so
+    # the groupBy only ever shuffles ≤ N×partitions rows per operator — the
+    # full rejected side-output is never sorted or windowed globally.
+    if rejected is not None and debug_samples_per_operator > 0:
         from webscale_multimodal_datapipeline_spark.operators.base import (
             REJECTION_COL,
         )
 
-        w = Window.partitionBy(f"{REJECTION_COL}.operator").orderBy(
-            F.monotonically_increasing_id()
-        )
-        sampled = (
-            rejected.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= debug_samples_per_operator)
-            .drop("_rn")
+        cap = debug_samples_per_operator
+
+        def _truncate(batches):
+            seen: dict[str, int] = {}
+            for pdf in batches:
+                ops = pdf[REJECTION_COL].map(
+                    lambda d: d.get("operator") if d else None
+                )
+                keep = []
+                for i, op in enumerate(ops):
+                    if seen.get(op, 0) < cap:
+                        seen[op] = seen.get(op, 0) + 1
+                        keep.append(i)
+                if keep:
+                    yield pdf.iloc[keep]
+
+        truncated = rejected.mapInPandas(_truncate, rejected.schema)
+        grouped = (
+            truncated.groupBy(
+                F.col(f"{REJECTION_COL}.operator").alias("_op")
+            )
+            .agg(
+                F.slice(
+                    F.collect_list(F.struct(*rejected.columns)), 1, cap
+                ).alias("_rows")
+            )
             .collect()
         )
         by_op: dict[str, list] = {}
-        for r in sampled:
-            det = r[REJECTION_COL]
-            by_op.setdefault(det["operator"], []).append((det["reason"], r))
+        for g in grouped:
+            for r in g._rows:
+                det = r[REJECTION_COL]
+                by_op.setdefault(g._op, []).append((det["reason"], r))
         parts.append("<h2>Rejected samples (debug)</h2>")
         show_cols = [c for c in (rejected.columns) if c != REJECTION_COL][:6]
         for op_name in sorted(by_op):
