@@ -48,6 +48,70 @@ def test_metadata_udf_matches_python_spec(spark, bin_df):
         assert (row.image_width, row.image_height, row.image_file_size_bytes, row.image_format) == (w, h, s, fmt)
 
 
+def _real_headers() -> dict[str, bytes]:
+    """Genuine (minimal but structurally valid) image file headers."""
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + (640).to_bytes(4, "big")
+        + (480).to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 16
+    )
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 16
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big")  # height first in SOF
+        + (640).to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 10
+    )
+    webp_x = (
+        b"RIFF" + (40).to_bytes(4, "little") + b"WEBP"
+        + b"VP8X" + (10).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (640 - 1).to_bytes(3, "little") + (480 - 1).to_bytes(3, "little")
+        + b"\x00" * 8
+    )
+    webp_l = (
+        b"RIFF" + (24).to_bytes(4, "little") + b"WEBP"
+        + b"VP8L" + (12).to_bytes(4, "little")
+        + b"\x2f"
+        + ((640 - 1) | ((480 - 1) << 14)).to_bytes(4, "little")
+        + b"\x00" * 8
+    )
+    return {"PNG": png, "GIF": gif, "JPEG": jpeg, "WEBP": webp_x, "WEBP_L": webp_l}
+
+
+def test_real_header_parse_pure_struct():
+    dims = {"PNG": (640, 480), "GIF": (320, 200), "JPEG": (640, 480),
+            "WEBP": (640, 480), "WEBP_L": (640, 480)}
+    for kind, b in _real_headers().items():
+        got = MM.parse_real_header(b)
+        assert got is not None, kind
+        w, h, fmt = got
+        assert (w, h) == dims[kind], kind
+        assert fmt == ("WEBP" if kind.startswith("WEBP") else kind)
+    # corrupted real signatures fall back to None (→ fake byte math)
+    assert MM.parse_real_header(b"\xff\xd8\xff" + b"\x00" * 20) is None
+    assert MM.parse_real_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20) is None
+    # synthetic md5-derived payloads never hit the real branch
+    for b in _payloads():
+        if b:
+            assert not MM._maybe_real(b)
+
+
+def test_metadata_udf_real_headers_end_to_end(spark):
+    rows = [(i, b) for i, b in enumerate(_real_headers().values())]
+    df = spark.createDataFrame(rows, "id long, image_bytes binary")
+    got = {r.id: r for r in MM.image_metadata_refiner().apply(df).collect()}
+    for i, (kind, b) in enumerate(_real_headers().items()):
+        w, h, s, fmt = MM.decode_image_meta_py(b)
+        r = got[i]
+        assert (r.image_width, r.image_height, r.image_file_size_bytes, r.image_format) == (w, h, s, fmt)
+        assert r.image_width > 0 and r.image_format != "ERROR", kind
+
+
 def test_metadata_error_convention(spark, bin_df):
     rows = {r.id: r for r in MM.image_metadata_refiner().apply(bin_df).collect()}
     short_id = len(_payloads()) - 2

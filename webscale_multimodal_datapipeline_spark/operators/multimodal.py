@@ -65,10 +65,99 @@ def fake_image_bytes(text_col: Column | str) -> Column:
     return F.unhex(F.concat(h, F.md5(F.concat(h, F.lit("1"))), F.md5(F.concat(h, F.lit("2"))), F.md5(F.concat(h, F.lit("3")))))
 
 
+_JPEG_SOF_MARKERS = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def parse_real_header(b: bytes) -> tuple[int, int, str] | None:
+    """Pure-``struct`` parse of GENUINE image headers — no codec library:
+    PNG IHDR, GIF screen descriptor, JPEG SOF segment scan, WEBP
+    VP8/VP8L/VP8X chunks. Returns ``(width, height, format)`` or ``None``
+    when the payload is not a recognized (and parseable) real image — the
+    caller then falls back to the deterministic fake byte math, so
+    synthetic fixtures keep their oracle-mirrored values while genuine
+    files get real-codec-correct metadata (reference R1 contract,
+    ``image_metadata.py:38-62``, without PIL)."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+            "PNG",
+        )
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+            "GIF",
+        )
+    if len(b) >= 4 and b[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seglen < 2:
+                return None
+            if marker in _JPEG_SOF_MARKERS:
+                if i + 9 > len(b):
+                    return None
+                return (
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                    "JPEG",
+                )
+            i += 2 + seglen
+        return None
+    if len(b) >= 30 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        chunk = b[12:16]
+        if chunk == b"VP8 " and len(b) >= 30:
+            # lossy bitstream: sync code 9D 01 2A then 14-bit dims
+            if b[23:26] == b"\x9d\x01\x2a":
+                w = int.from_bytes(b[26:28], "little") & 0x3FFF
+                h = int.from_bytes(b[28:30], "little") & 0x3FFF
+                return w, h, "WEBP"
+            return None
+        if chunk == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+            bits = int.from_bytes(b[21:25], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "WEBP"
+        if chunk == b"VP8X" and len(b) >= 30:
+            return (
+                int.from_bytes(b[24:27], "little") + 1,
+                int.from_bytes(b[27:30], "little") + 1,
+                "WEBP",
+            )
+        return None
+    return None
+
+
+def _maybe_real(b: bytes) -> bool:
+    """Cheap signature precheck so the vectorized fake path never pays the
+    full parse for synthetic payloads."""
+    return (
+        b[:3] == b"\xff\xd8\xff"
+        or b[:8] == b"\x89PNG\r\n\x1a\n"
+        or b[:6] in (b"GIF87a", b"GIF89a")
+        or (b[:4] == b"RIFF" and b[8:12] == b"WEBP")
+    )
+
+
 def decode_image_meta_py(b: bytes | None) -> tuple[int, int, int, str]:
-    """Single-record fake header parse (the parity spec for the UDF)."""
+    """Single-record header parse (the parity spec for the UDF): genuine
+    JPEG/PNG/GIF/WEBP headers get real-codec-correct metadata; anything
+    else takes the deterministic fake byte math (oracle-mirrored)."""
     if b is None or len(b) < 5:
         return 0, 0, 0, "ERROR"  # reference error convention (0/"ERROR")
+    real = parse_real_header(b) if _maybe_real(b) else None
+    if real is not None:
+        return real[0], real[1], len(b), real[2]
     width = int.from_bytes(b[0:2], "big") % 2048
     height = int.from_bytes(b[2:4], "big") % 2048
     fmt = FORMATS[b[4] % 4]
@@ -130,9 +219,16 @@ def _meta_fake_batch(data: pd.Series) -> pd.DataFrame:
     heads, rows = [], []
     for i, b in enumerate(data):
         if b is not None and len(b) >= 5:
+            size[i] = len(b)
+            # genuine image signature → real pure-struct header parse;
+            # everything else joins the vectorized fake-math batch
+            if _maybe_real(b):
+                real = parse_real_header(b)
+                if real is not None:
+                    width[i], height[i], fmt[i] = real
+                    continue
             rows.append(i)
             heads.append(b[:5])
-            size[i] = len(b)
     if rows:
         head = np.frombuffer(b"".join(heads), dtype=np.uint8).reshape(-1, 5).astype(np.int64)
         idx = np.asarray(rows)
