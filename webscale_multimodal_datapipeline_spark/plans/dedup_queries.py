@@ -425,3 +425,30 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 
 QUERIES["d_dedup_components"] = d_dedup_components
 ORACLE["d_dedup_components"] = D_COMPONENTS_SQL
+
+
+def d_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster resolution as ``d_dedup_components`` but via the
+    large-star/small-star algorithm (Kiveris et al. 2014) — O(log n)
+    rounds on ANY pair-graph shape, including adversarial long chains
+    where min-label propagation needs diameter-many rounds
+    (`operators/dedup.py::connected_components_star`). Identical output
+    contract, so it shares the recursive-CTE oracle: the two algorithms
+    are value-checked against each other through DuckDB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = OD.simhash_near_pairs(d, max_hamming=12)
+    comp = OD.connected_components_star(pairs, "id_l", "id_r")
+    return d.select("doc_id").join(
+        comp, d["doc_id"] == comp["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp"),
+        (F.coalesce(F.col("comp"), F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_representative"
+        ),
+    )
+
+
+QUERIES["d_dedup_components_star"] = d_dedup_components_star
+ORACLE["d_dedup_components_star"] = D_COMPONENTS_SQL
