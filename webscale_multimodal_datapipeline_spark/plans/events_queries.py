@@ -262,3 +262,107 @@ FROM offs GROUP BY cohort
 
 QUERIES["e_retention_cohorts"] = e_retention_cohorts
 ORACLE["e_retention_cohorts"] = E_RETENTION_SQL
+
+
+def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: per-user event sequences (ordered by
+    ts, event_id) → (from_type, to_type) counts and row-normalized
+    transition probabilities — the Markov-chain summary behind
+    next-action analytics and session-path mining.
+
+    One window (partitioned by user — never global) + one aggregate;
+    the output is |event_types|² rows, bounded regardless of corpus
+    size. Probability = n / total(from_type): both engines compute the
+    identical double division before the 6-dp round."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("prob"),
+    )
+
+
+E_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+FROM pairs
+"""
+
+QUERIES["e_markov_transitions"] = e_markov_transitions
+ORACLE["e_markov_transitions"] = E_MARKOV_SQL
+
+
+def e_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: derive each user's
+    "tier" (``$.k`` quartile bucket) from the event stream, collapse
+    consecutive runs into validity intervals ``[effective_from,
+    effective_to)`` with an ``is_current`` flag — the standard
+    gaps-and-islands SCD2 construction every warehouse pipeline runs to
+    version dimension attributes from an event log.
+
+    Two user-partitioned windows (lag to mark changes, lead to close
+    intervals) and no self-join; at 100 TB the user partitioning is the
+    shuffle key and rows-per-user stays bounded by the change count,
+    not the event count."""
+    ev = load_table(spark, sf_dir, "events")
+    tier = (F.get_json_object("props", "$.k").cast("bigint") / F.lit(25)).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", tier.alias("tier"))
+        .withColumn("_prev", F.lag("tier").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("tier")))
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "tier",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("effective_from"),
+        F.date_format(F.lead("ts").over(wc), "yyyy-MM-dd HH:mm:ss").alias(
+            "effective_to"
+        ),
+        F.lead("ts").over(wc).isNull().alias("is_current"),
+    )
+
+
+E_SCD2_SQL = """
+WITH tiers AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
+  FROM events
+), marked AS (
+  SELECT user_id, ts, event_id, tier,
+         LAG(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM tiers
+), changes AS (
+  SELECT user_id, ts, event_id, tier FROM marked
+  WHERE prev IS NULL OR prev <> tier
+)
+SELECT user_id, tier,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
+       strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS effective_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM changes
+"""
+
+QUERIES["e_scd2_dimension"] = e_scd2_dimension
+ORACLE["e_scd2_dimension"] = E_SCD2_SQL

@@ -660,3 +660,78 @@ FROM terms GROUP BY term HAVING COUNT(*) BETWEEN 5 AND 50
 
 QUERIES["t_inverted_index"] = t_inverted_index
 ORACLE["t_inverted_index"] = T_INVIDX_SQL
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity proxy (model-free quality scoring)
+# ---------------------------------------------------------------------------
+
+
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score without a model: train a corpus
+    unigram LM (one aggregation pass) and score every document by its
+    mean token log-probability — the KenLM-style filter signal
+    (CCNet/RefinedWeb use a real LM; the unigram version is the standard
+    model-free stand-in) with no model artifact to ship. Low scores =
+    rare-token-heavy documents (gibberish, boilerplate codes, OCR noise).
+
+    Scale shape: explode → vocab frequency aggregate (map-side
+    combinable) → plain shuffle join back on ``term`` (AQE broadcasts it
+    only if the vocabulary is genuinely small — web-scale term space is
+    1e8+, so no forced broadcast) → per-doc aggregate. Two shuffles plus
+    one join; the 1-row corpus-total side IS bounded, so its cross join
+    broadcasts for free.
+
+    Float parity: per-token logprob is rounded to 4 decimals and
+    accumulated as DECIMAL (exact, order-independent), divided and
+    re-rounded only at the end — the repo's standard oracle-parity
+    discipline for transcendental math.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text("text"), clean=True)).alias("term"),
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    lm = freq.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 4)
+        .cast("decimal(18,4)")
+        .alias("lp"),
+    )
+    return (
+        toks.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(F.sum("lp").alias("_sum_lp"), F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.col("_sum_lp").cast("double") / F.col("n_tokens"), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+T_UNIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS term
+  FROM documents
+), freq AS (
+  SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+), lm AS (
+  SELECT term,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE) / (SELECT SUM(cnt) FROM freq)), 4)
+              AS DECIMAL(18,4)) AS lp
+  FROM freq
+)
+SELECT toks.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(lm.lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+FROM toks JOIN lm USING (term)
+GROUP BY toks.doc_id
+"""
+
+QUERIES["t_unigram_logprob"] = t_unigram_logprob
+ORACLE["t_unigram_logprob"] = T_UNIGRAM_SQL
