@@ -235,3 +235,23 @@ def test_dominant_color_parity_and_nulls(spark):
     )
     r = MM.dominant_color_refiner().apply(nulls).first()
     assert r.color_r is None and r.color_g is None and r.color_b is None
+
+
+def test_frame_sample_udtf_parity_with_map_in_pandas(spark):
+    """The Spark-4 UDTF+LATERAL frame expansion yields exactly the rows
+    the mapInPandas path yields, including the None-payload drop and the
+    at-least-one-frame floor."""
+    from webscale_multimodal_datapipeline_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(40))), (2, None), (3, bytes(range(8))), (4, b"")],
+        "doc_id long, video_bytes binary",
+    )
+    a = MM.frame_sample_map_in_pandas(df, every_n=2).select(
+        "doc_id", "frame_index", "frame_bytes"
+    ).collect()
+    b = MM.frame_sample_lateral_udtf(spark, df, every_n=2).select(
+        "doc_id", "frame_index", "frame_bytes"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0

@@ -719,3 +719,41 @@ def dominant_color_refiner(
             "color_b": struct["color_b"],
         },
     )
+
+
+def frame_sample_lateral_udtf(
+    spark, df: DataFrame, bytes_col: str = "video_bytes", every_n: int = 10
+) -> DataFrame:
+    """Same 1→N frame expansion as :func:`frame_sample_map_in_pandas` but
+    through a REAL Python UDTF (Spark 4 ``@udtf``) applied with a SQL
+    ``LATERAL`` correlate — the first-class engine form of the
+    reference's 1→N record expansion (``commoncrawl_loader.py:66-149``)
+    rather than the mapInPandas emulation. Each input row drives one
+    ``eval`` that yields its frame rows; Spark plans it as a generator
+    (same operator family as ``explode``), so the expansion streams and
+    never materializes a per-row list.
+
+    Arrow-optimized when the session enables
+    ``spark.sql.execution.pythonUDTF.arrow.enabled``; logic is identical
+    either way, and parity with the mapInPandas path is tested.
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="frame_index int, frame_bytes binary")
+    class _FrameSample:
+        def eval(self, payload, n):  # noqa: ANN001 - UDTF signature
+            if payload is None:
+                return
+            n = int(n)
+            n_frames = max(len(payload) // (n * 4), 1)
+            for i in range(n_frames):
+                yield i, bytes(payload[i * 4 : i * 4 + 4])
+
+    spark.udtf.register("frame_sample_udtf", _FrameSample)
+    view = f"_frame_sample_in_{abs(hash((bytes_col, every_n))) % 10_000_000}"
+    df.createOrReplaceTempView(view)
+    cols = ", ".join(f"t.{c}" for c in df.columns)
+    return spark.sql(
+        f"SELECT {cols}, f.frame_index, f.frame_bytes "
+        f"FROM {view} t, LATERAL frame_sample_udtf(t.{bytes_col}, {int(every_n)}) f"
+    )

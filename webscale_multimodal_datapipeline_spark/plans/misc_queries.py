@@ -476,3 +476,90 @@ FROM rev
 
 QUERIES["x_revenue_share"] = x_revenue_share
 ORACLE["x_revenue_share"] = X_REVSHARE_SQL
+
+
+def x_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe large-large join, value-checked against the plain join:
+    events joined to per-type stats on ``event_type`` — a 5-distinct-key
+    join, the canonical pathological skew shape (every row hits one of 5
+    shuffle partitions). ``operators/scale.py::salted_join`` spreads each
+    hot key over 8 salt buckets by hashing the left row and replicating
+    the right side per salt; the salt covers every left row exactly once,
+    so the join result — and therefore this aggregate — is bit-identical
+    to the unsalted plain join the oracle runs. Use when BOTH sides are
+    too large to broadcast and AQE's skew split can't help (single
+    logical key).
+    """
+    from webscale_multimodal_datapipeline_spark.operators.scale import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    type_dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_n"))
+    joined = salted_join(ev.select("event_type", "value"), type_dim, "event_type", 8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("type_n").alias("type_n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+X_SALTED_SQL = """
+WITH type_dim AS (
+  SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       ANY_VALUE(d.type_n) AS type_n,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+FROM events e JOIN type_dim d USING (event_type)
+GROUP BY e.event_type
+"""
+
+QUERIES["x_salted_skew_join"] = x_salted_skew_join
+ORACLE["x_salted_skew_join"] = X_SALTED_SQL
+
+
+def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: every token whose corpus frequency exceeds
+    total/1000 (the phi=0.1% frequent-items threshold), with its share.
+    At scale this is the shape to KEEP exact — one explode plus one
+    map-side-combinable aggregate; the vocabulary-sized intermediate is
+    the only shuffle. Sketches (Misra-Gries / Count-Min) only become
+    necessary when the DISTINCT term space itself cannot be shuffled,
+    and then only for the candidate pass — the final counts still come
+    from this exact aggregate over the candidate set.
+    """
+    from webscale_multimodal_datapipeline_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(TX.tokens(TX.normalize_text("text"), clean=True)).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 1000 > F.col("total"))
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+X_HEAVY_SQL = f"""
+WITH toks AS (
+  SELECT unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS term FROM documents
+), freq AS (
+  SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+)
+SELECT term, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / (SELECT SUM(cnt) FROM freq), 6) AS share
+FROM freq
+WHERE cnt * 1000 > (SELECT SUM(cnt) FROM freq)
+"""
+
+QUERIES["x_heavy_hitters"] = x_heavy_hitters
+ORACLE["x_heavy_hitters"] = X_HEAVY_SQL

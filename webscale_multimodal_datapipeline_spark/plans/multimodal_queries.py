@@ -318,3 +318,21 @@ ORACLE = {
     "m_clip_embedding": M_CLIP_EMB_SQL,
     "m_visual_degradations": M_VD_SQL,
 }
+
+
+def m_frame_sample_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same frame-sampling aggregate as ``m_frame_sample`` but through the
+    genuine Spark-4 Python UDTF + LATERAL path
+    (`operators/multimodal.py::frame_sample_lateral_udtf`) instead of the
+    mapInPandas emulation — both engine forms of the reference's 1→N
+    expansion share this oracle."""
+    df = _with_bytes(spark, sf_dir).withColumnRenamed("image_bytes", "video_bytes")
+    frames = MM.frame_sample_lateral_udtf(spark, df, every_n=4)
+    return frames.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_videos"),
+    )
+
+
+QUERIES["m_frame_sample_udtf"] = m_frame_sample_udtf
+ORACLE["m_frame_sample_udtf"] = M_FRAME_SQL
