@@ -202,3 +202,19 @@ def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
     n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
     assert n_out == 1
     assert spark.read.parquet(out).count() == d.count()
+
+
+def test_load_table_remote_root_routes_through_fsspec_gate(spark):
+    """A catalog root with a protocol routes through the remote listing
+    hook; without fsspec in the container that surfaces the documented
+    NotImplementedError gate (not a file-not-found or a silent local
+    read)."""
+    import pytest as _pt
+
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+    from webscale_multimodal_datapipeline_spark.sources import files as SF
+
+    if SF.HAVE_FSSPEC:  # pragma: no cover - container has no fsspec
+        _pt.skip("fsspec present; gate not reachable")
+    with _pt.raises(NotImplementedError, match="fsspec"):
+        load_table(spark, "hf://datasets/org/repo", "documents")

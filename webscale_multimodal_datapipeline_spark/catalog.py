@@ -54,6 +54,16 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if "://" in sf_dir:
+        # Remote catalog root (hf://datasets/..., s3://...): enumerate via
+        # the fsspec listing hook (sources/files.py, gated on fsspec being
+        # installed) and read through the format dispatcher. The driver's
+        # local fixtures never take this path; a real deployment pointing
+        # the engine at a hosted dataset repo does.
+        from webscale_multimodal_datapipeline_spark.sources.files import read_dataset
+
+        df = read_dataset(spark, sf_dir, pattern=f"{name}*.parquet")
+        return normalize_events_ts(df) if name == "events" else df
     if name == "events":
         # Tolerate either fixture generation (nanos-as-long or micros).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

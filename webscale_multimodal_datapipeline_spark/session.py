@@ -43,6 +43,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime bloom-filter join pruning: when a selective build side
+        # can't broadcast (large-large joins — exactly the shapes this
+        # engine refuses to hint, q3/q5/q10 customer joins included), the
+        # optimizer injects a bloom filter on the probe side's scan. At
+        # 100 TB this prunes fact-table shuffle input by the dim-side
+        # selectivity; at local scale it's a no-op beyond plan overhead.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
