@@ -74,3 +74,40 @@ def test_ivf_topk_recall_and_shape(spark, sf_dir):
     for r in approx:
         if r.rank == 1:
             assert r.vec_id == r.query_id
+
+
+def test_pq_adc_topk_recall_and_determinism(spark, sf_dir):
+    """Product quantization: exact result-shape discipline, recall vs the
+    exact L2 baseline comfortably above the oracle's 0.2 floor, and
+    re-running the seeded pipeline reproduces the identical code
+    assignment (determinism the invariant oracle leans on)."""
+    from pyspark.sql import functions as F
+
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+    from webscale_multimodal_datapipeline_spark.operators import similarity as OS
+    from webscale_multimodal_datapipeline_spark.plans.vector_queries import DIM, N_QUERIES, TOP_K
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes, books = OS.pq_train_encode(e, dim=DIM, m=16, k=16)
+    assert len(books) == 16 and len(books[0]) == 16 and len(books[0][0]) == DIM // 16
+    pq = OS.pq_adc_topk(codes, books, q, dim=DIM, k=TOP_K).collect()
+    by_q = {}
+    for r in pq:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+        assert r.adc_dist >= 0.0
+    assert all(sorted(v) == list(range(1, TOP_K + 1)) for v in by_q.values())
+
+    exact = OS.l2_topk(e, q, k=TOP_K).collect()
+    e_ids = {(r.query_id, r.vec_id) for r in exact}
+    a_ids = {(r.query_id, r.vec_id) for r in pq}
+    recall = len(e_ids & a_ids) / len(e_ids)
+    assert recall >= 0.25, f"PQ recall too low: {recall}"
+
+    codes2, books2 = OS.pq_train_encode(e, dim=DIM, m=16, k=16)
+    assert books == books2
+    a = sorted(tuple(r) for r in codes.collect())
+    b = sorted(tuple(r) for r in codes2.collect())
+    assert a == b

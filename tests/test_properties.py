@@ -163,3 +163,16 @@ def test_simhash_kernels_agree(spark, docs):
         for r in OD.simhash_text_column(df_ws, "text", "v").select("id", "v").collect()
     }
     assert arrow_ws == arrow
+
+
+@given(texts=_TEXTS)
+@settings(**_SETTINGS)
+def test_norm_tokens_equals_tokens_of_normalize(spark, texts):
+    """norm_tokens is a pure optimization: identical token array to the
+    tokens(normalize_text(·), clean=True) composition on every input
+    (the \\s+ split makes the whitespace-collapse pass redundant)."""
+    fast = _run(spark, texts, TX.norm_tokens("text"))
+    spec = _run(spark, texts, TX.tokens(TX.normalize_text("text"), clean=True))
+    for t, a, b in zip(texts, fast, spec):
+        assert list(a) == list(b), repr(t)
+        assert list(a) == t.lower().split(), repr(t)

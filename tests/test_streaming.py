@@ -309,3 +309,32 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_streaming_on_rocksdb_state_store(spark, sf_dir):
+    """The production state-store backend: RocksDB (bundled rocksdbjni)
+    instead of the default HDFS-backed in-memory map. At 100 TB of keyed
+    state the in-memory provider OOMs executors; RocksDB spills to local
+    disk with changelog checkpointing. Same stateful dedup, same results
+    — only the provider differs."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = SP.read_events_stream(spark, sf_dir)
+        SP.run_stream_to_memory(SP.streaming_dedup(stream), "rocksdb_dedup_out")
+        n_stream = spark.sql("SELECT COUNT(*) AS n FROM rocksdb_dedup_out").first().n
+        n_batch = (
+            load_table(spark, sf_dir, "events")
+            .dropDuplicates(["user_id", "event_type"])
+            .count()
+        )
+        assert n_stream == n_batch
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)

@@ -88,6 +88,26 @@ def tokens(col: Column | str, clean: bool = False) -> Column:
     )
 
 
+def norm_tokens(col: Column | str) -> Column:
+    """Normalized whitespace tokens: EXACTLY the array
+    ``tokens(normalize_text(col), clean=True)`` produces, for every
+    input — without the whitespace-collapse ``regexp_replace`` pass.
+    Splitting on ``\\s+`` already treats a whitespace RUN as one
+    delimiter, so collapsing runs to single spaces first changes nothing
+    about the token list; it only pays a full-text regex rewrite
+    (measured ~5x of the whole hashed-classifier lane on long text).
+    Parity is property-tested (``test_properties.py``).
+
+    Use this when only the token ARRAY is needed; keep
+    ``normalize_text`` where the normalized STRING itself is the value
+    (content hashes, fingerprints)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = _strip_ws(F.lower(c))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (``length``-style cheap tokenizer) — pure
     size/split, no higher-order function."""
@@ -347,7 +367,7 @@ def word_shingles(
     the transform lambda (measured 50x slowdown at 260K shingles).
     """
     if toks is None:
-        toks = tokens(normalize_text(col), clean=True)
+        toks = norm_tokens(col)
     n = F.size(toks)
     shingles = F.transform(
         F.sequence(F.lit(0), n - k),
@@ -395,7 +415,7 @@ def hashed_quality_clf(col: Column | str, algo: str = "xxhash64") -> dict[str, C
     same model shape, different bucket assignment. Same split as SimHash:
     fast kernel by default, md5 retained as the differential spec.
     """
-    toks = F.slice(tokens(normalize_text(col), clean=True), 1, CLF_MAX_TOKENS)
+    toks = F.slice(norm_tokens(col), 1, CLF_MAX_TOKENS)
 
     def _milli(t: Column) -> Column:
         if algo == "xxhash64":
@@ -406,13 +426,19 @@ def hashed_quality_clf(col: Column | str, algo: str = "xxhash64") -> dict[str, C
             )
         return (bucket * CLF_MIX) % 2000001 - 1000000
 
-    milli = F.transform(toks, _milli)
-    n = F.size(milli)
-    s = F.aggregate(milli, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    # n from the TOKEN array (pre-hash) and keep from the raw SUM: the
+    # sum-and-size-of-`milli` form made every consumer of `keep` evaluate
+    # the hashed array TWICE (HOF expressions get no CSE across outputs —
+    # measured 2.3x on the 1M-row lane). `s > 0` ≡ `raw > 0` exactly:
+    # n*1e6 > 0 whenever n > 0, and the n == 0 branch pins raw to 0.0.
+    n = F.size(toks)
+    s = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, t: a + _milli(t)
+    )
     raw = F.when(n > 0, s / (n.cast("double") * 1000000.0)).otherwise(F.lit(0.0))
     score = F.round(F.lit(0.5) + F.lit(0.5) * raw / (F.lit(1.0) + F.abs(raw)), 4)
     return {
         "n_scored_tokens": n.cast("int"),
         "clf_score": score,
-        "keep": raw > 0,
+        "keep": s > 0,
     }

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from webscale_multimodal_datapipeline_spark.functions.text import (
     md5_long,
+    norm_tokens,
     normalize_text,
     token_count,
     tokens,
@@ -114,7 +115,7 @@ def boilerplate_stats(
     # an inline token expression re-runs the split per element_at inside
     # word_shingles' transform lambda (measured 50x; see word_shingles doc)
     exploded = (
-        df.withColumn("_tk", tokens(normalize_text(F.col(text_col)), clean=True))
+        df.withColumn("_tk", norm_tokens(F.col(text_col)))
         .withColumn("_sh", word_shingles(text_col, k=k, toks=F.col("_tk")))
         .select(id_col, F.explode("_sh").alias("shingle"))
     )

@@ -133,7 +133,7 @@ def minhash_lsh_dedup(
     smaller id. Two shuffles total (band exchange + semi-join back).
     """
     base = (
-        df.withColumn("_toks", TX.tokens(TX.normalize_text(text_col), clean=True))
+        df.withColumn("_toks", TX.norm_tokens(text_col))
         .withColumn("_shingles", TX.word_shingles(text_col, k=k, toks=F.col("_toks")))
         .withColumn("_hashes", shingle_hashes(F.col("_shingles")))
         .withColumn("_sig", minhash_signature(text_col, k=k, hashes=F.col("_hashes")))
@@ -192,7 +192,7 @@ def token_hashes(text_col: str = "text", algo: str = "md5") -> Column:
     no hex round-trip, ~3x the lane throughput — same SimHash semantics,
     different (non-oracle-reproducible) hash values; only bits 0-59 are
     used so signatures stay within SIMHASH_BITS."""
-    toks = TX.tokens(TX.normalize_text(text_col), clean=True)
+    toks = TX.norm_tokens(text_col)
     if algo == "xxhash64":
         mask = (1 << SIMHASH_BITS) - 1
         return F.transform(toks, lambda t: F.xxhash64(t).bitwiseAND(F.lit(mask)))
@@ -342,7 +342,7 @@ def shared_shingle_dedup(
     # distinct, and both downstream aggregates are min() — duplicate pairs
     # (possible only via within-doc hash collisions) can't change either
     # result, so the extra full-table shuffle would buy nothing.
-    base = df.withColumn("_toks", TX.tokens(TX.normalize_text(text_col), clean=True))
+    base = df.withColumn("_toks", TX.norm_tokens(text_col))
     pairs = base.select(
         F.col(id_col),
         F.explode(

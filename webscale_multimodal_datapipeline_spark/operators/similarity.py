@@ -201,3 +201,155 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the vector-COMPRESSION scale tier. IVF prunes
+# which vectors a probe scans; PQ shrinks what each vector costs to store
+# and score (m uint8 codes instead of dim floats — 64x smaller at
+# dim=64/m=4). Together they are the IVF-PQ layout every billion-vector
+# ANN deployment runs. (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search".)
+# ---------------------------------------------------------------------------
+
+
+def pq_train_encode(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 42,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 20,
+):
+    """Train per-subspace KMeans codebooks and encode every vector as its
+    ``m`` nearest-centroid codes.
+
+    Splits the ``dim``-dim embedding into ``m`` contiguous subvectors and
+    fits an independent ``k``-centroid KMeans per subspace (``pyspark.ml``
+    — distributed, seeded). Returns ``(codes_df, codebooks)`` where
+    ``codes_df`` is ``(id, code_0..code_{m-1})`` and ``codebooks`` is the
+    ``m × k × dim/m`` nested list of centroid coordinates (driver-side
+    model metadata, ~m·k·dim floats — NOT a data collect).
+
+    Scale shape: training samples could subsample at 100 TB (codebooks
+    need ~1e5 vectors, not the corpus); encoding is ``m`` independent
+    model.transform passes — row-local, no shuffle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    enc = corpus.select(id_col, emb_col)
+    codebooks = []
+    for j in range(m):
+        sub = F.slice(VX.to_double_array(emb_col), j * d_sub + 1, d_sub)
+        feat = enc.withColumn("_feat", array_to_vector(sub))
+        model = KMeans(
+            k=k, seed=seed + j, maxIter=max_iter, featuresCol="_feat",
+            predictionCol=f"code_{j}",
+        ).fit(feat)
+        enc = model.transform(feat).drop("_feat")
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return enc.drop(emb_col), codebooks
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: approximate squared-L2 =
+    sum over subspaces of ||q_sub − centroid(code_j)||², looked up from a
+    per-query distance table.
+
+    The LUT is tiny (n_queries · m · k rows) and broadcast; the corpus
+    side ships only its ``m`` uint8 codes — never the original floats.
+    Plan: unpivot codes → broadcast-join the LUT on (subspace, code) →
+    one groupBy(id, query) sum → per-query top-k window. One shuffle over
+    (m · corpus) skinny rows; at 100 TB this is the memory-bound layout
+    PQ exists to enable.
+    """
+    m = len(codebooks)
+    kcb = len(codebooks[0])
+    d_sub = dim // m
+
+    # per-query LUT rows (query_id, j, code, pdist) — driver-built from
+    # the broadcast-sized query set x codebook metadata
+    qrows = queries.select(query_id_col, emb_col).collect()
+    lut = []
+    for qr in qrows:
+        qe = [float(x) for x in qr[emb_col]]
+        for j in range(m):
+            qs = qe[j * d_sub : (j + 1) * d_sub]
+            for c in range(kcb):
+                cc = codebooks[j][c]
+                pd_ = sum((a - b) ** 2 for a, b in zip(qs, cc))
+                lut.append((qr[query_id_col], j, c, pd_))
+    spark = codes_df.sparkSession
+    lut_df = F.broadcast(
+        spark.createDataFrame(lut, f"{query_id_col} long, _j int, _code int, _pd double")
+    )
+
+    unpivoted = codes_df.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"code_{j}") for j in range(m)])).alias(
+            "_j", "_code"
+        ),
+    )
+    scored = (
+        unpivoted.join(lut_df, ["_j", "_code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_pd").alias("adc_dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact squared-L2 top-k (the ground truth PQ approximates)."""
+    q = F.broadcast(
+        queries.select(query_id_col, F.col(emb_col).alias("_q_emb"))
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.aggregate(
+            F.zip_with(
+                VX.to_double_array(emb_col),
+                VX.to_double_array("_q_emb"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("l2_sq"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("l2_sq").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "l2_sq", "rank")
+    )

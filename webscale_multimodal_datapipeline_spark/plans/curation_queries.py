@@ -300,7 +300,7 @@ def c_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; the final top-k is TakeOrderedAndProject over the (small)
     aggregated vocab, never a global row sort."""
     d = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens(TX.normalize_text(F.col("text")), clean=True)
+    toks = TX.norm_tokens(F.col("text"))
     return (
         d.select(F.explode(toks).alias("token"))
         .groupBy("token")

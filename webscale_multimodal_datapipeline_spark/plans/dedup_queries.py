@@ -108,7 +108,7 @@ def d_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three sampled elements of the 12-element MinHash signature."""
     d = (
         load_table(spark, sf_dir, "documents")
-        .withColumn("_toks", TX.tokens(TX.normalize_text("text"), clean=True))
+        .withColumn("_toks", TX.norm_tokens("text"))
         .withColumn("_sh", TX.word_shingles("text", k=3, toks=F.col("_toks")))
         .withColumn("_h", OD.shingle_hashes(F.col("_sh")))
     )
@@ -189,7 +189,7 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id_l, id_r, jaccard)."""
     d = load_table(spark, sf_dir, "documents")
     base = (
-        d.withColumn("_toks", TX.tokens(TX.normalize_text("text"), clean=True))
+        d.withColumn("_toks", TX.norm_tokens("text"))
         .withColumn("_shingles", TX.word_shingles("text", k=3, toks=F.col("_toks")))
         .withColumn("_hashes", OD.shingle_hashes(F.col("_shingles")))
         .withColumn("_sig", OD.minhash_signature("text", k=3, hashes=F.col("_hashes")))
@@ -341,7 +341,7 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     base = (
-        d.withColumn("_toks", TX.tokens(TX.normalize_text("text"), clean=True))
+        d.withColumn("_toks", TX.norm_tokens("text"))
         .withColumn("_sh", TX.word_shingles("text", k=3, toks=F.col("_toks")))
         .select("doc_id", OD.shingle_hashes(F.col("_sh")).alias("_h"))
     )

@@ -534,7 +534,7 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        F.explode(TX.tokens(TX.normalize_text("text"), clean=True)).alias("term")
+        F.explode(TX.norm_tokens("text")).alias("term")
     )
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))

@@ -487,7 +487,7 @@ def t_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     terms = d.select(
         "doc_id",
-        F.explode(TX.tokens(TX.normalize_text("text"), clean=True)).alias("term"),
+        F.explode(TX.norm_tokens("text")).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -549,7 +549,7 @@ def t_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.posexplode(TX.tokens(TX.normalize_text("text"), clean=True)).alias(
+        F.posexplode(TX.norm_tokens("text")).alias(
             "pos", "term"
         ),
     )
@@ -626,7 +626,7 @@ def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = (
         d.select(
             "doc_id",
-            F.explode(TX.tokens(TX.normalize_text("text"), clean=True)).alias(
+            F.explode(TX.norm_tokens("text")).alias(
                 "term"
             ),
         )
@@ -690,7 +690,7 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.explode(TX.tokens(TX.normalize_text("text"), clean=True)).alias("term"),
+        F.explode(TX.norm_tokens("text")).alias("term"),
     )
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))

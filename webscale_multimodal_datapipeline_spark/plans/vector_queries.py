@@ -321,3 +321,49 @@ FROM s WHERE scale > 0
 
 QUERIES["v_quantize_int8"] = v_quantize_int8
 ORACLE["v_quantize_int8"] = V_QUANT_SQL
+
+
+def v_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace KMeans
+    codebooks → m-code encoding → asymmetric-distance top-k from a
+    broadcast lookup table (`operators/similarity.py::pq_train_encode /
+    pq_adc_topk`). The compression tier of the IVF-PQ layout every
+    billion-vector deployment runs — codes are 64x smaller than the
+    float vectors they score.
+
+    KMeans codebooks are iterative and not SQL-expressible, so the
+    oracle pins run invariants (the ``v_kmeans_clusters`` pattern):
+    result cardinality (k rows per query), non-negative distances, and
+    recall@k ≥ 0.2 against the EXACT squared-L2 top-k computed
+    in-engine (m=16/k=16 measures 0.40-0.53 across fixtures — uniform synthetic
+    vectors are PQ's worst case, so the 2x margin holds across fixture
+    regenerations; the pytest pins a tighter bound plus determinism)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes, books = OS.pq_train_encode(e, dim=DIM, m=16, k=16)
+    pq = OS.pq_adc_topk(codes, books, q, dim=DIM, k=TOP_K)
+    exact = OS.l2_topk(e, q, k=TOP_K)
+    hits = pq.join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+    agg = pq.agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.min("adc_dist").alias("_min_d"),
+    ).crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+    return agg.select(
+        F.col("n_results").cast("long").alias("n_results"),
+        (F.col("_min_d") >= 0).alias("dists_nonneg"),
+        (
+            F.col("_n_hit").cast("double")
+            >= F.lit(0.2) * F.lit(int(N_QUERIES * TOP_K))
+        ).alias("recall_ok"),
+    )
+
+
+V_PQ_SQL = f"""
+SELECT CAST({N_QUERIES * TOP_K} AS BIGINT) AS n_results,
+       TRUE AS dists_nonneg, TRUE AS recall_ok
+"""
+
+QUERIES["v_pq_adc_topk"] = v_pq_adc_topk
+ORACLE["v_pq_adc_topk"] = V_PQ_SQL
