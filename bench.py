@@ -53,6 +53,13 @@ BENCH_QUERIES = (
     "e_first_event_dedup",
     "c_line_dedup",
     "ts_gap_fill",
+    # round 3 additions (new lanes, never renames — cross-round continuity)
+    "e_markov_transitions",
+    "e_scd2_dimension",
+    "t_unigram_logprob",
+    "x_heavy_hitters",
+    "x_salted_skew_join",
+    "d_dedup_components_star",
 )
 
 

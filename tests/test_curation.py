@@ -253,3 +253,27 @@ def test_merge_upsert_delta_null_wins_and_unique_key_guard(spark):
     )
     with pytest.raises(ValueError, match="duplicate delta keys"):
         merge_upsert(base, dup_delta, "k", check_unique_delta_keys=True)
+
+
+def test_unigram_logprob_operator_matches_query(spark, sf_dir):
+    """The YAML-reachable operator annotates with exactly the scores the
+    registry query computes (same LM, same rounding discipline), keeps
+    every input row/column, and gives token-less rows NULL."""
+    from pyspark.sql import functions as F
+
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+    from webscale_multimodal_datapipeline_spark.operators.curation import unigram_logprob
+    from webscale_multimodal_datapipeline_spark.plans.text_queries import t_unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    got = unigram_logprob(d)
+    assert got.count() == d.count()
+    assert set(d.columns) < set(got.columns)
+    a = {r.doc_id: r.avg_logprob for r in got.select("doc_id", "avg_logprob").collect()}
+    b = {r.doc_id: r.avg_logprob for r in t_unigram_logprob(spark, sf_dir).collect()}
+    for k, v in b.items():
+        assert a[k] == v
+    # a row with empty text -> NULL annotation, row retained
+    empty = spark.createDataFrame([(999999, ""), (999998, "a b a")], "doc_id long, text string")
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob(empty).collect()}
+    assert out[999999] is None and out[999998] is not None

@@ -391,3 +391,53 @@ def merge_upsert(
             for c in cols
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity proxy as a pipeline operator (YAML-reachable form
+# of plans/text_queries.py::t_unigram_logprob — same algorithm, keeps every
+# input column and annotates instead of projecting)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "avg_logprob",
+) -> DataFrame:
+    """Annotate each row with its mean token log-probability under the
+    corpus's own unigram LM (the model-free stand-in for a KenLM quality
+    filter — CCNet/RefinedWeb lineage). Rows whose text has no tokens get
+    NULL (no evidence), not 0.
+
+    Two aggregations (term frequency, per-doc mean) + one shuffle join on
+    term; the vocabulary side is NOT force-broadcast — AQE decides.
+    Per-token log-probs are rounded to 4 dp and accumulated as DECIMAL so
+    the signal is deterministic across engines and partitionings.
+    """
+    toks = df.select(id_col, F.explode(norm_tokens(F.col(text_col))).alias("_term"))
+    freq = toks.groupBy("_term").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = freq.agg(F.sum("_cnt").alias("_total"))
+    lm = freq.crossJoin(F.broadcast(total)).select(
+        "_term",
+        F.round(F.log(F.col("_cnt").cast("double") / F.col("_total")), 4)
+        .cast("decimal(18,4)")
+        .alias("_lp"),
+    )
+    scores = (
+        toks.join(lm, "_term")
+        .groupBy(id_col)
+        .agg(F.sum("_lp").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            id_col,
+            F.round(F.col("_s").cast("double") / F.col("_n"), 4).alias(out_col),
+        )
+    )
+    return df.join(scores, id_col, "left")
+
+
+def unigram_logprob_refiner(**kw) -> LambdaOperator:
+    return LambdaOperator(
+        "unigram_logprob", lambda df: unigram_logprob(df, **kw), "refiner"
+    )

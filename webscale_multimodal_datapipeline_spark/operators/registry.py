@@ -138,3 +138,14 @@ def _compression_ratio_refiner(**kw):
 
 
 register("compression_ratio_refiner", _compression_ratio_refiner)
+
+
+def _unigram_logprob_refiner(**kw):
+    from webscale_multimodal_datapipeline_spark.operators.curation import (
+        unigram_logprob_refiner,
+    )
+
+    return unigram_logprob_refiner(**kw)
+
+
+register("unigram_logprob_refiner", _unigram_logprob_refiner)
