@@ -263,3 +263,47 @@ def test_lsh_dedup_shuffles_only_small_columns(spark, sf_dir):
     assert "text" not in m.group(1).split("Project")[1].split("\n")[0], (
         "band explode carries text into the shuffle"
     )
+
+
+def test_runtime_bloom_filter_injects_on_unbroadcastable_join(spark, sf_dir):
+    """The session enables runtime bloom-filter pruning; when a selective
+    build side can't broadcast (thresholds forced here to simulate the
+    100-TB condition locally), the optimizer must inject a
+    bloom_filter_agg on the build side and an application filter on the
+    probe scan — the pruning the engine relies on INSTEAD of forced
+    broadcast hints on scaling tables."""
+    from pyspark.sql import functions as F
+
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1200]
+        assert "might_contain" in plan, plan[:1200]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

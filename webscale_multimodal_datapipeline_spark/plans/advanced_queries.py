@@ -359,3 +359,68 @@ FROM orders GROUP BY 1, 2
 
 QUERIES["a_orders_unpivot"] = a_orders_unpivot
 ORACLE["a_orders_unpivot"] = A_UNPIVOT_SQL
+
+
+def a_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a max-staleness tolerance: each purchase gets its
+    latest preceding click by the same user only if it happened within 30
+    minutes — older matches are nulled out (the ad-attribution /
+    sensor-staleness contract; plain as-of joins silently attribute to
+    arbitrarily old events).
+
+    Same single user-partitioned window as the tolerance-free
+    ``a_asof_click_before_purchase`` (no join at all — the union-window
+    form carries both streams through one sort), plus the matched
+    timestamp so the gap test is one comparison."""
+    TOL_MIN = 30
+    ev = load_table(spark, sf_dir, "events")
+    sub = ev.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    lagged = sub.withColumn(
+        "_pc_id", F.last(click_id, ignorenulls=True).over(w)
+    ).withColumn("_pc_ts", F.last(click_ts, ignorenulls=True).over(w))
+    in_tol = (
+        F.col("_pc_ts").isNotNull()
+        & (F.col("ts").cast("long") - F.col("_pc_ts").cast("long") <= TOL_MIN * 60)
+    )
+    return lagged.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(in_tol, F.col("_pc_id")).alias("click_id"),
+        F.when(
+            in_tol, (F.col("ts").cast("long") - F.col("_pc_ts").cast("long"))
+        ).alias("gap_seconds"),
+    )
+
+
+A_ASOF_TOL_SQL = """
+SELECT purchase_id, user_id,
+       CASE WHEN ok THEN pc_id END AS click_id,
+       CASE WHEN ok THEN gap END AS gap_seconds
+FROM (
+  SELECT event_id AS purchase_id, user_id, event_type, pc_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(pc_ts)) AS BIGINT) AS gap,
+         pc_ts IS NOT NULL
+           AND CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(pc_ts)) AS BIGINT) <= 1800 AS ok
+  FROM (
+    SELECT event_id, user_id, event_type, ts,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc_id,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc_ts
+    FROM events WHERE event_type IN ('click', 'purchase')
+  )
+)
+WHERE event_type = 'purchase'
+"""
+
+QUERIES["a_asof_tolerance_join"] = a_asof_tolerance_join
+ORACLE["a_asof_tolerance_join"] = A_ASOF_TOL_SQL

@@ -563,3 +563,83 @@ WHERE cnt * 1000 > (SELECT SUM(cnt) FROM freq)
 
 QUERIES["x_heavy_hitters"] = x_heavy_hitters
 ORACLE["x_heavy_hitters"] = X_HEAVY_SQL
+
+
+def x_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group WITHOUT a window: ``max_by``/``min_by`` aggregation
+    (DuckDB ``arg_max``/``arg_min``). For k=1 this halves the cost of the
+    row_number() pattern — one map-side-combinable aggregate, no
+    per-group sort, no rank column — the shape to prefer whenever "the
+    best row per key" is the whole question. Deterministic tie-break by
+    packing the tie key into the ordering struct."""
+    c = load_table(spark, sf_dir, "customer")
+    # richest customer per nation; ties (same acctbal) -> lowest custkey.
+    # The ordering key is packed into ONE exact integer (cents * 1e8 -
+    # custkey) rather than a struct: all-integer arithmetic is ordered
+    # identically by both engines, and this DuckDB build's arg_max does
+    # not take struct keys.
+    ord_key = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * F.lit(100000000)
+        - F.col("c_custkey")
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_custkey", ord_key).alias("top_custkey"),
+        F.max("c_acctbal").alias("top_acctbal"),
+        F.min_by("c_custkey", ord_key).alias("bottom_custkey"),
+        F.min("c_acctbal").alias("bottom_acctbal"),
+    )
+
+
+X_ARGMAX_SQL = """
+SELECT c_nationkey,
+       arg_max(c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100000000 - c_custkey) AS top_custkey,
+       MAX(c_acctbal) AS top_acctbal,
+       arg_min(c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100000000 - c_custkey) AS bottom_custkey,
+       MIN(c_acctbal) AS bottom_acctbal
+FROM customer GROUP BY c_nationkey
+"""
+
+QUERIES["x_argmax_agg"] = x_argmax_agg
+ORACLE["x_argmax_agg"] = X_ARGMAX_SQL
+
+
+def x_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` / ``IS NOT DISTINCT FROM``): join
+    documents on a NULLABLE derived key where NULL must match NULL — the
+    semantics plain ``=`` silently drops. The canonical trap when joining
+    on optional attributes (e.g. detected language) at pipeline scale:
+    every NULL-keyed row vanishes from an inner equi-join and no error
+    tells you. Also exercises how the engine plans null-safe keys (they
+    hash like normal keys — still a shuffle hash join, not a cartesian).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # optional key: lang only when the doc is 'long'; NULL otherwise
+    keyed = d.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 200, F.col("lang")).alias("opt_lang"),
+    )
+    stats = (
+        keyed.groupBy("opt_lang")
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+        .withColumnRenamed("opt_lang", "_s_lang")
+    )
+    joined = keyed.join(
+        stats, F.col("opt_lang").eqNullSafe(F.col("_s_lang")), "inner"
+    )
+    return joined.select("doc_id", "opt_lang", "grp_n")
+
+
+X_NULLSAFE_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         CASE WHEN n_chars >= 200 THEN lang END AS opt_lang
+  FROM documents
+), stats AS (
+  SELECT opt_lang, COUNT(*) AS grp_n FROM keyed GROUP BY opt_lang
+)
+SELECT k.doc_id, k.opt_lang, s.grp_n
+FROM keyed k JOIN stats s ON k.opt_lang IS NOT DISTINCT FROM s.opt_lang
+"""
+
+QUERIES["x_nullsafe_join"] = x_nullsafe_join
+ORACLE["x_nullsafe_join"] = X_NULLSAFE_SQL
