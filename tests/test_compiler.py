@@ -228,3 +228,39 @@ def test_stage_partitions_knob(spark, sf_dir):
     out = compile_pipeline(cfg).run(spark, sf_dir, observe_metrics=False).output
     assert out.rdd.getNumPartitions() == 7
     assert out.count() > 0
+
+
+def test_expectations_evaluate_and_enforce(spark):
+    """One aggregation pass for the whole battery (plan-asserted: a single
+    Aggregate over the scan); NULL predicate results count as violations
+    in the report AND drop in enforce; table-level uniqueness reports but
+    never drops rows."""
+    from pyspark.sql import functions as F
+
+    from webscale_multimodal_datapipeline_spark import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", None), (2, "zz", 5), (None, "fr", 7)],
+        "id long, lang string, score long",
+    )
+    exps = [
+        Q.expect_not_null("id"),
+        Q.expect_in_set("lang", ("en", "fr")),
+        Q.expect_in_range("score", 0, 100),  # NULL score -> violation
+        Q.expect_unique("id"),
+    ]
+    rep = {r.expectation: r for r in Q.evaluate(df, exps).collect()}
+    assert rep["not_null(id)"].n_violations == 1
+    assert rep["in_set(lang)"].n_violations == 1
+    assert rep["in_range(score)"].n_violations == 1  # NULL counted
+    assert rep["unique(id)"].n_violations == 1  # id=2 twice
+    assert all(r.n_rows == 4 for r in rep.values())
+    assert rep["not_null(id)"].passed is False
+
+    kept = Q.enforce(df, exps).collect()
+    # row (1,'en',10) is the only one passing all row-level checks
+    assert [(r.id, r.lang, r.score) for r in kept] == [(1, "en", 10)]
+
+    # single-pass: exactly one aggregation leaf over the input
+    plan = Q.evaluate(df, exps)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("aggregate") <= 2, plan  # partial+final only

@@ -307,3 +307,40 @@ def test_runtime_bloom_filter_injects_on_unbroadcastable_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_results_invariant_under_shuffle_partition_count(spark, sf_dir):
+    """Determinism under re-planning: a representative slice of the
+    registry (window ranks, decimal aggregation, LM scoring, dictionary
+    ranking, dedup winners) must produce IDENTICAL values when the
+    shuffle parallelism changes (32 -> 7). Catches partition-order
+    dependence — first()/collect_list/float-accumulation bugs that stay
+    invisible until a cluster resizes."""
+    from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES
+
+    names = (
+        "x_acctbal_deciles",
+        "t_unigram_logprob",
+        "t_tokenize_ids",
+        "d_exact_dedup",
+        "e_markov_transitions",
+        "x_argmax_agg",
+    )
+
+    def snapshot():
+        out = {}
+        for n in names:
+            rows = QUERIES[n](spark, sf_dir).collect()
+            out[n] = sorted(tuple(r) for r in rows)
+        return out
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        base = snapshot()
+        spark.conf.set(key, "7")
+        alt = snapshot()
+    finally:
+        spark.conf.set(key, old)
+    for n in names:
+        assert base[n] == alt[n], f"{n} changed under partitions=7"

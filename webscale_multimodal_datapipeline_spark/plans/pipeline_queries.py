@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from webscale_multimodal_datapipeline_spark.catalog import load_table
 from webscale_multimodal_datapipeline_spark.compiler import compile_pipeline
 from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ
 
@@ -163,3 +164,50 @@ ORACLE = {
     "p_pipeline_metrics": P_METRICS_SQL,
     "p_rejected_by_operator": P_REJECTED_SQL,
 }
+
+
+def p_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (``quality.py``): a battery of named
+    expectations — not-null, range, set membership, regex, uniqueness —
+    compiled into ONE aggregation pass and unpivoted into a report row
+    per expectation. The deequ/DLT-expectations shape the reference runs
+    imperatively inside operators (``image_metadata.py:38-66``).
+
+    The battery is chosen to exercise both outcomes: passing checks and
+    a deliberately-violated one (``in_set`` without 'zh')."""
+    from webscale_multimodal_datapipeline_spark import quality as Q
+
+    d = load_table(spark, sf_dir, "documents")
+    exps = [
+        Q.expect_not_null("doc_id"),
+        Q.expect_not_null("text"),
+        Q.expect_in_range("n_chars", 1, 10000),
+        Q.expect_in_set("lang", ("en", "es", "fr", "de")),  # zh -> violations
+        Q.expect_regex("source", "^src[0-9]+$"),
+        Q.expect_unique("doc_id"),
+    ]
+    return Q.evaluate(d, exps)
+
+
+P_EXPECT_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v0,
+         SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v1,
+         SUM(CASE WHEN n_chars BETWEEN 1 AND 10000 THEN 0 ELSE 1 END) AS v2,
+         SUM(CASE WHEN lang IN ('en','es','fr','de') THEN 0 ELSE 1 END) AS v3,
+         SUM(CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 0 ELSE 1 END) AS v4,
+         COUNT(doc_id) - COUNT(DISTINCT doc_id) AS v5
+  FROM documents
+)
+SELECT u.expectation, agg.n AS n_rows, CAST(u.v AS BIGINT) AS n_violations,
+       ROUND(CAST(u.v AS DOUBLE) / agg.n, 6) AS violation_rate,
+       u.v = 0 AS passed
+FROM agg, LATERAL (VALUES
+  ('not_null(doc_id)', v0), ('not_null(text)', v1), ('in_range(n_chars)', v2),
+  ('in_set(lang)', v3), ('regex(source)', v4), ('unique(doc_id)', v5)
+) AS u(expectation, v)
+"""
+
+QUERIES["p_expectations_report"] = p_expectations_report
+ORACLE["p_expectations_report"] = P_EXPECT_SQL
