@@ -431,7 +431,17 @@ def unigram_logprob(
         .agg(F.sum("_lp").alias("_s"), F.count(F.lit(1)).alias("_n"))
         .select(
             id_col,
-            F.round(F.col("_s").cast("double") / F.col("_n"), 4).alias(out_col),
+            # integer-resolution rounding in 1e-4 units — see
+            # plans/text_queries.py::t_unigram_logprob for why scaled
+            # ROUND(x, 4) is not cross-engine-stable
+            (
+                F.round(
+                    (F.col("_s") * 10000).cast("bigint").cast("double")
+                    / F.col("_n"),
+                    0,
+                )
+                / F.lit(10000.0)
+            ).alias(out_col),
         )
     )
     return df.join(scores, id_col, "left")

@@ -707,8 +707,18 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.col("_sum_lp").cast("double") / F.col("n_tokens"), 4
+            # round at INTEGER resolution in 1e-4 units: scaled ROUND(x, 4)
+            # of a double quotient takes engine-specific double-rounding
+            # paths (diverged by one 1e-4 unit at sf0.1); ROUND(x) of the
+            # same IEEE double is tie-ruled identically in both engines,
+            # and the final /10000.0 of an integer-valued double is exact.
+            (
+                F.round(
+                    (F.col("_sum_lp") * 10000).cast("bigint").cast("double")
+                    / F.col("n_tokens"),
+                    0,
+                )
+                / F.lit(10000.0)
             ).alias("avg_logprob"),
         )
     )
@@ -728,7 +738,8 @@ WITH toks AS (
 )
 SELECT toks.doc_id,
        COUNT(*) AS n_tokens,
-       ROUND(CAST(SUM(lm.lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+       ROUND(CAST(CAST(SUM(lm.lp) * 10000 AS BIGINT) AS DOUBLE) / COUNT(*))
+         / 10000.0 AS avg_logprob
 FROM toks JOIN lm USING (term)
 GROUP BY toks.doc_id
 """
