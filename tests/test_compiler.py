@@ -264,3 +264,44 @@ def test_expectations_evaluate_and_enforce(spark):
     # single-pass: exactly one aggregation leaf over the input
     plan = Q.evaluate(df, exps)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("aggregate") <= 2, plan  # partial+final only
+
+
+def test_pipeline_yaml_expectations_block(spark, sf_dir):
+    """YAML `expectations:` compiles into the single-pass quality gate:
+    report rows over the pre-enforcement output; `action: enforce` checks
+    additionally filter; table-level checks refuse to enforce."""
+    import pytest as _pt
+
+    from webscale_multimodal_datapipeline_spark.compiler import compile_pipeline
+
+    yml = """
+data_loader:
+  table: documents
+stages:
+  - name: score
+    operators:
+      - type: quality_score_refiner
+expectations:
+  - type: not_null
+    params: {col: doc_id}
+  - type: in_set
+    params: {col: lang, values: [en, es, fr, de]}
+    action: enforce
+  - type: unique
+    params: {col: doc_id}
+"""
+    res = compile_pipeline(yml).run(spark, sf_dir, observe_metrics=False)
+    rep = {r.expectation: r for r in res.expectations_report.collect()}
+    assert set(rep) == {"not_null(doc_id)", "in_set(lang)", "unique(doc_id)"}
+    n_total = rep["not_null(doc_id)"].n_rows
+    n_zh = rep["in_set(lang)"].n_violations
+    assert n_zh > 0  # corpus contains zh docs
+    # enforce dropped exactly the violating rows; report was pre-enforcement
+    assert res.output.count() == n_total - n_zh
+
+    bad = yml.replace("""  - type: unique
+    params: {col: doc_id}""", """  - type: unique
+    params: {col: doc_id}
+    action: enforce""")
+    with _pt.raises(ValueError, match="table-level"):
+        compile_pipeline(bad).run(spark, sf_dir, observe_metrics=False)

@@ -24,6 +24,12 @@ data_writer`` with snake_case operator names resolved via the registry,
       path: /tmp/out              # optional; partition_by: [col]
       rejected_path: /tmp/rej     # optional side-output
     collect_rejected: true
+    expectations:                 # optional data-quality gate (quality.py):
+      - type: not_null            #   one aggregation pass for the whole
+        params: {col: doc_id}     #   battery; action: enforce also filters
+      - type: in_set
+        params: {col: lang, values: [en, fr]}
+        action: enforce
 
 Compile-time optimization (the reference does this manually by YAML stage
 ordering, SURVEY §4): within each stage, pure-predicate Filter operators
@@ -70,6 +76,10 @@ class PipelineConfig:
     stages: list[StageConfig]
     writer: dict[str, Any] = field(default_factory=dict)
     collect_rejected: bool = False
+    # declarative data-quality gate (quality.py), evaluated AFTER the last
+    # stage: every listed check lands in one aggregation pass; checks with
+    # ``action: enforce`` additionally filter the output.
+    expectations: list[dict[str, Any]] = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, cfg: dict[str, Any]) -> "PipelineConfig":
@@ -91,6 +101,7 @@ class PipelineConfig:
             stages=stages,
             writer=cfg.get("data_writer", {}) or {},
             collect_rejected=bool(cfg.get("collect_rejected", False)),
+            expectations=list(cfg.get("expectations", []) or []),
         )
 
     @classmethod
@@ -155,6 +166,40 @@ class PipelineResult:
     output: DataFrame
     rejected: DataFrame | None
     metrics: "MetricsCollector"
+    # report over the PRE-enforcement output, one row per expectation
+    # (None when the config declares no expectations)
+    expectations_report: DataFrame | None = None
+
+
+def _build_expectations(specs: list[dict[str, Any]]):
+    """Compile YAML expectation specs into quality.py Expectations.
+
+    Spec: ``{type: not_null|in_range|in_set|regex|unique, params: {...},
+    action: report|enforce}`` — returns (all, enforced) lists."""
+    from webscale_multimodal_datapipeline_spark import quality as Q
+
+    factories = {
+        "not_null": Q.expect_not_null,
+        "in_range": Q.expect_in_range,
+        "in_set": Q.expect_in_set,
+        "regex": Q.expect_regex,
+        "unique": Q.expect_unique,
+    }
+    all_exps, enforced = [], []
+    for spec in specs:
+        kind = spec["type"]
+        if kind not in factories:
+            raise ValueError(f"unknown expectation type: {kind!r}")
+        params = dict(spec.get("params", {}))
+        if "values" in params:  # YAML lists → tuple for isin
+            params["values"] = tuple(params["values"])
+        exp = factories[kind](**params)
+        all_exps.append(exp)
+        if spec.get("action", "report") == "enforce":
+            if not exp.row_level:
+                raise ValueError(f"{exp.name}: table-level checks cannot enforce")
+            enforced.append(exp)
+    return all_exps, enforced
 
 
 class MetricsCollector:
@@ -280,6 +325,15 @@ class Pipeline:
             for part in rejected_parts[1:]:
                 rejected = rejected.unionByName(part, allowMissingColumns=True)
 
+        expectations_report = None
+        if self.config.expectations:
+            from webscale_multimodal_datapipeline_spark import quality as Q
+
+            all_exps, enforced = _build_expectations(self.config.expectations)
+            expectations_report = Q.evaluate(df, all_exps)
+            if enforced:
+                df = Q.enforce(df, enforced)
+
         wr = self.config.writer
         if wr.get("path"):
             writer = df.write.mode(wr.get("mode", "overwrite")).option(
@@ -296,7 +350,12 @@ class Pipeline:
                 .partitionBy("operator")
                 .parquet(wr["rejected_path"])
             )
-        return PipelineResult(output=df, rejected=rejected, metrics=metrics)
+        return PipelineResult(
+            output=df,
+            rejected=rejected,
+            metrics=metrics,
+            expectations_report=expectations_report,
+        )
 
 
     def stream(
