@@ -746,3 +746,140 @@ GROUP BY toks.doc_id
 
 QUERIES["t_unigram_logprob"] = t_unigram_logprob
 ORACLE["t_unigram_logprob"] = T_UNIGRAM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (RAG / context-window preparation)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 200
+CHUNK_OVERLAP = 50
+_CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunks per document (200 chars,
+    50 overlap) — the retrieval/context-window preparation step every
+    RAG or long-context pipeline runs between curation and embedding.
+
+    Row-local: chunk starts come from ``sequence`` + ``explode`` and each
+    chunk is one ``substring`` — no UDF, no shuffle beyond the explode's
+    row multiplication. Chunk count is exact-integer ceil math, floored
+    at one chunk per non-empty document (the tail chunk may be short)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor(
+            (F.length("text") - CHUNK_OVERLAP + _CHUNK_STRIDE - 1) / _CHUNK_STRIDE
+        ),
+    ).cast("int")
+    chunks = d.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+        F.col("text"),
+    )
+    chunk_text = F.substring(
+        F.col("text"), F.col("chunk_index") * _CHUNK_STRIDE + 1, CHUNK_SIZE
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        chunk_text.alias("chunk_text"),
+        F.length(chunk_text).cast("bigint").alias("chunk_len"),
+    )
+
+
+T_CHUNK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         GREATEST(1, (length(text) - {CHUNK_OVERLAP} + {_CHUNK_STRIDE} - 1)
+                       // {_CHUNK_STRIDE}) AS n_chunks
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_index,
+       substring(text, CAST(i AS INT) * {_CHUNK_STRIDE} + 1, {CHUNK_SIZE}) AS chunk_text,
+       CAST(length(substring(text, CAST(i AS INT) * {_CHUNK_STRIDE} + 1, {CHUNK_SIZE}))
+            AS BIGINT) AS chunk_len
+FROM base, LATERAL unnest(range(n_chunks)) AS t(i)
+"""
+
+QUERIES["t_chunk_documents"] = t_chunk_documents
+ORACLE["t_chunk_documents"] = T_CHUNK_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocations (PMI)
+# ---------------------------------------------------------------------------
+
+
+def t_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram collocations: adjacent-token pairs with count >= 5,
+    their unigram counts, and pointwise mutual information — the
+    phrase-mining signal (new-term discovery, tokenizer-merge candidates).
+
+    Ranking and filtering are ALL exact-integer (count-based); PMI is
+    emitted as a rounded display value only, so the one transcendental
+    never decides membership or order. Two aggregates + two joins on the
+    vocabulary — the unigram side is NOT force-broadcast (web-scale
+    vocab), AQE decides."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(TX.norm_tokens("text")).alias("pos", "term"),
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    n_total = uni.agg(F.sum("c1").alias("n"))
+    nxt = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("term_b")
+    )
+    bi = (
+        toks.join(nxt, ["doc_id", "pos"])
+        .groupBy(F.col("term").alias("term_a"), "term_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    out = (
+        bi.join(uni.select(F.col("term").alias("term_a"), F.col("c1").alias("c_a")), "term_a")
+        .join(uni.select(F.col("term").alias("term_b"), F.col("c1").alias("c_b")), "term_b")
+        .crossJoin(F.broadcast(n_total))
+    )
+    return out.select(
+        "term_a",
+        "term_b",
+        "c_ab",
+        "c_a",
+        "c_b",
+        F.round(
+            F.log(
+                (F.col("c_ab") * F.col("n")).cast("double")
+                / (F.col("c_a") * F.col("c_b"))
+            ),
+            4,
+        ).alias("pmi"),
+    )
+
+
+T_BIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.term, t.pos FROM (
+    SELECT doc_id,
+           unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS term,
+           generate_subscripts({OQ.sql_tokens(OQ.sql_norm('text'))}, 1) AS pos
+    FROM documents
+  ) AS t(doc_id, term, pos)
+), uni AS (
+  SELECT term, COUNT(*) AS c1 FROM toks GROUP BY term
+), bi AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS c_ab
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT bi.term_a, bi.term_b, bi.c_ab, ua.c1 AS c_a, ub.c1 AS c_b,
+       ROUND(ln(CAST(bi.c_ab * (SELECT SUM(c1) FROM uni) AS DOUBLE)
+                / (ua.c1 * ub.c1)), 4) AS pmi
+FROM bi JOIN uni ua ON bi.term_a = ua.term JOIN uni ub ON bi.term_b = ub.term
+"""
+
+QUERIES["t_bigram_pmi"] = t_bigram_pmi
+ORACLE["t_bigram_pmi"] = T_BIGRAM_SQL
