@@ -41,6 +41,15 @@ SUBSET = [
     "c_upsert",
     "ts_gap_fill",
     "v_quantize_int8",
+    "ts_ewma",
+    "x_column_profile",
+    "x_histogram",
+    "v_maxsim_topk",
+    "t_flesch_reading_ease",
+    "e_trigram_paths",
+    "m_phash_blocklist",
+    "d_contamination_score",
+    "t_bigram_logprob",
 ]
 
 

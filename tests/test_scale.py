@@ -344,3 +344,30 @@ def test_results_invariant_under_shuffle_partition_count(spark, sf_dir):
         spark.conf.set(key, old)
     for n in names:
         assert base[n] == alt[n], f"{n} changed under partitions=7"
+
+
+def test_ewma_and_trigram_share_one_window_sort(spark, sf_dir):
+    """K lag terms (ts_ewma) and two leads (e_trigram_paths) must all bind
+    to ONE per-user WindowExec — if the per-key sort were duplicated per
+    term, the dominant cost would multiply by K at scale."""
+    from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES
+
+    for name in ("ts_ewma", "e_trigram_paths"):
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        n_user_windows = sum(
+            1
+            for ln in plan.split("\n")
+            if "Window" in ln and "user_id" in ln and "Exchange" not in ln
+        )
+        assert n_user_windows == 1, f"{name}: {n_user_windows} per-user WindowExec\n{plan}"
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    """x_column_profile computes 6x5 stats in ONE scan of orders — the
+    plan must contain exactly one parquet scan (no per-column re-reads;
+    DuckDB's UNION-ALL oracle scans 6 times, the Spark plan must not)."""
+    from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES
+
+    plan = QUERIES["x_column_profile"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"{n_scans} scans\n{plan}"

@@ -452,3 +452,84 @@ def d_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["d_dedup_components_star"] = d_dedup_components_star
 ORACLE["d_dedup_components_star"] = D_COMPONENTS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Continuous contamination scoring (graded decontamination signal)
+# ---------------------------------------------------------------------------
+
+
+def d_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark-contamination score: for every corpus document,
+    the fraction of its DISTINCT 3-word shingles that also occur in the
+    held-out eval split (``doc_id % 41 == 0`` — same split as
+    ``d_decontaminate``). Extends the boolean flag to the continuous
+    signal real curation uses for thresholding (drop > 0.8, review
+    0.2-0.8, keep < 0.2 — the GPT-3-appendix / FineWeb practice).
+
+    Scale shape: one corpus explode; the benchmark shingle-hash set stays
+    a broadcast hash build (eval suites are thousands of docs vs
+    billions), joined LEFT so uncontaminated docs keep a 0 score; the
+    only shuffle is the per-doc aggregate, with BOTH distinct counts
+    (total + matched) computed in that single pass. Ratio emitted at
+    1e-4 integer resolution (exact-integer operands, so the quotient is
+    the identical IEEE double in both engines).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.withColumn("_toks", TX.norm_tokens("text"))
+        .withColumn("_sh", TX.word_shingles("text", k=3, toks=F.col("_toks")))
+        .select("doc_id", F.explode(OD.shingle_hashes(F.col("_sh"))).alias("h"))
+    )
+    bench = (
+        pairs.filter(F.col("doc_id") % 41 == 0)
+        .select("h")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = pairs.filter(F.col("doc_id") % 41 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shingles"),
+            F.countDistinct(F.when(F.col("_hit") == 1, F.col("h"))).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            (
+                F.round(
+                    (F.col("n_shared") * 10000).cast("double") / F.col("n_shingles"),
+                    0,
+                )
+                / F.lit(10000.0)
+            ).alias("contamination"),
+        )
+    )
+
+
+D_CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {OQ.sql_shingles_from_tokens('t')} AS sh FROM toks
+), pairs AS (
+  SELECT DISTINCT doc_id, h
+  FROM (SELECT doc_id, unnest({OQ.sql_shingle_hashes('sh')}) AS h FROM sh)
+), bench AS (
+  SELECT DISTINCT h FROM pairs WHERE doc_id % 41 = 0
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(b.h) AS BIGINT) AS n_shared,
+       ROUND(CAST(COUNT(b.h) * 10000 AS DOUBLE) / COUNT(*)) / 10000.0
+         AS contamination
+FROM pairs p LEFT JOIN bench b ON p.h = b.h
+WHERE p.doc_id % 41 <> 0
+GROUP BY p.doc_id
+"""
+
+QUERIES["d_contamination_score"] = d_contamination_score
+ORACLE["d_contamination_score"] = D_CONTAMINATION_SQL

@@ -366,3 +366,63 @@ FROM changes
 
 QUERIES["e_scd2_dimension"] = e_scd2_dimension
 ORACLE["e_scd2_dimension"] = E_SCD2_SQL
+
+
+# ---------------------------------------------------------------------------
+# Top-k 3-step paths (session-path mining, one order up from Markov pairs)
+# ---------------------------------------------------------------------------
+
+
+def e_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step event paths: every consecutive event-type triple
+    in a user's (ts, event_id)-ordered stream, counted corpus-wide — the
+    path-mining view that pair transitions (``e_markov_transitions``)
+    cannot show (A→B→A loops vs A→B→C progressions).
+
+    One per-user window (two leads in the SAME window spec — a single
+    WindowExec), one count aggregate over a bounded key space
+    (|event_types|³), then a top-k over that already-tiny aggregate.
+    Ranking is exact-integer with a lexicographic tie-break, so the
+    result set is deterministic in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    # the global window runs over the |event_types|^3-bounded aggregate,
+    # never over raw events — same shape as the report-layer top-k's
+    return (
+        paths.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "path", "n")
+    )
+
+
+E_TRIGRAM_SQL = """
+WITH seq AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+  FROM events
+), paths AS (
+  SELECT concat(t1, '>', t2, '>', t3) AS path, COUNT(*) AS n
+  FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT rank, path, n FROM (
+  SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path ASC) AS rank
+  FROM paths
+) WHERE rank <= 20
+"""
+
+QUERIES["e_trigram_paths"] = e_trigram_paths
+ORACLE["e_trigram_paths"] = E_TRIGRAM_SQL

@@ -643,3 +643,154 @@ FROM keyed k JOIN stats s ON k.opt_lang IS NOT DISTINCT FROM s.opt_lang
 
 QUERIES["x_nullsafe_join"] = x_nullsafe_join
 ORACLE["x_nullsafe_join"] = X_NULLSAFE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (ANALYZE-style one-pass table statistics)
+# ---------------------------------------------------------------------------
+
+_PROFILE_NUM = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR = ("o_orderstatus", "o_orderpriority")
+
+
+def x_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of ``orders``: per column — row count,
+    null count, distinct count, numeric min/max (epoch-micros for the
+    timestamp), and length min/max for strings. The stats-collection pass
+    every catalog/optimizer needs (CBO inputs, data-quality drift
+    monitors), expressed as ONE aggregation over ONE scan: all 6x5
+    aggregates are map-side combinable, the output is 6 rows regardless
+    of table size, and the per-column rows are exploded from the single
+    aggregate row driver-side-free (an inline array, not a collect).
+
+    distinct counts make this a 1-shuffle expand plan (Spark rewrites
+    multi-countDistinct via EXPAND); at 100 TB swap exact distinct for
+    approx_count_distinct — kept exact here for the cross-engine oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+
+    def prof(col, min_num, max_num, min_len, max_len):
+        return F.struct(
+            F.lit(col).alias("column_name"),
+            n.cast("bigint").alias("n_rows"),
+            (n - F.count(col)).cast("bigint").alias("n_nulls"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            min_num.cast("double").alias("min_num"),
+            max_num.cast("double").alias("max_num"),
+            min_len.cast("bigint").alias("min_len"),
+            max_len.cast("bigint").alias("max_len"),
+        )
+
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("bigint")
+    structs = [
+        prof(c, F.min(c), F.max(c), null_l, null_l) for c in _PROFILE_NUM
+    ] + [
+        prof(c, null_d, null_d, F.min(F.length(c)), F.max(F.length(c)))
+        for c in _PROFILE_STR
+    ] + [
+        prof(
+            # timestamp min/max as yyyyMMddHHmmss numerics: NTZ-formatted,
+            # so the value is identical under ANY session timezone (the
+            # driver runs a vanilla session with the host tz, not UTC)
+            "o_orderdate",
+            F.date_format(F.min("o_orderdate"), "yyyyMMddHHmmss").cast("bigint"),
+            F.date_format(F.max("o_orderdate"), "yyyyMMddHHmmss").cast("bigint"),
+            null_l,
+            null_l,
+        )
+    ]
+    return (
+        o.agg(F.array(*structs).alias("_p"))
+        .select(F.explode("_p").alias("p"))
+        .select("p.*")
+    )
+
+
+def _profile_row_sql(col: str, kind: str) -> str:
+    if kind == "num":
+        mn, mx = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+        ln, lx = "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)"
+    elif kind == "str":
+        mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        ln, lx = f"MIN(length({col}))", f"MAX(length({col}))"
+    else:  # ts
+        mn = f"CAST(CAST(strftime(MIN({col}), '%Y%m%d%H%M%S') AS BIGINT) AS DOUBLE)"
+        mx = f"CAST(CAST(strftime(MAX({col}), '%Y%m%d%H%M%S') AS BIGINT) AS DOUBLE)"
+        ln, lx = "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)"
+    return f"""
+  SELECT '{col}' AS column_name,
+         COUNT(*) AS n_rows,
+         COUNT(*) - COUNT({col}) AS n_nulls,
+         COUNT(DISTINCT {col}) AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num,
+         CAST({ln} AS BIGINT) AS min_len, CAST({lx} AS BIGINT) AS max_len
+  FROM orders"""
+
+
+X_PROFILE_SQL = "\nUNION ALL\n".join(
+    [_profile_row_sql(c, "num") for c in _PROFILE_NUM]
+    + [_profile_row_sql(c, "str") for c in _PROFILE_STR]
+    + [_profile_row_sql("o_orderdate", "ts")]
+)
+
+QUERIES["x_column_profile"] = x_column_profile
+ORACLE["x_column_profile"] = X_PROFILE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (distribution summary without a sort)
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 30000.0
+_HIST_BINS = 20
+
+
+def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: 20 bins of width 30000 with
+    the last bin open-ended — the distribution summary behind data-drift
+    monitors and skew diagnostics. Binning is a codegen'd floor division
+    (no sort, no window); the aggregate is map-side combinable and its
+    output is bounded by the bin count, so the shape survives any scale.
+    Bin sums accumulate as exact decimals (order-free), surfaced as
+    rounded doubles per the repo's float discipline.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(_HIST_WIDTH)).cast("bigint"),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("o_totalprice")), 4).cast("double").alias("sum_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(_HIST_WIDTH)).alias("lo"),
+            ((F.col("bucket") + 1) * F.lit(_HIST_WIDTH)).alias("hi"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+X_HIST_SQL = f"""
+SELECT bucket,
+       bucket * {_HIST_WIDTH!r} AS lo,
+       (bucket + 1) * {_HIST_WIDTH!r} AS hi,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_price
+FROM (
+  SELECT least(CAST(FLOOR(o_totalprice / {_HIST_WIDTH!r}) AS BIGINT),
+               {_HIST_BINS - 1}) AS bucket,
+         o_totalprice
+  FROM orders
+)
+GROUP BY bucket
+"""
+
+QUERIES["x_histogram"] = x_histogram
+ORACLE["x_histogram"] = X_HIST_SQL

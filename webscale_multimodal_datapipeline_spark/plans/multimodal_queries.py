@@ -336,3 +336,54 @@ def m_frame_sample_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["m_frame_sample_udtf"] = m_frame_sample_udtf
 ORACLE["m_frame_sample_udtf"] = M_FRAME_SQL
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash blocklist filter (known-bad content removal)
+# ---------------------------------------------------------------------------
+
+
+def m_phash_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-bad-content filter: drop every image whose perceptual hash
+    appears in a curated blocklist — the standard safety/compliance gate
+    in web-scale image pipelines (licensed-content and abuse-hash lists
+    are distributed exactly as hash sets). The blocklist here is the
+    phash set of a deterministic slice (``doc_id % 97 == 0``), standing
+    in for an externally-supplied list.
+
+    Scale shape: hash-list joins are THE broadcast case — real blocklists
+    are thousands-to-millions of fixed-width keys vs billions of corpus
+    rows, so the anti-join builds map-side with zero corpus shuffle.
+    Unreadable images (NULL phash) are never silently dropped: the
+    anti-join keys on the phash only when present (NULL != anything).
+    """
+    df = _with_bytes(spark, sf_dir)
+    keyed = df.withColumn("_phash", MM.phash_udf_for("fake")(F.col("image_bytes")))
+    block = (
+        keyed.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("_phash").alias("_bad"))
+        .where(F.col("_bad").isNotNull())
+        .distinct()
+    )
+    return (
+        keyed.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(block), keyed["_phash"] == block["_bad"], "left_anti")
+        .select("doc_id", "source")
+    )
+
+
+M_PHASH_BLOCKLIST_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, source, {_phash_bitkey_sql()} AS k
+  FROM (SELECT doc_id, source, {_BYTES_LIST} AS b
+        FROM (SELECT doc_id, source, {_FAKE_HEX} AS h FROM documents))
+), block AS (
+  SELECT DISTINCT k FROM hashed WHERE doc_id % 97 = 0
+)
+SELECT doc_id, source FROM hashed
+WHERE doc_id % 97 <> 0
+  AND k NOT IN (SELECT k FROM block)
+"""
+
+QUERIES["m_phash_blocklist"] = m_phash_blocklist
+ORACLE["m_phash_blocklist"] = M_PHASH_BLOCKLIST_SQL

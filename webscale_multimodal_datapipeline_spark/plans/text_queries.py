@@ -883,3 +883,160 @@ FROM bi JOIN uni ua ON bi.term_a = ua.term JOIN uni ub ON bi.term_b = ub.term
 
 QUERIES["t_bigram_pmi"] = t_bigram_pmi
 ORACLE["t_bigram_pmi"] = T_BIGRAM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease (readability scoring)
+# ---------------------------------------------------------------------------
+
+
+def t_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring: Flesch reading-ease over whitespace words,
+    sentence-ending punctuation runs, and a vowel-group syllable proxy
+    (every word at least one syllable — ``greatest(words, vowel_groups)``).
+    The standard corpus-quality signal alongside Gopher rules: very low
+    FRE flags legalese/OCR junk, very high flags fragment spam.
+
+    Everything is a codegen'd regexp count over the scanned column — one
+    pass, no shuffle, no UDF. FRE itself is emitted at 1e-2 integer
+    resolution (the ``t_unigram_logprob`` rounding discipline: ROUND of
+    an identical IEEE double, then an exact /100).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    sentences = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0))
+    )
+    vowels = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+    )
+    syllables = F.greatest(words, vowels)
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / words)
+    )
+    return (
+        d.filter(words > 0)
+        .select(
+            "doc_id",
+            words.cast("bigint").alias("n_words"),
+            sentences.cast("bigint").alias("n_sentences"),
+            syllables.cast("bigint").alias("n_syllables"),
+            (F.round(fre * 100, 0).cast("bigint") / F.lit(100.0)).alias("fre"),
+        )
+    )
+
+
+T_FLESCH_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+')) AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+         greatest(len(regexp_extract_all(text, '\\S+')),
+                  len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CAST(ROUND((206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) * 100)
+            AS BIGINT) / 100.0 AS fre
+FROM c WHERE n_words > 0
+"""
+
+QUERIES["t_flesch_reading_ease"] = t_flesch_reading_ease
+ORACLE["t_flesch_reading_ease"] = T_FLESCH_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM document scoring (conditional-logprob perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy: train corpus bigram conditionals
+    p(w2|w1) = c(w1,w2)/c(w1,·) in one aggregation pass and score every
+    document by its mean bigram log-probability — one step up from
+    ``t_unigram_logprob`` toward the KenLM filter (train = score corpus,
+    so every observed bigram has nonzero probability; no smoothing term).
+
+    Scale shape: posexplode → (doc,pos) self-join builds adjacent pairs
+    (narrow after the repartition on doc_id — same as ``t_bigram_pmi``),
+    one pair-count aggregate, a vocab-sized prefix-count aggregate derived
+    FROM the pair counts (no second corpus pass), then a plain shuffle
+    join back on the pair (no forced broadcast — web-scale bigram space).
+    Per-token logprob rounded to 1e-4 decimal (exact, order-free sum);
+    final mean at integer resolution (the unigram discipline).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(TX.norm_tokens("text")).alias("pos", "term")
+    )
+    nxt = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("term_b")
+    )
+    bigrams = toks.join(nxt, ["doc_id", "pos"]).select(
+        "doc_id", F.col("term").alias("term_a"), "term_b"
+    )
+    c_ab = bigrams.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = c_ab.groupBy("term_a").agg(F.sum("c_ab").alias("c_a"))
+    lm = c_ab.join(c_a, "term_a").select(
+        "term_a",
+        "term_b",
+        F.round(F.log(F.col("c_ab").cast("double") / F.col("c_a")), 4)
+        .cast("decimal(18,4)")
+        .alias("lp"),
+    )
+    return (
+        bigrams.join(lm, ["term_a", "term_b"])
+        .groupBy("doc_id")
+        .agg(F.sum("lp").alias("_sum_lp"), F.count(F.lit(1)).alias("n_bigrams"))
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            (
+                F.round(
+                    (F.col("_sum_lp") * 10000).cast("bigint").cast("double")
+                    / F.col("n_bigrams"),
+                    0,
+                )
+                / F.lit(10000.0)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+T_BIGRAM_LP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS term,
+           generate_subscripts({OQ.sql_tokens(OQ.sql_norm('text'))}, 1) AS pos
+    FROM documents
+  ) AS t(doc_id, term, pos)
+), bigrams AS (
+  SELECT a.doc_id, a.term AS term_a, b.term AS term_b
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), cab AS (
+  SELECT term_a, term_b, COUNT(*) AS c_ab FROM bigrams GROUP BY 1, 2
+), ca AS (
+  SELECT term_a, SUM(c_ab) AS c_a FROM cab GROUP BY 1
+), lm AS (
+  SELECT cab.term_a, cab.term_b,
+         CAST(ROUND(ln(CAST(c_ab AS DOUBLE) / c_a), 4) AS DECIMAL(18,4)) AS lp
+  FROM cab JOIN ca USING (term_a)
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(CAST(SUM(lm.lp) * 10000 AS BIGINT) AS DOUBLE) / COUNT(*))
+         / 10000.0 AS avg_logprob
+FROM bigrams g JOIN lm USING (term_a, term_b)
+GROUP BY g.doc_id
+"""
+
+QUERIES["t_bigram_logprob"] = t_bigram_logprob
+ORACLE["t_bigram_logprob"] = T_BIGRAM_LP_SQL

@@ -243,3 +243,87 @@ ORACLE = {
     "ts_gap_fill": TS_GAP_FILL_SQL,
     "ts_moving_avg": TS_MOVING_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (truncated exponentially-weighted moving average)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.2
+EWMA_K = 8  # lookback depth: weight of term K is (1-a)^K ~ 0.17 -> truncated
+# weights live in exact 1e-4 units (integers): every numerator term AND the
+# renormalizing denominator are then exact bigints, and the final value is a
+# SINGLE integer/integer double division — bit-identical cross-engine (a
+# chained double division diverged by ~3e-14 between engines).
+_EWMA_WS = [round((1.0 - EWMA_ALPHA) ** j * 10000) for j in range(EWMA_K)]
+
+
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values, truncated at a K=8 lookback: the
+    smoothing signal behind rate/latency dashboards, computed without the
+    sequential recurrence (which would serialize per key and, in closed
+    window form, overflow ``(1-a)^-n`` on long series). With K bounded,
+    each row is a fixed linear combination of its last K values —
+    expressible as K window lags, all sharing ONE (user, ts)-ordered
+    WindowExec, so the plan stays a single per-user sort at any scale.
+
+    Weights ``(1-a)^j`` are Python-computed literals (quantized to exact
+    1e-4 units) embedded identically in both engines; each term is
+    rounded at integer resolution and summed exactly (bigint), the
+    renormalizing denominator is the exact-integer weight-sum of the
+    lags that exist (standard ``adjust=True`` pandas-ewm semantics,
+    truncated), and the result is one integer/integer double division —
+    bit-identical cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("value") if j == 0 else F.lag("value", j).over(w) for j in range(EWMA_K)]
+    terms = [
+        F.coalesce(
+            F.round(lag * F.lit(float(ws)), 0).cast("bigint"), F.lit(0)
+        )
+        for lag, ws in zip(lags, _EWMA_WS)
+    ]
+    num = terms[0]
+    for t in terms[1:]:
+        num = num + t
+    den = F.lit(_EWMA_WS[0])
+    for lag, ws in zip(lags[1:], _EWMA_WS[1:]):
+        den = den + F.when(lag.isNull(), F.lit(0)).otherwise(F.lit(ws))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+        (num.cast("double") / den.cast("double")).alias("ewma"),
+    )
+
+
+def _ewma_sql() -> str:
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    lags = ["value"] + [f"LAG(value, {j}) {over}" for j in range(1, EWMA_K)]
+    terms = [
+        f"COALESCE(CAST(ROUND(({lag}) * {float(ws)!r}) AS BIGINT), 0)"
+        for lag, ws in zip(lags, _EWMA_WS)
+    ]
+    num = "(" + " + ".join(terms) + ")"
+    den_parts = [str(_EWMA_WS[0])] + [
+        f"(CASE WHEN ({lag}) IS NULL THEN 0 ELSE {ws} END)"
+        for lag, ws in zip(lags[1:], _EWMA_WS[1:])
+    ]
+    den = "(" + " + ".join(den_parts) + ")"
+    return f"""
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       value,
+       CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) AS ewma
+FROM events
+"""
+
+
+TS_EWMA_SQL = _ewma_sql()
+
+QUERIES["ts_ewma"] = ts_ewma
+ORACLE["ts_ewma"] = TS_EWMA_SQL

@@ -367,3 +367,86 @@ SELECT CAST({N_QUERIES * TOP_K} AS BIGINT) AS n_results,
 
 QUERIES["v_pq_adc_topk"] = v_pq_adc_topk
 ORACLE["v_pq_adc_topk"] = V_PQ_SQL
+
+
+# ---------------------------------------------------------------------------
+# MaxSim late-interaction scoring (ColBERT-style multi-vector retrieval)
+# ---------------------------------------------------------------------------
+
+MAXSIM_GROUP = 4  # token-vectors per pseudo-document / per query
+
+
+def v_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late interaction: documents are BAGS of token
+    vectors (pseudo-docs of 4 consecutive embeddings here), the query is
+    a 4-vector bag, and score(doc) = Σ_q max_d cosine(q, d) — the
+    multi-vector retrieval model single-vector top-k can't express.
+
+    Scale shape: the query bag broadcasts (queries are always tiny);
+    per-(doc, query-vector) maxes fold map-side in ONE aggregate, and the
+    bag-sum is a fixed-width conditional pivot over that aggregate — an
+    explicit left-fold of 4 doubles, never an order-nondeterministic
+    float SUM, so the score is bit-identical cross-engine. The final
+    top-k window runs over doc-count rows (one per pseudo-doc), the same
+    already-reduced shape as ``v_cosine_topk``; an IVF-style coarse
+    filter slots in front unchanged when the corpus outgrows brute force.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < MAXSIM_GROUP).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+    c = e.select(
+        F.floor(F.col("vec_id") / MAXSIM_GROUP).cast("bigint").alias("gid"),
+        "embedding",
+    )
+    cos = VX.dot(F.col("embedding"), F.col("qe")) / (
+        VX.l2_norm("embedding") * VX.l2_norm("qe")
+    )
+    per_qvec = (
+        c.crossJoin(q)
+        .groupBy("gid", "qid")
+        .agg(F.max(cos).alias("m"))
+    )
+    piv = per_qvec.groupBy("gid").agg(
+        *[
+            F.max(F.when(F.col("qid") == i, F.col("m"))).alias(f"m{i}")
+            for i in range(MAXSIM_GROUP)
+        ]
+    )
+    score = F.col("m0")
+    for i in range(1, MAXSIM_GROUP):
+        score = score + F.col(f"m{i}")
+    w = Window.orderBy(F.col("score").desc(), F.col("gid").asc())
+    return (
+        piv.select("gid", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("rank", "gid", "score")
+    )
+
+
+V_MAXSIM_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {MAXSIM_GROUP}
+), c AS (
+  SELECT CAST(FLOOR(vec_id / {MAXSIM_GROUP}) AS BIGINT) AS gid, embedding
+  FROM embeddings
+), per_qvec AS (
+  SELECT gid, qid, MAX({OQ.sql_cosine('c.embedding', 'q.qe', DIM)}) AS m
+  FROM c CROSS JOIN q GROUP BY gid, qid
+), piv AS (
+  SELECT gid,
+         {", ".join(f"MAX(CASE WHEN qid = {i} THEN m END) AS m{i}" for i in range(MAXSIM_GROUP))}
+  FROM per_qvec GROUP BY gid
+)
+SELECT rank, gid, score FROM (
+  SELECT gid, ((({'m0 + m1'}) + m2) + m3) AS score,
+         ROW_NUMBER() OVER (ORDER BY ((({'m0 + m1'}) + m2) + m3) DESC, gid ASC) AS rank
+  FROM piv
+) WHERE rank <= {TOP_K}
+"""
+
+QUERIES["v_maxsim_topk"] = v_maxsim_topk
+ORACLE["v_maxsim_topk"] = V_MAXSIM_SQL
