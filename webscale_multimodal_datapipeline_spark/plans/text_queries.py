@@ -820,22 +820,21 @@ def t_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ranking and filtering are ALL exact-integer (count-based); PMI is
     emitted as a rounded display value only, so the one transcendental
-    never decides membership or order. Two aggregates + two joins on the
-    vocabulary — the unigram side is NOT force-broadcast (web-scale
-    vocab), AQE decides."""
+    never decides membership or order. Adjacent pairs are built
+    row-locally (zipped-slice explode — no self-join; see
+    ``_adjacent_pairs``). Two aggregates + two joins on the vocabulary —
+    the unigram side is NOT force-broadcast (web-scale vocab), AQE
+    decides."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.posexplode(TX.norm_tokens("text")).alias("pos", "term"),
+        F.explode(TX.norm_tokens("text")).alias("term"),
     )
     uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
     n_total = uni.agg(F.sum("c1").alias("n"))
-    nxt = toks.select(
-        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("term_b")
-    )
     bi = (
-        toks.join(nxt, ["doc_id", "pos"])
-        .groupBy(F.col("term").alias("term_a"), "term_b")
+        _adjacent_pairs(d)
+        .groupBy("term_a", "term_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 5)
     )
@@ -957,6 +956,28 @@ ORACLE["t_flesch_reading_ease"] = T_FLESCH_SQL
 # ---------------------------------------------------------------------------
 
 
+def _adjacent_pairs(d: DataFrame) -> DataFrame:
+    """(doc_id, term_a, term_b) for every adjacent token pair — built
+    row-locally via zipped slices (no self-join, no shuffle)."""
+    return (
+        d.select("doc_id", TX.norm_tokens("text").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, greatest(size(t)-1, 0))"),
+                    F.expr("slice(t, 2, greatest(size(t)-1, 0))"),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            F.col("bg")["0"].alias("term_a"),
+            F.col("bg")["1"].alias("term_b"),
+        )
+    )
+
+
 def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity proxy: train corpus bigram conditionals
     p(w2|w1) = c(w1,w2)/c(w1,·) in one aggregation pass and score every
@@ -964,24 +985,18 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``t_unigram_logprob`` toward the KenLM filter (train = score corpus,
     so every observed bigram has nonzero probability; no smoothing term).
 
-    Scale shape: posexplode → (doc,pos) self-join builds adjacent pairs
-    (narrow after the repartition on doc_id — same as ``t_bigram_pmi``),
-    one pair-count aggregate, a vocab-sized prefix-count aggregate derived
-    FROM the pair counts (no second corpus pass), then a plain shuffle
+    Scale shape: adjacent pairs are built ROW-LOCALLY — an explode of
+    ``arrays_zip(t[:-1], t[1:])`` — with no join at all (the (doc,pos)
+    self-join formulation shuffles the fully-exploded corpus against
+    itself; the zipped-slice explode is free of any exchange). Then one
+    pair-count aggregate, a vocab-sized prefix-count aggregate derived
+    FROM the pair counts (no second corpus pass), and a plain shuffle
     join back on the pair (no forced broadcast — web-scale bigram space).
     Per-token logprob rounded to 1e-4 decimal (exact, order-free sum);
     final mean at integer resolution (the unigram discipline).
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(TX.norm_tokens("text")).alias("pos", "term")
-    )
-    nxt = toks.select(
-        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("term_b")
-    )
-    bigrams = toks.join(nxt, ["doc_id", "pos"]).select(
-        "doc_id", F.col("term").alias("term_a"), "term_b"
-    )
+    bigrams = _adjacent_pairs(d)
     c_ab = bigrams.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("c_ab"))
     c_a = c_ab.groupBy("term_a").agg(F.sum("c_ab").alias("c_a"))
     lm = c_ab.join(c_a, "term_a").select(
