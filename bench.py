@@ -60,6 +60,10 @@ BENCH_QUERIES = (
     "x_heavy_hitters",
     "x_salted_skew_join",
     "d_dedup_components_star",
+    # round 3 second-batch lanes (new names only — continuity rule)
+    "t_bigram_logprob",
+    "v_maxsim_topk",
+    "x_column_profile",
 )
 
 
