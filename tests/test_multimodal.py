@@ -255,3 +255,68 @@ def test_frame_sample_udtf_parity_with_map_in_pandas(spark):
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 0
+
+
+def test_phash_blocklist_filter_split_and_null_safety(spark):
+    from pyspark.sql import functions as F
+
+    from webscale_multimodal_datapipeline_spark.operators import multimodal as MM
+    from webscale_multimodal_datapipeline_spark.operators.registry import create
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(50)
+        .withColumn("image_bytes", MM.fake_image_bytes("text"))
+    )
+    # NULL payload row: phash NULL -> must never be dropped by the blocklist
+    d = d.unionByName(
+        d.limit(1).withColumn("doc_id", F.lit(-1)).withColumn(
+            "image_bytes", F.lit(None).cast("binary")
+        )
+    )
+    bad = [
+        r[0]
+        for r in d.filter("doc_id >= 0")
+        .limit(2)
+        .select(MM.phash_udf_for("fake")(F.col("image_bytes")))
+        .collect()
+    ]
+    op = create("phash_blocklist_filter", hashes=tuple(bad))
+    res = op.split(d)
+    n_in, n_pass, n_rej = d.count(), res.passed.count(), res.rejected.count()
+    assert n_pass + n_rej == n_in
+    assert n_rej == 2
+    # the NULL-phash row survived
+    assert res.passed.filter("doc_id = -1").count() == 1
+    # rejected rows carry the dedup_key-style annotation
+    row = res.rejected.select("_rejection_details.*").first()
+    assert row["reason"] == "phash_blocklisted"
+    assert row["dedup_key"] in bad
+    # operator result == the registered query's semantics (anti-join)
+    kept_ids = {r[0] for r in res.passed.select("doc_id").collect()}
+    manual = {
+        r[0]
+        for r in d.withColumn("_p", MM.phash_udf_for("fake")(F.col("image_bytes")))
+        .filter(~F.coalesce(F.col("_p").isin(bad), F.lit(False)))
+        .select("doc_id")
+        .collect()
+    }
+    assert kept_ids == manual
+
+
+def test_flesch_refiner_matches_query_expression(spark):
+    from pyspark.sql import functions as F
+
+    from webscale_multimodal_datapipeline_spark.operators.registry import create
+    from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES
+
+    out = (
+        create("flesch_reading_ease_refiner")
+        .apply(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+        .select("doc_id", F.col("flesch_reading_ease").alias("fre"))
+    )
+    q = QUERIES["t_flesch_reading_ease"](spark, "/root/testdata/sf0.001").select(
+        "doc_id", "fre"
+    )
+    diff = out.alias("a").join(q.alias("b"), "doc_id").filter("a.fre <> b.fre")
+    assert diff.count() == 0

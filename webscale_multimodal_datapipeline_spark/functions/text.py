@@ -442,3 +442,35 @@ def hashed_quality_clf(col: Column | str, algo: str = "xxhash64") -> dict[str, C
         "clf_score": score,
         "keep": s > 0,
     }
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch reading-ease, vowel-group syllable proxy)
+# ---------------------------------------------------------------------------
+
+
+def flesch_parts(col: Column | str) -> dict[str, Column]:
+    """Word / sentence-run / syllable counts and the Flesch reading-ease
+    score. Syllables are approximated as vowel-group runs with an
+    every-word-has-one floor (``greatest(words, vowel_groups)``) — a
+    deterministic, RE2-safe proxy (no dictionary, no lookarounds), so the
+    DuckDB oracle reproduces it exactly. FRE is emitted at 1e-2 integer
+    resolution (the repo's cross-engine rounding discipline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0))
+    sentences = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0))
+    )
+    vowels = F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), 0))
+    syllables = F.greatest(words, vowels)
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / words)
+    )
+    return {
+        "n_words": words,
+        "n_sentences": sentences,
+        "n_syllables": syllables,
+        "fre": F.round(fre * 100, 0).cast("bigint") / F.lit(100.0),
+    }

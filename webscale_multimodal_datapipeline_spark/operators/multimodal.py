@@ -34,8 +34,12 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from webscale_multimodal_datapipeline_spark.operators.base import (
+    REJECTION_COL,
     FilterOperator,
+    Operator,
+    OperatorResult,
     RefinerOperator,
+    rejection_details,
 )
 
 HAVE_PIL = False
@@ -757,3 +761,77 @@ def frame_sample_lateral_udtf(
         f"SELECT {cols}, f.frame_index, f.frame_bytes "
         f"FROM {view} t, LATERAL frame_sample_udtf(t.{bytes_col}, {int(every_n)}) f"
     )
+
+
+class PhashBlocklistFilter(Operator):
+    """Known-bad-content gate: drop rows whose perceptual hash appears in
+    a curated blocklist — the safety/compliance hash-list filter every
+    production image pipeline runs (licensed-content and abuse-hash lists
+    are distributed exactly as hash sets; cf. the reference's dedup-key
+    rejection flow, ``framework/operator.py:345-352``).
+
+    The blocklist is either inline hex keys (``hashes``) or a parquet
+    file with a ``phash`` column (``blocklist_path``) — read lazily at
+    apply time so the operator is YAML-constructible. Scale shape: the
+    list side is broadcast (thousands-to-millions of fixed-width keys vs
+    billions of rows — the canonical broadcast anti-join); rows with an
+    unreadable image (NULL phash) are NEVER silently dropped.
+    """
+
+    kind = "filter"
+
+    def __init__(
+        self,
+        hashes: tuple[str, ...] = (),
+        blocklist_path: str | None = None,
+        bytes_col: str = "image_bytes",
+        backend: str = "fake",
+        name: str = "phash_blocklist_filter",
+    ):
+        super().__init__(name)
+        self.hashes = tuple(hashes)
+        self.blocklist_path = blocklist_path
+        self.bytes_col = bytes_col
+        self.backend = backend
+
+    def _blocklist(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        if self.blocklist_path:
+            return spark.read.parquet(self.blocklist_path).select(
+                F.col("phash").alias("_bad")
+            )
+        return spark.createDataFrame(
+            [(h,) for h in self.hashes], "X string"
+        ).select(F.col("X").alias("_bad"))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        keyed = df.withColumn(
+            "_phash", phash_udf_for(self.backend)(F.col(self.bytes_col))
+        )
+        block = F.broadcast(self._blocklist(df).where(F.col("_bad").isNotNull()).distinct())
+        return (
+            keyed.join(block, keyed["_phash"] == block["_bad"], "left_anti")
+            .drop("_phash")
+        )
+
+    def split(self, df: DataFrame):
+        keyed = df.withColumn(
+            "_phash", phash_udf_for(self.backend)(F.col(self.bytes_col))
+        )
+        block = F.broadcast(self._blocklist(df).where(F.col("_bad").isNotNull()).distinct())
+        passed = keyed.join(
+            block, keyed["_phash"] == block["_bad"], "left_anti"
+        ).drop("_phash")
+        rejected = (
+            keyed.join(block, keyed["_phash"] == block["_bad"], "left_semi")
+            .withColumn(
+                REJECTION_COL,
+                rejection_details("phash_blocklisted", self.name, F.col("_phash")),
+            )
+            .drop("_phash")
+        )
+        return OperatorResult(passed, rejected)
+
+
+def phash_blocklist_filter(**kw) -> PhashBlocklistFilter:
+    return PhashBlocklistFilter(**kw)

@@ -149,3 +149,26 @@ def _unigram_logprob_refiner(**kw):
 
 
 register("unigram_logprob_refiner", _unigram_logprob_refiner)
+
+
+def _flesch_reading_ease_refiner(
+    text_col: str = "text", name: str = "flesch_reading_ease_refiner"
+):
+    from webscale_multimodal_datapipeline_spark.functions.text import flesch_parts
+
+    parts = flesch_parts(text_col)
+    return _R(name, {"flesch_reading_ease": parts["fre"]})
+
+
+register("flesch_reading_ease_refiner", _flesch_reading_ease_refiner)
+
+
+def _phash_blocklist_filter(**kw):
+    from webscale_multimodal_datapipeline_spark.operators.multimodal import (
+        phash_blocklist_filter,
+    )
+
+    return phash_blocklist_filter(**kw)
+
+
+register("phash_blocklist_filter", _phash_blocklist_filter)

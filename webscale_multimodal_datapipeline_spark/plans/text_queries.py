@@ -902,27 +902,15 @@ def t_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
     an identical IEEE double, then an exact /100).
     """
     d = load_table(spark, sf_dir, "documents")
-    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
-    sentences = F.greatest(
-        F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0))
-    )
-    vowels = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
-    )
-    syllables = F.greatest(words, vowels)
-    fre = (
-        F.lit(206.835)
-        - F.lit(1.015) * (words.cast("double") / sentences)
-        - F.lit(84.6) * (syllables.cast("double") / words)
-    )
+    parts = TX.flesch_parts("text")
     return (
-        d.filter(words > 0)
+        d.filter(parts["n_words"] > 0)
         .select(
             "doc_id",
-            words.cast("bigint").alias("n_words"),
-            sentences.cast("bigint").alias("n_sentences"),
-            syllables.cast("bigint").alias("n_syllables"),
-            (F.round(fre * 100, 0).cast("bigint") / F.lit(100.0)).alias("fre"),
+            parts["n_words"].cast("bigint").alias("n_words"),
+            parts["n_sentences"].cast("bigint").alias("n_sentences"),
+            parts["n_syllables"].cast("bigint").alias("n_syllables"),
+            parts["fre"].alias("fre"),
         )
     )
 
