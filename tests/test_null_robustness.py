@@ -77,3 +77,25 @@ def test_operators_null_safe(spark, messy):
     assert len(out) == 4
     packed = sequence_pack(messy.fillna({"text": ""}))
     assert packed.count() == 4
+
+
+def test_flesch_and_bigram_null_safe(spark, messy):
+    from webscale_multimodal_datapipeline_spark.functions import text as TX
+    from webscale_multimodal_datapipeline_spark.plans.text_queries import _adjacent_pairs
+
+    parts = TX.flesch_parts("text")
+    out = messy.select(
+        "doc_id",
+        parts["n_words"].alias("w"),
+        parts["fre"].alias("fre"),
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    # zero-word rows: FRE divides by words -> NULL, never an exception
+    assert rows[2].w == 0 and rows[2].fre is None
+    assert rows[3].w == 0 and rows[3].fre is None
+    assert rows[1].fre is None
+    assert rows[4].w == 4 and rows[4].fre is not None
+    # adjacent-pair builder: null/empty/one-token rows contribute 0 pairs
+    pairs = _adjacent_pairs(messy)
+    assert pairs.filter("doc_id IN (1, 2, 3)").count() == 0
+    assert pairs.filter("doc_id = 4").count() == 3

@@ -472,5 +472,10 @@ def flesch_parts(col: Column | str) -> dict[str, Column]:
         "n_words": words,
         "n_sentences": sentences,
         "n_syllables": syllables,
-        "fre": F.round(fre * 100, 0).cast("bigint") / F.lit(100.0),
+        # zero-word guard: under ANSI (Spark 4 default) /0 RAISES, so the
+        # division must be conditionally unreachable, not just filtered by
+        # the caller — token-less rows score NULL
+        "fre": F.when(
+            words > 0, F.round(fre * 100, 0).cast("bigint") / F.lit(100.0)
+        ),
     }

@@ -773,9 +773,9 @@ def connected_components_star(
     for _ in range(max_iter):
         nxt = _star_round(_star_round(cur, large=True), large=False)
         nxt = nxt.localCheckpoint(eager=True)
-        changed = (
-            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
-        )
+        # one probe job, not two: either asymmetric difference being
+        # non-empty means not-yet-converged, and limit(1) early-exits
+        changed = nxt.exceptAll(cur).union(cur.exceptAll(nxt)).limit(1).count()
         cur = nxt
         if changed == 0:
             break
