@@ -65,19 +65,14 @@ def test_duckdb_can_prepare_every_oracle():
 
 
 def test_priority_order_front_loads_unrecorded_queries():
-    """The driver records ~50 rows/round: the three formerly-no-oracle
-    queries come first (their rows must flip from err to green), and no
-    already-recorded query may appear before any still-unrecorded one."""
-    from webscale_multimodal_datapipeline_spark.plans.registry import (
-        _PRIORITY_R3,
-        _RECORDED,
-    )
+    """The driver records ~50 rows/round: no already-recorded query may
+    appear before any still-unrecorded one, so every new query gets its
+    driver CORRECTNESS row in the round it lands."""
+    from webscale_multimodal_datapipeline_spark.plans.registry import _RECORDED
 
     names = list(QUERIES)
-    k = len(_PRIORITY_R3)
-    assert names[:k] == list(_PRIORITY_R3)
     seen_recorded = False
-    for n in names[k:]:
+    for n in names:
         if n in _RECORDED:
             seen_recorded = True
         else:

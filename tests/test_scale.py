@@ -188,37 +188,28 @@ def _subtree(lines: list[str], i: int) -> str:
 
 
 def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir):
-    """Explicit broadcast hints are reserved for bounded dimension tables
-    (nation/region/supplier-sized). customer/orders/lineitem scale linearly
-    with the corpus — hundreds of millions of rows at 100 TB — so a forced
-    broadcast of a BASE scan of those tables would OOM executors and
-    override AQE's size-based judgment. Hints over *aggregated/deduplicated*
-    derivations (per-group rollups, distinct key sets) are fine: those are
-    reduced before broadcast."""
-    from webscale_multimodal_datapipeline_spark.plans import (
-        misc_queries,
-        relational,
-        relational2,
-        relational3,
-    )
+    """Explicit broadcast hints are reserved for FIXED-cardinality
+    dimensions (nation=25, region=5) and by-contract-bounded inputs.
+    customer/orders/lineitem AND part (200K x SF)/supplier (10K x SF)
+    scale linearly with the corpus — billions of rows at 100 TB — so a
+    forced broadcast of any of them, or of an aggregate GROUPED BY their
+    keys (per-partkey averages have cardinality ~ |part|), would OOM
+    executors and override AQE's size-based judgment. Delegates to the
+    repo audit (tools/plan_audit.py) so the test and the tool cannot
+    drift apart; every finding class is covered, per-class allowlisted."""
+    import tools.plan_audit as PA
 
-    scaling_keys = ("c_custkey", "o_orderkey", "l_orderkey")
-    for mod in (relational, relational2, relational3, misc_queries):
+    for mod_name in ("relational", "relational2", "relational3", "misc_queries",
+                     "text_queries", "dedup_queries", "vector_queries"):
+        import importlib
+
+        mod = importlib.import_module(
+            f"webscale_multimodal_datapipeline_spark.plans.{mod_name}"
+        )
         for name, fn in mod.QUERIES.items():
-            plan = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
-            lines = plan.split("\n")
-            for i, ln in enumerate(lines):
-                if "ResolvedHint" not in ln:
-                    continue
-                sub = _subtree(lines, i)
-                if "Aggregate" in sub or "Deduplicate" in sub:
-                    continue  # reduced before broadcast — allowed
-                for rl in sub.split("\n"):
-                    if "Relation" not in rl:
-                        continue
-                    assert not any(k in rl for k in scaling_keys), (
-                        f"{name}: broadcast hint over scaling base table: {rl.strip()[:120]}"
-                    )
+            analyzed = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+            for cls, f in PA.audit_hints(name, analyzed):
+                assert (name, cls) in PA._ALLOW, f"{name}: {f}"
 
 
 def test_no_single_partition_exchange_in_rank_queries(spark, sf_dir):

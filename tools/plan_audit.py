@@ -12,10 +12,17 @@ Checks, per query:
   NOT flagged — AQE re-decides those per run, which is exactly the
   behavior we want at 100 TB; only a forced hint survives scale-up.
 
+An Aggregate/Deduplicate only counts as "reducing" when it is NOT
+grouped by a scaling table's key: a per-``l_partkey`` aggregate has
+cardinality ≈ |part| (billions of rows at 100 TB), so a broadcast hint
+above it is exactly as dangerous as broadcasting the base table — this
+is the q17 ``avg_qty`` class the round-3 audit was blind to.
+
 Filter-only hinted subtrees are allowed when the filter is bounded BY
 DESIGN (a query set, a blocklist, a benchmark split) — those cases are
-named in _ALLOW with the reason, so the allowlist is an audit artifact,
-not a bypass.
+named in _ALLOW keyed by (query, finding class) with the reason, so the
+allowlist is an audit artifact, not a bypass, and an allowlisted query
+that grows a DIFFERENT finding class is still flagged.
 
 Usage: python tools/plan_audit.py [sf_dir]. Exit 1 on findings.
 """
@@ -30,27 +37,85 @@ sys.path.insert(0, "/root/repo")
 from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES  # noqa: E402
 from webscale_multimodal_datapipeline_spark.session import get_spark  # noqa: E402
 
-SCALING_TABLES = ("customer", "orders", "lineitem", "documents", "events", "embeddings")
+# Every table whose row count scales with SF (and hence with corpus
+# size), with the signature column that identifies its scan in the
+# analyzed plan (Relation nodes don't carry file names). part is
+# 200K x SF — LARGER than customer — and supplier is 10K x SF; both
+# were missing from the round-3 list, which made the audit blind to
+# the one remaining forced-broadcast class.
+SCALING_SIG = {
+    "customer": "c_custkey#",
+    "orders": "o_orderkey#",
+    "lineitem": "l_orderkey#",
+    "part": "p_partkey#",
+    "supplier": "s_suppkey#",
+    "documents": "doc_id#",
+    "events": "event_id#",
+    "embeddings": "vec_id#",
+}
+SCALING_TABLES = tuple(SCALING_SIG)
+
+# Grouping keys that leave an aggregate with data-scaling cardinality:
+# any per-entity key of a scaling table. Aggregates grouped ONLY by
+# bounded columns (returnflag, priority, nation, band ids...) reduce.
+SCALING_GROUP_KEYS = (
+    "c_custkey#",
+    "o_orderkey#",
+    "o_custkey#",
+    "l_orderkey#",
+    "l_partkey#",
+    "l_suppkey#",
+    "p_partkey#",
+    "p_name#",
+    "s_suppkey#",
+    "doc_id#",
+    "event_id#",
+    "vec_id#",
+    "user_id#",
+)
+
 REDUCING = re.compile(r"Aggregate|Distinct|Deduplicate|GlobalLimit|LocalLimit|Intersect")
 
-# query -> reason the finding is bounded by design (audit artifact)
-_ALLOW: dict[str, str] = {
-    "v_cosine_topk": "hinted side = the QUERY set (vec_id < 3): queries are user-supplied and small by contract",
-    "v_lsh_topk": "hinted side = the query set (vec_id < 3)",
-    "v_ivf_topk": "hinted side = the query set / centroid table (k-bounded)",
-    "v_maxsim_topk": "hinted side = the 4-vector query bag",
-    "v_pq_adc_topk": "hinted side = query set + codebooks (k*m-bounded)",
-    "v_crossmodal_filter": "hinted side = per-id scored pairs capped by the query set",
-    "d_decontaminate": "hinted side = benchmark shingle set (eval suites are small by nature; documented)",
-    "d_contamination_score": "hinted side = benchmark shingle set (same split as d_decontaminate)",
-    "m_phash_blocklist": "hinted side = curated hash blocklist (distributed as a small list by nature)",
-    "x_revenue_share": "single-partition window input = per-nation rollup (bounded by the nation dim)",
-    "a_semantic_dedup": "hinted side = KMeans centroids (k-bounded)",
+# finding classes
+F_BCAST = "forced broadcast"
+F_SINGLE = "single-partition"
+F_CARTESIAN = "cartesian"
+
+# (query, finding class) -> reason the finding is bounded by design.
+# Keyed per class so an unrelated regression in an allowlisted query
+# (e.g. v_cosine_topk growing a CartesianProduct) still flags.
+_ALLOW: dict[tuple[str, str], str] = {
+    ("v_cosine_topk", F_BCAST): "hinted side = the QUERY set (vec_id < 3): queries are user-supplied and small by contract",
+    ("v_lsh_topk", F_BCAST): "hinted side = the query set (vec_id < 3)",
+    ("v_ivf_topk", F_BCAST): "hinted side = the query set / centroid table (k-bounded)",
+    ("v_maxsim_topk", F_BCAST): "hinted side = the 4-vector query bag",
+    ("v_pq_adc_topk", F_BCAST): "hinted side = query set + codebooks (k*m-bounded)",
+    ("v_crossmodal_filter", F_BCAST): "hinted side = per-id scored pairs capped by the query set",
+    ("d_decontaminate", F_BCAST): "hinted side = benchmark shingle set (eval suites are small by nature; documented)",
+    ("d_contamination_score", F_BCAST): "hinted side = benchmark shingle set (same split as d_decontaminate)",
+    ("m_phash_blocklist", F_BCAST): "hinted side = curated hash blocklist (distributed as a small list by nature)",
+    ("x_revenue_share", F_SINGLE): "single-partition window input = per-nation rollup (bounded by the nation dim)",
+    ("a_semantic_dedup", F_BCAST): "hinted side = KMeans centroids (k-bounded)",
 }
 
 
-def audit_physical(name: str, plan: str) -> list[str]:
-    finds: list[str] = []
+def _is_scaling_grouped(line: str) -> bool:
+    """True when an Aggregate/Deduplicate line's key list contains a
+    scaling-entity key — i.e. the node does NOT reduce cardinality below
+    data scale. Analyzed-plan shapes: ``Aggregate [keys...], [exprs...]``
+    (grouped), ``Aggregate [exprs...]`` (global scalar — one bracket, no
+    keys, always reducing), ``Deduplicate [keys...]``."""
+    m = re.search(r"Aggregate\s*\[([^\]]*)\],\s*\[", line) or re.search(
+        r"Deduplicate\s*\[([^\]]*)\]", line
+    )
+    if not m:
+        return False
+    keys = m.group(1)
+    return any(k in keys for k in SCALING_GROUP_KEYS)
+
+
+def audit_physical(name: str, plan: str) -> list[tuple[str, str]]:
+    finds: list[tuple[str, str]] = []
     lines = plan.split("\n")
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
@@ -60,14 +125,14 @@ def audit_physical(name: str, plan: str) -> list[str]:
                 "keys=[]" in prev or "Aggregate(keys=[]" in prev
             )
             if not ok:
-                finds.append(f"single-partition exchange: {ln.strip()[:90]}")
+                finds.append((F_SINGLE, f"single-partition exchange: {ln.strip()[:90]}"))
     if "CartesianProduct" in plan:
-        finds.append("CartesianProduct present")
+        finds.append((F_CARTESIAN, "CartesianProduct present"))
     return finds
 
 
-def audit_hints(name: str, analyzed: str) -> list[str]:
-    finds: list[str] = []
+def audit_hints(name: str, analyzed: str) -> list[tuple[str, str]]:
+    finds: list[tuple[str, str]] = []
     lines = analyzed.split("\n")
     for i, ln in enumerate(lines):
         if "ResolvedHint" not in ln or "broadcast" not in ln:
@@ -78,26 +143,16 @@ def audit_hints(name: str, analyzed: str) -> list[str]:
             nd = len(nxt) - len(nxt.lstrip(" :+-"))
             if nd <= depth:
                 break
-            subtree.append(nxt)
-            if REDUCING.search(nxt):
-                subtree = None  # reduced before any scan below matters
+            if REDUCING.search(nxt) and not _is_scaling_grouped(nxt):
+                subtree = None  # genuinely reduced before any scan below
                 break
+            subtree.append(nxt)
         if subtree is None:
             continue
         blob = "\n".join(subtree)
-        # analyzed-plan Relation nodes don't carry the file name — identify
-        # scaling tables by their signature id column
-        sig = {
-            "customer": "c_custkey#",
-            "orders": "o_orderkey#",
-            "lineitem": "l_orderkey#",
-            "documents": "doc_id#",
-            "events": "event_id#",
-            "embeddings": "vec_id#",
-        }
-        for t, col in sig.items():
+        for t, col in SCALING_SIG.items():
             if re.search(rf"Relation \[[^\]]*{re.escape(col)}", blob):
-                finds.append(f"forced broadcast over filter-only {t}")
+                finds.append((F_BCAST, f"forced broadcast over unreduced {t}"))
                 break
     return finds
 
@@ -117,9 +172,10 @@ def main() -> None:
             print(f"ERROR {name}: {type(e).__name__}: {str(e)[:120]}")
             bad += 1
             continue
-        for f in finds:
-            if name in _ALLOW:
-                allowed_hits.append(f"{name}: {f} [allowed: {_ALLOW[name]}]")
+        for cls, f in finds:
+            reason = _ALLOW.get((name, cls))
+            if reason is not None:
+                allowed_hits.append(f"{name}: {f} [allowed: {reason}]")
             else:
                 print(f"FLAG  {name}: {f}")
                 bad += 1

@@ -815,9 +815,12 @@ class PhashBlocklistFilter(Operator):
         )
 
     def split(self, df: DataFrame):
+        # Cache the hashed plan before branching (house pattern,
+        # DedupOperator.split): the phash UDF is the dominant stage and
+        # must run once per input, not once per side-output branch.
         keyed = df.withColumn(
             "_phash", phash_udf_for(self.backend)(F.col(self.bytes_col))
-        )
+        ).cache()
         block = F.broadcast(self._blocklist(df).where(F.col("_bad").isNotNull()).distinct())
         passed = keyed.join(
             block, keyed["_phash"] == block["_bad"], "left_anti"

@@ -216,7 +216,9 @@ def x_levenshtein_near_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l, r = p.alias("l"), p.alias("r")
     return (
-        l.join(F.broadcast(name_pairs), F.col("l.p_name") == F.col("_name_l"))
+        # name_pairs derives from DISTINCT part names — scales with part
+        # (200K×SF), so no broadcast hint; AQE decides from runtime size.
+        l.join(name_pairs, F.col("l.p_name") == F.col("_name_l"))
         .join(
             r,
             (F.col("r.p_name") == F.col("_name_r"))

@@ -378,11 +378,11 @@ WITH hashed AS (
   FROM (SELECT doc_id, source, {_BYTES_LIST} AS b
         FROM (SELECT doc_id, source, {_FAKE_HEX} AS h FROM documents))
 ), block AS (
-  SELECT DISTINCT k FROM hashed WHERE doc_id % 97 = 0
+  SELECT DISTINCT k FROM hashed WHERE doc_id % 97 = 0 AND k IS NOT NULL
 )
-SELECT doc_id, source FROM hashed
-WHERE doc_id % 97 <> 0
-  AND k NOT IN (SELECT k FROM block)
+SELECT h.doc_id, h.source
+FROM hashed h LEFT JOIN block b ON h.k = b.k
+WHERE h.doc_id % 97 <> 0 AND b.k IS NULL
 """
 
 QUERIES["m_phash_blocklist"] = m_phash_blocklist

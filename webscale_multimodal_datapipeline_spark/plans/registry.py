@@ -62,12 +62,6 @@ for _m in _MODULES:
         assert _name in _m.QUERIES, f"oracle without query: {_name}"
         ORACLE[_name] = _sql
 
-# Recorded in round 2 with an ``err: no_oracle`` row — all three gained an
-# invariant oracle in round 3 (the m_clip_embedding pattern: invariants
-# computed as oracle-checkable boolean/count columns), so they re-record
-# ahead of everything else to flip their driver rows green.
-_PRIORITY_R3 = ("v_kmeans_clusters", "a_semantic_dedup", "a_mlp_deep_score")
-
 # Queries with a green driver CORRECTNESS row from round 1. The driver
 # records the FIRST 50 registry entries per round, so everything not yet
 # recorded (including queries added later) is ordered ahead of these —
@@ -111,10 +105,32 @@ _RECORDED_R2 = {
     "x_rank_distributions", "x_levenshtein_near_names", "x_zorder_key",
 }
 
-_RECORDED = _RECORDED_R1 | _RECORDED_R2
+# The 50 names the driver recorded green in round 3's CORRECTNESS_r03.json.
+_RECORDED_R3 = {
+    "v_kmeans_clusters", "a_semantic_dedup", "a_mlp_deep_score",
+    "v_pq_adc_topk", "v_maxsim_topk", "e_markov_transitions",
+    "e_scd2_dimension", "e_trigram_paths", "p_expectations_report",
+    "m_frame_sample_udtf", "m_phash_blocklist", "a_asof_tolerance_join",
+    "ts_ewma", "x_mad_outliers", "x_segment_intersect", "x_revenue_share",
+    "x_salted_skew_join", "x_heavy_hitters", "x_argmax_agg", "x_nullsafe_join",
+    "x_column_profile", "x_histogram", "t_gopher_rules", "t_pii_redact",
+    "t_domain_mix", "t_quality_classifier", "t_tfidf_topterms",
+    "t_tokenize_ids", "t_inverted_index", "t_unigram_logprob",
+    "t_chunk_documents", "t_bigram_pmi", "t_flesch_reading_ease",
+    "t_bigram_logprob", "d_shared_shingle_dedup", "d_decontaminate",
+    "d_dedup_components", "d_dedup_components_star", "d_contamination_score",
+    "c_sequence_pack", "c_boilerplate", "c_stratified_sample",
+    "c_quantile_filter", "u_url_canonicalize", "u_canonical_dedup",
+    "v_crossmodal_filter", "c_vocab_topk", "c_line_dedup", "c_upsert",
+    "v_embedding_norms",
+}
 
+_RECORDED = _RECORDED_R1 | _RECORDED_R2 | _RECORDED_R3
+
+# Every query has a green driver row in its latest recorded round
+# (r1-r3); round-4 additions are unrecorded and therefore order first so
+# the driver's 50-entry window records them this round.
 QUERIES = {
-    **{k: QUERIES[k] for k in _PRIORITY_R3},
     **{k: v for k, v in QUERIES.items() if k not in _RECORDED},
-    **{k: v for k, v in QUERIES.items() if k in _RECORDED and k not in _PRIORITY_R3},
+    **{k: v for k, v in QUERIES.items() if k in _RECORDED},
 }

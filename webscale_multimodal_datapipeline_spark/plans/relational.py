@@ -122,8 +122,9 @@ LIMIT 10
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join; all dims broadcast, single fact
-    shuffle for the final group-by."""
+    """TPC-H Q5 shape: 6-way star join; fixed-cardinality dims
+    (nation=25, region=5) broadcast, SF-scaling supplier left to AQE,
+    single fact shuffle for the final group-by."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -136,7 +137,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -352,7 +353,7 @@ def q_supplier_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     l = load_table(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .rollup("n_name", "s_name")
         .agg(F.round(F.sum(_dec("l_extendedprice")), 4).cast("double").alias("revenue"))

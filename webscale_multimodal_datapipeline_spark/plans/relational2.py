@@ -18,11 +18,14 @@ def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     price — correlated-min subquery as a groupBy + join-back."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
+    # min_p has per-partkey cardinality (≈|part|, which scales with SF) and
+    # supplier scales 10K×SF — neither is broadcast-safe at 100 TB. No hints:
+    # AQE + runtime bloom-filter pruning pick the strategy at actual size.
     min_p = l.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
     return (
-        l.join(F.broadcast(min_p), ["l_partkey"])
+        l.join(min_p, ["l_partkey"])
         .filter(F.col("l_extendedprice") == F.col("min_price"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .select("l_partkey", "s_name", F.col("min_price").alias("price"))
         .distinct()
     )
@@ -34,6 +37,42 @@ FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 WHERE l_extendedprice = (
   SELECT MIN(l2.l_extendedprice) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
 )
+"""
+
+
+def q2_argmax_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated-min rewritten as ONE argmin aggregate — the
+    supplier with each part's minimum lineitem price, computed with
+    ``min_by`` keyed on a (price, suppkey) struct so ties resolve
+    deterministically to the smallest suppkey (reference behavior is
+    first-seen-wins, nondeterministic — SURVEY §7 risk register).
+
+    Scale shape vs q2_min_price_supplier: the groupBy + join-back +
+    distinct (three lineitem-sized shuffles) collapse to one partial-agg
+    combinable aggregate plus one supplier equi-join that AQE sizes —
+    the map-side combine means only |part| rows ever reach the exchange."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    best = l.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("price"),
+        F.min_by(
+            "l_suppkey", F.struct("l_extendedprice", "l_suppkey")
+        ).alias("best_suppkey"),
+    )
+    return best.join(s, best.best_suppkey == s.s_suppkey).select(
+        "l_partkey", "s_name", "price"
+    )
+
+
+Q2_ARGMAX_SQL = """
+SELECT l_partkey, s_name, price
+FROM (
+  SELECT l_partkey, l_suppkey, l_extendedprice AS price,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice, l_suppkey) AS rn
+  FROM lineitem
+) t JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
 """
 
 
@@ -53,7 +92,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -142,7 +181,8 @@ def q_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = _dec("l_extendedprice") * _dec(1 - F.col("l_discount"))
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    # part scales 200K×SF — never force-broadcast; AQE decides at runtime.
+    j = l.join(p, l.l_partkey == p.p_partkey)
     return j.agg(
         (
             F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))), 4).cast("double")
@@ -195,7 +235,7 @@ def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs join predicates (brand/size/qty bands)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     pred = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(1, 20)))
         | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(5, 20)) & (F.col("l_quantity").between(10, 30)))
@@ -269,7 +309,7 @@ def q_distinct_brands_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(~F.col("p_brand").isin("Brand#1", "Brand#2"))
     l = load_table(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -317,6 +357,7 @@ FROM lineitem
 
 QUERIES = {
     "q2_min_price_supplier": q_min_price_supplier,
+    "q2_argmax_min_price": q2_argmax_min_price,
     "q7_volume_shipping": q_volume_shipping,
     "q10_returned_items": q_returned_items,
     "q12_shipmode_priority": q_shipmode_priority,
@@ -330,6 +371,7 @@ QUERIES = {
 
 ORACLE = {
     "q2_min_price_supplier": Q_MINPRICE_SQL,
+    "q2_argmax_min_price": Q2_ARGMAX_SQL,
     "q7_volume_shipping": Q_VOLUME_SQL,
     "q10_returned_items": Q_RETURNED_SQL,
     "q12_shipmode_priority": Q_SHIPMODE_SQL,

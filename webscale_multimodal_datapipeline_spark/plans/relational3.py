@@ -9,9 +9,14 @@ left-outer count-distribution (Q13), argmax-by-scalar-subquery (Q15),
 correlated-average predicate (Q17), nested-agg semi-join (Q20), anti-join
 plus scalar-subquery predicate (Q22).
 
-Scale notes (verified via .explain): every dimension join is broadcast;
-the only fact-table shuffles are the groupBy partial-aggregations; scalar
-subqueries compile to one-row broadcasts, never a driver collect.
+Scale notes (verified via .explain and tools/plan_audit.py): only
+FIXED-cardinality dimensions (nation=25, region=5) and one-row scalar
+aggregates carry broadcast hints. SF-scaling relations — part (200K×SF),
+supplier (10K×SF), and any aggregate keyed by their keys (avg-qty per
+partkey, shipped-suppliers) — are never force-broadcast: AQE plus the
+session's runtime bloom-filter join pruning pick the strategy from
+actual runtime sizes, which is the only policy that survives 100 TB.
+Scalar subqueries compile to one-row broadcasts, never a driver collect.
 """
 
 from __future__ import annotations
@@ -44,7 +49,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"), "left_semi")
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -89,9 +94,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.5) * F.col("p_retailprice")
     ) * _dec("l_quantity")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(profit), 4).cast("double").alias("sum_profit"))
@@ -125,7 +130,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu_supp = s.join(
         F.broadcast(eu_nations), F.col("s_nationkey") == F.col("nkey"), "left_semi"
     ).select("s_suppkey")
-    eu_items = l.join(F.broadcast(eu_supp), l.l_suppkey == eu_supp.s_suppkey, "left_semi")
+    eu_items = l.join(eu_supp, l.l_suppkey == eu_supp.s_suppkey, "left_semi")
     per_part = eu_items.groupBy("l_partkey").agg(
         F.round(F.sum(_dec("l_extendedprice")), 4).cast("double").alias("part_value")
     )
@@ -199,7 +204,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(F.col("l_suppkey").alias("s_suppkey"), "s_name", "total_revenue")
     )
 
@@ -228,9 +233,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_qty = l.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
+    # p scales 200K×SF and avg_qty has per-partkey cardinality (≈|part|):
+    # both would be multi-GB broadcasts at 100 TB. AQE decides instead.
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(avg_qty), l.l_partkey == F.col("ap_partkey"))
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(avg_qty, l.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             (F.round(F.sum(_dec("l_extendedprice")), 4).cast("double") / F.lit(7.0)).alias(
@@ -260,15 +267,16 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
     s = load_table(spark, sf_dir, "supplier")
     shipped = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        l.join(p, l.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.round(F.sum(_dec("l_quantity")), 4).cast("double").alias("qty"))
         .filter(F.col("qty") > 30)
         .select("l_suppkey")
         .distinct()
     )
+    # shipped is supplier-sized (10K×SF) — not broadcast-safe at scale.
     return s.join(
-        F.broadcast(shipped), s.s_suppkey == shipped.l_suppkey, "left_semi"
+        shipped, s.s_suppkey == shipped.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
 
 

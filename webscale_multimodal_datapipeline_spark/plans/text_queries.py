@@ -476,12 +476,14 @@ def t_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit).
 
     Plan shape: explode → (doc, term) counts → term document-frequency
-    (partial-agg combinable) joined back — the DF table is vocabulary-
-    sized, broadcastable at any corpus scale — → per-doc top-k window
-    over ≤ tokens/doc rows. Both join sides derive from the tf aggregate,
-    so at 100 TB persist/checkpoint tf to make the explode+count pass run
-    once instead of twice (cheap here; the pass is the dominant cost at
-    scale)."""
+    (partial-agg combinable) joined back → per-doc top-k window over
+    ≤ tokens/doc rows. The DF table is vocabulary-sized — at web scale
+    that is 10⁸+ terms (tens of GB), NOT broadcast-safe, so the join
+    carries no hint (same policy as t_bigram_pmi); AQE picks broadcast
+    only when the measured size allows. Both join sides derive from the
+    tf aggregate, so at 100 TB persist/checkpoint tf to make the
+    explode+count pass run once instead of twice (cheap here; the pass
+    is the dominant cost at scale)."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -495,7 +497,7 @@ def t_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("tf"), F.asc("df"), F.asc("term")
     )
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", F.col("rnk").cast("int").alias("rnk"))
