@@ -67,6 +67,41 @@ BENCH_QUERIES = (
 )
 
 
+def _measure_into(out: dict, n: int):
+    """Shared lane timer: one warm-up action, then THREE timed runs;
+    reports the MEDIAN plus a ``spread`` dispersion field
+    ((max-min)/median, rounded) so a regression gate can separate
+    scheduler/allocator noise from real signal. r3's min-of-2 recorded
+    3.7x-10x phantom swings (gopher 661K->179K, simhash_arrow 737K->72K)
+    that idle re-runs disproved — the median of three is noise-robust in
+    BOTH directions (min hides sustained regressions, max hides one-off
+    stalls)."""
+    import time as _t
+
+    def measure(name, df):
+        df.count()  # warm-up absorbs per-plan codegen + worker spin-up
+        ts = []
+        kept = 0
+        for _ in range(3):
+            t0 = _t.time()
+            kept = df.count()
+            ts.append(_t.time() - t0)
+        ts.sort()
+        med = ts[1]
+        out[name] = {
+            "rows_in": n,
+            "rows_out": kept,
+            "sec": round(med, 3),
+            "rec_per_sec": round(n / med, 1),
+            "spread": round((ts[-1] - ts[0]) / med, 2),
+            # min-based rate: the statistic r2/r3 reported — kept in the
+            # verbose detail line so cross-round series stay comparable
+            "rec_per_sec_min": round(n / ts[0], 1),
+        }
+
+    return measure
+
+
 def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     """rec/s on ~1M-row text inputs — directly comparable to the
     reference's published operator throughputs (BASELINE.md: URLFilter
@@ -75,7 +110,6 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     Input: documents replicated 200x (1M rows at sf0.1) — same text
     distribution, meaningful row count. Each op measured end-to-end
     (scan + op + count)."""
-    import time as _t
 
     from pyspark.sql import functions as F
 
@@ -108,25 +142,7 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     OD.simhash_text_column(big, "text", "sh").count()
 
     out: dict[str, dict[str, float]] = {}
-
-    def measure(name, df):
-        # warm-up absorbs per-plan codegen; two timed runs with the min
-        # reported make the steady-state number robust to transient host
-        # noise (page-cache reclaim after a prior JVM, CPU contention) —
-        # observed to inflate a 1.7s lane to 26s on a freshly-released box.
-        df.count()
-        dt = float("inf")
-        kept = 0
-        for _ in range(2):
-            t0 = _t.time()
-            kept = df.count()
-            dt = min(dt, _t.time() - t0)
-        out[name] = {
-            "rows_in": n,
-            "rows_out": kept,
-            "sec": round(dt, 3),
-            "rec_per_sec": round(n / dt, 1),
-        }
+    measure = _measure_into(out, n)
 
     measure("url_filter_1m", url_filter(blocklist=("src1", "src7")).apply(big))
     measure(
@@ -143,12 +159,13 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         big.select(TX.lang_id("text").alias("l")).filter(F.col("l") != "und"),
     )
     # simhash_1m is the PRODUCTION default: JVM-native xxhash64 token
-    # hashes + the SWAR vote kernel — stable ~400-500K rec/s. The md5 lane
+    # hashes + the SWAR vote kernel — stable ~480K rec/s. The md5 lane
     # keeps the cross-engine oracle spec honest (same SimHash semantics,
-    # DuckDB-reproducible hashes); the Arrow text-direct lane below peaks
-    # higher (~750K) but is bimodal across processes (worker cold-start
-    # sensitivity), so it is reported separately rather than as the
-    # headline number.
+    # DuckDB-reproducible hashes). The Arrow text-direct lane runs
+    # ~620-770K rec/s; its former cross-process bimodality (r2 737K vs
+    # r3 414K) was allocator churn from 35 MB unpackbits scratches at
+    # 10K-row Arrow batches — fixed by segment-boundary chunking in
+    # _simhash_votes_swar (operators/dedup.py, _SWAR_MAX_TOKENS).
     measure(
         "simhash_1m",
         big.withColumn("_th", OD.token_hashes("text", algo="xxhash64"))
@@ -199,7 +216,6 @@ def image_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     1.5K rec/s on 1K LAION records). Payloads here are the 64-byte
     deterministic stand-ins (no codecs in the container), so these numbers
     measure the Arrow-UDF machinery + kernel math, not JPEG decode."""
-    import time as _t
 
     from pyspark.sql import functions as F
 
@@ -225,25 +241,7 @@ def image_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     MM.image_metadata_refiner().apply(imgs.limit(1000)).count()
 
     out: dict[str, dict[str, float]] = {}
-
-    def measure(name, df):
-        # warm-up absorbs per-plan codegen; two timed runs with the min
-        # reported make the steady-state number robust to transient host
-        # noise (page-cache reclaim after a prior JVM, CPU contention) —
-        # observed to inflate a 1.7s lane to 26s on a freshly-released box.
-        df.count()
-        dt = float("inf")
-        kept = 0
-        for _ in range(2):
-            t0 = _t.time()
-            kept = df.count()
-            dt = min(dt, _t.time() - t0)
-        out[name] = {
-            "rows_in": n,
-            "rows_out": kept,
-            "sec": round(dt, 3),
-            "rec_per_sec": round(n / dt, 1),
-        }
+    measure = _measure_into(out, n)
 
     meta = MM.image_metadata_refiner().apply(imgs)
     measure("image_metadata_100k", meta.filter(F.col("image_width") >= 0))
@@ -292,6 +290,7 @@ def image_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         .repartition(ncpu * 2)
     ).persist()
     n = enriched.count()
+    measure = _measure_into(out, n)  # row count changed: rebind the timer
     measure(
         "image_quality_filter_1m",
         image_quality_filter(64, 64, 1.0, 1.0).apply(enriched),
@@ -341,9 +340,11 @@ def main() -> None:
                 "throughput": tp,
                 "sf": sf,
                 # Methodology note (stable since r2): each throughput lane
-                # reports min of 2 timed runs after a warm-up run; r1 used a
-                # single timed run, so r1-vs-r2+ comparisons carry that delta.
-                "method": "throughput=min_of_2_after_warmup",
+                # reports the median of 3 timed runs after a warm-up run,
+                # plus per-lane spread=(max-min)/median; r1 used a single
+                # timed run and r2-r3 min-of-2, so cross-round comparisons
+                # carry that delta (median ≥ min by construction).
+                "method": "throughput=median_of_3_after_warmup",
             }
         )
     )
@@ -351,7 +352,9 @@ def main() -> None:
 
     # Compact machine line LAST — must always fit the driver's tail buffer.
     # Per-query walls (the brief's required "queries" map) + per-lane rec/s
-    # as bare ints; no nested row/sec detail (that lives in the line above).
+    # as bare ints + per-lane spread (the r4 noise gate: a lane delta only
+    # counts as signal when it exceeds the lane's own spread); full nested
+    # row/sec detail lives in the line above.
     print(
         json.dumps(
             {
@@ -360,6 +363,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "rec_per_sec": {k: int(m["rec_per_sec"]) for k, m in tp.items()},
+                "spread": {k: m["spread"] for k, m in tp.items()},
                 "sf": sf,
             },
             separators=(",", ":"),

@@ -219,6 +219,25 @@ def test_simhash_fast_udf_parity_long_doc(spark):
     assert cmp.filter("a != b").count() == 0
 
 
+def test_simhash_swar_chunking_parity():
+    """The allocator-friendly chunking wrapper (_SWAR_MAX_TOKENS splits
+    on segment boundaries — the round-4 bimodality fix) must be
+    bit-identical to one whole-array SWAR call, including segments
+    longer than the chunk cap and the ≥256-token exact-recompute lane."""
+    import numpy as np
+
+    rng = np.random.default_rng(0xC0FFEE)
+    # many small segments crossing several chunk boundaries
+    seg_lens = rng.integers(1, 400, size=4000).astype(np.int64)
+    # plus one segment larger than the cap itself
+    seg_lens[1234] = OD._SWAR_MAX_TOKENS + 777
+    starts = np.cumsum(seg_lens) - seg_lens
+    h64 = rng.integers(-(2**63), 2**63 - 1, size=int(seg_lens.sum()), dtype=np.int64)
+    chunked = OD._simhash_votes_swar(h64, starts, seg_lens)
+    whole = OD._simhash_votes_swar_block(h64, starts, seg_lens)
+    assert (chunked == whole).all()
+
+
 def test_simhash_text_udf_semantics(spark):
     """The text-direct production lane: whitespace-invariant,
     case-folded, deterministic, 60-bit range, null/empty -> 0."""
