@@ -107,6 +107,47 @@ def test_html_report_render_and_cli(spark, sf_dir, tmp_path):
     assert "<h2>Funnel</h2>" in open(tmp_path / "r2.html").read()
 
 
+def test_html_report_expectations_section(spark, sf_dir, tmp_path):
+    """Round-4: the declarative-expectations report (quality.evaluate)
+    renders as its own section with per-constraint violation counts and
+    the warn/drop (report/enforce) outcome per constraint."""
+    from webscale_multimodal_datapipeline_spark import report as R
+    from webscale_multimodal_datapipeline_spark.compiler import compile_pipeline as cp
+
+    yml = """
+data_loader:
+  table: documents
+stages:
+  - name: score
+    operators:
+      - type: text_stats_refiner
+expectations:
+  - type: not_null
+    params: {col: doc_id}
+  - type: in_set
+    params: {col: lang, values: [en, es, fr, de]}
+    action: enforce
+"""
+    res = cp(yml).run(spark, sf_dir)
+    res.output.count()
+    M.write_metrics(res.metrics, str(tmp_path / "m"))
+    ops = spark.read.parquet(str(tmp_path / "m" / "operators"))
+    out = R.write_html_report(
+        ops,
+        str(tmp_path / "report.html"),
+        expectations=res.expectations_report,
+        enforced_expectations=res.enforced_expectations,
+    )
+    html_text = open(out).read()
+    assert "<h2>Data-quality expectations</h2>" in html_text
+    assert "not_null(doc_id)" in html_text and "in_set(lang)" in html_text
+    assert "enforce (rows dropped)" in html_text  # the in_set constraint
+    assert "VIOLATIONS" in html_text  # corpus contains zh docs
+    assert html_text.index("not_null(doc_id)") > html_text.index(
+        "<h2>Data-quality expectations</h2>"
+    )
+
+
 def test_task_latency_distributions_populate_columns(spark, sf_dir):
     """A1 latency approximation: after an action has run, the status-store
     task-duration distribution fills the latency columns (schema unchanged;

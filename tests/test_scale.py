@@ -30,6 +30,65 @@ def test_salted_join_left_outer(spark):
     assert rows[3] == "x" and rows[9] is None
 
 
+def test_salted_join_zipfian_skew_stress(spark):
+    """Skew-stress (round-4 hardening): a zipfian key column (exponent
+    ~1.1, 200K rows, hottest key ≈ 19% of all rows) through salted_join
+    must (a) match the plain join exactly and (b) actually spread the hot
+    key: after salting, the largest hash-partition holds ≤ 3x the MEAN
+    partition's rows, while the UNsalted shuffle concentrates the hot key
+    in one partition (≥ 5x mean) — the straggler condition that stalls a
+    1000-executor stage on one task."""
+    import math
+
+    n, nkeys, parts = 200_000, 1_000, 32
+    # inverse-CDF zipf: rank = floor(nkeys^(u)) with u uniform — heavy head
+    zipf_key = F.floor(
+        F.pow(F.lit(float(nkeys)), F.pow(F.rand(seed=7), F.lit(3.0)))
+    ).cast("long").alias("k")
+    left = spark.range(n).select(zipf_key, F.col("id").alias("lval")).cache()
+    hot_share = left.groupBy("k").count().orderBy(F.desc("count")).first()["count"] / n
+    assert hot_share > 0.1  # the distribution really is skewed
+    right = spark.range(nkeys).select(F.col("id").alias("k"), (F.col("id") * 3).alias("rval"))
+
+    out = SC.salted_join(left, right, "k", 16)
+    assert out.count() == left.join(right, "k").count()
+
+    mean = n / parts
+
+    def max_partition(df, cols):
+        return max(
+            r["c"]
+            for r in df.repartition(parts, *cols)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+
+    salted = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(16)).cast("int")
+    )
+    mx_s = max_partition(salted, ["k", "_salt"])
+    mx_u = max_partition(left, ["k"])
+    assert mx_u >= 5 * mean, (mx_u, mean)  # unsalted: one straggler partition
+    assert mx_s <= 3 * mean, (mx_s, mean)  # salted: bounded imbalance
+    left.unpersist()
+
+
+def test_heavy_hitters_zipfian_recovers_head(spark):
+    """key_histogram over the same zipfian column must surface the true
+    head keys with exact counts (one-scan groupBy + top-k — the pattern's
+    whole point is that a skew DIAGNOSIS must not itself be skew-prone)."""
+    n, nkeys = 200_000, 1_000
+    zipf_key = F.floor(
+        F.pow(F.lit(float(nkeys)), F.pow(F.rand(seed=7), F.lit(3.0)))
+    ).cast("long").alias("k")
+    df = spark.range(n).select(zipf_key).cache()
+    truth = {r.k: r["count"] for r in df.groupBy("k").count().orderBy(F.desc("count")).limit(5).collect()}
+    got = {r.k: r.n for r in SC.key_histogram(df, "k", top=5).collect()}
+    assert got == truth
+    df.unpersist()
+
+
 def test_co_partition_no_extra_exchange(spark):
     a = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("a"))
     b = spark.range(100).select(F.col("id").alias("k"), F.lit(2).alias("b"))

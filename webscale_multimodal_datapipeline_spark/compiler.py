@@ -169,6 +169,10 @@ class PipelineResult:
     # report over the PRE-enforcement output, one row per expectation
     # (None when the config declares no expectations)
     expectations_report: DataFrame | None = None
+    # names of the expectations whose action was ``enforce`` (their
+    # failing rows were dropped from ``output``) — lets the HTML report
+    # show the warn/drop outcome per constraint
+    enforced_expectations: tuple[str, ...] = ()
 
 
 def _build_expectations(specs: list[dict[str, Any]]):
@@ -326,6 +330,7 @@ class Pipeline:
                 rejected = rejected.unionByName(part, allowMissingColumns=True)
 
         expectations_report = None
+        enforced_names: tuple[str, ...] = ()
         if self.config.expectations:
             from webscale_multimodal_datapipeline_spark import quality as Q
 
@@ -333,6 +338,7 @@ class Pipeline:
             expectations_report = Q.evaluate(df, all_exps)
             if enforced:
                 df = Q.enforce(df, enforced)
+                enforced_names = tuple(e.name for e in enforced)
 
         wr = self.config.writer
         if wr.get("path"):
@@ -355,6 +361,7 @@ class Pipeline:
             rejected=rejected,
             metrics=metrics,
             expectations_report=expectations_report,
+            enforced_expectations=enforced_names,
         )
 
 

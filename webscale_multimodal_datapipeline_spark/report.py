@@ -222,6 +222,8 @@ def render_html_report(
     title: str = "Pipeline Report",
     rejected: DataFrame | None = None,
     debug_samples_per_operator: int = 20,
+    expectations: DataFrame | None = None,
+    enforced_expectations: tuple[str, ...] = (),
 ) -> str:
     """Render the funnel / bottleneck / stage-rollup sections from the
     operators metrics table (the ``operators_*.parquet`` shape).
@@ -230,7 +232,15 @@ def render_html_report(
     section with up to ``debug_samples_per_operator`` sample rows per
     rejecting operator (reference ``config.py:120`` /
     ``reporter.py:132-168`` semantics) — sampled with ONE partitioned
-    window pass, not a job per operator."""
+    window pass, not a job per operator.
+
+    ``expectations`` (the ``quality.evaluate`` report — one row per
+    declared constraint) adds a data-quality section with per-constraint
+    violation counts; names listed in ``enforced_expectations`` render
+    with the ``enforce`` action (their failing rows were dropped from
+    the output), the rest as ``report`` — the warn/drop split the
+    rejected-samples section draws for operators (reference
+    ``reporter.py`` rejected-shape)."""
     stages = stage_metrics_df(operators)
     runs = run_metrics_df(operators, stages).collect()
     funnel = funnel_report(operators).orderBy("first_seen", "stage_name").collect()
@@ -381,6 +391,30 @@ def render_html_report(
     parts.append("<h2>Latency heatmap</h2>")
     parts.append(_heatmap_table(lat_rows))
 
+    # Data-quality expectations (quality.py evaluate() shape): one row
+    # per declared constraint — violation counts from the single
+    # aggregation pass, action column showing the warn/drop outcome.
+    if expectations is not None:
+        exp_rows = expectations.orderBy("expectation").collect()
+        enforced = set(enforced_expectations)
+        parts.append("<h2>Data-quality expectations</h2>")
+        parts.append(
+            _table(
+                ["expectation", "action", "rows", "violations", "violation rate", "status"],
+                [
+                    [
+                        _esc(r.expectation),
+                        "enforce (rows dropped)" if r.expectation in enforced else "report",
+                        _fmt(r.n_rows),
+                        _fmt(r.n_violations),
+                        _pass_bar(r.violation_rate),
+                        "PASS" if r.passed else "VIOLATIONS",
+                    ]
+                    for r in exp_rows
+                ],
+            )
+        )
+
     # Rejected-sample debug section (reference reporter.py:132-168).
     # The sample is ARBITRARY (first-seen rows, partition order) — it is a
     # debug peek, not a statistical sample. Plan shape: each partition is
@@ -455,6 +489,8 @@ def write_html_report(
     title: str = "Pipeline Report",
     rejected: DataFrame | None = None,
     debug_samples_per_operator: int = 20,
+    expectations: DataFrame | None = None,
+    enforced_expectations: tuple[str, ...] = (),
 ) -> str:
     """Render and write the report; returns the path."""
     html_text = render_html_report(
@@ -462,6 +498,8 @@ def write_html_report(
         title,
         rejected=rejected,
         debug_samples_per_operator=debug_samples_per_operator,
+        expectations=expectations,
+        enforced_expectations=enforced_expectations,
     )
     with open(path, "w", encoding="utf-8") as f:
         f.write(html_text)
