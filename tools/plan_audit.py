@@ -89,6 +89,8 @@ _ALLOW: dict[tuple[str, str], str] = {
     ("v_lsh_topk", F_BCAST): "hinted side = the query set (vec_id < 3)",
     ("v_ivf_topk", F_BCAST): "hinted side = the query set / centroid table (k-bounded)",
     ("v_maxsim_topk", F_BCAST): "hinted side = the 4-vector query bag",
+    ("v_hard_negatives", F_BCAST): "hinted side = the query set (vec_id < 3) with labels",
+    ("v_matryoshka_overlap", F_BCAST): "hinted side = the query set (vec_id < 3) with prefix slices",
     ("v_pq_adc_topk", F_BCAST): "hinted side = query set + codebooks (k*m-bounded)",
     ("v_crossmodal_filter", F_BCAST): "hinted side = per-id scored pairs capped by the query set",
     ("d_decontaminate", F_BCAST): "hinted side = benchmark shingle set (eval suites are small by nature; documented)",

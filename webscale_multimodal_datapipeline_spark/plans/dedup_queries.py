@@ -533,3 +533,204 @@ GROUP BY p.doc_id
 
 QUERIES["d_contamination_score"] = d_contamination_score
 ORACLE["d_contamination_score"] = D_CONTAMINATION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (continuous-crawl shape: new batch vs snapshot index)
+# ---------------------------------------------------------------------------
+
+
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the continuous-crawl shape: a NEW batch
+    (``doc_id % 5 == 0`` stands in for today's crawl) is deduplicated
+    against the accumulated snapshot (everything else) by normalized-
+    content hash, keeping only genuinely new content. The reference's
+    backend seen-set persists across runs for exactly this purpose
+    (``framework/backend.py:13-74``); Spark-first it is a keys-only
+    anti-join.
+
+    Scale shape: the snapshot side is reduced to its DISTINCT 64-bit
+    key column before the join — at 100 TB the historical index is a
+    compact key table (bucketed on disk in production), the new batch
+    is small relative to it, and AQE/bloom pruning pick the physical
+    strategy; no hint, no full-snapshot column traffic."""
+    d = load_table(spark, sf_dir, "documents")
+    key = TX.md5_long(TX.normalize_text("text"))
+    snapshot_keys = (
+        d.filter(F.col("doc_id") % 5 != 0).select(key.alias("_k")).distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).withColumn("_k", key)
+    survivors = batch.join(snapshot_keys, "_k", "left_anti")
+    return survivors.select("doc_id", "source")
+
+
+D_INCREMENTAL_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, {OQ.sql_md5_long(OQ.sql_norm('text'))} AS k
+  FROM documents
+), snapshot AS (
+  SELECT DISTINCT k FROM keyed WHERE doc_id % 5 <> 0
+)
+SELECT b.doc_id, b.source
+FROM keyed b LEFT JOIN snapshot s ON b.k = s.k
+WHERE b.doc_id % 5 = 0 AND s.k IS NULL
+"""
+
+QUERIES["d_incremental_dedup"] = d_incremental_dedup
+ORACLE["d_incremental_dedup"] = D_INCREMENTAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bloom-style bounded-index membership prefilter
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 4096  # m: index cardinality bound (buckets), NOT corpus-sized
+_BLOOM_K = 3  # hash functions
+
+
+def d_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-shaped membership prefilter: the member set (docs
+    from ``src1``) is indexed as the DISTINCT set of k hash buckets per
+    member (k=3 seeded hashes mod m=4096) — an index whose size is
+    bounded by m regardless of corpus scale, the property that lets a
+    100-TB probe side check membership against a broadcastable
+    structure. A doc is a CANDIDATE iff all k of its buckets are
+    present (Bloom semantics: no false negatives, bounded false
+    positives). Output per source: docs, candidates, true members —
+    plus the no-false-negative invariant as an oracle-pinned boolean.
+
+    Scale shape: probe side explodes to k rows/doc, ONE join against
+    the bounded index, count-hits==k per doc; the index aggregate is
+    map-side combinable. (Spark's native runtime bloom pruning is the
+    same idea applied physically — session-enabled; this operator is
+    the LOGICAL form with exact cross-engine bucket math.)"""
+    d = load_table(spark, sf_dir, "documents")
+    nt = TX.normalize_text("text")
+    buckets = F.array(
+        *[
+            F.pmod(TX.md5_long(F.concat(nt, F.lit(f"#s{i}"))), F.lit(_BLOOM_BITS))
+            for i in range(_BLOOM_K)
+        ]
+    )
+    keyed = d.select(
+        "doc_id", "source", (F.col("source") == "src1").alias("_member"), buckets.alias("_bk")
+    )
+    index = (
+        keyed.filter("_member")
+        .select(F.explode("_bk").alias("_b"))
+        .distinct()
+    )
+    probe = keyed.select("doc_id", "source", "_member", F.explode("_bk").alias("_b"))
+    hits = (
+        probe.join(index, "_b", "left_semi")
+        .groupBy("doc_id", "source", "_member")
+        .agg(F.count(F.lit(1)).alias("_nhit"))
+        .withColumn("_cand", F.col("_nhit") == _BLOOM_K)
+    )
+    per_doc = keyed.select("doc_id", "source", "_member").join(
+        hits.select("doc_id", "_cand"), "doc_id", "left"
+    ).withColumn("_cand", F.coalesce(F.col("_cand"), F.lit(False)))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_cand").cast("bigint")).alias("n_candidates"),
+            F.sum(F.col("_member").cast("bigint")).alias("n_members"),
+            F.min(F.when(F.col("_member"), F.col("_cand")).otherwise(F.lit(True))).alias(
+                "no_false_negatives"
+            ),
+        )
+    )
+
+
+_BLOOM_BUCKET_SQL = ", ".join(
+    OQ.sql_md5_long("concat(" + OQ.sql_norm("text") + f", '#s{i}')")
+    + f" % {_BLOOM_BITS}"
+    for i in range(_BLOOM_K)
+)
+
+D_BLOOM_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, source = 'src1' AS member,
+         [{_BLOOM_BUCKET_SQL}] AS bk
+  FROM documents
+), idx AS (
+  SELECT DISTINCT b FROM (SELECT unnest(bk) AS b FROM keyed WHERE member)
+), probe AS (
+  SELECT doc_id, unnest(bk) AS b FROM keyed
+), hits AS (
+  SELECT p.doc_id, COUNT(*) AS nhit
+  FROM probe p JOIN idx i ON p.b = i.b
+  GROUP BY p.doc_id
+), per_doc AS (
+  SELECT k.doc_id, k.source, k.member,
+         COALESCE(h.nhit = {_BLOOM_K}, FALSE) AS cand
+  FROM keyed k LEFT JOIN hits h ON k.doc_id = h.doc_id
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       MIN(CASE WHEN member THEN cand ELSE TRUE END) AS no_false_negatives
+FROM per_doc
+GROUP BY source
+"""
+
+QUERIES["d_bloom_prefilter"] = d_bloom_prefilter
+ORACLE["d_bloom_prefilter"] = D_BLOOM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Train/test leakage audit (split hygiene)
+# ---------------------------------------------------------------------------
+
+
+def d_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-hygiene audit: after the same deterministic 80/10/10
+    id-hash split as ``t_dataset_split``, count normalized-content keys
+    that LEAK across split boundaries (identical content in train AND
+    val/test — the eval-contamination failure mode dedup-by-id misses,
+    Lee et al. 2022 §5). Output: one row per (split pair) with the
+    leaked-key count, plus per-split totals.
+
+    Scale shape: one scan → (key, split) pairs → per-key bitmask of
+    splits via bit_or (map-side combinable) → bounded 3-row rollup;
+    no self-join of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(TX.md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    split_bit = (
+        F.when(bucket < 80, F.lit(1)).when(bucket < 90, F.lit(2)).otherwise(F.lit(4))
+    )
+    key = TX.md5_long(TX.normalize_text("text"))
+    per_key = (
+        d.select(key.alias("_k"), split_bit.alias("_b"))
+        .groupBy("_k")
+        .agg(F.expr("bit_or(_b)").alias("_mask"), F.count(F.lit(1)).alias("_n"))
+    )
+    return per_key.agg(
+        F.sum(F.when((F.col("_mask").bitwiseAND(1) > 0) & (F.col("_mask").bitwiseAND(2) > 0), 1).otherwise(0)).cast("bigint").alias("train_val_leaks"),
+        F.sum(F.when((F.col("_mask").bitwiseAND(1) > 0) & (F.col("_mask").bitwiseAND(4) > 0), 1).otherwise(0)).cast("bigint").alias("train_test_leaks"),
+        F.sum(F.when((F.col("_mask").bitwiseAND(2) > 0) & (F.col("_mask").bitwiseAND(4) > 0), 1).otherwise(0)).cast("bigint").alias("val_test_leaks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_keys"),
+        F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).cast("bigint").alias("n_duplicated_keys"),
+    )
+
+
+D_LEAKAGE_SQL = f"""
+WITH per_key AS (
+  SELECT {OQ.sql_md5_long(OQ.sql_norm('text'))} AS k,
+         BIT_OR(CASE WHEN b < 80 THEN 1 WHEN b < 90 THEN 2 ELSE 4 END) AS mask,
+         COUNT(*) AS n
+  FROM (SELECT text, {OQ.sql_md5_long("CAST(doc_id AS VARCHAR)")} % 100 AS b
+        FROM documents)
+  GROUP BY 1
+)
+SELECT CAST(SUM(CASE WHEN (mask & 1) > 0 AND (mask & 2) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS train_val_leaks,
+       CAST(SUM(CASE WHEN (mask & 1) > 0 AND (mask & 4) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS train_test_leaks,
+       CAST(SUM(CASE WHEN (mask & 2) > 0 AND (mask & 4) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS val_test_leaks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated_keys
+FROM per_key
+"""
+
+QUERIES["d_split_leakage_audit"] = d_split_leakage_audit
+ORACLE["d_split_leakage_audit"] = D_LEAKAGE_SQL

@@ -426,3 +426,154 @@ SELECT rank, path, n FROM (
 
 QUERIES["e_trigram_paths"] = e_trigram_paths
 ORACLE["e_trigram_paths"] = E_TRIGRAM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency (interval overlap WITHOUT a self-join)
+# ---------------------------------------------------------------------------
+
+
+def e_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: each event occupies the
+    half-open interval [ts, ts+5min); the maximum number of
+    simultaneously open intervals is found with a SWEEP-LINE — explode
+    each event into a +1 (start) and -1 (end) delta, running-sum the
+    deltas in time order, take the max. The naive formulation is an
+    interval self-join (O(n²) on hot windows); the sweep is one sort.
+
+    Scale shape: the running sum uses the deciles/tokenize-ids pattern
+    (range-repartition on the global sort key → per-(partition, type)
+    local window → broadcast per-partition offsets from a P×T-row
+    histogram with a triangular prefix join) — no data-sized
+    single-partition WindowExec anywhere. The sort key includes
+    event_id, making the order TOTAL, so local RANGE frames equal ROWS
+    frames and partition boundaries cannot split tie groups. Ends sort
+    before starts at the same instant (half-open semantics: a touch is
+    not an overlap)."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d"), "event_id"
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("d"),
+        "event_id",
+    )
+    deltas = starts.unionByName(ends)
+    num_parts = 32
+    ranged = deltas.repartitionByRange(
+        num_parts,
+        F.col("event_type").asc(),
+        F.col("t").asc(),
+        F.col("d").asc(),
+        F.col("event_id").asc(),
+    ).withColumn("_pid", F.spark_partition_id())
+    hist = ranged.groupBy("_pid", "event_type").agg(F.sum("d").alias("_s"))
+    offs = (
+        hist.alias("l")
+        .join(
+            hist.alias("r"),
+            (F.col("r._pid") < F.col("l._pid"))
+            & (F.col("r.event_type") == F.col("l.event_type")),
+            "left",
+        )
+        .groupBy(F.col("l._pid").alias("_pid"), F.col("l.event_type").alias("event_type"))
+        .agg(F.coalesce(F.sum("r._s"), F.lit(0)).alias("_off"))
+    )
+    wl = Window.partitionBy("_pid", "event_type").orderBy(
+        F.col("t").asc(), F.col("d").asc(), F.col("event_id").asc()
+    )
+    running = (
+        ranged.withColumn("_run", F.sum("d").over(wl))
+        .join(F.broadcast(offs), ["_pid", "event_type"])
+        .withColumn("_conc", F.col("_run") + F.col("_off"))
+    )
+    return running.groupBy("event_type").agg(
+        F.max("_conc").cast("bigint").alias("max_concurrent")
+    )
+
+
+E_CONCURRENCY_SQL = """
+WITH deltas AS (
+  SELECT event_type, ts AS t, 1 AS d, event_id FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS d, event_id FROM events
+), swept AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type
+                      ORDER BY t, d, event_id
+                      ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas
+)
+SELECT event_type, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+FROM swept GROUP BY event_type
+"""
+
+QUERIES["e_concurrency_sweep"] = e_concurrency_sweep
+ORACLE["e_concurrency_sweep"] = E_CONCURRENCY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Volume-spike detection (z-score in exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def e_spike_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly flags per event type: an hour is a SPIKE
+    when its count sits more than 2 sample standard deviations above
+    the type's hourly mean. The z-test is evaluated in EXACT integer
+    arithmetic — ``(n·c - S)² · (n-1) > 4 · n · (n·SS - S²)`` with
+    S = Σc, SS = Σc² as bigints AND the one-sided c·n > S condition —
+    so the flag is bit-identical cross-engine (no float stddev whose
+    summation order differs between engines).
+
+    Scale shape: hourly rollup (map-side combinable), then per-type
+    scalar stats joined back — the stats table is bounded by the number
+    of types, and hours scale with TIME, not corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("_h")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("cnt").alias("_s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("_ss"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    dev = F.col("_n") * F.col("cnt") - F.col("_s")
+    var_num = F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")
+    is_spike = (
+        (F.col("_n") > 1)
+        & (dev > 0)
+        & (dev * dev * (F.col("_n") - 1) > F.lit(4) * F.col("_n") * var_num)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        is_spike.alias("is_spike"),
+    )
+
+
+E_SPIKE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(cnt) AS s, SUM(cnt * cnt) AS ss
+  FROM hourly GROUP BY 1
+)
+SELECT hourly.event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(cnt AS BIGINT) AS cnt,
+       (n > 1 AND (n * cnt - s) > 0
+        AND (n * cnt - s) * (n * cnt - s) * (n - 1) > 4 * n * (n * ss - s * s))
+       AS is_spike
+FROM hourly JOIN stats ON hourly.event_type = stats.event_type
+"""
+
+QUERIES["e_spike_zscore"] = e_spike_zscore
+ORACLE["e_spike_zscore"] = E_SPIKE_SQL

@@ -796,3 +796,48 @@ GROUP BY bucket
 
 QUERIES["x_histogram"] = x_histogram
 ORACLE["x_histogram"] = X_HIST_SQL
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (beyond the cube/rollup coverage)
+# ---------------------------------------------------------------------------
+
+
+def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by GROUPING SETS ((flag, priority), (priority), ()) — a
+    non-hierarchical set list neither ROLLUP nor CUBE expresses alone
+    (SURVEY §2.6 'not present' family, completing cube/rollup). Spark
+    side: CUBE + a grouping_id filter — Catalyst expands both to the
+    same Expand node, and the filter prunes the unwanted (flag-only)
+    grouping BEFORE the aggregate, so the shuffle carries exactly the
+    three requested groupings. Decimal-disciplined like q1."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rev = _dec("l_extendedprice") * _dec(1 - F.col("l_discount"))
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    cubed = (
+        j.cube("l_returnflag", "o_orderpriority")
+        .agg(
+            F.round(F.sum(rev), 4).cast("double").alias("revenue"),
+            F.grouping_id().alias("_gid"),
+        )
+        # keep (flag,priority)=0b00, (priority)=0b10, ()=0b11; drop 0b01
+        .filter(F.col("_gid") != 1)
+    )
+    return cubed.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "revenue",
+    )
+
+
+X_GROUPING_SETS_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY GROUPING SETS ((l_returnflag, o_orderpriority), (o_orderpriority), ())
+"""
+
+QUERIES["x_grouping_sets"] = x_grouping_sets
+ORACLE["x_grouping_sets"] = X_GROUPING_SETS_SQL

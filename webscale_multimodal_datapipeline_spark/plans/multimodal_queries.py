@@ -387,3 +387,81 @@ WHERE h.doc_id % 97 <> 0 AND b.k IS NULL
 
 QUERIES["m_phash_blocklist"] = m_phash_blocklist
 ORACLE["m_phash_blocklist"] = M_PHASH_BLOCKLIST_SQL
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing (SDXL-style multimodal training prep)
+# ---------------------------------------------------------------------------
+
+# (bucket_id, name, bw, bh) — the canonical small bucket set; nearest
+# bucket by |w*bh - h*bw| (integer cross-multiplication: no division, no
+# float log, exact cross-engine), ties to the lowest bucket_id.
+_ASPECT_BUCKETS = (
+    (0, "1:1", 1, 1),
+    (1, "4:3", 4, 3),
+    (2, "3:4", 3, 4),
+    (3, "16:9", 16, 9),
+    (4, "9:16", 9, 16),
+)
+
+
+def m_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing — the SDXL/NaViT-style training-prep step
+    that groups images into fixed aspect buckets so batches share a
+    shape (each bucket trains at its own resolution). Assignment:
+    nearest of five canonical ratios by the EXACT integer cross-
+    multiplication |w·bh − h·bw| (no float ratio, so the bucket edge is
+    bit-identical cross-engine); degenerate 0-dimension images are
+    excluded (they fail the metadata filter upstream anyway).
+
+    Scale shape: metadata math only — the 5-row bucket table broadcasts
+    into a codegen'd argmin via ``min(struct(score, bucket))`` (ONE
+    map-side-combinable aggregate per doc, no window over the corpus),
+    then a bounded per-bucket rollup."""
+    df = MM.image_metadata_refiner().apply(_with_bytes(spark, sf_dir)).select(
+        "doc_id", "image_width", "image_height"
+    ).filter((F.col("image_width") > 0) & (F.col("image_height") > 0))
+    b = spark.createDataFrame(
+        list(_ASPECT_BUCKETS), "bucket_id int, bucket string, bw int, bh int"
+    )
+    scored = df.join(F.broadcast(b)).select(
+        "doc_id",
+        F.struct(
+            F.abs(
+                F.col("image_width") * F.col("bh")
+                - F.col("image_height") * F.col("bw")
+            ).alias("s"),
+            F.col("bucket_id").alias("i"),
+            F.col("bucket").alias("b"),
+        ).alias("_sc"),
+    )
+    best = scored.groupBy("doc_id").agg(F.min("_sc").alias("_m"))
+    return (
+        best.groupBy(F.col("_m.b").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+
+
+M_ASPECT_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 2048 AS INTEGER) AS w,
+         CAST(CAST(('0x' || substr(h, 5, 4)) AS INTEGER) % 2048 AS INTEGER) AS hh
+  FROM (SELECT doc_id, {_FAKE_HEX} AS h FROM documents)
+), scored AS (
+  SELECT doc_id, bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY ABS(w * bh - hh * bw), bucket_id) AS rn
+  FROM dims
+  CROSS JOIN (VALUES {", ".join(f"({i}, '{nm}', {bw}, {bh})" for i, nm, bw, bh in _ASPECT_BUCKETS)})
+       AS b(bucket_id, bucket, bw, bh)
+  WHERE w > 0 AND hh > 0
+)
+SELECT bucket, COUNT(*) AS n_images
+FROM scored WHERE rn = 1
+GROUP BY bucket
+"""
+
+QUERIES["m_aspect_bucket"] = m_aspect_bucket
+ORACLE["m_aspect_bucket"] = M_ASPECT_SQL

@@ -1045,3 +1045,82 @@ GROUP BY g.doc_id
 
 QUERIES["t_bigram_logprob"] = t_bigram_logprob
 ORACLE["t_bigram_logprob"] = T_BIGRAM_LP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Temperature-reweighted domain mixing (multilingual-style sampling)
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA_DEN = 2  # alpha = 1/2: w_i ∝ share^0.5 (the mT5/XLM-R default)
+
+
+def t_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted source mixing: sampling weights
+    ``w_i ∝ share_i^α`` with α = 0.5 (the mT5/XLM-R upsampling rule —
+    flattens the head, boosts the tail), realized as a DETERMINISTIC
+    per-doc keep rule so the sample is reproducible.
+
+    Exactness discipline: ``sqrt`` is IEEE-correctly-rounded in both
+    engines, but a float SUM over sources is not order-stable — so each
+    source's weight is quantized to an exact integer
+    ``q_i = floor(sqrt(share_i)·10⁹)`` FIRST; the normalizer Z = Σq_i is
+    then an exact bigint, the per-source keep threshold
+    ``floor(q_i·10⁶/Z)`` is exact integer floor-division, and the keep
+    rule compares a 60-bit content hash mod 10⁶ against it. Every
+    output value is bit-identical cross-engine with zero tolerance.
+
+    Scale shape: two bounded aggregates (per-source counts; the
+    source-count table is tiny) + one codegen'd hash filter over the
+    corpus — no shuffle beyond the rollups."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("_total"))
+    q = counts.crossJoin(F.broadcast(total)).withColumn(
+        "_q",
+        F.floor(
+            F.sqrt(F.col("n_docs").cast("double") / F.col("_total")) * F.lit(1e9)
+        ).cast("bigint"),
+    )
+    z = q.agg(F.sum("_q").alias("_z"))
+    thresh = q.crossJoin(F.broadcast(z)).withColumn(
+        "_keep_ppm", F.floor(F.col("_q") * F.lit(1_000_000) / F.col("_z")).cast("bigint")
+    )
+    keyed = d.withColumn(
+        "_h", F.pmod(TX.md5_long(F.concat(F.col("text"), F.lit("#tmix"))), F.lit(1_000_000))
+    )
+    kept = (
+        keyed.join(F.broadcast(thresh.select("source", "_keep_ppm")), "source")
+        .withColumn("_kept", F.col("_h") < F.col("_keep_ppm"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_kept").cast("bigint")).alias("n_kept"),
+            F.max("_keep_ppm").alias("target_ppm"),
+        )
+    )
+
+
+T_TEMPERATURE_MIX_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), q AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM counts)) * 1e9) AS BIGINT) AS qi
+  FROM counts
+), thresh AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(qi * 1000000 / (SELECT SUM(qi) FROM q)) AS BIGINT) AS keep_ppm
+  FROM q
+)
+SELECT d.source, t.n_docs,
+       CAST(SUM(CASE WHEN {OQ.sql_md5_long("concat(text, '#tmix')")} % 1000000 < t.keep_ppm
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       MAX(t.keep_ppm) AS target_ppm
+FROM documents d JOIN thresh t ON d.source = t.source
+GROUP BY d.source, t.n_docs
+"""
+
+QUERIES["t_temperature_mix"] = t_temperature_mix
+ORACLE["t_temperature_mix"] = T_TEMPERATURE_MIX_SQL

@@ -450,3 +450,162 @@ SELECT rank, gid, score FROM (
 
 QUERIES["v_maxsim_topk"] = v_maxsim_topk
 ORACLE["v_maxsim_topk"] = V_MAXSIM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training-data prep)
+# ---------------------------------------------------------------------------
+
+
+def v_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the rows a retrieval trainer wants as in-batch negatives
+    (the highest-scoring wrong answers).
+
+    Scale shape: identical to ``cosine_topk`` (broadcast query set, one
+    corpus scan, codegen'd dot product, per-query top-k window over a
+    label-filtered stream) — the label inequality is pushed below the
+    window so ranked rows never include positives."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_q_emb"),
+            F.col("label").alias("_q_label"),
+            VX.l2_norm("embedding").alias("_q_norm"),
+        )
+    )
+    scored = (
+        e.withColumn("_c_norm", VX.l2_norm("embedding"))
+        .crossJoin(q)
+        .filter(F.col("label") != F.col("_q_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                VX.dot(F.col("embedding"), F.col("_q_emb"))
+                / (F.col("_c_norm") * F.col("_q_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+V_HARDNEG_SQL = f"""
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         {OQ.sql_cosine('c.embedding', 'q.embedding', DIM)} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {OQ.sql_cosine('c.embedding', 'q.embedding', DIM)} DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings c
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+  WHERE c.label <> q.label
+) WHERE rank <= {TOP_K}
+"""
+
+QUERIES["v_hard_negatives"] = v_hard_negatives
+ORACLE["v_hard_negatives"] = V_HARDNEG_SQL
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension agreement (embedding truncation audit)
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_DIM = 16
+MATRYOSHKA_K = 10
+
+
+def v_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit: how well does top-k retrieval
+    under the TRUNCATED prefix embedding (first 16 of 64 dims — the
+    MRL deployment trick: score cheap at 1/4 the FLOPs/bytes, rerank
+    full-dim) agree with full-dim retrieval? Output per query: the size
+    of the intersection of the two top-10 id sets.
+
+    Scale shape: both rankings come from ONE corpus scan (two codegen'd
+    dot products per row), two windows over the same broadcast-query
+    stream, and a k-row-per-query semi-intersection — no second pass
+    over the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_q_emb"),
+            VX.l2_norm("embedding").alias("_q_norm"),
+            F.slice("embedding", 1, MATRYOSHKA_DIM).alias("_q_pre"),
+            VX.l2_norm(F.slice("embedding", 1, MATRYOSHKA_DIM)).alias("_q_pren"),
+        )
+    )
+    scored = (
+        e.withColumn("_pre", F.slice("embedding", 1, MATRYOSHKA_DIM))
+        .withColumn("_c_norm", VX.l2_norm("embedding"))
+        .withColumn("_c_pren", VX.l2_norm(F.col("_pre")))
+        .crossJoin(q)
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                VX.dot(F.col("embedding"), F.col("_q_emb"))
+                / (F.col("_c_norm") * F.col("_q_norm"))
+            ).alias("_full"),
+            (
+                VX.dot(F.col("_pre"), F.col("_q_pre"))
+                / (F.col("_c_pren") * F.col("_q_pren"))
+            ).alias("_prefix"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("_full").desc(), F.col("vec_id").asc())
+    wp = Window.partitionBy("query_id").orderBy(F.col("_prefix").desc(), F.col("vec_id").asc())
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wf).alias("_rf"),
+        F.row_number().over(wp).alias("_rp"),
+    ).filter((F.col("_rf") <= MATRYOSHKA_K) | (F.col("_rp") <= MATRYOSHKA_K))
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when((F.col("_rf") <= MATRYOSHKA_K) & (F.col("_rp") <= MATRYOSHKA_K), 1).otherwise(0)
+            ).cast("bigint").alias("n_overlap"),
+            F.lit(MATRYOSHKA_K).cast("int").alias("k"),
+        )
+    )
+
+
+V_MATRYOSHKA_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         embedding[1:{MATRYOSHKA_DIM}] AS qp
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         {OQ.sql_cosine('c.embedding', 'q.qe', DIM)} AS f,
+         {OQ.sql_cosine('c.embedding[1:%d]' % MATRYOSHKA_DIM, 'q.qp', MATRYOSHKA_DIM)} AS p
+  FROM embeddings c CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY f DESC, vec_id ASC) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY p DESC, vec_id ASC) AS rp
+  FROM scored
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN rf <= {MATRYOSHKA_K} AND rp <= {MATRYOSHKA_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST({MATRYOSHKA_K} AS INTEGER) AS k
+FROM ranked
+WHERE rf <= {MATRYOSHKA_K} OR rp <= {MATRYOSHKA_K}
+GROUP BY query_id
+"""
+
+QUERIES["v_matryoshka_overlap"] = v_matryoshka_overlap
+ORACLE["v_matryoshka_overlap"] = V_MATRYOSHKA_SQL
