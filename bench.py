@@ -64,6 +64,13 @@ BENCH_QUERIES = (
     "t_bigram_logprob",
     "v_maxsim_topk",
     "x_column_profile",
+    # round 4 additions (new names only)
+    "q2_argmax_min_price",
+    "v_hard_negatives",
+    "d_incremental_dedup",
+    "e_concurrency_sweep",
+    "x_grouping_sets",
+    "x_countmin_topk",
 )
 
 

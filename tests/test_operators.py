@@ -392,3 +392,110 @@ def test_compression_ratio_parity_and_signal(spark):
         else:
             assert got[i] == pytest.approx(want, abs=1e-12)
     assert got[1] < got[2] < got[3]  # repetition compresses best
+
+
+def test_incremental_dedup_vs_snapshot_index(spark, tmp_path):
+    """Round-4 continuous-crawl operator: batch rows whose normalized
+    content is already in the snapshot key index are dropped (annotated
+    duplicate_snapshot in split()), remaining within-batch dups keep the
+    min-id winner, and batch_keys() advances the index."""
+    snap = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    op0 = OD.incremental_text_dedup()
+    idx_path = str(tmp_path / "idx")
+    op0.batch_keys(snap).write.parquet(idx_path)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "Seen   Before"),   # normalizes to snapshot key -> dropped
+            (11, "brand new"),
+            (12, "brand new"),       # within-batch dup of 11 -> dropped
+            (13, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    op = OD.incremental_text_dedup(index_path=idx_path)
+    kept = sorted(r.doc_id for r in op.apply(batch).collect())
+    assert kept == [11, 13]
+
+    res = op.split(batch)
+    assert sorted(r.doc_id for r in res.passed.collect()) == [11, 13]
+    reasons = {r.doc_id: r["_rejection_details"]["reason"] for r in res.rejected.collect()}
+    assert reasons == {10: "duplicate_snapshot", 12: "duplicate"}
+
+    # advancing the index: after appending the batch keys, re-running the
+    # same batch drops everything
+    op.batch_keys(res.passed).write.mode("append").parquet(idx_path)
+    assert OD.incremental_text_dedup(index_path=idx_path).apply(batch).count() == 0
+
+    # registry-reachable
+    assert REG.create("incremental_text_dedup", index_path=idx_path).apply(batch).count() == 0
+
+
+def test_concurrency_sweep_matches_naive_overlap(spark):
+    """The sweep-line concurrency query must equal the naive
+    O(n^2) interval-overlap maximum on a random small instance
+    (differential test, reference house style)."""
+    import random
+
+    from webscale_multimodal_datapipeline_spark.plans.events_queries import (
+        e_concurrency_sweep,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        (i, 1000 + rnd.randrange(0, 2000), "t%d" % rnd.randrange(2))
+        for i in range(120)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, sec long, event_type string").select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"), "event_type",
+        F.lit(1).alias("user_id"), F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        # write as an sf-dir-shaped events table so the query reads it
+        ev.write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.event_type: r.max_concurrent
+            for r in e_concurrency_sweep(spark, td).collect()
+        }
+    # naive: for each event start, count intervals [s, s+300) covering it
+    by_type: dict[str, list[int]] = {}
+    for _, s, t in rows:
+        by_type.setdefault(t, []).append(s)
+    for t, starts in by_type.items():
+        naive = max(
+            sum(1 for s2 in starts if s2 <= s < s2 + 300) for s in starts
+        )
+        assert got[t] == naive, t
+
+
+def test_bloom_prefilter_no_false_negatives_property(spark):
+    """Property over random corpora: every member doc is a candidate
+    (Bloom guarantee); non-candidates are provably non-members."""
+    import random
+
+    from webscale_multimodal_datapipeline_spark.plans.dedup_queries import (
+        d_bloom_prefilter,
+    )
+
+    rnd = random.Random(5)
+    words = ["w%02d" % i for i in range(40)]
+    rows = [
+        (i, " ".join(rnd.choice(words) for _ in range(8)),
+         "en", "src%d" % rnd.randrange(4), 40)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.source: r for r in d_bloom_prefilter(spark, td).collect()}
+    for src, r in out.items():
+        assert r.no_false_negatives, src
+        assert r.n_candidates >= r.n_members

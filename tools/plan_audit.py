@@ -91,6 +91,7 @@ _ALLOW: dict[tuple[str, str], str] = {
     ("v_maxsim_topk", F_BCAST): "hinted side = the 4-vector query bag",
     ("v_hard_negatives", F_BCAST): "hinted side = the query set (vec_id < 3) with labels",
     ("v_matryoshka_overlap", F_BCAST): "hinted side = the query set (vec_id < 3) with prefix slices",
+    ("v_recall_at_k", F_BCAST): "hinted sides = the query set, both retrieval arms",
     ("v_pq_adc_topk", F_BCAST): "hinted side = query set + codebooks (k*m-bounded)",
     ("v_crossmodal_filter", F_BCAST): "hinted side = per-id scored pairs capped by the query set",
     ("d_decontaminate", F_BCAST): "hinted side = benchmark shingle set (eval suites are small by nature; documented)",

@@ -602,16 +602,41 @@ def _simhash_text_block(texts) -> "object":
         texts, type=pa.string(), from_pandas=True
     )
     nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
-    toks = pc.utf8_split_whitespace(pc.fill_null(pc.utf8_lower(arr), ""))
-    doc_offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_offs = doc_offs - doc_offs[0]  # flatten() re-bases token indices
-    flat = toks.flatten()
-    tok_offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
-        flat.offset : flat.offset + len(flat) + 1
-    ].astype(np.int64)
-    buf = np.frombuffer(flat.buffers()[2], dtype=np.uint8) if flat.buffers()[2] else np.empty(0, np.uint8)
-    starts, ends = tok_offs[:-1], tok_offs[1:]
-    tok_lens = ends - starts
+    # Trim BEFORE splitting: whitespace-only inputs become "" (one empty
+    # token) instead of a run of '' ghost tokens — both are masked by
+    # `valid` below, but the untrimmed whitespace-only case triggered a
+    # heap-state-dependent pyarrow split bug observed in executors
+    # (garbage token offsets on the FIRST call after certain allocation
+    # states; an immediate re-run on the identical Series was clean).
+    # Token values and simhash outputs are unchanged by the trim.
+    filled = pc.utf8_trim_whitespace(pc.fill_null(pc.utf8_lower(arr), ""))
+    for _attempt in range(3):
+        toks = pc.utf8_split_whitespace(filled)
+        doc_offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_offs = doc_offs - doc_offs[0]  # flatten() re-bases token indices
+        flat = toks.flatten()
+        tok_offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+            flat.offset : flat.offset + len(flat) + 1
+        ].astype(np.int64)
+        buf = np.frombuffer(flat.buffers()[2], dtype=np.uint8) if flat.buffers()[2] else np.empty(0, np.uint8)
+        starts, ends = tok_offs[:-1], tok_offs[1:]
+        tok_lens = ends - starts
+        # Invariant gate for the same bug class: string offsets must be
+        # in-bounds and non-decreasing. Retry the split when violated
+        # (observed clean on re-evaluation); never hash garbage bytes.
+        if (
+            len(tok_offs) == 0
+            or (
+                (tok_lens >= 0).all()
+                and int(tok_offs[0]) >= 0
+                and int(tok_offs[-1]) <= len(buf)
+            )
+        ):
+            break
+    else:
+        raise RuntimeError(
+            "utf8_split_whitespace produced out-of-bounds offsets on 3 attempts"
+        )
     valid = tok_lens > 0  # split emits '' edge tokens for leading/trailing ws
     vstarts, vends = starts[valid], ends[valid]
     weights = _simhash_weights()
@@ -836,3 +861,129 @@ def connected_components_star(
         cur.select(F.col("src").alias("id")), "id", "left_anti"
     ).select("id", F.col("id").alias("comp"))
     return labels.union(centers)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted snapshot key index
+# ---------------------------------------------------------------------------
+
+
+class IncrementalDedupOperator(DedupOperator):
+    """Dedup a NEW batch against the accumulated corpus — the
+    continuous-crawl production shape. The reference keeps its dedup
+    backend's seen-set alive across batches for exactly this
+    (``framework/backend.py:13-74``); Spark-first, the persistent state
+    is a compact parquet KEY INDEX (one row per seen key: the 64-bit
+    hash for the shuffle plus the full key string as collision guard),
+    and the probe is a keys-only anti-join.
+
+    Behavior = snapshot-anti-join THEN the usual within-batch
+    first-seen dedup (min ``order_col`` wins), so a key that appears
+    twice in one batch and never before keeps exactly one row.
+
+    Scale: the index carries two columns regardless of corpus width; at
+    100 TB it is bucketed by hash on disk so the anti-join co-locates
+    without a full shuffle, and AQE/bloom pruning handle the probe —
+    never a broadcast hint (the index scales with corpus history).
+    """
+
+    kind = "deduplicator"
+
+    def __init__(
+        self,
+        name: str,
+        key: Column,
+        order_col: str,
+        index_path: str | None = None,
+        snapshot_keys: DataFrame | None = None,
+    ):
+        super().__init__(name, key, order_col)
+        self.index_path = index_path
+        self.snapshot_keys = snapshot_keys
+
+    def _index(self, df: DataFrame) -> DataFrame | None:
+        if self.snapshot_keys is not None:
+            return self.snapshot_keys
+        if self.index_path:
+            return df.sparkSession.read.parquet(self.index_path)
+        return None
+
+    def _mark_new(self, df: DataFrame) -> DataFrame:
+        keyed = df.withColumn("_dedup_key", self.key)
+        idx = self._index(df)
+        if idx is None:
+            return keyed
+        seen = idx.select(F.col("key").alias("_dedup_key")).distinct()
+        return keyed.join(seen, "_dedup_key", "left_anti")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        fresh = self._mark_new(df)
+        w = Window.partitionBy("_dedup_key").orderBy(F.col(self.order_col))
+        return (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_dedup_key", "_rn")
+        )
+
+    def split(self, df: DataFrame):
+        from webscale_multimodal_datapipeline_spark.operators.base import (
+            REJECTION_COL,
+            OperatorResult,
+            rejection_details,
+        )
+        from pyspark.sql import Window
+
+        keyed = df.withColumn("_dedup_key", self.key)
+        idx = self._index(df)
+        if idx is not None:
+            seen = idx.select(F.col("key").alias("_dedup_key")).distinct()
+            hit = keyed.join(seen, "_dedup_key", "left_semi").withColumn(
+                REJECTION_COL,
+                rejection_details(
+                    "duplicate_snapshot", self.name,
+                    dedup_key=F.col("_dedup_key").cast("string"),
+                ),
+            ).drop("_dedup_key")
+            fresh = keyed.join(seen, "_dedup_key", "left_anti")
+        else:
+            hit = None
+            fresh = keyed
+        w = Window.partitionBy("_dedup_key").orderBy(F.col(self.order_col))
+        ranked = fresh.withColumn("_rn", F.row_number().over(w)).cache()
+        passed = ranked.filter(F.col("_rn") == 1).drop("_dedup_key", "_rn")
+        dup = ranked.filter(F.col("_rn") > 1).withColumn(
+            REJECTION_COL,
+            rejection_details(
+                "duplicate", self.name, dedup_key=F.col("_dedup_key").cast("string")
+            ),
+        ).drop("_dedup_key", "_rn")
+        rejected = dup if hit is None else hit.unionByName(dup)
+        return OperatorResult(passed, rejected)
+
+    def batch_keys(self, df: DataFrame) -> DataFrame:
+        """The batch's distinct keys in index schema — union/append this
+        into the index after a successful batch write (the state-advance
+        half of the continuous-crawl loop)."""
+        return df.select(self.key.alias("key")).distinct().select(
+            F.xxhash64("key").alias("key_hash"), "key"
+        )
+
+
+def incremental_text_dedup(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index_path: str | None = None,
+    snapshot_keys: DataFrame | None = None,
+    name: str = "incremental_text_dedup",
+) -> IncrementalDedupOperator:
+    """Incremental exact-content dedup vs a persisted key index (YAML:
+    ``type: incremental_text_dedup`` with ``params: {index_path: ...}``)."""
+    return IncrementalDedupOperator(
+        name,
+        TX.normalize_text(text_col),
+        order_col=id_col,
+        index_path=index_path,
+        snapshot_keys=snapshot_keys,
+    )

@@ -42,6 +42,7 @@ register("embedding_norm_refiner", _refiners.embedding_norm_refiner)
 
 # Dedup (reference operators/dedup/* + near-dup family)
 register("text_exact_dedup", _dedup.text_exact_dedup)
+register("incremental_text_dedup", _dedup.incremental_text_dedup)
 register("simhash_dedup", _dedup.simhash_dedup)
 
 

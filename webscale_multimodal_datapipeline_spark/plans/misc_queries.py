@@ -841,3 +841,95 @@ GROUP BY GROUPING SETS ((l_returnflag, o_orderpriority), (o_orderpriority), ())
 
 QUERIES["x_grouping_sets"] = x_grouping_sets
 ORACLE["x_grouping_sets"] = X_GROUPING_SETS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (bounded-memory frequency estimation)
+# ---------------------------------------------------------------------------
+
+_CMS_SEEDS = 3
+_CMS_BUCKETS = 1024
+
+
+def x_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream: k=3 seeded hash rows ×
+    m=1024 buckets — the bounded-memory frequency summary (Cormode &
+    Muthukrishnan 2005) whose size is k·m REGARDLESS of corpus scale
+    (vs the unbounded exact term dictionary). Estimate = min over rows
+    of the bucket counters; by construction est ≥ true count, with
+    overestimate bounded by collisions. Output: the 10 most frequent
+    terms with exact AND sketch counts — the deterministic md5 bucket
+    hashes make the sketch itself bit-identical cross-engine, so this
+    oracle checks VALUES, not just the ≥ invariant.
+
+    Scale shape: one explode pass feeds BOTH the k·m-bounded sketch
+    aggregate and the exact head (map-side combinable group-bys); the
+    probe joins the 10-row head against the 3·1024-row sketch."""
+    from webscale_multimodal_datapipeline_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.norm_tokens("text")).alias("term"))
+    buckets = [
+        F.pmod(TX.md5_long(F.concat(F.col("term"), F.lit(f"#c{s}"))), F.lit(_CMS_BUCKETS)).alias(f"_b{s}")
+        for s in range(_CMS_SEEDS)
+    ]
+    keyed = toks.select("term", *buckets)
+    sketch_rows = []
+    for s in range(_CMS_SEEDS):
+        sketch_rows.append(
+            keyed.groupBy(F.col(f"_b{s}").alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn("_seed", F.lit(s))
+        )
+    sketch = sketch_rows[0]
+    for sr in sketch_rows[1:]:
+        sketch = sketch.unionByName(sr)
+    head = (
+        keyed.groupBy("term", *[F.col(f"_b{s}") for s in range(_CMS_SEEDS)])
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+        .limit(10)
+    )
+    probe = head
+    for s in range(_CMS_SEEDS):
+        srow = sketch.filter(F.col("_seed") == s).select(
+            F.col("_b").alias(f"_b{s}"), F.col("_c").alias(f"_c{s}")
+        )
+        probe = probe.join(F.broadcast(srow), f"_b{s}")
+    est = F.least(*[F.col(f"_c{s}") for s in range(_CMS_SEEDS)])
+    return probe.select(
+        "term",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        est.cast("bigint").alias("cms_est"),
+        (est >= F.col("exact_cnt")).alias("no_underestimate"),
+    )
+
+
+_CMS_BUCKET_SQL = {
+    s: OQ.sql_md5_long(f"concat(term, '#c{s}')") + f" % {_CMS_BUCKETS}"
+    for s in range(_CMS_SEEDS)
+}
+
+X_CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS term FROM documents
+), keyed AS (
+  SELECT term, {", ".join(f"{_CMS_BUCKET_SQL[s]} AS b{s}" for s in range(_CMS_SEEDS))}
+  FROM toks
+), head AS (
+  SELECT term, b0, b1, b2, COUNT(*) AS exact_cnt
+  FROM keyed GROUP BY 1, 2, 3, 4
+  ORDER BY exact_cnt DESC, term ASC LIMIT 10
+),{", ".join(f'''
+sk{s} AS (SELECT b{s} AS b, COUNT(*) AS c FROM keyed GROUP BY 1)''' for s in range(_CMS_SEEDS))}
+SELECT head.term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(LEAST(sk0.c, sk1.c, sk2.c) AS BIGINT) AS cms_est,
+       LEAST(sk0.c, sk1.c, sk2.c) >= exact_cnt AS no_underestimate
+FROM head
+JOIN sk0 ON head.b0 = sk0.b
+JOIN sk1 ON head.b1 = sk1.b
+JOIN sk2 ON head.b2 = sk2.b
+"""
+
+QUERIES["x_countmin_topk"] = x_countmin_topk
+ORACLE["x_countmin_topk"] = X_CMS_SQL

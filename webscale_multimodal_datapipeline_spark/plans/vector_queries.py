@@ -609,3 +609,77 @@ GROUP BY query_id
 
 QUERIES["v_matryoshka_overlap"] = v_matryoshka_overlap
 ORACLE["v_matryoshka_overlap"] = V_MATRYOSHKA_SQL
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit (approximate vs exact retrieval agreement)
+# ---------------------------------------------------------------------------
+
+
+def v_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed approximate retrieval against exact
+    brute-force cosine — THE metric an ANN deployment is judged by
+    (bucket recall trades against the candidate-set shrink that makes
+    LSH scan-free at 100 TB). Output per query: hits in the exact
+    top-k, k, and the k-row-join recall numerator — exact cross-engine
+    because both rankings are deterministic (tie-break by vec_id).
+
+    Scale shape: both sides reuse the existing top-k plans (broadcast
+    query set, one corpus scan each); the final join touches 2·k·|Q|
+    rows — negligible at any scale."""
+    exact = OS.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=TOP_K,
+    ).select("query_id", "vec_id")
+    approx = v_lsh_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("_av")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.vec_id == approx._av),
+        "left_semi",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .select("query_id", "n_hits", F.lit(TOP_K).cast("int").alias("k"))
+    )
+
+
+V_RECALL_SQL = f"""
+WITH exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {OQ.sql_cosine('c.embedding', 'q.embedding', DIM)} DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+  ) WHERE rank <= {TOP_K}
+), cb AS (
+  SELECT vec_id, embedding, {OQ.sql_hyperplane_bucket('embedding', DIM, 4)} AS bucket
+  FROM embeddings
+), qb AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket FROM cb WHERE vec_id < {N_QUERIES}
+), approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qb.query_id, cb.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qb.query_id
+             ORDER BY {OQ.sql_cosine('cb.embedding', 'qb.qe', DIM)} DESC,
+                      cb.vec_id ASC) AS rank
+    FROM cb JOIN qb ON cb.bucket = qb.bucket
+  ) WHERE rank <= {TOP_K}
+)
+SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits, CAST({TOP_K} AS INTEGER) AS k
+FROM exact e
+WHERE EXISTS (SELECT 1 FROM approx a
+              WHERE a.query_id = e.query_id AND a.vec_id = e.vec_id)
+GROUP BY e.query_id
+"""
+
+QUERIES["v_recall_at_k"] = v_recall_at_k
+ORACLE["v_recall_at_k"] = V_RECALL_SQL
