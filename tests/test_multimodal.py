@@ -168,6 +168,32 @@ def test_technical_quality_parity_1e5(spark, bin_df):
         assert abs(row.image_information_entropy - ent) < 1e-5
 
 
+def test_technical_quality_batch_bit_equals_row_spec():
+    """The vectorized Arrow-batch kernel must reproduce the per-row spec
+    BIT-EXACTLY at the float32 output precision — including the length
+    buckets the fake pipeline never produces (odd lengths, <16 bytes,
+    None, no-blockiness lengths) so real variable-size payloads stay
+    covered."""
+    import numpy as np
+    import pandas as pd
+
+    cases = list(_payloads()) + [
+        None,
+        b"",
+        b"\x01" * 8,          # < 16 bytes -> (0, 0)
+        b"\x00" * 16,         # n8 = 1: one boundary
+        bytes(range(256)),    # uniform histogram, entropy 8
+        b"\xff" * 17,         # odd length
+        bytes(range(64)) * 3, # 192 bytes, distinct bucket
+        b"ab" * 20,           # 40 bytes
+    ]
+    got = MM.technical_quality_batch(pd.Series(cases, dtype=object))
+    for i, b in enumerate(cases):
+        art, ent = MM.technical_quality_py(b)
+        assert np.float32(art) == got.iloc[i, 0], (i, art, got.iloc[i, 0])
+        assert np.float32(ent) == got.iloc[i, 1], (i, ent, got.iloc[i, 1])
+
+
 def test_entropy_extremes(spark):
     # 256-byte ramp: perfectly uniform histogram -> entropy 8.0
     _, ent = MM.technical_quality_py(bytes(range(256)))

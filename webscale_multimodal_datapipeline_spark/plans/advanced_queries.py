@@ -424,3 +424,78 @@ WHERE event_type = 'purchase'
 
 QUERIES["a_asof_tolerance_join"] = a_asof_tolerance_join
 ORACLE["a_asof_tolerance_join"] = A_ASOF_TOL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample test (experimentation / data-ablation readout)
+# ---------------------------------------------------------------------------
+
+
+def a_welch_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-statistic per event type, comparing a
+    deterministic 50/50 user split (md5-hash parity — the same
+    hash-assignment rule as ``t_dataset_split``) — the A/B readout layer
+    every experimentation pipeline bolts onto its event stream.
+
+    Exact-decimal discipline (the ``x_distribution_moments`` pattern):
+    per-(type, variant) power sums n/Σv/Σv² accumulate in DECIMAL (values
+    have 2 dp — sums are exact, merge-order-free), fold to A/B columns in
+    ONE conditional aggregate pass, then mean/var/t are derived with an
+    identical float expression tree in both engines — bit-equal, no
+    tolerance. |t| > 1.96 is emitted as the decision boolean.
+
+    Scale shape: one map-side-combinable aggregate over (type, parity),
+    5-row output; zero UDF, zero extra shuffle beyond the group-by."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.pmod(TX.md5_long(F.concat(F.col("user_id").cast("string"), F.lit("#ab"))), F.lit(2))
+    v = F.col("value").cast("decimal(12,2)")
+    vv = v * v
+    is_a = variant == 0
+    sums = ev.groupBy("event_type").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum(F.when(is_a, v).otherwise(F.lit(0).cast("decimal(12,2)"))).cast("double").alias("sa"),
+        F.sum(F.when(~is_a, v).otherwise(F.lit(0).cast("decimal(12,2)"))).cast("double").alias("sb"),
+        F.sum(F.when(is_a, vv).otherwise(F.lit(0).cast("decimal(25,4)"))).cast("double").alias("ssa"),
+        F.sum(F.when(~is_a, vv).otherwise(F.lit(0).cast("decimal(25,4)"))).cast("double").alias("ssb"),
+    )
+    na, nb, sa, sb, ssa, ssb = (F.col(c) for c in ("na", "nb", "sa", "sb", "ssa", "ssb"))
+    var_a = (ssa - sa * sa / na) / (na - 1)
+    var_b = (ssb - sb * sb / nb) / (nb - 1)
+    t = (sa / na - sb / nb) / F.sqrt(var_a / na + var_b / nb)
+    return sums.select(
+        "event_type",
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(sa / na - sb / nb, 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    ).orderBy("event_type")
+
+
+_AB_HASH = OQ.sql_md5_long("concat(user_id, '#ab')")
+
+A_WELCH_SQL = f"""
+WITH sums AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN {_AB_HASH} % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+         CAST(SUM(CASE WHEN {_AB_HASH} % 2 <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+         CAST(SUM(CASE WHEN {_AB_HASH} % 2 = 0 THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS sa,
+         CAST(SUM(CASE WHEN {_AB_HASH} % 2 <> 0 THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS sb,
+         CAST(SUM(CASE WHEN {_AB_HASH} % 2 = 0 THEN CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2)) ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE) AS ssa,
+         CAST(SUM(CASE WHEN {_AB_HASH} % 2 <> 0 THEN CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2)) ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE) AS ssb
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       ROUND(sa / na - sb / nb, 6) AS mean_diff,
+       ROUND((sa / na - sb / nb) / sqrt(((ssa - sa * sa / na) / (na - 1)) / na + ((ssb - sb * sb / nb) / (nb - 1)) / nb), 6) AS t_stat,
+       abs((sa / na - sb / nb) / sqrt(((ssa - sa * sa / na) / (na - 1)) / na + ((ssb - sb * sb / nb) / (nb - 1)) / nb)) > 1.96 AS significant_95
+FROM sums
+ORDER BY event_type
+"""
+
+QUERIES["a_welch_ab_test"] = a_welch_ab_test
+ORACLE["a_welch_ab_test"] = A_WELCH_SQL

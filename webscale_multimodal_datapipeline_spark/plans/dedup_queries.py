@@ -734,3 +734,49 @@ FROM per_key
 
 QUERIES["d_split_leakage_audit"] = d_split_leakage_audit
 ORACLE["d_split_leakage_audit"] = D_LEAKAGE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-mass profile (the dedup AUDIT: where does the corpus mass sit?)
+# ---------------------------------------------------------------------------
+
+
+def d_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup cluster-size histogram: for each cluster size s, how many
+    clusters and how many documents — the first number a curation run
+    reports after dedup ("X% of the corpus is in clusters of ≥ 2"), and
+    the skew diagnostic for the dedup shuffle itself (a heavy head here
+    is the reference's bucket-hot-spot case, ``backend.py:134-138``).
+
+    Scale shape: two map-side-combinable aggregates (corpus → cluster
+    sizes → size histogram); output bounded by |distinct sizes| — never
+    corpus-sized. Uses the same coarse key as ``d_coarse_dedup`` (the
+    synthetic corpus has no byte-exact dups, so the exact-key profile is
+    the degenerate all-ones row; the coarse key exercises the histogram)."""
+    d = load_table(spark, sf_dir, "documents")
+    sizes = d.groupBy(_coarse_key().alias("_k")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+D_CLUSTER_SIZE_SQL = f"""
+WITH sizes AS (
+  SELECT {_COARSE_KEY_SQL} AS k, COUNT(*) AS cluster_size
+  FROM documents GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+QUERIES["d_cluster_size_profile"] = d_cluster_size_profile
+ORACLE["d_cluster_size_profile"] = D_CLUSTER_SIZE_SQL

@@ -577,3 +577,66 @@ FROM hourly JOIN stats ON hourly.event_type = stats.event_type
 
 QUERIES["e_spike_zscore"] = e_spike_zscore
 ORACLE["e_spike_zscore"] = E_SPIKE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Native session_window operator (the streaming-ready sessionization form)
+# ---------------------------------------------------------------------------
+
+
+def e_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the NATIVE ``session_window`` operator — the same
+    grouping expression runs unchanged under ``readStream`` with a
+    watermark (``streaming/pipeline.py`` runs the tumbling analog), which
+    is the point: one session definition for batch backfill AND the live
+    stream. Complements ``e_sessionization`` (the lag+cumsum islands form):
+    Spark merges windows when the gap to the previous event is ≤ gap
+    (strictly greater starts a new session — verified empirically; the
+    islands oracle uses the same ``>`` cut).
+
+    Per-user output: session count, event count, and the largest session's
+    event count. Scale shape: session merge happens inside one
+    UpdatingSessionsExec pass after a single shuffle on user_id; the
+    per-user rollup reuses that partitioning (no second exchange on a
+    different key)."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+    ).agg(F.count(F.lit(1)).alias("_n_ev"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("_n_ev").alias("n_events"),
+            F.max("_n_ev").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+E_SESSION_WINDOW_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_ev
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(MAX(n_ev) AS BIGINT) AS max_session_events
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES["e_session_window"] = e_session_window
+ORACLE["e_session_window"] = E_SESSION_WINDOW_SQL

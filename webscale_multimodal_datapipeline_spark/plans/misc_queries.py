@@ -933,3 +933,60 @@ JOIN sk2 ON head.b2 = sk2.b
 
 QUERIES["x_countmin_topk"] = x_countmin_topk
 ORACLE["x_countmin_topk"] = X_CMS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — multi-objective curation shortlist
+# ---------------------------------------------------------------------------
+
+
+def x_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier of parts on (retailprice ↓ better,
+    size ↑ better) — the skyline operator (Börzsönyi et al. 2001), the
+    shape used to shortlist "cheapest at each capability level" (and in
+    curation: best quality at each length band). Distinct-value skyline:
+    exact (price, size) duplicates collapse first, so dominance needs no
+    strictness case-split.
+
+    NO pairwise dominance join (that's O(n²) per brand): sort each brand
+    by (price asc, size desc) and keep rows whose size exceeds the running
+    max over all STRICTLY EARLIER rows — a single partitioned WindowExec
+    after one shuffle on brand; any earlier row has price ≤ mine (or equal
+    price with larger size), so ``prev_max ≥ my size`` ⇔ dominated."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select("p_brand", "p_retailprice", "p_size")
+        .distinct()
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        p.withColumn("_prev_max", F.max("p_size").over(w))
+        .where(F.col("_prev_max").isNull() | (F.col("p_size") > F.col("_prev_max")))
+        .select("p_brand", "p_retailprice", F.col("p_size").cast("bigint").alias("p_size"))
+        .orderBy("p_brand", "p_retailprice")
+    )
+
+
+X_PARETO_SQL = """
+WITH d AS (
+  SELECT DISTINCT p_brand, p_retailprice, p_size FROM part
+), flagged AS (
+  SELECT p_brand, p_retailprice, p_size,
+         MAX(p_size) OVER (
+           PARTITION BY p_brand ORDER BY p_retailprice ASC, p_size DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM d
+)
+SELECT p_brand, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM flagged
+WHERE prev_max IS NULL OR p_size > prev_max
+ORDER BY p_brand, p_retailprice
+"""
+
+QUERIES["x_pareto_frontier"] = x_pareto_frontier
+ORACLE["x_pareto_frontier"] = X_PARETO_SQL

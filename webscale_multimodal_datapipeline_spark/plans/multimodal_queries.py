@@ -13,7 +13,7 @@ tests/test_rust_accelerated_ops.py:26-124).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from webscale_multimodal_datapipeline_spark.catalog import load_table
@@ -465,3 +465,89 @@ GROUP BY bucket
 
 QUERIES["m_aspect_bucket"] = m_aspect_bucket
 ORACLE["m_aspect_bucket"] = M_ASPECT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection (frame-expansion UDTF -> native window analytics)
+# ---------------------------------------------------------------------------
+
+_SCENE_CUT_THRESHOLD = 32.0  # mean-luma jump that counts as a cut
+
+
+def m_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over sampled video frames: per-frame mean
+    luminance, then a cut wherever the jump between consecutive frames
+    exceeds the threshold — the standard shot-boundary heuristic, and the
+    shape every video-curation pipeline needs between frame sampling and
+    clip selection (sample → per-frame feature → temporal window →
+    segment).
+
+    Pipeline shape under test: the 1→N ``mapInPandas`` frame expansion
+    (``operators/multimodal.py::frame_sample_map_in_pandas`` — the
+    reference's UDTF pattern) feeds NATIVE window analytics — the frame
+    'luma' is codegen'd byte arithmetic over the frame payload's hex (no
+    second UDF), and the lag/compare runs in one per-video WindowExec.
+    Frame 'decode' is the deterministic 4-byte slicer (container has no
+    codecs); a real build swaps the slicer, nothing downstream changes.
+
+    Scale shape: frames explode 4x the video rows but stay row-local
+    (mapInPandas, no shuffle); the only exchange is the per-video window
+    partition. Output is one row per video — never frame-cardinality."""
+    df = _with_bytes(spark, sf_dir).withColumnRenamed("image_bytes", "video_bytes")
+    frames = MM.frame_sample_map_in_pandas(
+        df.select("doc_id", "video_bytes"), every_n=4
+    )
+    h = F.lower(F.hex("frame_bytes"))
+    luma_terms = [
+        F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("double") for i in range(4)
+    ]
+    luma = (luma_terms[0] + luma_terms[1] + luma_terms[2] + luma_terms[3]) / 4.0
+    w = Window.partitionBy("doc_id").orderBy("frame_index")
+    flagged = (
+        frames.select("doc_id", "frame_index", luma.alias("_luma"))
+        .withColumn("_prev", F.lag("_luma").over(w))
+        .withColumn(
+            "_cut",
+            F.when(
+                F.col("_prev").isNotNull()
+                & (F.abs(F.col("_luma") - F.col("_prev")) > _SCENE_CUT_THRESHOLD),
+                1,
+            ).otherwise(0),
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("_cut").alias("n_cuts"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Frame i (i=0..3) of the 64-byte payload = bytes [4i, 4i+4); luma_i =
+# (b0+b1+b2+b3)/4.0; cut_i = |luma_i - luma_{i-1}| > threshold. Exact
+# quarters of integer sums -> the comparison is float-exact cross-engine.
+def _scene_luma_sql(i: int) -> str:
+    terms = " + ".join(
+        f"CAST(('0x' || substr(h, {8 * i + 2 * j + 1}, 2)) AS INTEGER)" for j in range(4)
+    )
+    return f"(({terms}) / 4.0)"
+
+
+M_SCENE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, {_FAKE_HEX} AS h FROM documents
+), lumas AS (
+  SELECT doc_id, {", ".join(f"{_scene_luma_sql(i)} AS l{i}" for i in range(4))}
+  FROM b
+)
+SELECT doc_id,
+       CAST(4 AS BIGINT) AS n_frames,
+       CAST({" + ".join(f"(CASE WHEN abs(l{i} - l{i - 1}) > {_SCENE_CUT_THRESHOLD} THEN 1 ELSE 0 END)" for i in range(1, 4))} AS BIGINT) AS n_cuts
+FROM lumas
+ORDER BY doc_id
+"""
+
+QUERIES["m_scene_cuts"] = m_scene_cuts
+ORACLE["m_scene_cuts"] = M_SCENE_SQL

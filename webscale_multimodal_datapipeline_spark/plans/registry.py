@@ -16,12 +16,14 @@ from webscale_multimodal_datapipeline_spark.plans import (
     curation_queries,
     dedup_queries,
     events_queries,
+    graph_queries,
     misc_queries,
     multimodal_queries,
     pipeline_queries,
     relational,
     relational2,
     relational3,
+    sketch_queries,
     text_queries,
     timeseries_queries,
     url_queries,
@@ -32,6 +34,8 @@ from webscale_multimodal_datapipeline_spark.plans import (
 # caps at 50 entries per round): modules whose queries lack a recorded driver
 # row are listed first so every query accumulates a green row across rounds.
 _MODULES = (
+    graph_queries,
+    sketch_queries,
     vector_queries,
     events_queries,
     pipeline_queries,

@@ -1,0 +1,208 @@
+"""Mergeable-sketch aggregation — the 100-TB cardinality/quantile path.
+
+At cluster scale the exact forms (COUNT(DISTINCT …), exact percentile)
+shuffle every distinct value / sort every group; the production pattern is
+a bounded-size MERGEABLE sketch per shard, re-aggregated upward (Spark's
+DataSketches HLL via ``hll_sketch_agg``/``hll_union_agg``, and the
+Greenwald–Khanna-style ``percentile_approx``). These queries exercise the
+two-level roll-up (per-fine-group sketch → union to coarse group) and gate
+the estimates against the exact answers computed in the same plan — the
+oracle checks the exact columns by value and the estimate columns by
+invariant (within documented error bounds, emitted as booleans).
+
+Reference analogue: the metrics layer's cross-worker aggregation
+(``mega_data_factory/framework/metrics/aggregator.py``) merges per-worker
+partial stats; HLL/GK sketches are the principled version of that merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.catalog import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+# DataSketches HLL at the default lgConfigK=12 has RSE ≈ 1.04/√2¹² ≈ 1.6%;
+# 5% is a ≥3-sigma gate — tight enough to catch a wiring bug (wrong column,
+# wrong union level), loose enough to never flake.
+_HLL_TOL = 0.05
+
+
+def x_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users via two-level HLL roll-up: per-(day, event_type)
+    sketches union-merged to per-day, estimate gated against the exact
+    distinct count computed alongside.
+
+    Scale shape: the sketch path shuffles ONE ~2 KB binary per fine group
+    (map-side partial sketch merge — ObjectHashAggregate), then re-merges
+    per day; the raw user_ids never cross the wire a second time. The exact
+    branch exists only as the gate; at 100 TB you'd drop it and keep the
+    sketch branch unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(F.to_date("ts").alias("day"), "event_type", "user_id")
+    fine = keyed.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("_sk")
+    )
+    coarse = fine.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    exact = keyed.groupBy("day").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(coarse, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "exact_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= F.lit(_HLL_TOL) * F.col("exact_users")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("day")
+    )
+
+
+X_HLL_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS est_within_5pct
+FROM events
+GROUP BY CAST(ts AS DATE)
+ORDER BY day
+"""
+
+QUERIES["x_hll_merge"] = x_hll_merge
+ORACLE["x_hll_merge"] = X_HLL_SQL
+
+
+# percentile_approx with accuracy 10000 bounds RANK error at n/10000; the
+# gate brackets each estimate between the exact interpolated percentiles
+# ±0.01 rank out (value-relative tolerances flake on sparse tails).
+_PCT_ACC = 10_000
+
+
+def x_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95 via the mergeable quantile sketch
+    (``percentile_approx``), gated against the exact interpolated
+    percentile computed in the same aggregate.
+
+    Scale shape: the sketch is fixed-size per group regardless of row
+    count and merges associatively across partitions (partial_percentile_
+    approx map-side) — no per-group sort, no full-value shuffle. Exact
+    p50/p95 are emitted (rounded) for the value gate; the sketch estimates
+    are emitted as within-tolerance booleans."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.5D, 0.95D, 0.45D, 0.55D, 0.94D, 0.96D))"
+        ).alias("_ex"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(_PCT_ACC)).alias("_ap"),
+    )
+
+    def ok(i: int, lo: int, hi: int):
+        # rank-safe bracket: the sketch returns an actual sample whose rank
+        # error is ≤ n/accuracy, so its VALUE must lie between the exact
+        # interpolated percentiles one band out (±0.01 rank ≫ the sketch's
+        # rank error at any n) — a gate that never flakes on sparse tails,
+        # unlike a relative-value tolerance.
+        ap = F.col("_ap")[i]
+        return (ap >= F.col("_ex")[lo]) & (ap <= F.col("_ex")[hi])
+
+    return agg.select(
+        "event_type",
+        F.round(F.col("_ex")[0], 6).alias("exact_p50"),
+        F.round(F.col("_ex")[1], 6).alias("exact_p95"),
+        ok(0, 2, 3).alias("p50_in_band"),
+        ok(1, 4, 5).alias("p95_in_band"),
+    ).orderBy("event_type")
+
+
+X_PCT_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS exact_p95,
+       TRUE AS p50_in_band,
+       TRUE AS p95_in_band
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["x_approx_percentile_sketch"] = x_approx_percentile_sketch
+ORACLE["x_approx_percentile_sketch"] = X_PCT_SQL
+
+
+def x_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass distribution moments per group — sample stddev/variance,
+    correlation, covariance, closed-form OLS of extendedprice on quantity —
+    with the EXACT-decimal-sums discipline: the streaming co-moment
+    aggregates (``var_samp``/``corr``/``regr_slope``) accumulate in float
+    and their value depends on partition merge order, so instead the six
+    power sums (n, Σx, Σy, Σxy, Σx², Σy²) are computed as exact decimals
+    (inputs have ≤ 4 dp → products/sums are exact in both engines), cast to
+    double once, and every moment is derived with an IDENTICAL float
+    expression tree on both sides — bit-equal results, no tolerance.
+
+    Scale shape: one map-side-combinable aggregate, one shuffle on the
+    3-value group key, zero UDF. The textbook formulas are numerically
+    unsafe in float but exact on decimal sums — the point of the pattern."""
+    l = load_table(spark, sf_dir, "lineitem")
+    d4 = "decimal(18,4)"  # Spark: (18,4)^2 -> (37,8), exact; the SQL uses
+    # DECIMAL(19,4) because DuckDB only takes the int128 product path at p>18
+    q = F.col("l_quantity").cast(d4)
+    p = F.col("l_extendedprice").cast(d4)
+    sums = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("qx"),
+        F.sum(p).cast("double").alias("px"),
+        F.sum(q * p).cast("double").alias("qp"),
+        F.sum(q * q).cast("double").alias("qq"),
+        F.sum(p * p).cast("double").alias("pp"),
+    )
+    n, qx, px, qp, qq, pp = (F.col(c) for c in ("n", "qx", "px", "qp", "qq", "pp"))
+    cov_num = qp - qx * px / n
+    slope = (n * qp - qx * px) / (n * qq - qx * qx)
+    return sums.select(
+        "l_returnflag",
+        F.round(F.sqrt((qq - qx * qx / n) / (n - 1)), 6).alias("sd_qty"),
+        F.round((pp - px * px / n) / (n - 1), 6).alias("var_price"),
+        F.round(
+            (n * qp - qx * px)
+            / (F.sqrt(n * qq - qx * qx) * F.sqrt(n * pp - px * px)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round(cov_num / (n - 1), 6).alias("covar_qty_price"),
+        F.round(slope, 6).alias("ols_slope"),
+        F.round((px - slope * qx) / n, 6).alias("ols_intercept"),
+    ).orderBy("l_returnflag")
+
+
+X_MOMENTS_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS qx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS px,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS qp,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS qq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS pp
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND(sqrt((qq - qx * qx / n) / (n - 1)), 6) AS sd_qty,
+       ROUND((pp - px * px / n) / (n - 1), 6) AS var_price,
+       ROUND((n * qp - qx * px) / (sqrt(n * qq - qx * qx) * sqrt(n * pp - px * px)), 6) AS corr_qty_price,
+       ROUND((qp - qx * px / n) / (n - 1), 6) AS covar_qty_price,
+       ROUND((n * qp - qx * px) / (n * qq - qx * qx), 6) AS ols_slope,
+       ROUND((px - ((n * qp - qx * px) / (n * qq - qx * qx)) * qx) / n, 6) AS ols_intercept
+FROM sums
+ORDER BY l_returnflag
+"""
+
+QUERIES["x_distribution_moments"] = x_distribution_moments
+ORACLE["x_distribution_moments"] = X_MOMENTS_SQL

@@ -1124,3 +1124,90 @@ GROUP BY d.source, t.n_docs
 
 QUERIES["t_temperature_mix"] = t_temperature_mix
 ORACLE["t_temperature_mix"] = T_TEMPERATURE_MIX_SQL
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (the IR scorer the inverted index exists to serve)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 15
+
+
+def t_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query-term set (Lucene idf form:
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)``) — completes the retrieval stack
+    over ``t_inverted_index``: index build there, scoring here.
+
+    Scale shape: tokens are exploded ONCE and filtered to the query terms
+    BEFORE the (doc, term) aggregate, so the shuffle carries only matching
+    postings (|terms| × matching docs, not the corpus token stream). The
+    df table is |query-terms| rows — bounded by construction, the
+    legitimate broadcast class — and corpus stats (N, Σdl) are one
+    crossJoin'd scalar row. Float discipline: tf/df/dl are exact integers;
+    the score expression tree is IDENTICAL on both sides and display-
+    rounded to 6 dp (ln differs across libm in the last ulp only)."""
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id", F.size(TX.norm_tokens("text")).alias("dl"), TX.norm_tokens("text").alias("_toks")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.sum("dl").cast("double").alias("_tot"),
+    )
+    tf = (
+        dl.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    avgdl = F.col("_tot") / F.col("_n_docs")
+    idf = F.log((F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    w = idf * (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(w), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+T_BM25_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({OQ.sql_tokens(OQ.sql_norm('text'))}) AS dl,
+         {OQ.sql_tokens(OQ.sql_norm('text'))} AS toks
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS tot FROM dl
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+  WHERE term IN ({_BM25_IN})
+  GROUP BY doc_id, dl, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * ({_BM25_K1} + 1.0))
+         / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / (stats.tot / stats.n_docs)))
+       ), 6) AS bm25
+FROM tf JOIN df USING (term), stats
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {_BM25_TOPK}
+"""
+
+QUERIES["t_bm25_rank"] = t_bm25_rank
+ORACLE["t_bm25_rank"] = T_BM25_SQL
