@@ -93,6 +93,7 @@ _ALLOW: dict[tuple[str, str], str] = {
     ("v_matryoshka_overlap", F_BCAST): "hinted side = the query set (vec_id < 3) with prefix slices",
     ("v_recall_at_k", F_BCAST): "hinted sides = the query set, both retrieval arms",
     ("v_pq_adc_topk", F_BCAST): "hinted side = query set + codebooks (k*m-bounded)",
+    ("v_pq_rerank_topk", F_BCAST): "hinted sides = the query set (vec_id < N_QUERIES) in the ADC, re-rank, and exact-recall arms; the corpus embeddings join is shuffle-side",
     ("v_crossmodal_filter", F_BCAST): "hinted side = per-id scored pairs capped by the query set",
     ("d_decontaminate", F_BCAST): "hinted side = benchmark shingle set (eval suites are small by nature; documented)",
     ("d_contamination_score", F_BCAST): "hinted side = benchmark shingle set (same split as d_decontaminate)",
