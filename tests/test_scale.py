@@ -421,3 +421,40 @@ def test_column_profile_single_scan(spark, sf_dir):
     plan = QUERIES["x_column_profile"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans == 1, f"{n_scans} scans\n{plan}"
+
+
+def test_layout_queries_plan_shapes(spark, sf_dir):
+    """The registered bucketed-layout queries keep their plan contract:
+    the orders-lineitem SortMergeJoin runs on the bucket distribution
+    with NO join-side Exchange (the only Exchange is the bounded
+    o_orderstatus re-agg), and the per-l_orderkey aggregate in
+    x_bucketed_agg runs shuffle-free below the histogram re-agg."""
+    from webscale_multimodal_datapipeline_spark.plans import layout_queries as LQ
+
+    j = LQ.x_bucketed_join(spark, sf_dir)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    exchanges = [ln for ln in plan.split("\n") if "Exchange" in ln]
+    assert len(exchanges) == 1, exchanges
+    assert "o_orderstatus" in exchanges[0], exchanges
+
+    a = LQ.x_bucketed_agg(spark, sf_dir)
+    plan_a = a._jdf.queryExecution().executedPlan().toString()
+    ex_a = [ln for ln in plan_a.split("\n") if "Exchange" in ln]
+    assert len(ex_a) == 1, ex_a
+    assert "items_per_order" in ex_a[0], ex_a
+    # bucketed scan, not a plain file scan
+    assert "SelectedBucketsCount" in plan_a or "Bucketed: true" in plan_a, plan_a
+
+
+def test_minhash_ml_crosscheck_deterministic(spark, sf_dir):
+    """The ml MinHashLSH arm is seeded: two runs return identical rows,
+    and the invariant booleans hold."""
+    from webscale_multimodal_datapipeline_spark.plans.dedup_queries import (
+        d_minhash_ml_crosscheck,
+    )
+
+    r1 = d_minhash_ml_crosscheck(spark, sf_dir).collect()[0]
+    r2 = d_minhash_ml_crosscheck(spark, sf_dir).collect()[0]
+    assert r1 == r2
+    assert r1.ml_subset_ok and r1.recall_ok

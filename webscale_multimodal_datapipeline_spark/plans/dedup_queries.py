@@ -780,3 +780,120 @@ FROM sizes GROUP BY cluster_size ORDER BY cluster_size
 
 QUERIES["d_cluster_size_profile"] = d_cluster_size_profile
 ORACLE["d_cluster_size_profile"] = D_CLUSTER_SIZE_SQL
+
+
+# ---------------------------------------------------------------------------
+# pyspark.ml MinHashLSH cross-check — two independent implementations of
+# the same near-dup contract must agree
+# ---------------------------------------------------------------------------
+
+
+def d_minhash_ml_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validate the hand-rolled banded MinHash-LSH
+    (``operators/dedup.py``) against Spark ML's own ``MinHashLSH`` —
+    binarized shingle vectors via ``HashingTF``, 8 seeded hash tables,
+    ``approxSimilarityJoin`` at Jaccard distance < 0.5. Two fully
+    independent codepaths (md5-banded vs ml murmur-perm) over the same
+    shingle sets, judged against the EXACT shared-shingle pair set:
+
+    - ``n_exact``: |pairs with true shingle-Jaccard >= 0.5| — exact,
+      value-matched against the DuckDB oracle;
+    - ``ml_subset_ok``: every ML-returned pair is a true pair at >= 0.45
+      (hashing-trick collisions can only inflate the vector Jaccard, so a
+      small tolerance band below the query threshold is the correct
+      acceptance region);
+    - ``recall_ok``: ML recall over the exact pair set >= 0.9 (with 8
+      single-hash tables, per-pair candidate probability at s >= 0.5 is
+      1-(1-s)^8 >= 0.996; vacuously true when n_exact = 0).
+
+    Scale shape: the exact arm is the shared-shingle explode->join (never
+    all-pairs); the ML arm is Spark ML's own explode-on-hash-tables join —
+    both bucketed, both shuffle-on-key only.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("_toks", TX.norm_tokens("text"))
+        .withColumn("_sh", TX.word_shingles("text", k=3, toks=F.col("_toks")))
+        .select("doc_id", "_sh")
+    )
+
+    # exact arm: shared-shingle candidates (J >= t > 0 => intersection
+    # nonempty), verified with exact set Jaccard
+    ex = sh.select("doc_id", F.explode("_sh").alias("_s"))
+    l, r = ex.alias("l"), ex.alias("r")
+    cand = (
+        l.join(r, (F.col("l._s") == F.col("r._s")) & (F.col("l.doc_id") > F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    jac = F.size(F.array_intersect("_ls", "_rs")) / F.size(F.array_union("_ls", "_rs"))
+    exact = (
+        cand.join(sh.select(F.col("doc_id").alias("id_l"), F.col("_sh").alias("_ls")), "id_l")
+        .join(sh.select(F.col("doc_id").alias("id_r"), F.col("_sh").alias("_rs")), "id_r")
+        .withColumn("_j", jac)
+        .select("id_l", "id_r", "_j")
+    )
+    exact_pairs = exact.filter(F.col("_j") >= 0.5).select("id_l", "id_r")
+
+    # ML arm: binarized shingle vectors -> seeded MinHashLSH
+    tf = HashingTF(inputCol="_sh", outputCol="_v", numFeatures=1 << 20, binary=True)
+    feat = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="_v", outputCol="_hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    ml_pairs = (
+        model.approxSimilarityJoin(feat, feat, 0.5, distCol="_dist")
+        .filter(F.col("datasetA.doc_id") > F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_l"),
+            F.col("datasetB.doc_id").alias("id_r"),
+        )
+        .dropDuplicates(["id_l", "id_r"])
+    )
+
+    judged = ml_pairs.join(
+        exact.withColumnRenamed("_j", "_true_j"), ["id_l", "id_r"], "left"
+    )
+    hits = ml_pairs.join(exact_pairs, ["id_l", "id_r"], "left_semi")
+    n_exact = exact_pairs.agg(F.count(F.lit(1)).alias("n_exact"))
+    stats = judged.agg(
+        F.min(F.coalesce(F.col("_true_j"), F.lit(0.0))).alias("_min_j"),
+        F.count(F.lit(1)).alias("_n_ml"),
+    )
+    n_hits = hits.agg(F.count(F.lit(1)).alias("_n_hits"))
+    return (
+        n_exact.crossJoin(stats)
+        .crossJoin(n_hits)
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("_n_ml") == 0) | (F.col("_min_j") >= 0.45),
+            (F.col("n_exact") == 0)
+            | (F.col("_n_hits") >= F.lit(0.9) * F.col("n_exact")),
+        )
+        .toDF("n_exact", "ml_subset_ok", "recall_ok")
+    )
+
+
+D_MINHASH_ML_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t FROM documents
+), shl AS (
+  SELECT doc_id, {OQ.sql_shingles_from_tokens('t')} AS sh FROM toks
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM shl
+), cand AS (
+  SELECT DISTINCT l.doc_id AS lid, r.doc_id AS rid
+  FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id > r.doc_id
+), ver AS (
+  SELECT c.lid, c.rid,
+         len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(a.sh || b.sh)) AS j
+  FROM cand c JOIN shl a ON a.doc_id = c.lid JOIN shl b ON b.doc_id = c.rid
+)
+SELECT CAST(COUNT(*) FILTER (j >= 0.5) AS BIGINT) AS n_exact,
+       TRUE AS ml_subset_ok, TRUE AS recall_ok
+FROM ver
+"""
+
+QUERIES["d_minhash_ml_crosscheck"] = d_minhash_ml_crosscheck
+ORACLE["d_minhash_ml_crosscheck"] = D_MINHASH_ML_SQL

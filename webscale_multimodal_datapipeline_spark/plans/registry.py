@@ -17,6 +17,7 @@ from webscale_multimodal_datapipeline_spark.plans import (
     dedup_queries,
     events_queries,
     graph_queries,
+    layout_queries,
     misc_queries,
     multimodal_queries,
     pipeline_queries,
@@ -34,6 +35,7 @@ from webscale_multimodal_datapipeline_spark.plans import (
 # caps at 50 entries per round): modules whose queries lack a recorded driver
 # row are listed first so every query accumulates a green row across rounds.
 _MODULES = (
+    layout_queries,
     graph_queries,
     sketch_queries,
     vector_queries,
