@@ -218,3 +218,35 @@ def test_load_table_remote_root_routes_through_fsspec_gate(spark):
         _pt.skip("fsspec present; gate not reachable")
     with _pt.raises(NotImplementedError, match="fsspec"):
         load_table(spark, "hf://datasets/org/repo", "documents")
+
+
+def test_warc_python_datasource(spark, tmp_path):
+    """The Spark-4 Python DataSource yields the same records as the
+    binaryFile + mapInPandas path, with one partition per file."""
+    payload = (
+        _warc_record("http://a.com/1", HTML)
+        + _warc_record("http://a.com/4", b"<html><body>Second doc text</body></html>")
+    )
+    (tmp_path / "a.warc").write_bytes(payload)
+    (tmp_path / "b.warc").write_bytes(_warc_record("http://b.com/1", HTML))
+    SW.register_warc_source(spark)
+    df = (
+        spark.read.format("warc")
+        .option("crawl_id", "c1")
+        .load(str(tmp_path / "*.warc"))
+    )
+    assert df.schema == SW.WARC_RECORD_SCHEMA
+    rows = df.collect()
+    assert {r.url for r in rows} == {"http://a.com/1", "http://a.com/4", "http://b.com/1"}
+    assert all(r.crawl_id == "c1" and r.text_length > 0 for r in rows)
+    assert df.rdd.getNumPartitions() == 2
+    # parity with the binaryFile path (binaryFile reports file: URIs;
+    # the posix reader reports bare paths — normalize before comparing)
+    legacy = SW.read_warc(spark, str(tmp_path / "*.warc"), crawl_id="c1")
+
+    def _norm(r):
+        d = r.asDict()
+        d["warc_path"] = d["warc_path"].removeprefix("file:")
+        return tuple(d.values())
+
+    assert {_norm(r) for r in rows} == {_norm(r) for r in legacy.collect()}

@@ -129,3 +129,72 @@ def html_extract_len_udf():
         ).astype("int32")
 
     return _extract_len
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource: spark.read.format("warc")
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class WarcDataSource(DataSource):
+        """``spark.read.format("warc").load(glob)`` — the WARC loader as a
+        first-class Spark data source (Python DataSource API, Spark 4).
+
+        Same record contract as ``read_warc`` (reference
+        ``loaders/commoncrawl_loader.py:139-147``), but the format shows
+        up in the catalog/reader machinery like any built-in: schema is
+        declared (not inferred), each WARC file is one InputPartition
+        (file-granular parallelism — a crawl's 80K files = 80K splits),
+        and the executor-side generator streams records without
+        materializing a batch DataFrame first.
+
+        This path opens files with local/posix IO; for object stores go
+        through ``read_warc`` (binaryFile rides Hadoop's FileSystem).
+        Options: ``path`` (glob), ``crawl_id``.
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "warc"
+
+        def schema(self):
+            return WARC_RECORD_SCHEMA
+
+        def reader(self, schema):
+            return _WarcReader(self.options)
+
+    class _WarcReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("warc source requires a path, e.g. .load('/data/*.warc')")
+            self.crawl_id = options.get("crawl_id", "crawl")
+
+        def partitions(self):
+            import glob as _glob
+
+            files = sorted(_glob.glob(self.path))
+            if not files:
+                raise FileNotFoundError(f"no WARC files match {self.path}")
+            return [InputPartition(f) for f in files]
+
+        def read(self, partition):
+            path = partition.value
+            with open(path, "rb") as fh:
+                payload = fh.read()
+            cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+            for rec in parse_warc_bytes(payload, path, self.crawl_id):
+                yield tuple(rec[c] for c in cols)
+
+    def register_warc_source(spark: SparkSession) -> None:
+        """Idempetent per-session registration of the ``warc`` format."""
+        spark.dataSource.register(WarcDataSource)
+
+except ImportError:  # pragma: no cover — pyspark < 4 fallback
+
+    def register_warc_source(spark: SparkSession) -> None:
+        raise NotImplementedError(
+            "the Python DataSource API needs pyspark >= 4.0; use read_warc()"
+        )
