@@ -455,3 +455,62 @@ FROM merged GROUP BY o_orderstatus
 
 QUERIES["c_upsert"] = c_upsert
 ORACLE["c_upsert"] = C_UPSERT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Curriculum export: deterministic shards, quality-ordered within shard
+# ---------------------------------------------------------------------------
+
+_CURR_SHARDS = 8
+
+
+def c_curriculum_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered training export: every doc lands in a
+    deterministic hash shard (reproducible across runs and cluster
+    sizes — the property a resumable 100-TB export needs), and within a
+    shard docs are ordered easy-to-hard by token count. Returns the
+    per-shard manifest a trainer consumes: doc count, token budget, the
+    easiest/hardest doc ids (exact argmin/argmax, no window sort).
+
+    Scale shape: ONE map-side-combinable aggregate over the corpus;
+    shard assignment is pure hashing (no shuffle beyond the bounded
+    8-shard rollup); the within-shard ORDER BY is delegated to the
+    writer's sortWithinPartitions at export time and captured here by
+    the argmin/argmax endpoints (min_by/max_by — SURVEY x_argmax_agg
+    precedent)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_ntok", TX.token_count("text")
+    )
+    shard = F.pmod(TX.md5_long(F.col("text")), F.lit(_CURR_SHARDS))
+    # all-integer ordering key: tokens first, doc_id breaks ties (negated
+    # so min_by/max_by tie-break on the LOWEST id in both directions)
+    ord_key = F.col("_ntok") * F.lit(10_000_000_000) - F.col("doc_id")
+    return (
+        d.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("n_tokens"),
+            F.min_by("doc_id", ord_key).alias("easiest_doc"),
+            F.max_by("doc_id", ord_key).alias("hardest_doc"),
+        )
+    )
+
+
+C_CURRICULUM_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, {OQ.sql_token_count('text')} AS ntok,
+         {OQ.sql_md5_long('text')} % {_CURR_SHARDS} AS m
+  FROM documents
+)
+SELECT CASE WHEN m < 0 THEN m + {_CURR_SHARDS} ELSE m END AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       arg_min(doc_id, ntok * 10000000000 - doc_id) AS easiest_doc,
+       arg_max(doc_id, ntok * 10000000000 - doc_id) AS hardest_doc
+FROM scored
+GROUP BY 1
+"""
+
+QUERIES["c_curriculum_export"] = c_curriculum_export
+ORACLE["c_curriculum_export"] = C_CURRICULUM_SQL

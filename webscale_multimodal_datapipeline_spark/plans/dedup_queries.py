@@ -897,3 +897,70 @@ FROM ver
 
 QUERIES["d_minhash_ml_crosscheck"] = d_minhash_ml_crosscheck
 ORACLE["d_minhash_ml_crosscheck"] = D_MINHASH_ML_SQL
+
+
+def d_ngram_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated n-gram mass per source — the corpus-health number the
+    dedup stage is judged by (Lee et al. 2021 report it as "% of tokens
+    in duplicated 50-grams"; k=3 here to match the synthetic corpus).
+    For each source: how many shingle instances exist, how many belong
+    to a shingle seen in MORE THAN ONE document, and the dup percentage.
+
+    Scale shape: instances are exploded as 64-bit shingle HASHES, not
+    strings (the d_shared_shingle_dedup lesson: string keys through the
+    shuffle cost 10x; measured 21s -> ~4s at sf0.1), and shuffled ONCE —
+    a (hash, source) aggregate (map-side combinable; a doc has exactly
+    one source, so corpus doc-frequency = the per-source distinct-doc
+    sum) — then everything runs on the distinct-(hash, source) table,
+    orders of magnitude smaller than the instance stream. No join back
+    to the exploded instances, no pair join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    inst = (
+        d.withColumn("_toks", TX.norm_tokens("text"))
+        .withColumn("_sh", TX.word_shingles("text", k=3, toks=F.col("_toks")))
+        .select("doc_id", "source", F.explode(OD.shingle_hashes(F.col("_sh"))).alias("_s"))
+    )
+    per_src = inst.groupBy("_s", "source").agg(
+        F.count(F.lit(1)).alias("_n"), F.countDistinct("doc_id").alias("_nd")
+    )
+    w = Window.partitionBy("_s")
+    return (
+        per_src.withColumn("_ndocs", F.sum("_nd").over(w))
+        .groupBy("source")
+        .agg(
+            F.sum("_n").alias("n_instances"),
+            F.sum(F.when(F.col("_ndocs") > 1, F.col("_n")).otherwise(F.lit(0))).alias(
+                "dup_instances"
+            ),
+        )
+        .withColumn(
+            "dup_pct",
+            F.round(F.col("dup_instances") * 100.0 / F.col("n_instances"), 4),
+        )
+    )
+
+
+D_NGRAM_DUP_MASS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t FROM documents
+), shl AS (
+  SELECT doc_id, source, {OQ.sql_shingles_from_tokens('t')} AS sh FROM toks
+), inst AS (
+  SELECT doc_id, source, unnest({OQ.sql_shingle_hashes('sh')}) AS s FROM shl
+), per_src AS (
+  SELECT s, source, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS nd
+  FROM inst GROUP BY s, source
+), with_tot AS (
+  SELECT source, n, SUM(nd) OVER (PARTITION BY s) AS ndocs FROM per_src
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_instances,
+       CAST(SUM(CASE WHEN ndocs > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_instances,
+       ROUND(SUM(CASE WHEN ndocs > 1 THEN n ELSE 0 END) * 100.0 / SUM(n), 4) AS dup_pct
+FROM with_tot
+GROUP BY source
+"""
+
+QUERIES["d_ngram_dup_mass"] = d_ngram_dup_mass
+ORACLE["d_ngram_dup_mass"] = D_NGRAM_DUP_MASS_SQL

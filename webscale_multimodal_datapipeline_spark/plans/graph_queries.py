@@ -194,3 +194,98 @@ FROM deg GROUP BY degree ORDER BY degree
 
 QUERIES["g_degree_histogram"] = g_degree_histogram
 ORACLE["g_degree_histogram"] = G_DEGREE_SQL
+
+
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the supplier co-occurrence graph (suppliers
+    sharing at least one order) — the degree-orientation algorithm that
+    makes distributed triangle counting tractable (Cohen 2009 / Suri &
+    Vassilvitskii 2011 "MapReduce triangles").
+
+    Edge derivation never goes quadratic: the lineitem self-join is on
+    ``l_orderkey`` with a bounded per-order fanout (TPC-H orders hold
+    <= 7 items, so <= 21 pairs/order), then distinct-ed. Each undirected
+    edge is oriented from the lower-(degree, id) endpoint to the higher —
+    every wedge is then generated at exactly one node, and the wedge
+    count per node is O(d_out^2) where d_out <= sqrt(2|E|) regardless of
+    how skewed the raw degree distribution is (the orientation is THE
+    fix for the celebrity-node blowup at 100 TB). Triangles = wedges
+    that close: one more join against the oriented edge set.
+
+    Output: (n_nodes, n_edges, n_triangles) — exact, oracle-matched.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = l.alias("a"), l.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): src = smaller endpoint under that order
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    w2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    ).unionAll(oriented.select(F.col("dst").alias("b"), F.col("src").alias("c")))
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )
+
+
+G_TRIANGLE_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY n
+), oriented AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+  FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+), wedges AS (
+  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+  FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src AND w1.dst < w2.dst
+), closing AS (
+  SELECT src AS b, dst AS c FROM oriented
+  UNION ALL SELECT dst, src FROM oriented
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT DISTINCT w.a, w.b, w.c FROM wedges w JOIN closing x ON w.b = x.b AND w.c = x.c)
+"""
+
+QUERIES["g_triangle_count"] = g_triangle_count
+ORACLE["g_triangle_count"] = G_TRIANGLE_SQL

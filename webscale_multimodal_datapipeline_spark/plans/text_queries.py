@@ -1211,3 +1211,65 @@ LIMIT {_BM25_TOPK}
 
 QUERIES["t_bm25_rank"] = t_bm25_rank
 ORACLE["t_bm25_rank"] = T_BM25_SQL
+
+
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: OLS slope of
+    log(frequency) against log(rank) for the top 1000 terms — the
+    one-number sanity check that a text corpus looks like natural
+    language (slope ~ -1) rather than boilerplate or spam (flat head /
+    cliff tail). Standard corpus-QA metric (Zipf 1949; used as a
+    generation-quality diagnostic in e.g. Meister & Cotterell 2021).
+
+    Scale shape: one vocab aggregate (map-side combinable) -> top-1000
+    via TakeOrderedAndProject (never a global sort) -> the 1000-row tail
+    is collapsed to ONE row by a scalar collect_list aggregate, ranked by
+    posexplode of the sorted array, and reduced with regr_slope — every
+    single-partition exchange feeds a scalar aggregate, which is the plan
+    audit's allowed shape. Ties broken (freq DESC, term ASC) identically
+    in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(TX.norm_tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = vocab.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(1000)
+    # pack (freq, term) so array_sort ranks exactly like the SQL ORDER BY:
+    # freq DESC = sort ascending on -freq; term ASC breaks ties.
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("freq")).alias("nf"), F.col("term")))
+        ).alias("arr")
+    )
+    ranked = packed.select(
+        F.posexplode("arr").alias("pos", "entry")
+    ).select(
+        (F.col("pos") + 1).cast("double").alias("rank"),
+        (-F.col("entry.nf")).cast("double").alias("freq"),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 4).alias("zipf_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.max("freq").cast("long").alias("top_freq"),
+    )
+
+
+T_ZIPF_SQL = f"""
+WITH vocab AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS term FROM documents)
+  GROUP BY term
+), top AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+  FROM vocab ORDER BY freq DESC, term ASC LIMIT 1000
+)
+SELECT ROUND(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(MAX(freq) AS BIGINT) AS top_freq
+FROM top
+"""
+
+QUERIES["t_zipf_fit"] = t_zipf_fit
+ORACLE["t_zipf_fit"] = T_ZIPF_SQL

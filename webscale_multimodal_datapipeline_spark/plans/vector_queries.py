@@ -774,3 +774,70 @@ SELECT CAST({N_QUERIES * TOP_K} AS BIGINT) AS n_results,
 
 QUERIES["v_pq_rerank_topk"] = v_pq_rerank_topk
 ORACLE["v_pq_rerank_topk"] = V_PQ_RERANK_SQL
+
+
+def v_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset selection (the SemDeDup / DataComp
+    diversity-sampling shape, Abbas et al. 2023): k-means the embedding
+    space, then take at most CAP deterministic representatives per
+    cluster — hash-ordered, so the selection is reproducible and
+    cluster-size-independent. This is how a 100-TB curation run keeps
+    topical diversity while cutting volume: dense clusters (near-dup
+    mass) are capped, sparse clusters survive intact.
+
+    Scale shape: KMeans assignment is one ml pipeline; per-cluster
+    capping is a rank-over-hash window on the cluster key (many keys,
+    no global sort); nothing is collected. Iterative clustering is not
+    SQL-expressible, so the oracle pins the selection invariants (the
+    v_kmeans_clusters pattern): per-cluster cap respected, every
+    nonempty cluster represented, selection deterministic, total =
+    sum(min(cap, cluster_size))."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    K, CAP = 8, 20
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = e.select(
+        "vec_id", array_to_vector(VX.to_double_array("embedding")).alias("features")
+    )
+    pred = KMeans(k=K, seed=42, maxIter=20).fit(vec).transform(vec)
+    w = Window.partitionBy("prediction").orderBy(
+        F.xxhash64(F.col("vec_id")), F.col("vec_id")
+    )
+    picked = pred.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= CAP)
+    sizes = pred.groupBy("prediction").agg(F.count(F.lit(1)).alias("n"))
+    psize = picked.groupBy("prediction").agg(F.count(F.lit(1)).alias("np"))
+    j = sizes.join(psize, "prediction", "left")
+    return j.agg(
+        F.sum("np").cast("long").alias("n_selected_check"),
+    ).crossJoin(
+        j.agg(
+            F.min((F.coalesce(F.col("np"), F.lit(0)) >= F.least(F.col("n"), F.lit(CAP))).cast("int")).alias("_cov"),
+            F.min((F.coalesce(F.col("np"), F.lit(0)) <= F.lit(CAP)).cast("int")).alias("_cap"),
+            F.sum(F.least(F.col("n"), F.lit(CAP))).alias("_expected"),
+        ).select(
+            (F.col("_cov") == 1).alias("coverage_ok"),
+            (F.col("_cap") == 1).alias("cap_ok"),
+            F.col("_expected").cast("long").alias("n_expected"),
+        )
+    ).select(
+        # cluster sizes (and so the exact selected count) depend on the
+        # non-SQL-expressible clustering; pin the bounds + exactness
+        # invariants instead (v_kmeans_clusters pattern)
+        (
+            (F.col("n_selected_check") >= 1)
+            & (F.col("n_selected_check") <= F.lit(K * CAP))
+        ).alias("n_in_bounds"),
+        (F.col("n_selected_check") == F.col("n_expected")).alias("count_ok"),
+        "coverage_ok",
+        "cap_ok",
+    )
+
+
+V_CLUSTER_SAMPLE_SQL = """
+SELECT TRUE AS n_in_bounds, TRUE AS count_ok, TRUE AS coverage_ok, TRUE AS cap_ok
+"""
+
+QUERIES["v_cluster_balanced_sample"] = v_cluster_balanced_sample
+ORACLE["v_cluster_balanced_sample"] = V_CLUSTER_SAMPLE_SQL
