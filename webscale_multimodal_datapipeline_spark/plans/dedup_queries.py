@@ -964,3 +964,122 @@ GROUP BY source
 
 QUERIES["d_ngram_dup_mass"] = d_ngram_dup_mass
 ORACLE["d_ngram_dup_mass"] = D_NGRAM_DUP_MASS_SQL
+
+
+def d_soft_dedup_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of DROPPING duplicates, weight every doc by
+    1/cluster_size so a dup cluster contributes exactly one document's
+    worth of training mass (the down-weighting alternative used when
+    hard dedup is too aggressive — e.g. boilerplate-heavy but distinct
+    pages). Per source: raw doc count vs effective (weighted) corpus
+    size. Two map-side-combinable aggregates, no join back to the corpus
+    (weights roll up from the cluster-size table directly:
+    sum over clusters of size·(1/size) = cluster count... per source the
+    cluster may span sources, so weights ARE joined back — but on the
+    compact (key, size) table, never doc-to-doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", "source", _coarse_key().alias("_k"))
+    sizes = keyed.groupBy("_k").agg(F.count(F.lit(1)).alias("_sz"))
+    return (
+        keyed.join(sizes, "_k")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum(F.lit(1.0).cast("decimal(18,9)") / F.col("_sz")), 4)
+            .cast("double")
+            .alias("effective_docs"),
+        )
+    )
+
+
+D_SOFT_DEDUP_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, {_COARSE_KEY_SQL} AS k FROM documents
+), sizes AS (
+  SELECT k, COUNT(*) AS sz FROM keyed GROUP BY k
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ROUND(SUM(CAST(1.0 AS DECIMAL(18,9)) / sz), 4) AS DOUBLE) AS effective_docs
+FROM keyed JOIN sizes USING (k)
+GROUP BY source
+"""
+
+QUERIES["d_soft_dedup_weight"] = d_soft_dedup_weight
+ORACLE["d_soft_dedup_weight"] = D_SOFT_DEDUP_SQL
+
+
+_CONTAIN_DF_CAP = 50  # stop-shingle cap: drop shingles in > CAP docs
+_CONTAIN_T = 0.8
+
+
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT pairs: |A∩B| / min(|A|,|B|) >= 0.8 — the
+    asymmetric cousin of Jaccard that catches quotes, supersets and
+    wrapped copies (a page embedding another whole page scores ~1.0 here
+    but can score arbitrarily low on Jaccard; Broder 1997 distinguishes
+    resemblance vs containment for exactly this reason).
+
+    Scale shape: candidates come from the shared-shingle-HASH join with a
+    document-frequency cap (shingles in > 50 docs are dropped from
+    CANDIDATE GENERATION only — the ubiquitous-boilerplate shingles whose
+    join fanout would otherwise go quadratic; intersection counts still
+    use every shingle). The cap is part of the spec and mirrored in the
+    oracle, so the comparison stays exact."""
+    d = load_table(spark, sf_dir, "documents")
+    inst = (
+        d.withColumn("_toks", TX.norm_tokens("text"))
+        .withColumn("_sh", TX.word_shingles("text", k=3, toks=F.col("_toks")))
+        .select("doc_id", F.explode(OD.shingle_hashes(F.col("_sh"))).alias("_h"))
+        .dropDuplicates(["doc_id", "_h"])
+    )
+    sizes = inst.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    df_tab = inst.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    narrow = inst.join(
+        df_tab.filter(F.col("_df") <= _CONTAIN_DF_CAP), "_h"
+    ).select("doc_id", "_h")
+    l, r = narrow.alias("l"), narrow.alias("r")
+    shared = (
+        l.join(r, (F.col("l._h") == F.col("r._h")) & (F.col("l.doc_id") > F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    nl = sizes.select(F.col("doc_id").alias("id_l"), F.col("_n").alias("_nl"))
+    nr = sizes.select(F.col("doc_id").alias("id_r"), F.col("_n").alias("_nr"))
+    return (
+        shared.join(nl, "id_l")
+        .join(nr, "id_r")
+        .withColumn(
+            "containment",
+            F.round(F.col("_shared") / F.least("_nl", "_nr"), 4),
+        )
+        .filter(F.col("containment") >= _CONTAIN_T)
+        .select("id_l", "id_r", "containment")
+    )
+
+
+D_CONTAINMENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t FROM documents
+), shl AS (
+  SELECT doc_id, {OQ.sql_shingles_from_tokens('t')} AS sh FROM toks
+), inst AS (
+  SELECT DISTINCT doc_id, unnest({OQ.sql_shingle_hashes('sh')}) AS h FROM shl
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM inst GROUP BY doc_id
+), keep AS (
+  SELECT h FROM inst GROUP BY h HAVING COUNT(*) <= {_CONTAIN_DF_CAP}
+), narrow AS (
+  SELECT i.doc_id, i.h FROM inst i JOIN keep USING (h)
+), shared AS (
+  SELECT l.doc_id AS id_l, r.doc_id AS id_r, COUNT(*) AS ns
+  FROM narrow l JOIN narrow r ON l.h = r.h AND l.doc_id > r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_l, id_r,
+       ROUND(ns * 1.0 / LEAST(a.n, b.n), 4) AS containment
+FROM shared JOIN sizes a ON a.doc_id = id_l JOIN sizes b ON b.doc_id = id_r
+WHERE ns * 1.0 / LEAST(a.n, b.n) >= {_CONTAIN_T}
+"""
+
+QUERIES["d_containment_pairs"] = d_containment_pairs
+ORACLE["d_containment_pairs"] = D_CONTAINMENT_SQL

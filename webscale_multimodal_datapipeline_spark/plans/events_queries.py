@@ -640,3 +640,133 @@ ORDER BY user_id
 
 QUERIES["e_session_window"] = e_session_window
 ORACLE["e_session_window"] = E_SESSION_WINDOW_SQL
+
+
+def e_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-delay distribution: per user, the gap between the FIRST
+    view and the first purchase at-or-after it. The funnel metric
+    (``e_funnel``) counts who converts; this measures HOW LONG — the
+    number an activation team actually tracks.
+
+    Scale shape: one conditional aggregate per user (min ts per type —
+    map-side combinable, no self-join), then a bounded scalar rollup.
+    Delays are exact integer microseconds; the average is decimal-rounded
+    so both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("_first_view"),
+    )
+    # first purchase at-or-after the first view: join back the purchase
+    # stream (filter pushed to the scan), min per user
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("_pts")
+    )
+    conv = (
+        per_user.filter(F.col("_first_view").isNotNull())
+        .join(purchases, "user_id")
+        .filter(F.col("_pts") >= F.col("_first_view"))
+        .groupBy("user_id", "_first_view")
+        .agg(F.min("_pts").alias("_first_purchase"))
+    )
+    delay_us = (
+        F.unix_micros("_first_purchase") - F.unix_micros("_first_view")
+    )
+    viewed = per_user.filter(F.col("_first_view").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_viewed")
+    )
+    stats = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round((F.avg(delay_us.cast("decimal(28,6)")) / 1_000_000), 4)
+        .cast("double")
+        .alias("avg_delay_sec"),
+        (F.max(delay_us) / 1_000_000).cast("double").alias("max_delay_sec"),
+    )
+    return viewed.crossJoin(stats).select(
+        F.col("n_viewed").cast("long").alias("n_viewed"),
+        F.col("n_converted").cast("long").alias("n_converted"),
+        "avg_delay_sec",
+        "max_delay_sec",
+    )
+
+
+E_TIME_TO_CONVERT_SQL = """
+WITH fv AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT f.user_id, f.first_view, MIN(e.ts) AS first_purchase
+  FROM fv f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts >= f.first_view
+  WHERE f.first_view IS NOT NULL
+  GROUP BY f.user_id, f.first_view
+), delays AS (
+  SELECT epoch_us(first_purchase) - epoch_us(first_view) AS d_us FROM conv
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv WHERE first_view IS NOT NULL) AS n_viewed,
+       CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(ROUND(AVG(CAST(d_us AS DECIMAL(28,6))) / 1000000, 4) AS DOUBLE) AS avg_delay_sec,
+       CAST(MAX(d_us) / 1000000 AS DOUBLE) AS max_delay_sec
+FROM delays
+"""
+
+QUERIES["e_time_to_convert"] = e_time_to_convert
+ORACLE["e_time_to_convert"] = E_TIME_TO_CONVERT_SQL
+
+
+def e_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every user bucketed by Recency (days since last
+    activity, vs the corpus max timestamp), Frequency (event count) and
+    Monetary (exact-decimal value sum) into fixed, documented thresholds —
+    fixed cutoffs rather than per-run quantiles so segments are COMPARABLE
+    across runs (and the plan needs no global sort/ntile window: one
+    user-keyed aggregate, then a bounded 3x3x3 rollup)."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("_anchor"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("_last"),
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum(F.col("value").cast(DEC)).alias("_spend"),
+    )
+    days = F.floor(
+        (F.unix_micros("_anchor") - F.unix_micros("_last"))
+        / F.lit(86_400_000_000)
+    )
+    r = F.when(days < 1, "active").when(days < 2, "cooling").otherwise("dormant")
+    f_ = (
+        F.when(F.col("_freq") >= 70, "heavy")
+        .when(F.col("_freq") >= 55, "regular")
+        .otherwise("light")
+    )
+    m = (
+        F.when(F.col("_spend") >= 4000, "high")
+        .when(F.col("_spend") >= 2500, "mid")
+        .otherwise("low")
+    )
+    return (
+        per_user.crossJoin(anchor)
+        .select(r.alias("recency"), f_.alias("frequency"), m.alias("monetary"))
+        .groupBy("recency", "frequency", "monetary")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+E_RFM_SQL = """
+WITH anchor AS (SELECT MAX(ts) AS a FROM events),
+pu AS (
+  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+         SUM(CAST(value AS DECIMAL(18,6))) AS spend
+  FROM events GROUP BY user_id
+), seg AS (
+  SELECT CASE WHEN FLOOR((epoch_us(a) - epoch_us(last_ts)) / 86400000000) < 1 THEN 'active'
+              WHEN FLOOR((epoch_us(a) - epoch_us(last_ts)) / 86400000000) < 2 THEN 'cooling'
+              ELSE 'dormant' END AS recency,
+         CASE WHEN freq >= 70 THEN 'heavy' WHEN freq >= 55 THEN 'regular' ELSE 'light' END AS frequency,
+         CASE WHEN spend >= 4000 THEN 'high' WHEN spend >= 2500 THEN 'mid' ELSE 'low' END AS monetary
+  FROM pu CROSS JOIN anchor
+)
+SELECT recency, frequency, monetary, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM seg GROUP BY 1, 2, 3
+"""
+
+QUERIES["e_rfm_segments"] = e_rfm_segments
+ORACLE["e_rfm_segments"] = E_RFM_SQL

@@ -12,7 +12,7 @@ whole-stage codegen with the filters pushed at the scan; the reference's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from webscale_multimodal_datapipeline_spark.catalog import load_table
@@ -1273,3 +1273,91 @@ FROM top
 
 QUERIES["t_zipf_fit"] = t_zipf_fit
 ORACLE["t_zipf_fit"] = T_ZIPF_SQL
+
+
+_CDC_MOD = 8  # expected chunk length = 8 tokens (boundary prob 1/8)
+
+
+def t_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary idea behind
+    rsync/LBFS/storage dedup, Muthitacharoen et al. 2001, applied at the
+    token level): a chunk boundary falls AFTER any token whose hash ≡ 0
+    (mod 8), so chunk edges are content-anchored — inserting a sentence
+    shifts ONE chunk, not every fixed-width window downstream. The query
+    reports the chunk-level dedup profile per source: chunk count,
+    distinct chunk fingerprints, and the duplicated-chunk percentage —
+    what a CDC-dedup pass would reclaim.
+
+    Scale shape: tokens explode with position; chunk ids are a running
+    sum over the per-doc window (doc-keyed — millions of keys, no global
+    sort); chunk fingerprints aggregate from an ordered in-group
+    array_sort (exact, no collect to driver). One explode, two keyed
+    shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.posexplode(TX.norm_tokens("text")).alias("pos", "tok")
+    )
+    # boundary AFTER a matching token => the NEXT token starts a chunk:
+    # chunk id = running count of boundary tokens STRICTLY BEFORE pos
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_boundary = (F.pmod(TX.md5_long(F.col("tok")), F.lit(_CDC_MOD)) == 0).cast("int")
+    chunked = toks.withColumn(
+        "chunk_id", F.coalesce(F.sum(is_boundary).over(w), F.lit(0))
+    )
+    chunks = chunked.groupBy("doc_id", "source", "chunk_id").agg(
+        TX.md5_long(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("fp"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("fp").alias("n_distinct"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .withColumn(
+            "dup_chunk_pct",
+            F.round((F.col("n_chunks") - F.col("n_distinct")) * 100.0 / F.col("n_chunks"), 4),
+        )
+    )
+
+
+T_CDC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS tok,
+         generate_subscripts({OQ.sql_tokens(OQ.sql_norm('text'))}, 1) AS pos
+  FROM documents
+), chunked AS (
+  SELECT doc_id, source, tok, pos,
+         COALESCE(SUM(CASE WHEN {OQ.sql_md5_long('tok')} % {_CDC_MOD} = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM toks
+), chunks AS (
+  SELECT doc_id, source, chunk_id,
+         {OQ.sql_md5_long("string_agg(tok, ' ' ORDER BY pos)")} AS fp,
+         COUNT(*) AS n_toks
+  FROM chunked GROUP BY doc_id, source, chunk_id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       ROUND((COUNT(*) - COUNT(DISTINCT fp)) * 100.0 / COUNT(*), 4) AS dup_chunk_pct
+FROM chunks GROUP BY source
+"""
+
+QUERIES["t_cdc_chunking"] = t_cdc_chunking
+ORACLE["t_cdc_chunking"] = T_CDC_SQL
