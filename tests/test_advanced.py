@@ -111,3 +111,112 @@ def test_pq_adc_topk_recall_and_determinism(spark, sf_dir):
     a = sorted(tuple(r) for r in codes.collect())
     b = sorted(tuple(r) for r in codes2.collect())
     assert a == b
+
+
+def test_triangle_stats_known_graphs(spark):
+    """Known-answer fixtures for the degree-oriented triangle counter —
+    the DuckDB oracle mirrors the same algorithm, so only hand-computed
+    graphs catch a shared algorithmic bug."""
+    from webscale_multimodal_datapipeline_spark.plans.graph_queries import triangle_stats
+
+    def run(pairs):
+        e = spark.createDataFrame(pairs, "u long, v long")
+        return triangle_stats(e).collect()[0]
+
+    # K4: C(4,3) = 4 triangles
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    r = run(k4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    # K4 minus one edge: exactly 2 triangles survive
+    r = run([p for p in k4 if p != (3, 4)])
+    assert r.n_triangles == 2
+    # star (no closure): 0 triangles
+    r = run([(1, 2), (1, 3), (1, 4), (1, 5)])
+    assert (r.n_nodes, r.n_triangles) == (5, 0)
+    # triangle + pendant: 1
+    r = run([(1, 2), (1, 3), (2, 3), (3, 4)])
+    assert r.n_triangles == 1
+
+
+def test_containment_superset_pair(spark, tmp_path):
+    """A doc fully contained in another scores containment 1.0."""
+    import pandas as pd
+
+    from webscale_multimodal_datapipeline_spark.plans.dedup_queries import (
+        d_containment_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = small + " iota kappa lam mu nu xi omicron pi rho sigma tau"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [small, big, "totally different words only here now"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(small), len(big), 37],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = d_containment_pairs(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_l, r.id_r) == (2, 1) and r.containment == 1.0
+
+
+def test_cdc_chunking_shift_locality(spark, tmp_path):
+    """The CDC property fixed-width chunking lacks: prepending a token
+    changes only the FIRST chunk's fingerprint — every boundary after the
+    first anchor re-synchronizes."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from webscale_multimodal_datapipeline_spark.functions import text as TX
+
+    base = "one two three four five six seven eight nine ten eleven twelve " * 8
+    shifted = "inserted " + base
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [base.strip(), shifted.strip()],
+            "lang": ["en"] * 2,
+            "source": ["a", "b"],
+            "n_chars": [len(base), len(shifted)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
+    from webscale_multimodal_datapipeline_spark.plans.text_queries import _CDC_MOD
+
+    d = load_table(spark, str(tmp_path), "documents")
+    toks = d.select("doc_id", F.posexplode(TX.norm_tokens("text")).alias("pos", "tok"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boundary = (F.pmod(TX.md5_long(F.col("tok")), F.lit(_CDC_MOD)) == 0).cast("int")
+    chunks = (
+        toks.withColumn("cid", F.coalesce(F.sum(boundary).over(w), F.lit(0)))
+        .groupBy("doc_id", "cid")
+        .agg(
+            TX.md5_long(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("fp")
+        )
+    )
+    fps = {r.doc_id: set() for r in chunks.collect()}
+    for r in chunks.collect():
+        fps[r.doc_id].add(r.fp)
+    only_base = fps[1] - fps[2]
+    only_shift = fps[2] - fps[1]
+    # at most the first chunk differs on each side
+    assert len(only_base) <= 1 and len(only_shift) <= 1
+    # and the vast majority of chunks are shared (re-synchronized)
+    assert len(fps[1] & fps[2]) >= len(fps[1]) - 1

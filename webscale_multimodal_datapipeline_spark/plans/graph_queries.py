@@ -212,7 +212,10 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix for the celebrity-node blowup at 100 TB). Triangles = wedges
     that close: one more join against the oriented edge set.
 
-    Output: (n_nodes, n_edges, n_triangles) — exact, oracle-matched.
+    Output: (n_nodes, n_edges, n_triangles) — exact, oracle-matched
+    AND known-answer-tested on hand-computed graphs (K4, K4−e, stars) in
+    ``tests/test_advanced.py`` — the oracle mirrors this algorithm, so a
+    shared algorithmic bug would pass both engines; the fixtures can't.
     """
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a, b = l.alias("a"), l.alias("b")
@@ -225,6 +228,12 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
         .distinct()
     )
+    return triangle_stats(edges)
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Degree-oriented triangle counting over an undirected edge list
+    ``(u, v)`` with u < v, already distinct. See ``g_triangle_count``."""
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
