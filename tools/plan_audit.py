@@ -99,6 +99,8 @@ _ALLOW: dict[tuple[str, str], str] = {
     ("d_contamination_score", F_BCAST): "hinted side = benchmark shingle set (same split as d_decontaminate)",
     ("m_phash_blocklist", F_BCAST): "hinted side = curated hash blocklist (distributed as a small list by nature)",
     ("x_revenue_share", F_SINGLE): "single-partition window input = per-nation rollup (bounded by the nation dim)",
+    ("e_growth_accounting", F_SINGLE): "single-partition cumsum input = per-DAY rollup (bounded by the calendar, not the data)",
+    ("v_filtered_ann_topk", F_BCAST): "hinted side = the query set (vec_id < N_QUERIES), the v_cosine_topk contract on the semi-join-reduced corpus",
     ("a_semantic_dedup", F_BCAST): "hinted side = KMeans centroids (k-bounded)",
 }
 

@@ -770,3 +770,51 @@ FROM seg GROUP BY 1, 2, 3
 
 QUERIES["e_rfm_segments"] = e_rfm_segments
 ORACLE["e_rfm_segments"] = E_RFM_SQL
+
+
+def e_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day — active users, NEW users (first-ever
+    activity that day), returning users, and the cumulative user base.
+    New-vs-returning comes from the first-seen-day trick (min(day) per
+    user, one aggregate) instead of a distinct-over-growing-window,
+    which at 100 TB is the difference between one user-keyed shuffle and
+    a quadratic re-scan per day. The cumulative sum runs on the
+    DAY-keyed rollup — rows bounded by the calendar, not the data."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    dau = ev.groupBy("day").agg(F.countDistinct("user_id").alias("active_users"))
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_users = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(new_users, "day", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn("returning_users", F.col("active_users") - F.col("new_users"))
+        .withColumn("cumulative_users", F.sum("new_users").over(w))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active_users",
+            "new_users",
+            "returning_users",
+            "cumulative_users",
+        )
+    )
+
+
+E_GROWTH_SQL = """
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS active_users FROM ev GROUP BY day),
+fs AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id),
+nu AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.active_users AS BIGINT) AS active_users,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(d.active_users - COALESCE(n.new_users, 0) AS BIGINT) AS returning_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+FROM dau d LEFT JOIN nu n USING (day)
+"""
+
+QUERIES["e_growth_accounting"] = e_growth_accounting
+ORACLE["e_growth_accounting"] = E_GROWTH_SQL

@@ -990,3 +990,56 @@ ORDER BY p_brand, p_retailprice
 
 QUERIES["x_pareto_frontier"] = x_pareto_frontier
 ORACLE["x_pareto_frontier"] = X_PARETO_SQL
+
+
+def x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median unit price per supplier (weights =
+    quantities) — the robust per-entity price statistic approx-percentile
+    can't give you exactly. Cumulative-weight crossing point: the
+    smallest price whose running quantity share reaches half the total.
+
+    Scale shape: ONE window pass per supplier key (millions of keys —
+    hash-distributed, no global sort) + a min-conditional aggregate on
+    the same partitioning; the within-price tie order can shift which
+    ROW crosses the half-line but never which PRICE, so the result is
+    deterministic under any shuffle order (ordering still pinned by
+    (price, orderkey, linenumber) so both engines walk identically)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_suppkey")
+    cum = (
+        l.withColumn("_cum", F.sum("l_quantity").over(w))
+        .withColumn("_tot", F.sum("l_quantity").over(wt))
+    )
+    return (
+        cum.groupBy("l_suppkey")
+        .agg(
+            F.min(
+                F.when(2 * F.col("_cum") >= F.col("_tot"), F.col("l_extendedprice"))
+            ).alias("weighted_median_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+X_WEIGHTED_MEDIAN_SQL = """
+WITH cum AS (
+  SELECT l_suppkey, l_extendedprice,
+         SUM(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(l_quantity) OVER (PARTITION BY l_suppkey) AS t
+  FROM lineitem
+)
+SELECT l_suppkey,
+       MIN(CASE WHEN 2 * c >= t THEN l_extendedprice END) AS weighted_median_price,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM cum GROUP BY l_suppkey
+"""
+
+QUERIES["x_weighted_median"] = x_weighted_median
+ORACLE["x_weighted_median"] = X_WEIGHTED_MEDIAN_SQL

@@ -841,3 +841,44 @@ SELECT TRUE AS n_in_bounds, TRUE AS count_ok, TRUE AS coverage_ok, TRUE AS cap_o
 
 QUERIES["v_cluster_balanced_sample"] = v_cluster_balanced_sample
 ORACLE["v_cluster_balanced_sample"] = V_CLUSTER_SAMPLE_SQL
+
+
+def v_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — top-k under a metadata predicate (the
+    retrieval pattern every RAG/vector-DB workload runs: "nearest docs
+    WHERE lang = 'en'"). The predicate joins the documents table on the
+    id BEFORE scoring, so the cosine never evaluates on filtered-out
+    rows and the predicate itself pushes into the documents parquet scan
+    — pre-filtering, not post-filtering (post-filtering returns < k
+    results when the filter is selective; this never does while k
+    matches survive).
+
+    Scale shape: documents side reduces to an id list (semi-join); the
+    corpus scan + codegen'd dot product and the broadcast query set are
+    exactly the v_cosine_topk plan on the reduced corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    keep = d.filter(F.col("lang") == "en").select(F.col("doc_id").alias("vec_id"))
+    corpus = e.join(keep, "vec_id", "left_semi")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return OS.cosine_topk(corpus, q, k=TOP_K)
+
+
+V_FILTERED_ANN_SQL = f"""
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         {OQ.sql_cosine('c.embedding', 'q.embedding', DIM)} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {OQ.sql_cosine('c.embedding', 'q.embedding', DIM)} DESC,
+                    c.vec_id ASC) AS rank
+  FROM (SELECT * FROM embeddings
+        WHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')) c
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+) WHERE rank <= {TOP_K}
+"""
+
+QUERIES["v_filtered_ann_topk"] = v_filtered_ann_topk
+ORACLE["v_filtered_ann_topk"] = V_FILTERED_ANN_SQL
