@@ -818,3 +818,96 @@ FROM dau d LEFT JOIN nu n USING (day)
 
 QUERIES["e_growth_accounting"] = e_growth_accounting
 ORACLE["e_growth_accounting"] = E_GROWTH_SQL
+
+
+def e_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — the rolling 7-day distinct-user count, EXACTLY.
+
+    Rolling COUNT(DISTINCT) is the canonical "can't window it" aggregate
+    (distinct doesn't decompose over sliding frames). The scale-correct
+    exact form is the BOUNDED FANOUT: reduce events to distinct
+    (user, day) pairs first (the only full-data shuffle), then each pair
+    contributes to exactly the 7 target days it can influence — a 7x
+    fanout of the *compact* pair table, never of the event stream —
+    followed by one more distinct count per target day. At 100 TB the
+    sketch tier (``x_hll_merge``) answers the same question approximately
+    with mergeable per-day state; this query is the exact oracle of that
+    rollup. Stickiness is emitted in exact basis points (integer
+    10000*dau DIV wau) so the ratio is bit-identical cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    ud = ev.select("day", "user_id").distinct()
+    fan = ud.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
+        "user_id",
+    )
+    wau = fan.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "day")  # inner join drops fanout days past the calendar end
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.expr("CAST((10000 * dau) DIV wau AS BIGINT)").alias("stickiness_bp"),
+        )
+    )
+
+
+E_STICKINESS_SQL = """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+fan AS (SELECT ud.day + CAST(r.i AS INTEGER) AS day, user_id
+        FROM ud, range(0, 7) r(i)),
+wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM fan GROUP BY day),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau,
+       CAST((10000 * d.dau) // w.wau AS BIGINT) AS stickiness_bp
+FROM dau d JOIN wau w USING (day)
+"""
+
+QUERIES["e_dau_wau_stickiness"] = e_dau_wau_stickiness
+ORACLE["e_dau_wau_stickiness"] = E_STICKINESS_SQL
+
+
+def e_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ``props`` through Spark 4's VARIANT type:
+    ``parse_json`` -> binary variant -> typed ``try_variant_get`` paths.
+
+    Distinct from ``e_json_extract`` (string-path ``get_json_object``):
+    VARIANT parses once into a shredded binary encoding, so every
+    downstream path extraction is a cheap binary probe instead of a
+    re-parse — the 100-TB answer for records carrying many JSON probes
+    per row. Missing paths yield NULL (``try_`` form), mirrored by the
+    oracle's json_extract NULL semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("k_present"),
+            F.count("m").alias("missing_present"),
+            F.countDistinct("k").alias("k_distinct"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+E_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_present,
+       COUNT(CAST(json_extract_string(props, '$.missing') AS BIGINT)) AS missing_present,
+       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+"""
+
+QUERIES["e_variant_shred"] = e_variant_shred
+ORACLE["e_variant_shred"] = E_VARIANT_SQL

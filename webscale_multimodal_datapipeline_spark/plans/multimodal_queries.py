@@ -551,3 +551,112 @@ ORDER BY doc_id
 
 QUERIES["m_scene_cuts"] = m_scene_cuts
 ORACLE["m_scene_cuts"] = M_SCENE_SQL
+
+
+
+
+def m_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGES by perceptual-hash hamming distance — D2's
+    exact-key dedup (`image_phash_dedup.py:48-51`) extended to the
+    near-dup regime, the image-side mirror of ``d_simhash_near_pairs``.
+
+    The synthetic corpus has no true image near-dups (md5-derived
+    payloads are hamming-~64 apart), so the query unions in a PERTURBED
+    TWIN for every 50th doc — the payload with byte 32 forced to 0xFF,
+    which can flip at most the 4 gradient bits that touch grid cell
+    (4,4) — giving a deterministic hamming<=4 near-dup population that
+    exercises the full contract at every scale (both engines build the
+    same twins).
+
+    Chunk-LSH on the 128-bit DoubleGradient hash: 8 chunks of 16 bits;
+    candidate pairs share >= 1 exact chunk (guaranteed recall for
+    hamming <= 7 by pigeonhole — the twins are always found), verified
+    by the full hamming <= 16. Scale shape: the corpus shuffles as
+    (chunk_idx, chunk_value) keys — never an all-pairs product; the
+    verify runs only on bucket collisions; hamming is 8 codegen'd
+    conv/xor/bit_count terms over the hex key — no UDF after the hash.
+    """
+    df = _with_bytes(spark, sf_dir)
+    twins = df.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(image_bytes, 1, 31)"),
+            F.lit(bytes([255])),
+            F.expr("substring(image_bytes, 33, 32)"),
+        ).alias("image_bytes"),
+    )
+    corpus = df.select("doc_id", "image_bytes").unionByName(twins)
+    keyed = corpus.select(
+        "doc_id",
+        MM.phash_udf_for("fake")(F.col("image_bytes")).alias("k"),
+    ).where(F.col("k").isNotNull())
+    chunks = keyed.select(
+        "doc_id",
+        "k",
+        F.posexplode(
+            F.array(*[F.substring("k", i * 4 + 1, 4) for i in range(8)])
+        ).alias("c", "v"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.c") == F.col("r.c"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_l"),
+            F.col("l.k").alias("kl"),
+            F.col("r.doc_id").alias("id_r"),
+            F.col("r.k").alias("kr"),
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(
+            F.conv(F.substring("kl", i * 4 + 1, 4), 16, 10)
+            .cast("int")
+            .bitwiseXOR(F.conv(F.substring("kr", i * 4 + 1, 4), 16, 10).cast("int"))
+        )
+        for i in range(8)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= 16)
+        .select("id_l", "id_r", "hamming")
+    )
+
+
+_PHASH_CHUNKS = [
+    f"concat_ws('|', '{c}', substr(k, {c * 16 + 1}, 16))" for c in range(8)
+]
+
+M_PHASH_NEAR_DUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_BYTES_LIST} AS b
+  FROM (SELECT doc_id, {_FAKE_HEX} AS h FROM documents)
+), corpus AS (
+  SELECT doc_id, b FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         list_concat(list_concat(b[1:31], [255]), b[33:64]) AS b
+  FROM base WHERE doc_id % 50 = 0
+), hashed AS (
+  SELECT doc_id, {_phash_bitkey_sql()} AS k FROM corpus
+), chunked AS (
+  SELECT doc_id, k, unnest([{', '.join(_PHASH_CHUNKS)}]) AS chunk FROM hashed
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r,
+         list_sum(list_transform(range(1, 129),
+           i -> CASE WHEN substr(l.k, i, 1) <> substr(r.k, i, 1)
+                THEN 1 ELSE 0 END)) AS hamming
+  FROM chunked l JOIN chunked r
+    ON l.chunk = r.chunk AND l.doc_id < r.doc_id
+)
+SELECT id_l, id_r, CAST(hamming AS INTEGER) AS hamming
+FROM pairs WHERE hamming <= 16
+"""
+
+QUERIES["m_phash_near_dup"] = m_phash_near_dup
+ORACLE["m_phash_near_dup"] = M_PHASH_NEAR_DUP_SQL

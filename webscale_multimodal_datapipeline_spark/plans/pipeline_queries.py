@@ -211,3 +211,84 @@ FROM agg, LATERAL (VALUES
 
 QUERIES["p_expectations_report"] = p_expectations_report
 ORACLE["p_expectations_report"] = P_EXPECT_SQL
+
+
+# FK edges of the TPC-H-ish catalog: (edge label, child table, child key,
+# parent table, parent key).
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def p_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the catalog —
+    the ingest-time contract check a warehouse runs before promoting a
+    snapshot (deequ's isContainedIn/satisfies family, one row per edge).
+
+    Per edge: child rows, distinct child keys, orphan children (left_anti
+    against the parent — NULL-key rows count as orphans exactly as
+    NOT EXISTS does not match them), and childless parents (parents no
+    child references — e.g. customers with zero orders). Scale shape:
+    one distributed anti-join per direction per edge, each a key-only
+    projection (AQE free to broadcast the dim side); output bounded by
+    the number of edges, never the data.
+    """
+    rows = []
+    for label, ct, ck, pt, pk in _FK_EDGES:
+        child = load_table(spark, sf_dir, ct).select(F.col(ck).alias("_ck"))
+        parent = load_table(spark, sf_dir, pt).select(F.col(pk).alias("_pk"))
+        stats = child.agg(
+            F.count(F.lit(1)).alias("child_rows"),
+            F.countDistinct("_ck").alias("distinct_child_keys"),
+        )
+        orphans = (
+            child.join(parent, child["_ck"] == parent["_pk"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphan_children"))
+        )
+        childless = (
+            parent.join(child, child["_ck"] == parent["_pk"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("childless_parents"))
+        )
+        rows.append(
+            stats.crossJoin(orphans)
+            .crossJoin(childless)
+            .select(
+                F.lit(label).alias("edge"),
+                "child_rows",
+                "distinct_child_keys",
+                "orphan_children",
+                "childless_parents",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _fk_edge_sql(label: str, ct: str, ck: str, pt: str, pk: str) -> str:
+    return f"""
+SELECT '{label}' AS edge,
+       (SELECT COUNT(*) FROM {ct}) AS child_rows,
+       (SELECT COUNT(DISTINCT {ck}) FROM {ct}) AS distinct_child_keys,
+       (SELECT COUNT(*) FROM {ct} c
+         WHERE NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck}))
+         AS orphan_children,
+       (SELECT COUNT(*) FROM {pt} p
+         WHERE NOT EXISTS (SELECT 1 FROM {ct} c WHERE c.{ck} = p.{pk}))
+         AS childless_parents
+"""
+
+
+P_REF_INTEGRITY_SQL = "\nUNION ALL\n".join(
+    _fk_edge_sql(*edge) for edge in _FK_EDGES
+)
+
+QUERIES["p_referential_integrity"] = p_referential_integrity
+ORACLE["p_referential_integrity"] = P_REF_INTEGRITY_SQL

@@ -1361,3 +1361,72 @@ FROM chunks GROUP BY source
 
 QUERIES["t_cdc_chunking"] = t_cdc_chunking
 ORACLE["t_cdc_chunking"] = T_CDC_SQL
+
+
+def t_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) between two deterministic
+    quality labelers — the audit run before trusting any pair of
+    filtering heuristics (or weak labelers) to agree on what "quality"
+    means: raw accord can be high while kappa exposes it as chance.
+
+    Labeler A: char-length gate (n_chars >= 300). Labeler B: token-count
+    gate (>= 50 whitespace tokens). Scale shape: ONE conditional-sum
+    aggregate pass over the corpus (map-side combinable, bounded 1-row
+    output); kappa is assembled from the four exact integer cells with a
+    single float division — identical expression tree both engines —
+    then display-rounded.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    a = (F.col("n_chars") >= 300).cast("long")
+    b = (TX.token_count("text") >= 50).cast("long")
+    cells = d.agg(
+        F.sum(a * b).alias("n11"),
+        F.sum(a * (1 - b)).alias("n10"),
+        F.sum((1 - a) * b).alias("n01"),
+        F.sum((1 - a) * (1 - b)).alias("n00"),
+    )
+    # kappa = (n*(n11+n00) - (a1*b1 + a0*b0)) / (n*n - (a1*b1 + a0*b0))
+    # with a1 = n11+n10 (A-positive), b1 = n11+n01, a0/b0 complements —
+    # all-integer numerator/denominator, one division.
+    return cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(
+            F.expr(
+                "((n11+n10+n01+n00) * (n11+n00)"
+                " - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))"
+                " / CAST((n11+n10+n01+n00)*(n11+n10+n01+n00)"
+                " - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE)"
+            ),
+            4,
+        ).alias("kappa_4dp"),
+    )
+
+
+T_KAPPA_SQL = f"""
+WITH cells AS (
+  SELECT
+    SUM(CASE WHEN n_chars >= 300 AND {OQ.sql_token_count('text')} >= 50
+        THEN 1 ELSE 0 END) AS n11,
+    SUM(CASE WHEN n_chars >= 300 AND {OQ.sql_token_count('text')} < 50
+        THEN 1 ELSE 0 END) AS n10,
+    SUM(CASE WHEN n_chars < 300 AND {OQ.sql_token_count('text')} >= 50
+        THEN 1 ELSE 0 END) AS n01,
+    SUM(CASE WHEN n_chars < 300 AND {OQ.sql_token_count('text')} < 50
+        THEN 1 ELSE 0 END) AS n00
+  FROM documents
+)
+SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+       CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+       ROUND(((n11+n10+n01+n00) * (n11+n00)
+              - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
+             / CAST((n11+n10+n01+n00)*(n11+n10+n01+n00)
+              - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE),
+             4) AS kappa_4dp
+FROM cells
+"""
+
+QUERIES["t_label_agreement_kappa"] = t_label_agreement_kappa
+ORACLE["t_label_agreement_kappa"] = T_KAPPA_SQL
