@@ -305,3 +305,34 @@ expectations:
     action: enforce""")
     with _pt.raises(ValueError, match="table-level"):
         compile_pipeline(bad).run(spark, sf_dir, observe_metrics=False)
+
+
+def test_writer_txtable_format(spark, sf_dir, tmp_path):
+    """`data_writer: {format: txtable}` commits through the transactional
+    log — append mode accumulates versions, reads resolve snapshots."""
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TXT
+
+    out = str(tmp_path / "tbl")
+    cfg = {
+        "data_loader": {"table": "documents"},
+        "stages": [
+            {
+                "name": "s",
+                "operators": [
+                    {
+                        "type": "text_length_filter",
+                        "params": {"min_length": 100, "max_length": 450},
+                    }
+                ],
+            }
+        ],
+        "data_writer": {"path": out, "format": "txtable", "mode": "append"},
+    }
+    res = compile_pipeline(cfg).run(spark, sf_dir, observe_metrics=False)
+    n = res.output.count()
+    assert TXT.read(spark, out).count() == n
+    # re-run appends a second snapshot version
+    compile_pipeline(cfg).run(spark, sf_dir, observe_metrics=False)
+    assert TXT.latest_version(out) == 1
+    assert TXT.read(spark, out).count() == 2 * n
+    assert TXT.read(spark, out, version=0).count() == n

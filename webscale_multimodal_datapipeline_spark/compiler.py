@@ -342,12 +342,23 @@ class Pipeline:
 
         wr = self.config.writer
         if wr.get("path"):
-            writer = df.write.mode(wr.get("mode", "overwrite")).option(
-                "compression", wr.get("compression", "snappy")
-            )
-            if wr.get("partition_by"):
-                writer = writer.partitionBy(*wr["partition_by"])
-            writer.parquet(wr["path"])
+            if wr.get("format") == "txtable":
+                # transactional commit-log table (sources/txtable.py):
+                # append/overwrite become atomic log commits with
+                # snapshot isolation and time travel
+                from webscale_multimodal_datapipeline_spark.sources import txtable
+
+                if wr.get("mode", "overwrite") == "append":
+                    txtable.append(df, wr["path"])
+                else:
+                    txtable.overwrite(df, wr["path"])
+            else:
+                writer = df.write.mode(wr.get("mode", "overwrite")).option(
+                    "compression", wr.get("compression", "snappy")
+                )
+                if wr.get("partition_by"):
+                    writer = writer.partitionBy(*wr["partition_by"])
+                writer.parquet(wr["path"])
         if wr.get("rejected_path") and rejected is not None:
             # partitioned by rejecting operator (reference executor.py:100-124)
             (
