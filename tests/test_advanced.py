@@ -220,3 +220,70 @@ def test_cdc_chunking_shift_locality(spark, tmp_path):
     assert len(only_base) <= 1 and len(only_shift) <= 1
     # and the vast majority of chunks are shared (re-synchronized)
     assert len(fps[1] & fps[2]) >= len(fps[1]) - 1
+
+
+def test_attribution_credit_known_answer(spark, tmp_path):
+    """Hand-computed multi-touch attribution: horizon exclusion, uncredited
+    trailing touches, first/last assignment, integer linear credit."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from webscale_multimodal_datapipeline_spark.plans.events_queries import (
+        e_attribution_credit,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view, click then purchase; trailing view never credited
+        (1, t0, 1, "view"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase"),
+        (4, t0 + dt.timedelta(minutes=3), 1, "view"),
+        # user 2: purchase 10 days later — outside the 7-day horizon
+        (5, t0, 2, "click"),
+        (6, t0 + dt.timedelta(days=10), 2, "purchase"),
+        # user 3: view, view, click -> purchase (n=3 linear split)
+        (7, t0, 3, "view"),
+        (8, t0 + dt.timedelta(minutes=1), 3, "view"),
+        (9, t0 + dt.timedelta(minutes=2), 3, "click"),
+        (10, t0 + dt.timedelta(minutes=3), 3, "purchase"),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.event_type: r for r in e_attribution_credit(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"view", "click"}
+    v, c = got["view"], got["click"]
+    assert (v.first_touch_convs, v.last_touch_convs, v.touches) == (2, 0, 3)
+    assert (c.first_touch_convs, c.last_touch_convs, c.touches) == (0, 2, 2)
+    # linear: u1 conversion n=2 (view 500000, click 500000); u3 n=3
+    # (view 333333*2, click 333333)
+    assert v.linear_ppm == 500_000 + 2 * 333_333
+    assert c.linear_ppm == 500_000 + 333_333
+
+
+def test_bfs_hops_chain_graph(spark, tmp_path):
+    """BFS distances on a hand-built chain C1-S1-C2-S2-C3 with the single
+    seed S1 (suppkey ≡ 1 mod 10): histogram {0:1, 1:2, 2:1, 3:1}."""
+    import pandas as pd
+
+    from webscale_multimodal_datapipeline_spark.plans.graph_queries import g_bfs_hops
+
+    pd.DataFrame({"o_orderkey": [1, 2, 3, 4], "o_custkey": [1, 2, 2, 3]}).to_parquet(
+        tmp_path / "orders.parquet"
+    )
+    pd.DataFrame({"l_orderkey": [1, 2, 3, 4], "l_suppkey": [1, 1, 2, 2]}).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    got = {r.hops: r.n_nodes for r in g_bfs_hops(spark, str(tmp_path)).collect()}
+    assert got == {0: 1, 1: 2, 2: 1, 3: 1}

@@ -50,6 +50,10 @@ SUBSET = [
     "m_phash_blocklist",
     "d_contamination_score",
     "t_bigram_logprob",
+    "e_attribution_credit",
+    "g_bfs_hops",
+    "v_binary_quantize_rerank",
+    "p_snapshot_diff",
 ]
 
 

@@ -102,6 +102,7 @@ _ALLOW: dict[tuple[str, str], str] = {
     ("e_growth_accounting", F_SINGLE): "single-partition cumsum input = per-DAY rollup (bounded by the calendar, not the data)",
     ("v_filtered_ann_topk", F_BCAST): "hinted side = the query set (vec_id < N_QUERIES), the v_cosine_topk contract on the semi-join-reduced corpus",
     ("a_semantic_dedup", F_BCAST): "hinted side = KMeans centroids (k-bounded)",
+    ("v_binary_quantize_rerank", F_BCAST): "hinted side = the query set (vec_id < N_QUERIES) with its two sign words",
 }
 
 

@@ -911,3 +911,103 @@ FROM events GROUP BY event_type
 
 QUERIES["e_variant_shred"] = e_variant_shred
 ORACLE["e_variant_shred"] = E_VARIANT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution
+# ---------------------------------------------------------------------------
+
+ATTRIB_HORIZON_US = 7 * 86_400_000_000  # 7-day lookback, microseconds
+
+
+def e_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: every view/click is credited to
+    the user's FIRST purchase at-or-after it (within a 7-day horizon), then
+    per event_type we report first-touch wins, last-touch wins, credited
+    touch count, and linear credit.
+
+    Scale shape: the touch→conversion assignment is ROW-LOCAL — a single
+    forward-looking min window over the user partition (the same
+    as-of-join-as-window trick as ``a_asof_click_before_purchase``), so no
+    purchase⋈touch range join and no per-user fanout ever materializes.
+    Per-conversion position/size annotations ride a second window keyed by
+    (user, conversion); the final rollup is bounded by |event types|. The
+    exchanges carry only (type, 3×long) — timestamps as exact integer
+    microseconds.
+
+    Linear credit is reported in parts-per-million with per-touch INTEGER
+    division (``1000000 div n``) — exactly defined, bit-identical across
+    engines, unlike a float 1/n accumulation whose sum order differs.
+    Conversions with zero preceding touches receive no credit (documented;
+    the funnel query counts those)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    annotated = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        )
+        .over(w_fwd)
+        .alias("conv_us"),
+    )
+    touches = annotated.filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("conv_us").isNotNull()
+        & ((F.col("conv_us") - F.col("t_us")) <= ATTRIB_HORIZON_US)
+    )
+    w_conv = Window.partitionBy("user_id", "conv_us").orderBy("t_us", "event_id")
+    w_conv_all = Window.partitionBy("user_id", "conv_us")
+    credited = touches.select(
+        "event_type",
+        F.row_number().over(w_conv).alias("rn"),
+        F.count(F.lit(1)).over(w_conv_all).alias("n"),
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("first_touch_convs"),
+            F.sum(F.when(F.col("rn") == F.col("n"), 1).otherwise(0)).alias(
+                "last_touch_convs"
+            ),
+            F.count(F.lit(1)).alias("touches"),
+            F.sum(F.expr("1000000 div n")).alias("linear_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E_ATTRIBUTION_SQL = f"""
+WITH ann AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_us
+  FROM events
+), touches AS (
+  SELECT event_type, user_id, conv_us, t_us, event_id
+  FROM ann
+  WHERE event_type IN ('view', 'click') AND conv_us IS NOT NULL
+    AND conv_us - t_us <= {ATTRIB_HORIZON_US}
+), credited AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, conv_us ORDER BY t_us, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, conv_us) AS n
+  FROM touches
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch_convs,
+       CAST(SUM(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_convs,
+       COUNT(*) AS touches,
+       CAST(SUM(1000000 // n) AS BIGINT) AS linear_ppm
+FROM credited GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["e_attribution_credit"] = e_attribution_credit
+ORACLE["e_attribution_credit"] = E_ATTRIBUTION_SQL

@@ -298,3 +298,83 @@ FROM (SELECT DISTINCT w.a, w.b, w.c FROM wedges w JOIN closing x ON w.b = x.b AN
 
 QUERIES["g_triangle_count"] = g_triangle_count
 ORACLE["g_triangle_count"] = G_TRIANGLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bounded-depth BFS (recursive-CTE workload)
+# ---------------------------------------------------------------------------
+
+_BFS_DEPTH = 4
+
+
+def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop distance (bounded depth 4) from a seed set — suppliers
+    whose key ≡ 1 (mod 10) — over the bipartite trading graph; output is
+    the hop-distance histogram (≤ depth+1 rows).
+
+    This is the recursive-CTE workload class (DuckDB oracle runs a genuine
+    ``WITH RECURSIVE``); Spark has no recursive CTE, so the idiomatic
+    form is iterative frontier expansion: each round is ONE node-keyed
+    equi-join frontier⋈edges plus a left_anti against the visited set —
+    both hash shuffles on the node key, no driver-side state beyond the
+    loop counter. ``localCheckpoint`` truncates per-round lineage (the
+    shared iterative-algorithm policy, see ``g_pagerank``). New frontiers
+    shrink monotonically on expander-ish graphs; the depth bound makes the
+    cost K·(edge shuffle), identical asymptotics to the oracle's
+    fixed-point but expressed as a deterministic unrolled loop."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    seeds = (
+        edges.select("src")
+        .distinct()
+        .filter(
+            F.col("src").startswith("S")
+            & (F.substring("src", 2, 18).cast("long") % 10 == 1)
+        )
+    )
+    dist = seeds.select(F.col("src").alias("node"), F.lit(0).alias("d"))
+    frontier = dist.localCheckpoint(eager=True)
+    for i in range(1, _BFS_DEPTH + 1):
+        new = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(i).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(new)
+        frontier = new
+    return (
+        dist.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("d").cast("int").alias("hops"), "n_nodes")
+        .orderBy("hops")
+    )
+
+
+G_BFS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), seeds AS (
+  SELECT DISTINCT src FROM edges
+  WHERE src LIKE 'S%' AND CAST(substr(src, 2) AS BIGINT) % 10 = 1
+), bfs(node, d) AS (
+  SELECT src, 0 FROM seeds
+  UNION
+  SELECT e.dst, b.d + 1
+  FROM bfs b JOIN edges e ON b.node = e.src
+  WHERE b.d < {_BFS_DEPTH}
+), best AS (
+  SELECT node, MIN(d) AS d FROM bfs GROUP BY node
+)
+SELECT CAST(d AS INTEGER) AS hops, COUNT(*) AS n_nodes
+FROM best GROUP BY d ORDER BY hops
+"""
+
+QUERIES["g_bfs_hops"] = g_bfs_hops
+ORACLE["g_bfs_hops"] = G_BFS_SQL

@@ -292,3 +292,89 @@ P_REF_INTEGRITY_SQL = "\nUNION ALL\n".join(
 
 QUERIES["p_referential_integrity"] = p_referential_integrity
 ORACLE["p_referential_integrity"] = P_REF_INTEGRITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between two table versions)
+# ---------------------------------------------------------------------------
+
+
+def p_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two snapshots of the documents table (the
+    CDC/table-format companion to ``sources/txtable.py`` time travel):
+    per source, counts of added / removed / changed / unchanged keys.
+
+    Snapshots are derived deterministically — "old" drops keys ≡ 5
+    (mod 13), "new" drops keys ≡ 3 (mod 17) and rewrites the text of keys
+    ≡ 0 (mod 7) — so the diff exercises all four change classes at every
+    scale factor.
+
+    Scale shape: each side reduces to (key, payload-fingerprint) BEFORE
+    the shuffle — the full-outer join exchanges 2 longs + a hash per row,
+    never the document bodies (at 100 TB that is the difference between
+    shuffling 16-byte digests and shuffling the corpus). One key-keyed
+    full-outer join, then a bounded per-(source, change_type) rollup.
+    The fingerprint is md5 (the engine-portable digest; xxhash64 is the
+    production lane, ``functions/text.py`` quality-classifier note)."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws("\x1f", "text", "lang", "source")).alias("fp"),
+    )
+    new = (
+        d.filter(F.col("doc_id") % 17 != 3)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.lit("v2 "), F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.concat_ws("\x1f", "text", "lang", "source")).alias("fp"),
+        )
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer").select(
+        F.coalesce(F.col("o.source"), F.col("n.source")).alias("source"),
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.fp") != F.col("n.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    return (
+        joined.groupBy("source", "change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("source", "change_type")
+    )
+
+
+P_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, source,
+         md5(concat_ws(chr(31), text, lang, source)) AS fp
+  FROM documents WHERE doc_id % 13 <> 5
+), new AS (
+  SELECT doc_id, source,
+         md5(concat_ws(chr(31),
+             CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END,
+             lang, source)) AS fp
+  FROM documents WHERE doc_id % 17 <> 3
+), joined AS (
+  SELECT COALESCE(o.source, n.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.fp <> n.fp THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT source, change_type, COUNT(*) AS n_rows
+FROM joined GROUP BY source, change_type ORDER BY source, change_type
+"""
+
+QUERIES["p_snapshot_diff"] = p_snapshot_diff
+ORACLE["p_snapshot_diff"] = P_SNAPSHOT_DIFF_SQL

@@ -882,3 +882,111 @@ SELECT query_id, vec_id, cosine, rank FROM (
 
 QUERIES["v_filtered_ann_topk"] = v_filtered_ann_topk
 ORACLE["v_filtered_ann_topk"] = V_FILTERED_ANN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (1-bit sign) + hamming candidate scan + exact rerank
+# ---------------------------------------------------------------------------
+
+_BQ_CAND = 50  # hamming candidates per query fed to the exact rerank
+
+
+def _sign_word(col: str, off: int) -> F.Column:
+    """Pack dims [off, off+32) of an array<float> into a 32-bit sign
+    bitmap held in a long: bit i set iff element > 0. Bits are distinct
+    powers of two, so the OR is written as a SUM — the same expression
+    shape the oracle generates, and fully codegen'd (no UDF)."""
+    word = F.lit(0).cast("long")
+    for i in range(32):
+        word = word + F.when(
+            F.element_at(F.col(col), off + i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0)).cast("long")
+    return word
+
+
+def _sql_sign_word(col: str, off: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {col}[{off + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(32)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def v_binary_quantize_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (the RaBitQ/BQ tier below int8 and PQ): 64-dim
+    float vectors compress to TWO 32-bit sign bitmaps (64 bits total —
+    a 32× storage cut vs float32); the corpus scan ranks by hamming
+    distance (xor + bit_count, whole-stage codegen), the top ``_BQ_CAND``
+    candidates per query are exact-cosine re-ranked, and the final top-k
+    is emitted with both distances.
+
+    Scale shape: the hamming pass reads 2 longs per row — at 100 TB the
+    candidate generation touches 16 bytes/vector instead of 256, and the
+    float embeddings are only consulted for candidate rows (same
+    candidate-keyed contract as ``v_pq_rerank_topk``). Per-query top-C is
+    a TakeOrderedAndProject shape via row_number over the bounded query
+    partition; ties break on vec_id both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coded = e.select(
+        "vec_id",
+        "embedding",
+        _sign_word("embedding", 0).alias("w0"),
+        _sign_word("embedding", 32).alias("w1"),
+    )
+    q = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+    )
+    w_q = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    cands = (
+        coded.crossJoin(F.broadcast(q))  # query set: bounded by contract
+        .select(
+            "query_id",
+            "vec_id",
+            ham.cast("int").alias("hamming"),
+            VX.cosine("embedding", "q_emb").alias("cosine"),
+        )
+        .withColumn("h_rank", F.row_number().over(w_q))
+        .filter(F.col("h_rank") <= _BQ_CAND)
+    )
+    w_c = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w_c))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "hamming", "cosine", "rank")
+    )
+
+
+V_BQ_RERANK_SQL = f"""
+WITH coded AS (
+  SELECT vec_id, embedding,
+         {_sql_sign_word('embedding', 0)} AS w0,
+         {_sql_sign_word('embedding', 32)} AS w1
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, w0 AS qw0, w1 AS qw1
+  FROM coded WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(bit_count(xor(c.w0, q.qw0)) + bit_count(xor(c.w1, q.qw1)) AS INTEGER) AS hamming,
+         {OQ.sql_cosine('c.embedding', 'q.q_emb', DIM)} AS cosine
+  FROM coded c CROSS JOIN q
+), cands AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS h_rank
+  FROM scored
+)
+SELECT query_id, vec_id, hamming, cosine, rank FROM (
+  SELECT query_id, vec_id, hamming, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM cands WHERE h_rank <= {_BQ_CAND}
+) WHERE rank <= {TOP_K}
+"""
+
+QUERIES["v_binary_quantize_rerank"] = v_binary_quantize_rerank
+ORACLE["v_binary_quantize_rerank"] = V_BQ_RERANK_SQL
