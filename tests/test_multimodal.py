@@ -387,3 +387,39 @@ def test_flesch_refiner_matches_query_expression(spark):
     )
     diff = out.alias("a").join(q.alias("b"), "doc_id").filter("a.fre <> b.fre")
     assert diff.count() == 0
+
+
+def test_jpeg_scrub_real_fixtures(spark):
+    """Scrub of genuine JPEGs: APPn/COM gone, dimensions still parse,
+    non-JPEG payloads pass through byte-identical, and the registry
+    operator exposes the same semantics."""
+    import os
+
+    from tests.make_image_fixtures import FIXTURES, OUT
+    from webscale_multimodal_datapipeline_spark.operators.registry import create
+
+    for name in FIXTURES:
+        b = open(os.path.join(OUT, name), "rb").read()
+        s = MM.jpeg_scrub_py(b)
+        if name.endswith(".jpg"):
+            assert len(s) <= len(b), name
+            # dims survive the scrub; no APP1..APP15 / COM markers remain
+            assert MM.parse_real_header(s) == MM.parse_real_header(b), name
+            i = 2
+            while i + 4 <= len(s) and s[i] == 0xFF:
+                marker = s[i + 1]
+                assert not (0xE1 <= marker <= 0xEF or marker == 0xFE), name
+                if marker == 0xDA or marker == 0xD9:
+                    break
+                i += 2 + int.from_bytes(s[i + 2 : i + 4], "big")
+        else:
+            assert s == b, name  # never touch what it cannot parse
+    # malformed input passes through unchanged
+    assert MM.jpeg_scrub_py(b"\xff\xd8\xff\xe1\x00") == b"\xff\xd8\xff\xe1\x00"
+    assert MM.jpeg_scrub_py(None) is None
+    # registry operator
+    jpg = open(os.path.join(OUT, "tiny_8x8_baseline.jpg"), "rb").read()
+    df = spark.createDataFrame([(1, jpg)], "id long, image_bytes binary")
+    row = create("jpeg_scrub_refiner").apply(df).collect()[0]
+    assert row.image_scrub_removed == len(jpg) - len(MM.jpeg_scrub_py(jpg))
+    assert bytes(row.image_scrubbed_bytes) == MM.jpeg_scrub_py(jpg)

@@ -54,6 +54,10 @@ SUBSET = [
     "g_bfs_hops",
     "v_binary_quantize_rerank",
     "p_snapshot_diff",
+    "t_bpe_merge_candidates",
+    "p_compaction_plan",
+    "v_embedding_drift",
+    "m_exif_scrub",
 ]
 
 

@@ -903,3 +903,85 @@ class PhashBlocklistFilter(Operator):
 
 def phash_blocklist_filter(**kw) -> PhashBlocklistFilter:
     return PhashBlocklistFilter(**kw)
+
+
+# ---------------------------------------------------------------------------
+# JPEG metadata scrub (EXIF/COM removal — PII hygiene for image corpora)
+# ---------------------------------------------------------------------------
+
+# Markers stripped by the scrubber: APP1-APP15 (EXIF, XMP, ICC, Photoshop
+# IRBs — everything that can carry GPS coordinates, serial numbers, or
+# editing history) and COM free-text comments. APP0 (JFIF) stays: it is
+# structural, not metadata.
+_JPEG_SCRUB_MARKERS = frozenset(range(0xE1, 0xF0)) | {0xFE}
+
+
+def jpeg_scrub_py(b: bytes | None) -> bytes | None:
+    """Strip metadata segments from a REAL JPEG byte stream by walking the
+    segment structure (the same pure-``struct`` discipline as
+    ``parse_real_header`` — no codec library): APP1-APP15 and COM
+    segments are dropped, every other segment is copied verbatim, and
+    everything from SOS onward (entropy-coded image data) passes through
+    untouched. Non-JPEG or malformed payloads are returned unchanged —
+    a scrubber must never destroy what it cannot parse.
+
+    Reference context: the reference pipelines re-encode via PIL, which
+    silently drops EXIF; at web scale the scrub must be an explicit,
+    byte-exact operator (re-encoding 10^10 images to lose a GPS tag is
+    absurd), so this is structural surgery on the original bytes."""
+    if b is None or len(b) < 4 or b[:3] != b"\xff\xd8\xff":
+        return b
+    out = bytearray(b[:2])
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            out += b[i:]
+            break
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            out.append(0xFF)
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7 or marker == 0xD9:
+            out += b[i : i + 2]
+            i += 2
+            continue
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > n:
+            out += b[i:]
+            break
+        if marker not in _JPEG_SCRUB_MARKERS:
+            out += b[i : i + 2 + seglen]
+        i += 2 + seglen
+        if marker == 0xDA:  # SOS: entropy-coded data follows
+            out += b[i:]
+            break
+    else:
+        if i < n:
+            out += b[i:]
+    return bytes(out)
+
+
+def jpeg_scrub_udf():
+    @pandas_udf(T.BinaryType())
+    def _scrub(data: pd.Series) -> pd.Series:
+        return data.map(jpeg_scrub_py)
+
+    return _scrub
+
+
+def jpeg_scrub_refiner(
+    bytes_col: str = "image_bytes", name: str = "jpeg_scrub_refiner"
+) -> RefinerOperator:
+    """Adds the scrubbed payload + bytes removed (metadata footprint)."""
+    scrubbed = jpeg_scrub_udf()(F.col(bytes_col))
+    return RefinerOperator(
+        name,
+        {
+            "image_scrubbed_bytes": scrubbed,
+            "image_scrub_removed": (
+                F.length(F.col(bytes_col)) - F.length(scrubbed)
+            ).cast("long"),
+        },
+    )

@@ -173,3 +173,4 @@ def _phash_blocklist_filter(**kw):
 
 
 register("phash_blocklist_filter", _phash_blocklist_filter)
+register("jpeg_scrub_refiner", _mm.jpeg_scrub_refiner)

@@ -660,3 +660,78 @@ FROM pairs WHERE hamming <= 16
 
 QUERIES["m_phash_near_dup"] = m_phash_near_dup
 ORACLE["m_phash_near_dup"] = M_PHASH_NEAR_DUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# JPEG metadata scrub (EXIF/COM removal)
+# ---------------------------------------------------------------------------
+
+
+def m_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene for image corpora: strip EXIF (APP1) and comment (COM)
+    segments from real JPEG byte streams, keeping pixels byte-identical.
+
+    The fixture is a STRUCTURALLY REAL JPEG built with codegen'd hex
+    expressions — SOI, JFIF APP0, an EXIF APP1 whose payload length is
+    keyed on doc_id, a COM segment, a genuine SOF0 carrying the
+    dimensions, EOI — so the scrub UDF exercises true segment walking
+    and the post-scrub metadata comes from the REAL header parser
+    (``parse_real_header``'s SOF scan), not the fake-byte path. The
+    oracle pins the closed-form byte accounting: every length both
+    engines report is a theorem about the segment structure.
+
+    Scale shape: construction + scrub + parse are all per-row (one
+    Arrow-batched UDF pass, no shuffle); the rollup is the only
+    exchange. At 100 TB the scrub streams: no decode, no re-encode,
+    output bytes ≤ input bytes."""
+    from webscale_multimodal_datapipeline_spark.operators.multimodal import (
+        image_metadata_refiner,
+        jpeg_scrub_udf,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 50 + 10  # EXIF payload bytes
+    c = F.col("doc_id") % 10 + 5  # COM payload bytes
+    w = F.col("doc_id") % 2000 + 8
+    h = F.col("doc_id") % 1000 + 8
+    hex4 = lambda x: F.lpad(F.hex(x.cast("bigint")), 4, "0")  # noqa: E731
+    jpeg_hex = F.concat(
+        F.lit("FFD8"),
+        F.lit("FFE000104A46494600010200000100010000"),  # APP0 JFIF (14-byte payload)
+        F.lit("FFE1"), hex4(k + 8), F.lit("457869660000"), F.repeat(F.lit("41"), k.cast("int")),
+        F.lit("FFFE"), hex4(c + 2), F.repeat(F.lit("42"), c.cast("int")),
+        F.lit("FFC00011") , F.lit("08"), hex4(h), hex4(w),
+        F.lit("03011100021100031100"),
+        F.lit("FFD9"),
+    )
+    img = d.select("doc_id", F.unhex(jpeg_hex).alias("image_bytes"))
+    scrubbed = img.select(
+        "doc_id",
+        F.length("image_bytes").alias("orig_len"),
+        jpeg_scrub_udf()(F.col("image_bytes")).alias("image_bytes"),
+    )
+    parsed = image_metadata_refiner(backend="fake").apply(scrubbed)
+    return parsed.select(
+        "doc_id",
+        "orig_len",
+        F.length("image_bytes").alias("scrubbed_len"),
+        (F.col("orig_len") - F.length("image_bytes")).alias("bytes_removed"),
+        "image_width",
+        "image_height",
+        "image_format",
+    )
+
+
+M_EXIF_SCRUB_SQL = """
+SELECT doc_id,
+       CAST(55 + (doc_id % 50 + 10) + (doc_id % 10 + 5) AS BIGINT) AS orig_len,
+       CAST(41 AS BIGINT) AS scrubbed_len,
+       CAST(14 + (doc_id % 50 + 10) + (doc_id % 10 + 5) AS BIGINT) AS bytes_removed,
+       CAST(doc_id % 2000 + 8 AS INTEGER) AS image_width,
+       CAST(doc_id % 1000 + 8 AS INTEGER) AS image_height,
+       'JPEG' AS image_format
+FROM documents
+"""
+
+QUERIES["m_exif_scrub"] = m_exif_scrub
+ORACLE["m_exif_scrub"] = M_EXIF_SCRUB_SQL

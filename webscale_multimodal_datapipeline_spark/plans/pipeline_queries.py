@@ -9,7 +9,7 @@ rejected side-output all have to be right for these to match.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from webscale_multimodal_datapipeline_spark.catalog import load_table
@@ -378,3 +378,68 @@ FROM joined GROUP BY source, change_type ORDER BY source, change_type
 
 QUERIES["p_snapshot_diff"] = p_snapshot_diff
 ORACLE["p_snapshot_diff"] = P_SNAPSHOT_DIFF_SQL
+
+
+# ---------------------------------------------------------------------------
+# Compaction plan (small-file bin packing)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 64_000  # target output-file payload, chars
+
+
+def p_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the write-side companion to the
+    parquet sink's compaction option, ``sources/sinks.py``): pack each
+    source's documents into contiguous ~64 KB output bins and report the
+    resulting file layout (bin count, per-bin payload, fill ratio).
+
+    Bin assignment is the deterministic streaming rule real compactors
+    use (Iceberg/Delta binpack by target-file-size): walk the source's
+    rows in key order, cut a new bin when the running payload passes the
+    target — expressed as ``floor(exclusive-prefix-sum / target)``, one
+    cumulative window per source partition. The final rollup is bounded
+    by |sources| × |bins|. No driver-side state; every source plans its
+    layout in parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.select(
+        "source",
+        "n_chars",
+        F.floor(
+            (F.sum("n_chars").over(w) - F.col("n_chars")) / F.lit(_COMPACT_TARGET)
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("payload_chars"),
+        )
+        .withColumn(
+            "fill_pct",
+            (F.col("payload_chars") * 100 / F.lit(_COMPACT_TARGET)).cast("bigint"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+P_COMPACTION_SQL = f"""
+WITH binned AS (
+  SELECT source, n_chars,
+         CAST(floor((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_chars) / {_COMPACT_TARGET}) AS BIGINT) AS bin
+  FROM documents
+)
+SELECT source, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS payload_chars,
+       CAST(SUM(n_chars) * 100 // {_COMPACT_TARGET} AS BIGINT) AS fill_pct
+FROM binned GROUP BY source, bin ORDER BY source, bin
+"""
+
+QUERIES["p_compaction_plan"] = p_compaction_plan
+ORACLE["p_compaction_plan"] = P_COMPACTION_SQL

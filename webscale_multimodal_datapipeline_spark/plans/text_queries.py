@@ -1430,3 +1430,66 @@ FROM cells
 
 QUERIES["t_label_agreement_kappa"] = t_label_agreement_kappa
 ORACLE["t_label_agreement_kappa"] = T_KAPPA_SQL
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate mining (tokenizer training, round 1)
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+
+def t_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first round of BPE tokenizer training: the top adjacent
+    character-pair merge candidates, weighted by corpus frequency
+    (Sennrich et al. 2016 §3 — each round merges the most frequent symbol
+    pair; round 1 over raw characters is fully SQL-expressible, later
+    rounds re-segment and are iterative).
+
+    Scale shape — the classic BPE trick: pair counting runs on the WORD
+    FREQUENCY table, not the token stream. The corpus-sized explode feeds
+    one (word)-keyed aggregate; the per-position pair explode then fans
+    out only |vocab| × word-length rows (orders of magnitude below corpus
+    scale), each weighted by the word's count. Top-k is bounded output
+    with (count desc, pair asc) total order."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(TX.tokens(F.lower("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = vocab.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOPK)
+    )
+
+
+T_BPE_SQL = f"""
+WITH vocab AS (
+  SELECT w, COUNT(*) AS wc
+  FROM (SELECT unnest({OQ.sql_tokens("lower(text)")}) AS w FROM documents)
+  GROUP BY w
+), pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
+  FROM (SELECT * FROM vocab WHERE length(w) >= 2), unnest(range(1, length(w))) AS t(i)
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {_BPE_TOPK}
+"""
+
+QUERIES["t_bpe_merge_candidates"] = t_bpe_merge_candidates
+ORACLE["t_bpe_merge_candidates"] = T_BPE_SQL

@@ -990,3 +990,97 @@ SELECT query_id, vec_id, hamming, cosine, rank FROM (
 
 QUERIES["v_binary_quantize_rerank"] = v_binary_quantize_rerank
 ORACLE["v_binary_quantize_rerank"] = V_BQ_RERANK_SQL
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitor (reference vs current snapshot)
+# ---------------------------------------------------------------------------
+
+
+def v_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift between a reference snapshot (even
+    vec_id) and the current one (odd vec_id) — the model/data-drift
+    monitor a production embedding pipeline runs per ingest batch: when a
+    label's centroid swings, the upstream encoder or source mix changed.
+
+    Deterministic-aggregation discipline: raw float element sums are
+    merge-order-dependent, so elements are first quantized to exact
+    fixed-point millis codes (``round(x*1000)`` — the ``v_quantize_int8``
+    rule at fixed scale), and the per-(label, dim) sums are exact
+    integers. Cosine is scale-invariant, so the centroid cosine equals
+    the cosine of the raw SUM vectors — no division ever enters the
+    accumulation, and the final float expression tree is identical in
+    both engines (bit-equal, no tolerance).
+
+    Scale shape: one posexplode (64× fanout of the embedding stream, the
+    standard dimension-pivot) into a (label, dim)-keyed exact aggregate,
+    then a |labels|-bounded rollup; decimal(38,0) dot/norm accumulators
+    hold |Σcode|² sums at any SF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.round(F.col("x").cast("double") * 1000).cast("long").alias("code"),
+    )
+    per_dim = codes.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("code")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("half") == 1, F.col("code")).otherwise(0)).alias("sb"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    dec = "decimal(38,0)"
+    agg = per_dim.groupBy("label").agg(
+        F.sum((F.col("sa") * F.col("sb")).cast(dec)).alias("dot"),
+        F.sum((F.col("sa") * F.col("sa")).cast(dec)).alias("n2a"),
+        F.sum((F.col("sb") * F.col("sb")).cast(dec)).alias("n2b"),
+        F.max("na").cast("long").alias("n_ref"),
+        F.max("nb").cast("long").alias("n_cur"),
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    )
+    return agg.select(
+        "label",
+        "n_ref",
+        "n_cur",
+        cos.alias("centroid_cosine"),
+        (cos < F.lit(0.99)).alias("drift_alarm"),
+    ).orderBy("label")
+
+
+V_DRIFT_SQL = """
+WITH codes AS (
+  SELECT label, vec_id % 2 AS half, i AS dim,
+         CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000) AS BIGINT) AS code
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+), per_dim AS (
+  SELECT label, dim,
+         SUM(CASE WHEN half = 0 THEN code ELSE 0 END) AS sa,
+         SUM(CASE WHEN half = 1 THEN code ELSE 0 END) AS sb,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS nb
+  FROM codes GROUP BY label, dim
+), agg AS (
+  SELECT label,
+         SUM(CAST(sa * sb AS DECIMAL(38,0))) AS dot,
+         SUM(CAST(sa * sa AS DECIMAL(38,0))) AS n2a,
+         SUM(CAST(sb * sb AS DECIMAL(38,0))) AS n2b,
+         CAST(MAX(na) AS BIGINT) AS n_ref,
+         CAST(MAX(nb) AS BIGINT) AS n_cur
+  FROM per_dim GROUP BY label
+)
+SELECT label, n_ref, n_cur,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))
+         AS centroid_cosine,
+       (CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))
+         < 0.99) AS drift_alarm
+FROM agg ORDER BY label
+"""
+
+QUERIES["v_embedding_drift"] = v_embedding_drift
+ORACLE["v_embedding_drift"] = V_DRIFT_SQL
