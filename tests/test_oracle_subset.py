@@ -58,6 +58,8 @@ SUBSET = [
     "p_compaction_plan",
     "v_embedding_drift",
     "m_exif_scrub",
+    "e_session_funnel_strict",
+    "u_crawl_frontier",
 ]
 
 

@@ -1011,3 +1011,107 @@ FROM credited GROUP BY event_type ORDER BY event_type
 
 QUERIES["e_attribution_credit"] = e_attribution_credit
 ORACLE["e_attribution_credit"] = E_ATTRIBUTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Strict-order session funnel
+# ---------------------------------------------------------------------------
+
+
+def e_session_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ORDER funnel view → click → purchase within a session: a
+    click only counts after the session's first view, a purchase only
+    after such a click (the match_recognize / sequential-funnel workload
+    — ``e_funnel`` reports unordered totals, this enforces progression).
+
+    Scale shape: sessionization (gap-cumsum) and BOTH progression flags
+    ride cumulative windows over the same (user)-ordered partition — one
+    sort, one WindowExec, no self-joins for the "first X after first Y"
+    chain (the naive form is two correlated as-of joins); the session
+    rollup and the single-row funnel reduce map-side. Output: session
+    counts per funnel stage + conversion in exact basis points (integer
+    DIV, bit-identical cross-engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.when(
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+        > SESSION_GAP_MIN * 60,
+        1,
+    ).otherwise(0)
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "event_type", gap.alias("_new")
+    ).withColumn("session_no", F.sum("_new").over(wc))
+    ws = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    wsc = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seen_view = F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(wsc)
+    staged = flagged.withColumn("_sv", seen_view).withColumn(
+        "_click_ok", F.when((F.col("event_type") == "click") & (F.col("_sv") == 1), 1).otherwise(0)
+    )
+    seen_click = F.max("_click_ok").over(wsc)
+    staged = staged.withColumn("_sc", seen_click).withColumn(
+        "_purchase_ok",
+        F.when((F.col("event_type") == "purchase") & (F.col("_sc") == 1), 1).otherwise(0),
+    )
+    sess = staged.groupBy("user_id", "session_no").agg(
+        F.max("_sv").alias("s1"),
+        F.max("_click_ok").alias("s2"),
+        F.max("_purchase_ok").alias("s3"),
+    )
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("s1").alias("n_view"),
+        F.sum("s2").alias("n_view_click"),
+        F.sum("s3").alias("n_view_click_purchase"),
+        F.expr("sum(s2) * 10000 div sum(s1)").alias("click_bps"),
+        F.expr("sum(s3) * 10000 div sum(s2)").alias("purchase_bps"),
+    )
+
+
+E_STRICT_FUNNEL_SQL = f"""
+WITH lagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM lagged
+), staged1 AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id, session_no ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv
+  FROM flagged
+), staged2 AS (
+  SELECT *,
+         CASE WHEN event_type = 'click' AND sv = 1 THEN 1 ELSE 0 END AS click_ok
+  FROM staged1
+), staged3 AS (
+  SELECT *,
+         CASE WHEN event_type = 'purchase'
+                   AND MAX(click_ok) OVER (
+                     PARTITION BY user_id, session_no ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              THEN 1 ELSE 0 END AS purchase_ok
+  FROM staged2
+), sess AS (
+  SELECT user_id, session_no,
+         MAX(sv) AS s1, MAX(click_ok) AS s2, MAX(purchase_ok) AS s3
+  FROM staged3 GROUP BY user_id, session_no
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(s1) AS BIGINT) AS n_view,
+       CAST(SUM(s2) AS BIGINT) AS n_view_click,
+       CAST(SUM(s3) AS BIGINT) AS n_view_click_purchase,
+       CAST(SUM(s2) * 10000 // SUM(s1) AS BIGINT) AS click_bps,
+       CAST(SUM(s3) * 10000 // SUM(s2) AS BIGINT) AS purchase_bps
+FROM sess
+"""
+
+QUERIES["e_session_funnel_strict"] = e_session_funnel_strict
+ORACLE["e_session_funnel_strict"] = E_STRICT_FUNNEL_SQL

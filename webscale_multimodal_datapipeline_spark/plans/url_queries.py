@@ -9,10 +9,12 @@ from (source, doc_id) — both engines build the identical string.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from webscale_multimodal_datapipeline_spark.catalog import load_table
+from webscale_multimodal_datapipeline_spark.functions import text as TX
+from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ
 
 BLOCKED_DOMAINS = ("src1.example.com", "badsite.org")
 _URL = "concat('https://www.', source, '.example.com/page/', CAST(doc_id AS VARCHAR))"
@@ -121,3 +123,64 @@ ORACLE = {
     "u_subdomain_walkup_filter": U_WALKUP_SQL,
     "u_blocklist_antijoin": U_ANTIJOIN_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier scheduling (politeness interleaving)
+# ---------------------------------------------------------------------------
+
+_FRONTIER_TOPN = 200
+
+
+def u_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling (the CommonCrawl-side
+    companion to S2: which URLs to fetch next): URLs are prioritized by a
+    quality score, but consecutive fetches must rotate across hosts —
+    no host may be hit twice before every other host with pending work
+    has been hit once (the per-host FIFO + round-robin discipline real
+    frontiers implement, e.g. Heritrix queues / Frontera).
+
+    The interleave is pure window algebra: rank URLs WITHIN each host by
+    score (per-host fetch order), then order globally by (round =
+    within-host rank, score desc) — one window over the host partition,
+    one bounded top-N. No queue state, no driver loop; every host's
+    queue is planned in parallel and the exchange carries (host, score,
+    id) triples only.
+
+    The score is the reference URLFilter's word-score inverted into a
+    priority (quality sources first, ``url_filter.py:255-282`` shape) —
+    here a deterministic hash-mix stands in for fetch-priority signals."""
+    df = _with_url(spark, sf_dir)
+    scored = df.select(
+        "doc_id",
+        domain_of("url").alias("host"),
+        (TX.md5_long("url") % 1000).alias("score"),
+    )
+    w_host = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("host_rank", F.row_number().over(w_host))
+        .orderBy("host_rank", F.desc("score"), F.asc("doc_id"))
+        .limit(_FRONTIER_TOPN)
+        .select("doc_id", "host", "score", "host_rank")
+    )
+
+
+U_FRONTIER_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         'www.' || source || '.example.com' AS host,
+         {OQ.sql_md5_long(_URL)} % 1000 AS score
+  FROM documents
+)
+SELECT doc_id, host, score, host_rank FROM (
+  SELECT doc_id, host, score,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY score DESC, doc_id ASC)
+           AS host_rank
+  FROM scored
+)
+ORDER BY host_rank, score DESC, doc_id ASC
+LIMIT {_FRONTIER_TOPN}
+"""
+
+QUERIES["u_crawl_frontier"] = u_crawl_frontier
+ORACLE["u_crawl_frontier"] = U_FRONTIER_SQL

@@ -1084,3 +1084,68 @@ FROM agg ORDER BY label
 
 QUERIES["v_embedding_drift"] = v_embedding_drift
 ORACLE["v_embedding_drift"] = V_DRIFT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Trained embedding classifier (FineWeb-Edu / DataComp filtering-model shape)
+# ---------------------------------------------------------------------------
+
+
+def v_trained_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-classifier TRAINING loop every modern corpus pipeline
+    runs (FineWeb-Edu's educational-value model, DataComp's fasttext
+    filters, the reference's offline MLP-head trainers,
+    ``models/image_aigc_detector/trainer.py``): fit a logistic-regression
+    head on a labeled seed split of the embedding space, score the
+    held-out split, and gate on held-out accuracy before the model is
+    allowed to filter the corpus.
+
+    Teacher labels are the deterministic linear rule ``v_mlp_score``
+    exposes (mlp_score > 0.5) — linearly separable, so a correct
+    distributed LBFGS must clear a 90% held-out accuracy floor by a wide
+    margin; the floor (not exact weights) is the pinned invariant, the
+    ``v_kmeans_clusters`` oracle pattern for iterative ML.
+
+    Scale shape: training is MLlib's treeAggregate (map-side gradient
+    combine, driver holds only the 64-dim coefficient vector); inference
+    is a broadcast-coefficient dot per row (map-only, no shuffle) — at
+    100 TB the scoring pass is embarrassingly parallel and the model is
+    bytes, the exact production layout for classifier-based filtering."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    lab = e.select(
+        "vec_id",
+        array_to_vector(VX.to_double_array("embedding")).alias("features"),
+        (VX.mlp_score("embedding", MLP_WEIGHTS, MLP_BIAS) > 0.5)
+        .cast("double")
+        .alias("label"),
+    )
+    train = lab.filter(F.col("vec_id") % 2 == 0)
+    test = lab.filter(F.col("vec_id") % 2 == 1)
+    model = LogisticRegression(maxIter=25, regParam=0.01).fit(train)
+    pred = model.transform(test)
+    agg = pred.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum((F.col("prediction") == F.col("label")).cast("long")).alias("n_correct"),
+        F.min("prediction").alias("pmin"),
+        F.max("prediction").alias("pmax"),
+    )
+    return agg.select(
+        F.col("n_test").cast("long").alias("n_test"),
+        (F.col("n_correct") * 10000 >= F.col("n_test") * 9000).alias("acc_floor_ok"),
+        ((F.col("pmin") >= 0) & (F.col("pmax") <= 1)).alias("pred_range_ok"),
+    )
+
+
+V_TRAINED_CLF_SQL = """
+SELECT CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       TRUE AS acc_floor_ok, TRUE AS pred_range_ok
+FROM embeddings
+"""
+
+QUERIES["v_trained_classifier"] = v_trained_classifier
+# iterative ML: the oracle pins held-out-accuracy/range invariants plus the
+# exact test-split cardinality, not the learned weights (v_kmeans pattern).
+ORACLE["v_trained_classifier"] = V_TRAINED_CLF_SQL
