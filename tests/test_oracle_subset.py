@@ -60,6 +60,9 @@ SUBSET = [
     "m_exif_scrub",
     "e_session_funnel_strict",
     "u_crawl_frontier",
+    "c_score_normalize",
+    "v_calibration_curve",
+    "d_dedup_savings",
 ]
 
 

@@ -514,3 +514,69 @@ GROUP BY 1
 
 QUERIES["c_curriculum_export"] = c_curriculum_export
 ORACLE["c_curriculum_export"] = C_CURRICULUM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Cross-source score calibration
+# ---------------------------------------------------------------------------
+
+
+def c_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: raw quality scores are not
+    comparable across sources (each crawl/source has its own score
+    distribution), so a global threshold over raw scores over- or
+    under-selects entire sources. The fix every mixed-corpus pipeline
+    applies: replace the raw score with its WITHIN-SOURCE percentile
+    (percent_rank), making one global cutoff mean "top X% of each
+    source". Emitted as exact basis points (``floor`` of the rank ratio
+    — percent_rank's (rank-1)/(n-1) float is identical in both engines
+    only when computed as one division; we pin the integer form).
+
+    Scale shape: one window sort per source partition — the same
+    exchange the per-source quantile filter already pays; no global
+    sort, no driver percentiles. Output: per (source, calibrated-decile)
+    counts (bounded |sources| × 10) + each source's raw-score spread, the
+    audit that shows WHY calibration is needed."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    score = F.round(TX.quality_score("text").cast("double"), 9)
+    ws = W.partitionBy("source").orderBy(F.asc("score"), F.asc("doc_id"))
+    scored = d.select("doc_id", "source", score.alias("score"))
+    ranked = scored.withColumn("rnk", F.row_number().over(ws)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("source"))
+    )
+    caldec = F.least(F.expr("(rnk - 1) * 10 div n"), F.lit(9))
+    return (
+        ranked.groupBy("source", caldec.alias("cal_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("score"), 6).alias("decile_min_score"),
+            F.round(F.max("score"), 6).alias("decile_max_score"),
+        )
+        .orderBy("source", "cal_decile")
+    )
+
+
+C_SCORE_NORM_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         ROUND(CAST({OQ.sql_quality_score('text')} AS DOUBLE), 9) AS score
+  FROM documents
+), ranked AS (
+  SELECT source, score,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score ASC, doc_id ASC) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scored
+)
+SELECT source,
+       LEAST((rnk - 1) * 10 // n, 9) AS cal_decile,
+       COUNT(*) AS n_docs,
+       ROUND(MIN(score), 6) AS decile_min_score,
+       ROUND(MAX(score), 6) AS decile_max_score
+FROM ranked GROUP BY source, LEAST((rnk - 1) * 10 // n, 9)
+ORDER BY source, cal_decile
+"""
+
+QUERIES["c_score_normalize"] = c_score_normalize
+ORACLE["c_score_normalize"] = C_SCORE_NORM_SQL

@@ -1083,3 +1083,69 @@ WHERE ns * 1.0 / LEAST(a.n, b.n) >= {_CONTAIN_T}
 
 QUERIES["d_containment_pairs"] = d_containment_pairs
 ORACLE["d_containment_pairs"] = D_CONTAINMENT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings accounting (token-budget audit)
+# ---------------------------------------------------------------------------
+
+
+def d_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What did dedup buy? Per source: documents and whitespace tokens
+    before vs after exact dedup (min-doc_id winner over the normalized
+    text key), plus savings in exact basis points — the accounting table
+    a corpus release publishes next to its dedup method (Lee et al. §6
+    report exactly this per-corpus table).
+
+    Scale shape: token counts ride the SAME aggregate as the dedup
+    winner decision — one window over the key partition annotates the
+    winner, then a single per-source conditional rollup; no second scan
+    of the corpus and no join between the before/after sides (they are
+    conditional sums of one annotated stream). Output bounded by
+    |sources|."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(
+        F.concat_ws("|", F.col("source"), TX.normalize_text("text"))
+    ).orderBy("doc_id")
+    ann = d.select(
+        "source",
+        TX.token_count("text").alias("toks"),
+        (F.row_number().over(w) == 1).cast("long").alias("keep"),
+    )
+    return (
+        ann.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_before"),
+            F.sum("keep").alias("docs_after"),
+            F.sum("toks").alias("toks_before"),
+            F.sum(F.col("toks") * F.col("keep")).alias("toks_after"),
+        )
+        .withColumn(
+            "tok_savings_bps",
+            F.expr("(toks_before - toks_after) * 10000 div toks_before"),
+        )
+        .orderBy("source")
+    )
+
+
+D_SAVINGS_SQL = f"""
+WITH ann AS (
+  SELECT source,
+         {OQ.sql_token_count('text')} AS toks,
+         CASE WHEN ROW_NUMBER() OVER (
+             PARTITION BY concat_ws('|', source, {OQ.sql_norm('text')})
+             ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS docs_before,
+       CAST(SUM(keep) AS BIGINT) AS docs_after,
+       CAST(SUM(toks) AS BIGINT) AS toks_before,
+       CAST(SUM(toks * keep) AS BIGINT) AS toks_after,
+       CAST((SUM(toks) - SUM(toks * keep)) * 10000 // SUM(toks) AS BIGINT)
+         AS tok_savings_bps
+FROM ann GROUP BY source ORDER BY source
+"""
+
+QUERIES["d_dedup_savings"] = d_dedup_savings
+ORACLE["d_dedup_savings"] = D_SAVINGS_SQL

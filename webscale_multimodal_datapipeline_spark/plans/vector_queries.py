@@ -1149,3 +1149,79 @@ QUERIES["v_trained_classifier"] = v_trained_classifier
 # iterative ML: the oracle pins held-out-accuracy/range invariants plus the
 # exact test-split cardinality, not the learned weights (v_kmeans pattern).
 ORACLE["v_trained_classifier"] = V_TRAINED_CLF_SQL
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration curve (reliability diagram)
+# ---------------------------------------------------------------------------
+
+
+def v_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the linear scoring head (``v_mlp_score``):
+    rank rows by score into deciles and compare each decile's mean score
+    against its empirical positive rate — the calibration audit run
+    before a classifier threshold is allowed to gate a corpus (a model
+    can rank well and still be mis-calibrated; thresholds assume
+    calibration).
+
+    Determinism discipline: scores are quantized to exact micros codes
+    (``round(score*1e6)``) before any cross-row aggregation, so decile
+    mean = integer sum DIV count (bit-identical), and the "positive"
+    ground truth is the deterministic teacher rule at a DIFFERENT
+    threshold (0.6) than the score bucketing — deciles are formed by
+    row_number over (code, vec_id), no ntile float edges.
+
+    Scale shape: one global sort for the decile ranking expressed as a
+    single window (at 100 TB this becomes range-partitioned sort, the
+    same shape as ``t_tokenize_ids``'s distributed rank); the rollup is
+    10 rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    score = VX.mlp_score("embedding", MLP_WEIGHTS, MLP_BIAS)
+    coded = e.select(
+        "vec_id",
+        F.round(score.cast("double") * 1_000_000).cast("long").alias("code"),
+        (VX.mlp_score("embedding", MLP_WEIGHTS, MLP_BIAS) > 0.6)
+        .cast("long")
+        .alias("pos"),
+    )
+    w = Window.orderBy("code", "vec_id")
+    wn = Window.partitionBy(F.lit(1))
+    ranked = coded.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    dec = F.least(F.expr("(rnk - 1) * 10 div n"), F.lit(9))
+    return (
+        ranked.groupBy(dec.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("code").alias("sum_score_micros"),  # exact; mean = sum/n, and
+            # integer DIV of a possibly-negative sum truncates in Spark but
+            # floors in DuckDB — the sum avoids the divergence class entirely
+            F.expr("sum(pos) * 10000 div count(1)").alias("positive_bps"),
+        )
+        .orderBy("decile")
+    )
+
+
+V_CALIBRATION_SQL = f"""
+WITH coded AS (
+  SELECT vec_id,
+         CAST(round(CAST({OQ.sql_mlp_score('embedding', MLP_WEIGHTS, MLP_BIAS)} AS DOUBLE) * 1000000) AS BIGINT) AS code,
+         CASE WHEN {OQ.sql_mlp_score('embedding', MLP_WEIGHTS, MLP_BIAS)} > 0.6 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+), ranked AS (
+  SELECT code, pos,
+         ROW_NUMBER() OVER (ORDER BY code, vec_id) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM coded
+)
+SELECT LEAST((rnk - 1) * 10 // n, 9) AS decile,
+       COUNT(*) AS n_rows,
+       CAST(SUM(code) AS BIGINT) AS sum_score_micros,
+       CAST(SUM(pos) * 10000 // COUNT(*) AS BIGINT) AS positive_bps
+FROM ranked GROUP BY LEAST((rnk - 1) * 10 // n, 9)
+ORDER BY decile
+"""
+
+QUERIES["v_calibration_curve"] = v_calibration_curve
+ORACLE["v_calibration_curve"] = V_CALIBRATION_SQL
