@@ -71,6 +71,11 @@ BENCH_QUERIES = (
     "e_concurrency_sweep",
     "x_grouping_sets",
     "x_countmin_topk",
+    # round 4 session-2 additions
+    "e_attribution_credit",
+    "d_dedup_savings",
+    "g_bfs_hops",
+    "v_binary_quantize_rerank",
 )
 
 

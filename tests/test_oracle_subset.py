@@ -63,6 +63,7 @@ SUBSET = [
     "c_score_normalize",
     "v_calibration_curve",
     "d_dedup_savings",
+    "x_mode_median",
 ]
 
 

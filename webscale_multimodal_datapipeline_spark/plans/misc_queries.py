@@ -1043,3 +1043,76 @@ FROM cum GROUP BY l_suppkey
 
 QUERIES["x_weighted_median"] = x_weighted_median
 ORACLE["x_weighted_median"] = X_WEIGHTED_MEDIAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Native median + deterministic mode
+# ---------------------------------------------------------------------------
+
+
+def x_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation central-tendency profile: exact interpolated ``median``
+    (the native aggregate — percentile(0.5), avg-of-middle-two on even
+    counts, identical interpolation in DuckDB) plus the deterministic
+    MODE of the market segment (most frequent; ties broken to the
+    lexicographically smallest — native ``mode()`` is tie-arbitrary in
+    both engines, so the deterministic form is a count rollup + one
+    row_number over the tiny (nation, segment) table, the
+    ``x_argmax_agg`` discipline).
+
+    Scale shape: median is one partial-aggregatable pass per nation key;
+    the mode rollup's window runs on a |nations|×|segments| table —
+    bounded, never data-scale."""
+    c = load_table(spark, sf_dir, "customer")
+    med = c.groupBy("c_nationkey").agg(
+        F.median("c_acctbal").alias("median_acctbal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    seg_counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("cnt"), F.asc("c_mktsegment")
+    )
+    mode = (
+        seg_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"))
+    )
+    return (
+        med.join(mode, "c_nationkey")
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "n_customers",
+            F.round("median_acctbal", 4).alias("median_acctbal"),
+            "mode_segment",
+        )
+        .orderBy("nationkey")
+    )
+
+
+X_MODE_MEDIAN_SQL = """
+WITH med AS (
+  SELECT c_nationkey, MEDIAN(c_acctbal) AS median_acctbal,
+         COUNT(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+), seg AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+), mode AS (
+  SELECT c_nationkey, c_mktsegment AS mode_segment
+  FROM (
+    SELECT c_nationkey, c_mktsegment,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                              ORDER BY cnt DESC, c_mktsegment ASC) AS rn
+    FROM seg
+  ) WHERE rn = 1
+)
+SELECT CAST(med.c_nationkey AS BIGINT) AS nationkey, n_customers,
+       ROUND(median_acctbal, 4) AS median_acctbal, mode_segment
+FROM med JOIN mode ON med.c_nationkey = mode.c_nationkey
+ORDER BY nationkey
+"""
+
+QUERIES["x_mode_median"] = x_mode_median
+ORACLE["x_mode_median"] = X_MODE_MEDIAN_SQL
