@@ -264,6 +264,24 @@ def image_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         ),
     )
     measure("phash_100k", MM.phash_dedup(imgs))
+    # JPEG metadata scrub (real segment-walking surgery over structurally
+    # real synthetic JPEGs — reference image ops run 1.5-27K rec/s)
+    from webscale_multimodal_datapipeline_spark.plans.multimodal_queries import (
+        synthetic_jpeg_bytes,
+    )
+
+    jpegs = (
+        imgs.select("doc_id", synthetic_jpeg_bytes("doc_id").alias("image_bytes"))
+        .persist()
+    )
+    jpegs.count()
+    measure(
+        "jpeg_scrub_100k",
+        jpegs.select(MM.jpeg_scrub_udf()(F.col("image_bytes")).alias("b")).filter(
+            F.length("b") == 41
+        ),
+    )
+    jpegs.unpersist()
     measure("resize_100k", MM.image_resize_refiner().apply(imgs).filter(
         F.length("image_resized_bytes") == 16
     ))

@@ -667,6 +667,30 @@ ORACLE["m_phash_near_dup"] = M_PHASH_NEAR_DUP_SQL
 # ---------------------------------------------------------------------------
 
 
+def synthetic_jpeg_bytes(doc_id_col: str) -> F.Column:
+    """STRUCTURALLY REAL JPEG built from codegen'd hex: SOI, JFIF APP0,
+    an EXIF APP1 with doc_id-keyed payload length, a COM segment, a
+    genuine SOF0 carrying doc_id-derived dimensions, EOI. Total length
+    has the closed form 55 + (id%50+10) + (id%10+5); post-scrub 41."""
+    did = F.col(doc_id_col)
+    k = did % 50 + 10  # EXIF payload bytes
+    c = did % 10 + 5  # COM payload bytes
+    w = did % 2000 + 8
+    h = did % 1000 + 8
+    hex4 = lambda x: F.lpad(F.hex(x.cast("bigint")), 4, "0")  # noqa: E731
+    return F.unhex(
+        F.concat(
+            F.lit("FFD8"),
+            F.lit("FFE000104A46494600010200000100010000"),  # APP0 JFIF (14-byte payload)
+            F.lit("FFE1"), hex4(k + 8), F.lit("457869660000"), F.repeat(F.lit("41"), k.cast("int")),
+            F.lit("FFFE"), hex4(c + 2), F.repeat(F.lit("42"), c.cast("int")),
+            F.lit("FFC00011"), F.lit("08"), hex4(h), hex4(w),
+            F.lit("03011100021100031100"),
+            F.lit("FFD9"),
+        )
+    )
+
+
 def m_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII hygiene for image corpora: strip EXIF (APP1) and comment (COM)
     segments from real JPEG byte streams, keeping pixels byte-identical.
@@ -690,21 +714,7 @@ def m_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    k = F.col("doc_id") % 50 + 10  # EXIF payload bytes
-    c = F.col("doc_id") % 10 + 5  # COM payload bytes
-    w = F.col("doc_id") % 2000 + 8
-    h = F.col("doc_id") % 1000 + 8
-    hex4 = lambda x: F.lpad(F.hex(x.cast("bigint")), 4, "0")  # noqa: E731
-    jpeg_hex = F.concat(
-        F.lit("FFD8"),
-        F.lit("FFE000104A46494600010200000100010000"),  # APP0 JFIF (14-byte payload)
-        F.lit("FFE1"), hex4(k + 8), F.lit("457869660000"), F.repeat(F.lit("41"), k.cast("int")),
-        F.lit("FFFE"), hex4(c + 2), F.repeat(F.lit("42"), c.cast("int")),
-        F.lit("FFC00011") , F.lit("08"), hex4(h), hex4(w),
-        F.lit("03011100021100031100"),
-        F.lit("FFD9"),
-    )
-    img = d.select("doc_id", F.unhex(jpeg_hex).alias("image_bytes"))
+    img = d.select("doc_id", synthetic_jpeg_bytes("doc_id").alias("image_bytes"))
     scrubbed = img.select(
         "doc_id",
         F.length("image_bytes").alias("orig_len"),
