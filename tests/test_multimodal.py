@@ -417,6 +417,14 @@ def test_jpeg_scrub_real_fixtures(spark):
     # malformed input passes through unchanged
     assert MM.jpeg_scrub_py(b"\xff\xd8\xff\xe1\x00") == b"\xff\xd8\xff\xe1\x00"
     assert MM.jpeg_scrub_py(None) is None
+    # all-or-nothing: a truncated APP1 whose declared length overruns the
+    # buffer must return the ORIGINAL bytes (never a half-scrubbed file
+    # that reports success while partial EXIF survives)
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe\x00\x05BBB"
+    trunc_app1 = b"\xff\xe1\x0f\xffExif\x00\x00GPSDATA"  # claims 4095, has 13
+    truncated = b"\xff\xd8" + app0 + com + trunc_app1
+    assert MM.jpeg_scrub_py(truncated) == truncated
     # registry operator
     jpg = open(os.path.join(OUT, "tiny_8x8_baseline.jpg"), "rb").read()
     df = spark.createDataFrame([(1, jpg)], "id long, image_bytes binary")

@@ -263,8 +263,11 @@ def test_orc_round_trip_and_dispatch(spark, tmp_path):
     back = read_dataset(spark, out, pattern="*.orc")
     assert back.count() == 100
     assert {f.name for f in back.schema} == {"id", "grp", "s"}
+    import re
+
     plan = back.filter("grp = 3")._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters" not in plan or "grp" in plan  # ORC scan pushes predicates
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "grp" in m.group(1), f"ORC scan did not push the grp filter: {m}"
 
 
 def test_parquet_merge_schema_evolution(spark, tmp_path):

@@ -936,8 +936,10 @@ def jpeg_scrub_py(b: bytes | None) -> bytes | None:
     n = len(b)
     while i + 4 <= n:
         if b[i] != 0xFF:
-            out += b[i:]
-            break
+            # structural violation mid-walk: all-or-nothing — a
+            # half-scrubbed file would report success while metadata
+            # (possibly the EXIF we exist to remove) survives downstream
+            return b
         marker = b[i + 1]
         if marker == 0xFF:  # fill byte
             out.append(0xFF)
@@ -949,8 +951,10 @@ def jpeg_scrub_py(b: bytes | None) -> bytes | None:
             continue
         seglen = int.from_bytes(b[i + 2 : i + 4], "big")
         if seglen < 2 or i + 2 + seglen > n:
-            out += b[i:]
-            break
+            # truncated/corrupt segment (e.g. an APP1 whose declared
+            # length overruns a mid-download truncation): same
+            # all-or-nothing rule — return the input verbatim
+            return b
         if marker not in _JPEG_SCRUB_MARKERS:
             out += b[i : i + 2 + seglen]
         i += 2 + seglen

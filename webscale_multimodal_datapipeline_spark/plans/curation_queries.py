@@ -526,11 +526,11 @@ def c_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparable across sources (each crawl/source has its own score
     distribution), so a global threshold over raw scores over- or
     under-selects entire sources. The fix every mixed-corpus pipeline
-    applies: replace the raw score with its WITHIN-SOURCE percentile
-    (percent_rank), making one global cutoff mean "top X% of each
-    source". Emitted as exact basis points (``floor`` of the rank ratio
-    — percent_rank's (rank-1)/(n-1) float is identical in both engines
-    only when computed as one division; we pin the integer form).
+    applies: replace the raw score with its WITHIN-SOURCE rank bucket
+    (here deciles via ``(row_number-1)*10 div n`` — the exact-integer
+    stand-in for percent_rank, whose (rank-1)/(n-1) float would need
+    identical division trees in both engines), making one global cutoff
+    mean "top X% of each source".
 
     Scale shape: one window sort per source partition — the same
     exchange the per-source quantile filter already pays; no global

@@ -927,15 +927,17 @@ def v_binary_quantize_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     a TakeOrderedAndProject shape via row_number over the bounded query
     partition; ties break on vec_id both engines."""
     e = load_table(spark, sf_dir, "embeddings")
+    # the corpus-wide pass reads ONLY the two sign words per row — the
+    # float embedding column must not appear below the candidate filter
+    # (projecting it there would make the scan read 256 bytes/row and
+    # compute a 64-dim cosine for every pair; see v_pq_rerank_topk)
     coded = e.select(
         "vec_id",
-        "embedding",
         _sign_word("embedding", 0).alias("w0"),
         _sign_word("embedding", 32).alias("w1"),
     )
     q = coded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
         F.col("w0").alias("qw0"),
         F.col("w1").alias("qw1"),
     )
@@ -946,18 +948,29 @@ def v_binary_quantize_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_q = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
     cands = (
         coded.crossJoin(F.broadcast(q))  # query set: bounded by contract
-        .select(
-            "query_id",
-            "vec_id",
-            ham.cast("int").alias("hamming"),
-            VX.cosine("embedding", "q_emb").alias("cosine"),
-        )
+        .select("query_id", "vec_id", ham.cast("int").alias("hamming"))
         .withColumn("h_rank", F.row_number().over(w_q))
         .filter(F.col("h_rank") <= _BQ_CAND)
     )
+    # exact metric for candidate rows ONLY: candidate-keyed join back to
+    # the float vectors (|queries|·C rows), then the query-side vector
+    # joins in from the bounded query set
+    q_emb = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    rescored = (
+        cands.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            VX.cosine("embedding", "q_emb").alias("cosine"),
+        )
+    )
     w_c = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        cands.withColumn("rank", F.row_number().over(w_c))
+        rescored.withColumn("rank", F.row_number().over(w_c))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "hamming", "cosine", "rank")
     )
@@ -1033,11 +1046,17 @@ def v_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("nb"),
     )
+    # cast BEFORE the multiply: |Σcode| can exceed 3e9 at billions of rows
+    # per label, so an int64 product would silently wrap in Spark (and
+    # error in DuckDB) — decimal(19,0)×decimal(19,0) promotes to a wide
+    # decimal product instead
+    dec19 = "decimal(19,0)"
+    sa, sb = F.col("sa").cast(dec19), F.col("sb").cast(dec19)
     dec = "decimal(38,0)"
     agg = per_dim.groupBy("label").agg(
-        F.sum((F.col("sa") * F.col("sb")).cast(dec)).alias("dot"),
-        F.sum((F.col("sa") * F.col("sa")).cast(dec)).alias("n2a"),
-        F.sum((F.col("sb") * F.col("sb")).cast(dec)).alias("n2b"),
+        F.sum((sa * sb).cast(dec)).alias("dot"),
+        F.sum((sa * sa).cast(dec)).alias("n2a"),
+        F.sum((sb * sb).cast(dec)).alias("n2b"),
         F.max("na").cast("long").alias("n_ref"),
         F.max("nb").cast("long").alias("n_cur"),
     )
@@ -1067,9 +1086,9 @@ WITH codes AS (
   FROM codes GROUP BY label, dim
 ), agg AS (
   SELECT label,
-         SUM(CAST(sa * sb AS DECIMAL(38,0))) AS dot,
-         SUM(CAST(sa * sa AS DECIMAL(38,0))) AS n2a,
-         SUM(CAST(sb * sb AS DECIMAL(38,0))) AS n2b,
+         SUM(CAST(CAST(sa AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS dot,
+         SUM(CAST(CAST(sa AS DECIMAL(19,0)) * CAST(sa AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS n2a,
+         SUM(CAST(CAST(sb AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS n2b,
          CAST(MAX(na) AS BIGINT) AS n_ref,
          CAST(MAX(nb) AS BIGINT) AS n_cur
   FROM per_dim GROUP BY label
@@ -1171,10 +1190,12 @@ def v_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (0.6) than the score bucketing — deciles are formed by
     row_number over (code, vec_id), no ntile float edges.
 
-    Scale shape: one global sort for the decile ranking expressed as a
-    single window (at 100 TB this becomes range-partitioned sort, the
-    same shape as ``t_tokenize_ids``'s distributed rank); the rollup is
-    10 rows."""
+    Scale shape: the global rank uses the range-repartition +
+    broadcast-offset pattern (``t_tokenize_ids`` / ``x_acctbal_deciles``
+    — partition ids are globally ordered by the sort key, ranks are
+    local, tiny per-partition offsets are added back), NOT an
+    unpartitioned window (which moves the whole corpus to one task);
+    the rollup is 10 rows."""
     e = load_table(spark, sf_dir, "embeddings")
     score = VX.mlp_score("embedding", MLP_WEIGHTS, MLP_BIAS)
     coded = e.select(
@@ -1184,10 +1205,24 @@ def v_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pos"),
     )
-    w = Window.orderBy("code", "vec_id")
-    wn = Window.partitionBy(F.lit(1))
-    ranked = coded.withColumn("rnk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    num_parts = 32
+    ranged = coded.repartitionByRange(
+        num_parts, F.col("code").asc(), F.col("vec_id").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    hist = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offs = (
+        hist.alias("l")
+        .join(hist.alias("r"), F.col("r._pid") < F.col("l._pid"), "left")
+        .groupBy(F.col("l._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("r._cnt"), F.lit(0)).alias("_off"))
+    )
+    total = hist.agg(F.sum("_cnt").alias("n"))
+    wl = Window.partitionBy("_pid").orderBy("code", "vec_id")
+    ranked = (
+        ranged.withColumn("_lr", F.row_number().over(wl))
+        .join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.col("_off") + F.col("_lr"))
     )
     dec = F.least(F.expr("(rnk - 1) * 10 div n"), F.lit(9))
     return (
