@@ -64,6 +64,8 @@ SUBSET = [
     "v_calibration_curve",
     "d_dedup_savings",
     "x_mode_median",
+    "d_threshold_sweep",
+    "d_cross_source_overlap",
 ]
 
 

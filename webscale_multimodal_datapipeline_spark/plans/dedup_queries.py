@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from webscale_multimodal_datapipeline_spark.catalog import load_table
 from webscale_multimodal_datapipeline_spark.functions import text as TX
+from webscale_multimodal_datapipeline_spark.functions import vectors as VX
 from webscale_multimodal_datapipeline_spark.operators import dedup as OD
 from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ
 
@@ -1149,3 +1150,150 @@ FROM ann GROUP BY source ORDER BY source
 
 QUERIES["d_dedup_savings"] = d_dedup_savings
 ORACLE["d_dedup_savings"] = D_SAVINGS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Cosine dedup threshold sweep
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (0.80, 0.85, 0.90, 0.95)
+
+
+def d_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How aggressive should semantic dedup be? The threshold-selection
+    audit: for each candidate cosine threshold, how many embeddings
+    would be dropped (have a higher-priority near-neighbor ≥ t in their
+    LSH bucket) and the implied survivor count — computed from ONE
+    bucket-join pass with per-threshold conditional aggregation, not one
+    dedup run per threshold.
+
+    Scale shape: the pairwise cosine evaluates once per same-bucket pair
+    (the d_cosine_dedup candidate set); thresholds are CASE flags over
+    that single pair stream, so sweeping 4 thresholds costs the same
+    shuffle as sweeping one. Output: 4 rows."""
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        hyperplane_bucket,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "embedding", hyperplane_bucket("embedding", 64).alias("bucket")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.vec_id") > F.col("r.vec_id")),
+    ).select(
+        F.col("l.vec_id").alias("vid"),
+        VX.cosine(F.col("l.embedding"), F.col("r.embedding")).alias("cos"),
+    )
+    n_total = e.count()
+    per_vid = pairs.groupBy("vid").agg(F.max("cos").alias("max_cos"))
+    rows = [
+        per_vid.agg(
+            F.lit(int(t * 100)).alias("threshold_pct"),
+            F.sum((F.col("max_cos") >= t).cast("long")).alias("n_dropped"),
+            (F.lit(n_total) - F.sum((F.col("max_cos") >= t).cast("long"))).alias(
+                "n_survivors"
+            ),
+        )
+        for t in _SWEEP_THRESHOLDS
+    ]
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("threshold_pct")
+
+
+_SWEEP_ARMS = "\nUNION ALL\n".join(
+    f"""SELECT {int(t * 100)} AS threshold_pct,
+       CAST(SUM(CASE WHEN max_cos >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST((SELECT COUNT(*) FROM embeddings)
+            - SUM(CASE WHEN max_cos >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+FROM per_vid"""
+    for t in _SWEEP_THRESHOLDS
+)
+
+D_SWEEP_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {OQ.sql_hyperplane_bucket('embedding', 64)} AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT l.vec_id AS vid,
+         {OQ.sql_cosine('l.embedding', 'r.embedding', 64)} AS cos
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id > r.vec_id
+), per_vid AS (
+  SELECT vid, MAX(cos) AS max_cos FROM pairs GROUP BY vid
+)
+{_SWEEP_ARMS}
+ORDER BY threshold_pct
+"""
+
+QUERIES["d_threshold_sweep"] = d_threshold_sweep
+ORACLE["d_threshold_sweep"] = D_SWEEP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def d_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus forensics: which SOURCES duplicate each other? For every
+    source pair (a < b), the number of distinct 3-word shingle hashes
+    they share — the matrix that catches a mirror site, a re-crawled
+    feed, or a dataset assembled twice under different names (the
+    between-source analog of ``d_split_leakage_audit``).
+
+    Scale shape: the corpus stream reduces to DISTINCT (source, hash)
+    BEFORE any pairing (hashes carried as 64-bit ints, never strings —
+    the d_ngram_dup_mass lesson); the self-join runs on the hash key and
+    its fanout per hash is |sources having it| ≤ |sources| — bounded,
+    never quadratic in documents. Output ≤ |sources|² rows."""
+    from webscale_multimodal_datapipeline_spark.functions.text import word_shingles
+    from webscale_multimodal_datapipeline_spark.operators.dedup import shingle_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    # tokens MATERIALIZED as a column before word_shingles — inlining the
+    # tokenize expression re-evaluates the split per element_at inside the
+    # shingle lambda (the 50x trap word_shingles documents; measured 19.6s
+    # -> 1.8s for the distinct at sf0.1)
+    toks = d.withColumn("_t", TX.norm_tokens("text"))
+    sh = (
+        toks.select(
+            "source",
+            F.explode(
+                shingle_hashes(word_shingles("text", toks=F.col("_t")))
+            ).alias("h"),
+        )
+        .distinct()
+        # referenced on BOTH join sides: materialize once (the g_pagerank
+        # reused-subtree policy) so the corpus explode+distinct runs once
+        .localCheckpoint(eager=True)
+    )
+    a, bb = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(bb, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+D_CROSS_SOURCE_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT source, h
+  FROM (
+    SELECT source, unnest({OQ.sql_shingle_hashes(OQ.sql_shingles_from_tokens('t'))}) AS h
+    FROM (SELECT source, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t FROM documents)
+  )
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_shingles
+FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""
+
+QUERIES["d_cross_source_overlap"] = d_cross_source_overlap
+ORACLE["d_cross_source_overlap"] = D_CROSS_SOURCE_SQL
