@@ -66,6 +66,9 @@ SUBSET = [
     "x_mode_median",
     "d_threshold_sweep",
     "d_cross_source_overlap",
+    "x_benford_audit",
+    "x_correlation",
+    "v_mmr_diverse_topk",
 ]
 
 

@@ -1116,3 +1116,149 @@ ORDER BY nationkey
 
 QUERIES["x_mode_median"] = x_mode_median
 ORACLE["x_mode_median"] = X_MODE_MEDIAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+def x_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    data-quality screen for fabricated or truncated numeric columns
+    (synthetic generators and unit bugs rarely reproduce the log
+    distribution). Emits per-digit observed counts, observed share in
+    exact basis points, and the Benford expectation log10(1+1/d) rounded
+    to 4 dp — the reviewer compares columns, no chi-square verdict is
+    baked in (sample-size policy belongs to the caller).
+
+    Scale shape: one map-side-combinable aggregate over a 9-value key;
+    the first digit comes from string math (no float log in the hot
+    path). Bounded 9-row output."""
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.regexp_replace(F.col("o_totalprice").cast("string"), r"[^1-9]", ""), 1, 1)
+    counts = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    expected = {str(d): round(math.log10(1 + 1 / d), 4) for d in range(1, 10)}
+    exp_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in expected.items() for x in kv]),
+        F.col("digit"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 10000 div tot").alias("observed_bps"),
+            exp_col.alias("benford_expected"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_MAP = ", ".join(
+    f"('{d}', {round(__import__('math').log10(1 + 1 / d), 4)})" for d in range(1, 10)
+)
+
+X_BENFORD_SQL = f"""
+WITH counts AS (
+  SELECT substr(regexp_replace(CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS digit,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+), total AS (SELECT SUM(n) AS tot FROM counts),
+exp_map(digit, benford_expected) AS (VALUES {_BENFORD_MAP})
+SELECT c.digit, c.n,
+       CAST(c.n * 10000 // t.tot AS BIGINT) AS observed_bps,
+       e.benford_expected
+FROM counts c CROSS JOIN total t JOIN exp_map e ON c.digit = e.digit
+ORDER BY c.digit
+"""
+
+QUERIES["x_benford_audit"] = x_benford_audit
+ORACLE["x_benford_audit"] = X_BENFORD_SQL
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix (exact power sums)
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def x_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for every pair of lineitem measures from ONE
+    aggregation pass of exact decimal power sums (n, Σx, Σx², Σxy — the
+    ``a_welch_ab_test`` discipline extended to covariance): inputs have
+    ≤2 dp so the decimal sums are merge-order-free, and each correlation
+    is a single identical float expression tree in both engines.
+
+    Scale shape: one map-side-combinable global aggregate (a dozen
+    decimal accumulators), 6-row bounded output — the naive per-pair
+    ``corr()`` calls would scan the fact table C(4,2) times."""
+    l = load_table(spark, sf_dir, "lineitem")
+    d2, d4 = "decimal(24,2)", "decimal(30,4)"
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast(d2)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c).cast(d2) * F.col(c).cast(d2)).cast(d4))
+            .cast("double")
+            .alias(f"ss_{c}")
+        )
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            aggs.append(
+                F.sum((F.col(a).cast(d2) * F.col(b).cast(d2)).cast(d4))
+                .cast("double")
+                .alias(f"sp_{a}_{b}")
+            )
+    sums = l.agg(*aggs)
+    # all 6 pairs explode out of the ONE aggregate row (a 6-arm union of
+    # selects over `sums` would let the physical plan recompute the fact
+    # scan per arm)
+    pair_structs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            n = F.col("n")
+            cov = F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / n
+            va = F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / n
+            vb = F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}") / n
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(cov / F.sqrt(va * vb), 6).alias("pearson_r"),
+                )
+            )
+    return (
+        sums.select(F.explode(F.array(*pair_structs)).alias("p"))
+        .select("p.col_a", "p.col_b", "p.pearson_r")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _corr_arm_sql(a: str, b: str) -> str:
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    s = lambda c: f"CAST(SUM(CAST({c} AS DECIMAL(24,2))) AS DOUBLE)"  # noqa: E731
+    ss = lambda c: f"CAST(SUM(CAST(CAST({c} AS DECIMAL(24,2)) * CAST({c} AS DECIMAL(24,2)) AS DECIMAL(30,4))) AS DOUBLE)"  # noqa: E731
+    sp = f"CAST(SUM(CAST(CAST({a} AS DECIMAL(24,2)) * CAST({b} AS DECIMAL(24,2)) AS DECIMAL(30,4))) AS DOUBLE)"
+    return f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       ROUND(({sp} - {s(a)} * {s(b)} / {n})
+             / sqrt(({ss(a)} - {s(a)} * {s(a)} / {n})
+                    * ({ss(b)} - {s(b)} * {s(b)} / {n})), 6) AS pearson_r
+FROM lineitem"""
+
+
+X_CORR_SQL = (
+    "\nUNION ALL\n".join(
+        _corr_arm_sql(a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    )
+    + "\nORDER BY col_a, col_b"
+)
+
+QUERIES["x_correlation"] = x_correlation
+ORACLE["x_correlation"] = X_CORR_SQL

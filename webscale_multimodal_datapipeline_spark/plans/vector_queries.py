@@ -1260,3 +1260,123 @@ ORDER BY decile
 
 QUERIES["v_calibration_curve"] = v_calibration_curve
 ORACLE["v_calibration_curve"] = V_CALIBRATION_SQL
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse retrieval
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def v_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): diverse
+    top-k — each pick maximizes ``λ·relevance − (1−λ)·max-sim-to-picked``
+    so near-duplicate results don't crowd the slate (the dedup-aware
+    retrieval layer RAG rerankers bolt onto ANN output).
+
+    Scale shape: production MMR is exactly this two-phase plan — a
+    DISTRIBUTED relevance pass pools the top ``_MMR_POOL`` candidates
+    (TakeOrderedAndProject over the corpus; the only data-scale stage),
+    then the greedy selection runs over the BOUNDED pool (≤ C² pairwise
+    sims, K unrolled argmax steps — each a Catalyst job over ≤ C rows,
+    nothing collected). The oracle unrolls the same K greedy steps as
+    CTEs; argmax comparisons run on bit-identical floats, so selection
+    order matches exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    pool = (
+        e.crossJoin(F.broadcast(q))  # single query vector by contract
+        .select("vec_id", "embedding", VX.cosine("embedding", "q_emb").alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)  # bounded pool, reused K times
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    sims = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            VX.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected = (
+        pool.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select("vec_id", "rel", F.lit(1).alias("mmr_rank"))
+    )
+    for step in range(2, _MMR_K + 1):
+        sel_ids = selected.select(F.col("vec_id").alias("sid"))
+        msim = (
+            sims.join(sel_ids, sims.vb == F.col("sid"), "left_semi")
+            .groupBy("va")
+            .agg(F.max("sim").alias("ms"))
+        )
+        pick = (
+            pool.join(sel_ids, pool.vec_id == F.col("sid"), "left_anti")
+            .join(msim, pool.vec_id == msim.va)
+            .withColumn(
+                "score",
+                F.lit(_MMR_LAMBDA) * F.col("rel") - F.lit(1 - _MMR_LAMBDA) * F.col("ms"),
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "rel", F.lit(step).alias("mmr_rank"))
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        "mmr_rank", "vec_id", F.round("rel", 6).alias("relevance")
+    ).orderBy("mmr_rank")
+
+
+def _mmr_sql() -> str:
+    lam, mu = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    cos = OQ.sql_cosine("c.embedding", "q.q_emb", DIM)
+    parts = [
+        f"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+pool AS MATERIALIZED (
+  SELECT vec_id, embedding, rel FROM (
+    SELECT c.vec_id, c.embedding, {cos} AS rel,
+           ROW_NUMBER() OVER (ORDER BY {cos} DESC, c.vec_id ASC) AS rk
+    FROM embeddings c CROSS JOIN q
+  ) WHERE rk <= {_MMR_POOL}
+),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         {OQ.sql_cosine('a.embedding', 'b.embedding', DIM)} AS sim
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, rel, 1 AS mmr_rank FROM pool
+  ORDER BY rel DESC, vec_id ASC LIMIT 1
+)"""
+    ]
+    for step in range(2, _MMR_K + 1):
+        prev = f"sel{step - 1}"
+        parts.append(
+            f""",
+pick{step} AS MATERIALIZED (
+  SELECT p.vec_id, p.rel, {step} AS mmr_rank
+  FROM pool p
+  JOIN (SELECT va, MAX(sim) AS ms FROM sims
+        WHERE vb IN (SELECT vec_id FROM {prev}) GROUP BY va) m
+    ON p.vec_id = m.va
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+  ORDER BY {lam} * p.rel - {mu} * m.ms DESC, p.vec_id ASC LIMIT 1
+),
+sel{step} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{step})"""
+        )
+    parts.append(
+        f"""
+SELECT mmr_rank, vec_id, ROUND(rel, 6) AS relevance
+FROM sel{_MMR_K} ORDER BY mmr_rank"""
+    )
+    return "".join(parts)
+
+
+QUERIES["v_mmr_diverse_topk"] = v_mmr_diverse_topk
+ORACLE["v_mmr_diverse_topk"] = _mmr_sql()
