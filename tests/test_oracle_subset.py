@@ -69,6 +69,8 @@ SUBSET = [
     "x_benford_audit",
     "x_correlation",
     "v_mmr_diverse_topk",
+    "ts_m4_downsample",
+    "c_epoch_shuffle",
 ]
 
 

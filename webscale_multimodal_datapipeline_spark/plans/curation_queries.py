@@ -580,3 +580,72 @@ ORDER BY source, cal_decile
 
 QUERIES["c_score_normalize"] = c_score_normalize
 ORACLE["c_score_normalize"] = C_SCORE_NORM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 3
+_EPOCH_HEAD = 5
+
+
+def c_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch reshuffle — the data-order contract of
+    multi-epoch training: every epoch visits every document exactly once
+    in an order that (a) differs between epochs, (b) is reproducible
+    across runs and cluster sizes, and (c) needs no materialized
+    permutation table. Order key = md5(doc_id ‖ epoch) — the
+    ``t_dataset_split`` / ``c_curriculum_export`` hash-assignment rule
+    applied to ordering.
+
+    Scale shape: emitting an epoch is ONE range-partitioned sort by the
+    hash key (what ``orderBy`` compiles to — no global single-task
+    sort); nothing is stored per epoch because the permutation is a pure
+    function. The query pins the contract by emitting the first
+    ``_EPOCH_HEAD`` docs of each epoch plus a per-epoch checksum over
+    ALL positions (catches any divergence beyond the head)."""
+    d = load_table(spark, sf_dir, "documents")
+    epochs = []
+    for ep in range(_EPOCHS):
+        key = TX.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(f"#ep{ep}")))
+        ranked = d.select(
+            F.lit(ep).alias("epoch"),
+            "doc_id",
+            key.alias("k"),
+        )
+        head = (
+            ranked.orderBy("k", "doc_id")
+            .limit(_EPOCH_HEAD)
+            .select("epoch", "doc_id", F.lit("head").alias("part"))
+        )
+        chk = ranked.agg(
+            F.max("epoch").alias("epoch"),
+            F.sum(F.col("k") % 1_000_003).alias("doc_id"),
+        ).select("epoch", "doc_id", F.lit("checksum").alias("part"))
+        epochs.extend([head, chk])
+    out = epochs[0]
+    for x in epochs[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("epoch", "part", "doc_id")
+
+
+def _epoch_arm(ep: int) -> str:
+    key = OQ.sql_md5_long(f"concat(doc_id, '#ep{ep}')")
+    return f"""SELECT * FROM (
+  SELECT {ep} AS epoch, doc_id, 'head' AS part
+  FROM documents ORDER BY {key}, doc_id LIMIT {_EPOCH_HEAD}
+)
+UNION ALL
+SELECT {ep} AS epoch, CAST(SUM({key} % 1000003) AS BIGINT) AS doc_id,
+       'checksum' AS part
+FROM documents"""
+
+
+C_EPOCH_SQL = (
+    "\nUNION ALL\n".join(_epoch_arm(ep) for ep in range(_EPOCHS))
+    + "\nORDER BY epoch, part, doc_id"
+)
+
+QUERIES["c_epoch_shuffle"] = c_epoch_shuffle
+ORACLE["c_epoch_shuffle"] = C_EPOCH_SQL

@@ -327,3 +327,70 @@ TS_EWMA_SQL = _ewma_sql()
 
 QUERIES["ts_ewma"] = ts_ewma
 ORACLE["ts_ewma"] = TS_EWMA_SQL
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling (Jugel et al., VLDB 2014)
+# ---------------------------------------------------------------------------
+
+_M4_BUCKET_S = 6 * 3600  # 6-hour pixel buckets
+
+
+def _m4_key() -> F.Column:
+    return F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+
+
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling: per pixel-column time bucket, keep
+    exactly the min, max, first, and last values — the four points that
+    make a line chart of the bucket pixel-identical to the full series
+    (Jugel et al., VLDB 2014). The standard first step before shipping a
+    billion-point series to a dashboard.
+
+    Scale shape: ONE aggregate over the (bucket) key with
+    min/max/min_by/max_by — no window, no sort of the raw series;
+    min_by/max_by on exact integer (ts, event_id) keys give
+    deterministic first/last under ties. Output is bounded by the time
+    span / bucket width, independent of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    bucket = (F.unix_micros("ts") / 1_000_000).cast("long") - (
+        (F.unix_micros("ts") / 1_000_000).cast("long") % _M4_BUCKET_S
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket_start_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(v).cast("double").alias("v_min"),
+            F.max(v).cast("double").alias("v_max"),
+            # composite order key as a FIXED-WIDTH string: lexicographic ==
+            # numeric, and DuckDB's arg_min/arg_max accept it (struct keys
+            # don't bind there)
+            F.min_by(v, _m4_key()).cast("double").alias("v_first"),
+            F.max_by(v, _m4_key()).cast("double").alias("v_last"),
+        )
+        .orderBy("bucket_start_s")
+    )
+
+
+TS_M4_SQL = f"""
+SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % {_M4_BUCKET_S})
+         AS bucket_start_s,
+       COUNT(*) AS n_points,
+       CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v_min,
+       CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v_max,
+       CAST(arg_min(CAST(value AS DECIMAL(18,6)),
+                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS DOUBLE) AS v_first,
+       CAST(arg_max(CAST(value AS DECIMAL(18,6)),
+                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS DOUBLE) AS v_last
+FROM events
+GROUP BY 1 ORDER BY bucket_start_s
+"""
+
+QUERIES["ts_m4_downsample"] = ts_m4_downsample
+ORACLE["ts_m4_downsample"] = TS_M4_SQL
