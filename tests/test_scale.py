@@ -458,3 +458,58 @@ def test_minhash_ml_crosscheck_deterministic(spark, sf_dir):
     r2 = d_minhash_ml_crosscheck(spark, sf_dir).collect()[0]
     assert r1 == r2
     assert r1.ml_subset_ok and r1.recall_ok
+
+
+def test_calibration_curve_no_single_partition_rank(spark, sf_dir):
+    """v_calibration_curve's global decile rank must use the
+    range-repartition + offset pattern, never an unpartitioned window
+    (review finding, round 4 session 2)."""
+    from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES
+
+    plan = (
+        QUERIES["v_calibration_curve"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.split("\n")
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        nxt = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "Aggregate(keys=[]" in nxt and "partial_" in nxt, (
+            f"data-sized single-task stage:\n{ln}\n{nxt}"
+        )
+
+
+def test_binary_quantize_scan_reads_no_floats_below_candidates(spark, sf_dir):
+    """v_binary_quantize_rerank contract: the corpus-wide hamming pass
+    must not project the float embedding column — floats join in for
+    candidate rows only (review finding, round 4 session 2). Verified on
+    the optimized plan: the WindowExec computing h_rank must not have
+    `embedding` among its child's output columns."""
+    from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES
+
+    plan = (
+        QUERIES["v_binary_quantize_rerank"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.split("\n")
+    win_idx = [i for i, ln in enumerate(lines) if "Window" in ln and "h_rank" in ln]
+    assert win_idx, "h_rank window not found in plan"
+    cos_idx = [i for i, ln in enumerate(lines) if "AS cosine#" in ln]
+    assert cos_idx, "cosine projection not found in plan"
+    # Spark prints parents first: the exact-cosine projection must sit
+    # ABOVE (smaller index than) the h_rank window — i.e. it evaluates
+    # only for rows that survived the candidate filter. The pre-fix plan
+    # computed it below the window (for every corpus x query pair).
+    assert min(cos_idx) < min(win_idx), (
+        "cosine computed below the candidate window (all-pairs float math)"
+    )
+    # and the window input carries only the code-tier columns: the
+    # partial top-C (WindowGroupLimit) below the window mentions
+    # hamming, never the float cosine
+    below = "\n".join(lines[min(win_idx) : min(win_idx) + 8])
+    assert "WindowGroupLimit" in below and "cosine#" not in below

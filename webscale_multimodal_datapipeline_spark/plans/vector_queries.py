@@ -920,12 +920,15 @@ def v_binary_quantize_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates per query are exact-cosine re-ranked, and the final top-k
     is emitted with both distances.
 
-    Scale shape: the hamming pass reads 2 longs per row — at 100 TB the
-    candidate generation touches 16 bytes/vector instead of 256, and the
-    float embeddings are only consulted for candidate rows (same
-    candidate-keyed contract as ``v_pq_rerank_topk``). Per-query top-C is
-    a TakeOrderedAndProject shape via row_number over the bounded query
-    partition; ties break on vec_id both engines."""
+    Scale shape: the shuffle/window tier carries 2 longs per row (in a
+    production index the sign words are a STORED column and the scan
+    itself reads 16 bytes/vector; here they derive inline from the float
+    column, so the scan reads floats once but drops them before the
+    exchange), and the exact cosine evaluates for candidate rows ONLY
+    via the candidate-keyed join back (the ``v_pq_rerank_topk``
+    contract — plan-asserted in tests/test_scale.py). Per-query top-C
+    rewrites to a partial WindowGroupLimit below the shuffle; ties break
+    on vec_id both engines."""
     e = load_table(spark, sf_dir, "embeddings")
     # the corpus-wide pass reads ONLY the two sign words per row — the
     # float embedding column must not appear below the candidate filter
