@@ -513,3 +513,44 @@ def test_binary_quantize_scan_reads_no_floats_below_candidates(spark, sf_dir):
     # hamming, never the float cosine
     below = "\n".join(lines[min(win_idx) : min(win_idx) + 8])
     assert "WindowGroupLimit" in below and "cosine#" not in below
+
+
+def test_static_partition_pruning(spark, tmp_path, sf_dir):
+    """Hive-partitioned layout + a partition-key predicate must prune at
+    the DIRECTORY level: the scan's PartitionFilters carries the
+    predicate and only matching partition rows are read — at 100 TB this
+    is the difference between listing 3 directories and scanning the
+    corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "by_source")
+    docs.write.partitionBy("source").parquet(out)
+    back = spark.read.parquet(out)
+    one = back.filter(F.col("source") == "src3")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "src3" in plan, plan[:800]
+    # pruned scan reads exactly the one partition's rows
+    expected = docs.filter(F.col("source") == "src3").count()
+    assert one.count() == expected
+
+
+def test_dynamic_partition_pruning_on_fact_join(spark, tmp_path, sf_dir):
+    """Dynamic partition pruning: joining a partitioned fact to a
+    FILTERED dimension must inject a runtime subquery filter on the fact
+    scan (`dynamicpruning` in the plan) so only matching partitions are
+    read — the mechanism that makes star-schema queries feasible when
+    the fact table is 1000x the dimension."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fact = str(tmp_path / "orders_by_pri")
+    o.write.partitionBy("o_orderpriority").parquet(fact)
+    f = spark.read.parquet(fact)
+    dim_all = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("2-HIGH", "warm"), ("3-MEDIUM", "cold"),
+         ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold")],
+        "o_orderpriority string, tag string",
+    )
+    # DPP fires when the dim side carries a selective FILTER and the join
+    # key is the fact's partition column
+    joined = f.join(dim_all.filter(F.col("tag") == "hot"), "o_orderpriority")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1200]
+    assert joined.count() == o.filter(F.col("o_orderpriority") == "1-URGENT").count()
