@@ -287,3 +287,25 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert {f.name for f in df.schema} == {"doc_id", "text", "lang"}
     rows = {r.doc_id: r for r in df.collect()}
     assert rows[1].lang is None and rows[3].lang == "en"
+
+
+def test_xml_source_and_zstd_codec(spark, tmp_path):
+    """Spark-4 native XML source through the dispatcher, and zstd
+    parquet round-trip (the production codec at 100 TB — ~30% smaller
+    than snappy at similar scan speed)."""
+    from webscale_multimodal_datapipeline_spark.sources.files import read_dataset
+
+    xd = tmp_path / "xmlds"
+    xd.mkdir()
+    (xd / "feed.xml").write_text(
+        "<rows><row><id>1</id><txt>a</txt></row>"
+        "<row><id>2</id><txt>b</txt></row></rows>"
+    )
+    df = read_dataset(spark, str(xd), pattern="*.xml")
+    assert df.count() == 2 and set(df.columns) == {"id", "txt"}
+    zp = str(tmp_path / "z")
+    spark.range(100).write.option("compression", "zstd").parquet(zp)
+    import os
+
+    assert any(f.endswith(".zstd.parquet") for f in os.listdir(zp))
+    assert spark.read.parquet(zp).count() == 100

@@ -17,7 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-EXTENSION_PRIORITY = (".parquet", ".orc", ".arrow", ".csv", ".jsonl", ".json")
+EXTENSION_PRIORITY = (".parquet", ".orc", ".arrow", ".csv", ".jsonl", ".json", ".xml")
 
 HAVE_FSSPEC = False
 try:  # pragma: no cover - fsspec absent in this container
@@ -128,6 +128,10 @@ def read_dataset(
         df = spark.read.csv(files, header=True)
     elif ext in (".jsonl", ".json"):
         df = spark.read.json(files)
+    elif ext == ".xml":
+        # Spark 4 native XML; rowTag "row" by convention (override by
+        # reading directly when a feed uses a different element)
+        df = spark.read.option("rowTag", "row").format("xml").load(",".join(files))
     else:
         raise NotImplementedError(f"format {ext} needs pyarrow bridge")
     if max_samples:
