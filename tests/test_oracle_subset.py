@@ -71,6 +71,8 @@ SUBSET = [
     "v_mmr_diverse_topk",
     "ts_m4_downsample",
     "c_epoch_shuffle",
+    "x_market_basket",
+    "x_entity_resolution",
 ]
 
 

@@ -1262,3 +1262,168 @@ X_CORR_SQL = (
 
 QUERIES["x_correlation"] = x_correlation
 ORACLE["x_correlation"] = X_CORR_SQL
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence
+# ---------------------------------------------------------------------------
+
+_BASKET_TOPK = 15
+
+
+def x_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequently-bought-together: support counts for part pairs that
+    co-occur in an order, with lift against independent popularity —
+    the co-occurrence mining shape (recommendations, bundle detection,
+    and in corpus work co-citation / co-download graphs).
+
+    Scale shape: the pair explode is bounded by C(items-per-order, 2) —
+    TPC-H orders hold ≤ 7 lineitems, so fanout is ≤ 21 pairs/order,
+    never corpus-quadratic (the g_triangle_count guard). Support
+    aggregates map-side; lift = support·N / (pop_a·pop_b) computes on
+    the bounded top-k only, with popularity joined from the part-keyed
+    rollup. Integer support ranks deterministically; lift in exact
+    micros (non-negative integer div)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(_BASKET_TOPK)
+    )
+    pop = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pop"))
+    return (
+        pairs.join(pop.alias("pa"), F.col("part_a") == F.col("pa.l_partkey"))
+        .join(pop.alias("pb"), F.col("part_b") == F.col("pb.l_partkey"))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.expr(f"support * {n_orders} * 1000000 div (pa.pop * pb.pop)").alias(
+                "lift_micros"
+            ),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+    )
+
+
+X_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  ORDER BY support DESC, part_a, part_b
+  LIMIT {_BASKET_TOPK}
+), pop AS (
+  SELECT l_partkey, COUNT(*) AS pop FROM items GROUP BY 1
+)
+SELECT part_a, part_b, support,
+       CAST(support * (SELECT n_orders FROM n) * 1000000
+            // (pa.pop * pb.pop) AS BIGINT) AS lift_micros
+FROM pairs JOIN pop pa ON part_a = pa.l_partkey
+           JOIN pop pb ON part_b = pb.l_partkey
+ORDER BY support DESC, part_a, part_b
+"""
+
+QUERIES["x_market_basket"] = x_market_basket
+ORACLE["x_market_basket"] = X_BASKET_SQL
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution (block -> match -> cluster)
+# ---------------------------------------------------------------------------
+
+
+def x_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over part names — the three-stage ER
+    pipeline (Fellegi-Sunter shape) composed from the engine's own
+    parts: (1) BLOCKING by (first token, name length) so candidate pairs
+    are bounded per block, never corpus-quadratic; (2) MATCH with
+    ``levenshtein ≤ 2`` inside blocks; (3) CLUSTER via transitive
+    closure (min-label propagation, ``operators/dedup.py`` — the DuckDB
+    oracle runs a genuine recursive reachability fixed point). Output:
+    the cluster-size histogram + entity/cluster totals, the dedup-rate
+    readout an MDM pipeline reports.
+
+    Scale shape: the self-join runs on the block key (fanout bounded per
+    block); the closure's rounds shuffle (id, label) pairs only."""
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    ents = p.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+    blocked = ents.withColumn(
+        "blk",
+        F.concat_ws("|", F.split("name", " ")[0], F.length("name").cast("string")),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2)
+        .select(F.col("a.id").alias("id_l"), F.col("b.id").alias("id_r"))
+    )
+    comp = connected_components(pairs)
+    labeled = ents.join(comp, "id", "left").select(
+        F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+    )
+    sizes = labeled.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+X_ER_SQL = """
+WITH RECURSIVE ents AS (
+  SELECT p_partkey AS id, p_name AS name FROM part
+), blocked AS (
+  SELECT id, name,
+         concat_ws('|', string_split(name, ' ')[1], CAST(length(name) AS VARCHAR)) AS blk
+  FROM ents
+), npairs AS (
+  SELECT a.id AS id_l, b.id AS id_r
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= 2
+), edges AS (
+  SELECT id_l AS src, id_r AS dst FROM npairs
+  UNION ALL
+  SELECT id_r AS src, id_l AS dst FROM npairs
+), nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+), labeled AS (
+  SELECT COALESCE(c.comp, e.id) AS comp
+  FROM ents e LEFT JOIN comp c ON e.id = c.id
+), sizes AS (
+  SELECT comp, COUNT(*) AS cluster_size FROM labeled GROUP BY comp
+)
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+QUERIES["x_entity_resolution"] = x_entity_resolution
+ORACLE["x_entity_resolution"] = X_ER_SQL
