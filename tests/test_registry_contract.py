@@ -34,7 +34,7 @@ def test_oracle_sql_references_only_known_tables():
         sql = re.sub(r"IS\s+NOT\s+DISTINCT\s+FROM", "IS_NOT_DISTINCT_OP", sql, flags=re.I)
         ctes = set(
             re.findall(
-                r"(?:WITH\s+RECURSIVE|WITH|,)\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(",
+                r"(?:WITH\s+RECURSIVE|WITH|,)\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s+(?:(?:NOT\s+)?MATERIALIZED\s+)?\(",
                 sql,
                 re.I,
             )
