@@ -73,6 +73,8 @@ SUBSET = [
     "c_epoch_shuffle",
     "x_market_basket",
     "x_entity_resolution",
+    "ts_seasonal_naive",
+    "c_tokenizer_fertility",
 ]
 
 

@@ -649,3 +649,55 @@ C_EPOCH_SQL = (
 
 QUERIES["c_epoch_shuffle"] = c_epoch_shuffle
 ORACLE["c_epoch_shuffle"] = C_EPOCH_SQL
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility audit
+# ---------------------------------------------------------------------------
+
+
+def c_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — tokens-per-100-chars and
+    chars-per-token, the efficiency audit run before committing a
+    tokenizer to a multilingual corpus (high fertility on a language
+    means its share of the TOKEN budget exceeds its share of the TEXT —
+    the compute-allocation skew the Aya/BLOOM reports document).
+
+    Whitespace tokens stand in for the trained tokenizer (the engine's
+    token-count convention); ratios are exact integer scalings (ppm and
+    per-100-chars), one map-side-combinable rollup per language."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.token_count("text")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .withColumn(
+            "tokens_per_100_chars",
+            F.expr("total_tokens * 100 div total_chars"),
+        )
+        .withColumn(
+            "chars_per_token_milli",
+            F.expr("total_chars * 1000 div total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+C_FERTILITY_SQL = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM({OQ.sql_token_count('text')}) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM({OQ.sql_token_count('text')}) * 100
+            // SUM(length(text)) AS BIGINT) AS tokens_per_100_chars,
+       CAST(SUM(length(text)) * 1000
+            // SUM({OQ.sql_token_count('text')}) AS BIGINT) AS chars_per_token_milli
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["c_tokenizer_fertility"] = c_tokenizer_fertility
+ORACLE["c_tokenizer_fertility"] = C_FERTILITY_SQL

@@ -6,7 +6,7 @@ training-data pipeline's telemetry layer needs (SURVEY §2.6 extensions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from webscale_multimodal_datapipeline_spark.catalog import load_table
@@ -394,3 +394,75 @@ GROUP BY 1 ORDER BY bucket_start_s
 
 QUERIES["ts_m4_downsample"] = ts_m4_downsample
 ORACLE["ts_m4_downsample"] = TS_M4_SQL
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast baseline
+# ---------------------------------------------------------------------------
+
+_SEASON_LAG_H = 168  # one week of hourly buckets
+
+
+def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting baseline (the M-competition floor every
+    forecast model must beat): predict each hour's total as the SAME
+    HOUR LAST WEEK, and score MAE/MAPE over the overlapping span — per
+    event type, in exact decimals end-to-end (sums, |error|, and the
+    bps-scaled MAPE all stay in DECIMAL; no float accumulates).
+
+    Scale shape: the raw stream collapses to the (type, hour) rollup
+    first (map-side combinable); the 168-step lag is ONE window over
+    that bounded rollup (|types| × |hours| rows — calendar-bounded, not
+    data-bounded), so the lag never touches event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.unix_micros("ts") / 1_000_000).cast("long") - (
+        (F.unix_micros("ts") / 1_000_000).cast("long") % 3600
+    )
+    hourly = ev.groupBy("event_type", hour.alias("h")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    scored = hourly.withColumn("pred", F.lag("v", _SEASON_LAG_H).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.abs(F.col("v") - F.col("pred"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(err).cast("double").alias("sum_abs_err"),
+            F.sum(F.col("v")).cast("double").alias("sum_actual"),
+        )
+        .withColumn(
+            "wape_bps",
+            # explicit floor: CAST(double AS BIGINT) truncates in Spark
+            # but ROUNDS in DuckDB — floor is the same function in both
+            F.expr("CAST(floor(sum_abs_err * 10000 / sum_actual) AS BIGINT)"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_SEASONAL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 3600) AS h,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, v,
+         LAG(v, {_SEASON_LAG_H}) OVER (PARTITION BY event_type ORDER BY h) AS pred
+  FROM hourly
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       CAST(SUM(abs(v - pred)) AS DOUBLE) AS sum_abs_err,
+       CAST(SUM(v) AS DOUBLE) AS sum_actual,
+       CAST(floor(CAST(SUM(abs(v - pred)) AS DOUBLE) * 10000
+            / CAST(SUM(v) AS DOUBLE)) AS BIGINT) AS wape_bps
+FROM scored WHERE pred IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["ts_seasonal_naive"] = ts_seasonal_naive
+ORACLE["ts_seasonal_naive"] = TS_SEASONAL_SQL
