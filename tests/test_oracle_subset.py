@@ -75,6 +75,8 @@ SUBSET = [
     "x_entity_resolution",
     "ts_seasonal_naive",
     "c_tokenizer_fertility",
+    "a_grouped_agg_pandas",
+    "a_grouped_map_rank",
 ]
 
 

@@ -499,3 +499,113 @@ ORDER BY event_type
 
 QUERIES["a_welch_ab_test"] = a_welch_ab_test
 ORACLE["a_welch_ab_test"] = A_WELCH_SQL
+
+
+# ---------------------------------------------------------------------------
+# Grouped-agg + grouped-map pandas UDF surfaces (Arrow group paths)
+# ---------------------------------------------------------------------------
+
+
+def a_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas UDF surface (Arrow-batched per-group
+    reduction — the API tier for group reductions Spark lacks natively,
+    e.g. trimmed means or custom robust estimators): here the reduction
+    is an exact integer cents sum via numpy int64, so the result is
+    value-pinned against plain SQL SUM — validating the Arrow group
+    transport and the UDAF registration, not approximating.
+
+    Scale shape: grouped-agg pandas UDFs receive each group as one Arrow
+    batch — fine for bounded group counts (5 priorities); data-scale
+    group-bys stay on native aggregates (the UDF-tier discipline,
+    ARCHITECTURE §3)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringizes hints, so the Series->scalar inference
+    # can't see pd.Series here
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def cents_sum(v):
+        import numpy as np
+
+        return int(np.round(v.to_numpy() * 100).astype(np.int64).sum())
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(cents_sum(F.col("o_totalprice")).alias("total_cents"))
+        .orderBy("o_orderpriority")
+    )
+
+
+A_GROUPED_AGG_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["a_grouped_agg_pandas"] = a_grouped_agg_pandas
+ORACLE["a_grouped_agg_pandas"] = A_GROUPED_AGG_SQL
+
+
+def a_grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch ``applyInPandas`` (grouped-map) surface — each nation's
+    customers arrive as one pandas frame and leave re-shaped: per-row
+    within-group rank position in exact basis points via numpy argsort
+    (the per-group imperative tier for logic that genuinely needs the
+    whole group in memory; the streaming twin is
+    ``streaming/stateful.py``). Output is integer-exact, value-pinned
+    against the window-function oracle — Arrow round-trip, schema
+    contract, and group partitioning all verified, not just plumbing.
+
+    Scale shape: groups must fit an executor's memory by contract (the
+    applyInPandas caveat) — nations are bounded; corpus-keyed grouped
+    maps belong to mapInPandas or native windows."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "customer")
+
+    def rank_bps(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cents = np.round(pdf["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((pdf["c_custkey"].to_numpy(), cents))
+        rnk = np.empty(len(pdf), dtype=np.int64)
+        rnk[order] = np.arange(1, len(pdf) + 1)
+        n = len(pdf)
+        pos = (rnk - 1) * 10_000 // max(n - 1, 1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_nationkey": pdf["c_nationkey"],
+                "pos_bps": pos,
+            }
+        )
+
+    return (
+        o.select("c_custkey", "c_nationkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInPandas(
+            rank_bps, "c_custkey long, c_nationkey long, pos_bps long"
+        )
+        .orderBy("c_custkey")
+    )
+
+
+A_GROUPED_MAP_SQL = """
+WITH ranked AS (
+  SELECT c_custkey, c_nationkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY CAST(round(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT), c_custkey
+         ) AS rnk,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+)
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST((rnk - 1) * 10000 // GREATEST(n - 1, 1) AS BIGINT) AS pos_bps
+FROM ranked ORDER BY c_custkey
+"""
+
+QUERIES["a_grouped_map_rank"] = a_grouped_map_rank
+ORACLE["a_grouped_map_rank"] = A_GROUPED_MAP_SQL
