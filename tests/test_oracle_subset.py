@@ -77,6 +77,8 @@ SUBSET = [
     "c_tokenizer_fertility",
     "a_grouped_agg_pandas",
     "a_grouped_map_rank",
+    "e_wow_growth",
+    "e_activity_streaks",
 ]
 
 

@@ -1115,3 +1115,128 @@ FROM sess
 
 QUERIES["e_session_funnel_strict"] = e_session_funnel_strict
 ORACLE["e_session_funnel_strict"] = E_STRICT_FUNNEL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week growth
+# ---------------------------------------------------------------------------
+
+
+def e_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change in event volume and value per type — the
+    topline growth readout every metrics dashboard leads with. Change is
+    emitted in floored basis points against the prior week (negative
+    weeks floor consistently: explicit ``floor`` both engines, the
+    ``ts_seasonal_naive`` cast rule).
+
+    Scale shape: stream → (type, week) rollup (map-side combinable),
+    lag on the calendar-bounded rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.unix_micros("ts") / 1_000_000).cast("long") - (
+        (F.unix_micros("ts") / 1_000_000).cast("long") % (7 * 86_400)
+    )
+    weekly = ev.groupBy("event_type", week.alias("wk")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    return (
+        weekly.withColumn("prev_n", F.lag("n").over(w))
+        .withColumn("prev_v", F.lag("v").over(w))
+        .filter(F.col("prev_n").isNotNull())
+        .select(
+            "event_type",
+            "wk",
+            "n",
+            F.expr("CAST(floor((n - prev_n) * 10000.0 / prev_n) AS BIGINT)").alias(
+                "n_change_bps"
+            ),
+            F.expr(
+                "CAST(floor((CAST(v AS DOUBLE) - CAST(prev_v AS DOUBLE)) * 10000.0"
+                " / CAST(prev_v AS DOUBLE)) AS BIGINT)"
+            ).alias("v_change_bps"),
+        )
+        .orderBy("event_type", "wk")
+    )
+
+
+E_WOW_SQL = """
+WITH weekly AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 604800) AS wk,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, wk, n, v,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n,
+         LAG(v) OVER (PARTITION BY event_type ORDER BY wk) AS prev_v
+  FROM weekly
+)
+SELECT event_type, wk, n,
+       CAST(floor((n - prev_n) * 10000.0 / prev_n) AS BIGINT) AS n_change_bps,
+       CAST(floor((CAST(v AS DOUBLE) - CAST(prev_v AS DOUBLE)) * 10000.0
+            / CAST(prev_v AS DOUBLE)) AS BIGINT) AS v_change_bps
+FROM lagged WHERE prev_n IS NOT NULL
+ORDER BY event_type, wk
+"""
+
+QUERIES["e_wow_growth"] = e_wow_growth
+ORACLE["e_wow_growth"] = E_WOW_SQL
+
+
+# ---------------------------------------------------------------------------
+# Activity streaks (gaps-and-islands, user-keyed)
+# ---------------------------------------------------------------------------
+
+
+def e_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, rolled into a
+    streak-length histogram — the engagement metric behind "N-day
+    streak" product features, and the user-keyed twin of the
+    gaps-and-islands family (``e_scd2_dimension`` / ``e_trigram_paths``).
+
+    Scale shape: stream → DISTINCT (user, day) (the e_dau_wau compact
+    table), island id = day_number − row_number (one user-keyed window),
+    then two bounded rollups. Nothing beyond the distinct pair table
+    ever shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        ((F.unix_micros("ts") / 1_000_000).cast("long") / 86_400)
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn("grp", F.col("day") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("best_streak"))
+    return (
+        best.groupBy("best_streak")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("best_streak")
+    )
+
+
+E_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day
+  FROM events
+), islands AS (
+  SELECT user_id,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, COUNT(*) AS len FROM islands GROUP BY user_id, grp
+), best AS (
+  SELECT user_id, MAX(len) AS best_streak FROM streaks GROUP BY user_id
+)
+SELECT best_streak, COUNT(*) AS n_users
+FROM best GROUP BY best_streak ORDER BY best_streak
+"""
+
+QUERIES["e_activity_streaks"] = e_activity_streaks
+ORACLE["e_activity_streaks"] = E_STREAKS_SQL
