@@ -79,6 +79,8 @@ SUBSET = [
     "a_grouped_map_rank",
     "e_wow_growth",
     "e_activity_streaks",
+    "x_chi2_cells",
+    "e_bot_heuristic",
 ]
 
 

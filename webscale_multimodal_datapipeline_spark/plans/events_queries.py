@@ -1240,3 +1240,64 @@ FROM best GROUP BY best_streak ORDER BY best_streak
 
 QUERIES["e_activity_streaks"] = e_activity_streaks
 ORACLE["e_activity_streaks"] = E_STREAKS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bot-traffic heuristic
+# ---------------------------------------------------------------------------
+
+_BOT_FAST_GAP_US = 43_200_000_000  # "fast" inter-event gap: < 12 hours
+
+
+def e_bot_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation screen over the event stream — the hygiene filter
+    run before behavioral data trains anything: per user, the share of
+    suspiciously fast inter-event gaps and the minimum gap; the 20 most
+    machine-like users (highest fast-gap share, then fastest minimum
+    gap) are emitted for review, all exact integers (gap microseconds,
+    shares in bps).
+
+    Scale shape: ONE user-keyed window (lag) over the stream, then a
+    user rollup and a bounded deterministic top-k — the sessionization
+    exchange reused for abuse detection."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.sum((F.col("gap_us") < _BOT_FAST_GAP_US).cast("long")).alias("n_fast"),
+    )
+    return (
+        per_user.withColumn(
+            "fast_share_bps", F.expr("n_fast * 10000 div n_gaps")
+        )
+        .select("user_id", "n_gaps", "min_gap_us", "fast_share_bps")
+        .orderBy(F.desc("fast_share_bps"), F.asc("min_gap_us"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+E_BOT_SQL = f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), per_user AS (
+  SELECT user_id, COUNT(*) AS n_gaps, MIN(gap_us) AS min_gap_us,
+         SUM(CASE WHEN gap_us < {_BOT_FAST_GAP_US} THEN 1 ELSE 0 END) AS n_fast
+  FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps, min_gap_us,
+       CAST(n_fast * 10000 // n_gaps AS BIGINT) AS fast_share_bps
+FROM per_user
+ORDER BY fast_share_bps DESC, min_gap_us ASC, user_id ASC
+LIMIT 20
+"""
+
+QUERIES["e_bot_heuristic"] = e_bot_heuristic
+ORACLE["e_bot_heuristic"] = E_BOT_SQL

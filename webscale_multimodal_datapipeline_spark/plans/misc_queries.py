@@ -1427,3 +1427,72 @@ FROM sizes GROUP BY cluster_size ORDER BY cluster_size
 
 QUERIES["x_entity_resolution"] = x_entity_resolution
 ORACLE["x_entity_resolution"] = X_ER_SQL
+
+
+# ---------------------------------------------------------------------------
+# Chi-square deviation cells
+# ---------------------------------------------------------------------------
+
+
+def x_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence audit for (market segment × nation): the top-10
+    contingency cells by chi-square contribution — "which combinations
+    are over/under-represented" (the mix-shift screen run on corpus
+    metadata before attributing a metric move to quality).
+
+    Determinism: observed/row/col/total counts are exact integers; each
+    cell's contribution (o − e)²/e = (o·n − rt·ct)² / (n·rt·ct) is ONE
+    float division of exact integer products (decimal(38,0) numerators),
+    so every emitted value is a single identical expression tree — no
+    cross-cell float sum is ever formed (a total chi² would accumulate
+    in engine-specific order; consumers can sum the bounded cells).
+
+    Scale shape: one (seg, nation) rollup, two bounded marginal rollups
+    joined back on bounded keys; top-10 deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rt = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("rt"))
+    ct = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("ct"))
+    n = c.count()
+    dec = "decimal(38,0)"
+    joined = cells.join(rt, "c_mktsegment").join(ct, "c_nationkey")
+    contrib = (
+        (F.col("o").cast(dec) * F.lit(n) - F.col("rt").cast(dec) * F.col("ct")).cast(
+            "double"
+        )
+        ** 2
+    ) / (
+        F.lit(float(n)) * F.col("rt").cast("double") * F.col("ct").cast("double")
+    )
+    return (
+        joined.select(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "o",
+            F.round(contrib, 6).alias("chi2_contrib"),
+        )
+        .orderBy(F.desc("chi2_contrib"), "c_mktsegment", "nationkey")
+        .limit(10)
+    )
+
+
+X_CHI2_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS o
+  FROM customer GROUP BY 1, 2
+), rt AS (SELECT c_mktsegment, COUNT(*) AS rt FROM customer GROUP BY 1),
+ct AS (SELECT c_nationkey, COUNT(*) AS ct FROM customer GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM customer)
+SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS nationkey, o,
+       ROUND(pow(CAST(o * n.n - rt.rt * ct.ct AS DOUBLE), 2)
+             / (CAST(n.n AS DOUBLE) * CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)),
+             6) AS chi2_contrib
+FROM cells JOIN rt USING (c_mktsegment) JOIN ct USING (c_nationkey), n
+ORDER BY chi2_contrib DESC, c_mktsegment, nationkey
+LIMIT 10
+"""
+
+QUERIES["x_chi2_cells"] = x_chi2_cells
+ORACLE["x_chi2_cells"] = X_CHI2_SQL
