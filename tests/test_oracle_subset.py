@@ -81,6 +81,16 @@ SUBSET = [
     "e_activity_streaks",
     "x_chi2_cells",
     "e_bot_heuristic",
+    "s_dsir_importance",
+    "s_ks_test",
+    "s_mahalanobis_ood",
+    "s_weighted_sample",
+    "t_lang_confusion",
+    "t_ttr_diversity",
+    "e_activity_gini",
+    "g_common_neighbors",
+    "v_lsh_bucket_purity",
+    "v_knn_classify",
 ]
 
 

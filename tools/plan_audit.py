@@ -92,6 +92,7 @@ _ALLOW: dict[tuple[str, str], str] = {
     ("v_hard_negatives", F_BCAST): "hinted side = the query set (vec_id < 3) with labels",
     ("v_matryoshka_overlap", F_BCAST): "hinted side = the query set (vec_id < 3) with prefix slices",
     ("v_recall_at_k", F_BCAST): "hinted sides = the query set, both retrieval arms",
+    ("v_knn_classify", F_BCAST): "hinted side = the held-out query set (vec_id < 10) inside cosine_topk",
     ("v_pq_adc_topk", F_BCAST): "hinted side = query set + codebooks (k*m-bounded)",
     ("v_pq_rerank_topk", F_BCAST): "hinted sides = the query set (vec_id < N_QUERIES) in the ADC, re-rank, and exact-recall arms; the corpus embeddings join is shuffle-side",
     ("v_crossmodal_filter", F_BCAST): "hinted side = per-id scored pairs capped by the query set",
@@ -99,6 +100,8 @@ _ALLOW: dict[tuple[str, str], str] = {
     ("d_contamination_score", F_BCAST): "hinted side = benchmark shingle set (same split as d_decontaminate)",
     ("m_phash_blocklist", F_BCAST): "hinted side = curated hash blocklist (distributed as a small list by nature)",
     ("x_revenue_share", F_SINGLE): "single-partition window input = per-nation rollup (bounded by the nation dim)",
+    ("s_ks_test", F_SINGLE): "single-partition cumulative window input = per-length rollup (bounded by the length value domain, then reduced to a scalar)",
+    ("e_activity_gini", F_SINGLE): "single-partition cumulative window input = per-activity-level rollup (bounded value domain, then reduced to a scalar)",
     ("e_growth_accounting", F_SINGLE): "single-partition cumsum input = per-DAY rollup (bounded by the calendar, not the data)",
     ("v_filtered_ann_topk", F_BCAST): "hinted side = the query set (vec_id < N_QUERIES), the v_cosine_topk contract on the semi-join-reduced corpus",
     ("a_semantic_dedup", F_BCAST): "hinted side = KMeans centroids (k-bounded)",

@@ -1301,3 +1301,78 @@ LIMIT 20
 
 QUERIES["e_bot_heuristic"] = e_bot_heuristic
 ORACLE["e_bot_heuristic"] = E_BOT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Activity concentration: exact Gini coefficient
+# ---------------------------------------------------------------------------
+
+
+def e_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is activity across users? The EXACT Gini
+    coefficient of per-user event counts — the one-number answer to "do
+    10 bots generate half the corpus", read next to ``e_bot_heuristic``
+    before trusting per-user frequency signals.
+
+    Computed without a data-sized global sort: users are rolled up per
+    DISTINCT activity level (the value domain is bounded — event counts,
+    not users), and the sorted-rank sum ``Σ i·x_i`` is recovered from
+    run algebra: a run of ``m`` users at level ``x`` starting after
+    cumulative rank ``r`` contributes ``x·(m·r + m(m+1)/2)``. All
+    integers until the final Gini division:
+    ``G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)``.
+
+    Scale shape: per-user rollup (hash shuffle on user), per-level
+    rollup (bounded), ONE cumulative window over the bounded level
+    domain, scalar result.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    per_level = per_user.groupBy("x").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    runs = per_level.select(
+        "x",
+        "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).alias("r"),
+    )
+    agg = runs.agg(
+        F.sum(
+            F.col("x") * (F.col("m") * F.col("r") + F.expr("m * (m + 1) div 2"))
+        ).alias("s1"),
+        F.sum(F.col("x") * F.col("m")).alias("s"),
+        F.sum("m").alias("n"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("s").cast("bigint").alias("total_events"),
+        F.round(
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+E_GINI_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+), per_level AS (
+  SELECT x, COUNT(*) AS m FROM per_user GROUP BY x
+), runs AS (
+  SELECT x, m,
+         COALESCE(SUM(m) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+  FROM per_level
+), agg AS (
+  SELECT SUM(x * (m * r + m * (m + 1) // 2)) AS s1,
+         SUM(x * m) AS s, SUM(m) AS n
+  FROM runs
+)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS total_events,
+       ROUND(CAST(2 * s1 - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE), 6)
+         AS gini
+FROM agg
+"""
+
+QUERIES["e_activity_gini"] = e_activity_gini
+ORACLE["e_activity_gini"] = E_GINI_SQL

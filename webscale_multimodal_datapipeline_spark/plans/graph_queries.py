@@ -378,3 +378,96 @@ FROM best GROUP BY d ORDER BY hops
 
 QUERIES["g_bfs_hops"] = g_bfs_hops
 ORACLE["g_bfs_hops"] = G_BFS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor scores for non-edges
+# ---------------------------------------------------------------------------
+
+_CN_MAX_DEGREE = 50
+_CN_TOPK = 15
+
+
+def g_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the supplier co-occurrence
+    graph (same edge derivation as ``g_triangle_count``): for every pair
+    of suppliers NOT yet sharing an order, count the suppliers adjacent
+    to both — the classic "who will trade next" score (Liben-Nowell &
+    Kleinberg 2003); top-15 candidate links.
+
+    Hub suppression is part of the SEMANTICS, not a shortcut: wedges are
+    generated only at centers with degree ≤ ``_CN_MAX_DEGREE`` (common
+    neighbors via celebrity hubs carry no signal — every pair shares
+    them), which also bounds the wedge fanout at Σd² ≤ D·Σd, i.e.
+    linear in |E| at any corpus size. Candidate pairs are anti-joined
+    against the edge set; all counts exact integers.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = l.alias("a"), l.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    adj = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    centers = adj.join(
+        deg.filter(F.col("d") <= _CN_MAX_DEGREE).select("u"), "u", "left_semi"
+    )
+    w1 = centers.select(F.col("u").alias("c"), F.col("v").alias("x"))
+    w2 = centers.select(F.col("u").alias("c"), F.col("v").alias("y"))
+    pairs = (
+        w1.join(w2, "c")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    candidates = pairs.join(
+        edges,
+        (pairs.x == edges.u) & (pairs.y == edges.v),
+        "left_anti",
+    )
+    return (
+        candidates.select(
+            F.col("x").cast("bigint").alias("supp_a"),
+            F.col("y").cast("bigint").alias("supp_b"),
+            F.col("common_neighbors").cast("bigint").alias("common_neighbors"),
+        )
+        .orderBy(F.desc("common_neighbors"), "supp_a", "supp_b")
+        .limit(_CN_TOPK)
+    )
+
+
+G_COMMON_NEIGHBORS_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), adj AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), deg AS (
+  SELECT u, COUNT(*) AS d FROM adj GROUP BY u
+), centers AS (
+  SELECT adj.u, adj.v FROM adj
+  WHERE adj.u IN (SELECT u FROM deg WHERE d <= {_CN_MAX_DEGREE})
+), pairs AS (
+  SELECT w1.v AS x, w2.v AS y, COUNT(*) AS common_neighbors
+  FROM centers w1 JOIN centers w2 ON w1.u = w2.u AND w1.v < w2.v
+  GROUP BY w1.v, w2.v
+)
+SELECT CAST(x AS BIGINT) AS supp_a, CAST(y AS BIGINT) AS supp_b,
+       CAST(common_neighbors AS BIGINT) AS common_neighbors
+FROM pairs
+WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = pairs.x AND e.v = pairs.y)
+ORDER BY common_neighbors DESC, supp_a, supp_b
+LIMIT {_CN_TOPK}
+"""
+
+QUERIES["g_common_neighbors"] = g_common_neighbors
+ORACLE["g_common_neighbors"] = G_COMMON_NEIGHBORS_SQL

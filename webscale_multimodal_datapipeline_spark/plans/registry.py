@@ -24,6 +24,7 @@ from webscale_multimodal_datapipeline_spark.plans import (
     relational,
     relational2,
     relational3,
+    selection_queries,
     sketch_queries,
     text_queries,
     timeseries_queries,
@@ -51,6 +52,9 @@ _MODULES = (
     relational3,
     text_queries,
     dedup_queries,
+    # Round-4 session-3 additions (after the earlier round-4 modules so
+    # their recording priority is preserved).
+    selection_queries,
     # Round-2 additions stay LAST: the driver records the first ~50 entries
     # per round, and round-1's still-unrecorded queries take precedence
     # (their oracles already pass — recording them is pure bookkeeping).

@@ -1493,3 +1493,117 @@ LIMIT {_BPE_TOPK}
 
 QUERIES["t_bpe_merge_candidates"] = t_bpe_merge_candidates
 ORACLE["t_bpe_merge_candidates"] = T_BPE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Language-label QA: declared label vs heuristic prediction
+# ---------------------------------------------------------------------------
+
+
+def t_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: the confusion matrix between the DECLARED
+    ``lang`` column and the heuristic ``lang_id`` prediction, with each
+    cell's share of its declared-label row (ppm). The matrix is what you
+    read before trusting upstream language tags for a per-language mix
+    target — a hot off-diagonal cell means either the tag or the
+    detector is wrong for that slice.
+
+    Determinism: both axes are categorical, counts exact; the row share
+    is integer ppm via ``x div y`` (non-negative, same truncation in
+    both engines). Scale shape: ONE (lang × pred) rollup — both domains
+    bounded — plus a bounded marginal joined back on ``lang``.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.select("lang", TX.lang_id("text").alias("pred_lang")).groupBy(
+        "lang", "pred_lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    marg = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return (
+        cells.join(marg, "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.expr("n_docs * 1000000 div n_lang").alias("row_share_ppm"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+T_LANG_CONFUSION_SQL = f"""
+WITH cells AS (
+  SELECT lang, {OQ.sql_lang_id('text')} AS pred_lang, COUNT(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+), marg AS (SELECT lang, SUM(n_docs) AS n_lang FROM cells GROUP BY lang)
+SELECT lang, pred_lang, n_docs,
+       CAST(n_docs * 1000000 // n_lang AS BIGINT) AS row_share_ppm
+FROM cells JOIN marg USING (lang)
+ORDER BY lang, pred_lang
+"""
+
+QUERIES["t_lang_confusion"] = t_lang_confusion
+ORACLE["t_lang_confusion"] = T_LANG_CONFUSION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: type-token ratio per source
+# ---------------------------------------------------------------------------
+
+
+def t_ttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity census: per-document type-token ratio (distinct
+    tokens / tokens, in ppm) rolled up per source — low-TTR sources are
+    template farms and keyword stuffing; the classic diversity screen
+    next to the Gopher repetition rules (``t_repetition`` measures
+    within-line repeats; TTR measures vocabulary collapse).
+
+    Determinism: TTR is exact integer ppm per document (``distinct
+    count`` is order-independent), and the per-source mean is an integer
+    division of exact sums. Scale shape: one row-local expression (no
+    explode — ``array_distinct`` runs inside codegen), one bounded
+    per-source rollup.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.norm_tokens("text")
+    per_doc = d.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    ).filter(F.col("n_tokens") > 0)
+    return (
+        per_doc.select(
+            "source",
+            "n_tokens",
+            F.expr("n_types * 1000000 div n_tokens").alias("ttr_ppm"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr("sum(ttr_ppm) div count(1)").alias("mean_ttr_ppm"),
+            F.min("ttr_ppm").alias("min_ttr_ppm"),
+            F.max("ttr_ppm").alias("max_ttr_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+T_TTR_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         len({OQ.sql_tokens(OQ.sql_norm('text'))}) AS n_tokens,
+         len(list_distinct({OQ.sql_tokens(OQ.sql_norm('text'))})) AS n_types
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_types * 1000000 // n_tokens) // COUNT(*) AS BIGINT)
+         AS mean_ttr_ppm,
+       CAST(MIN(n_types * 1000000 // n_tokens) AS BIGINT) AS min_ttr_ppm,
+       CAST(MAX(n_types * 1000000 // n_tokens) AS BIGINT) AS max_ttr_ppm
+FROM per_doc WHERE n_tokens > 0
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["t_ttr_diversity"] = t_ttr_diversity
+ORACLE["t_ttr_diversity"] = T_TTR_SQL

@@ -1383,3 +1383,150 @@ FROM sel{_MMR_K} ORDER BY mmr_rank"""
 
 QUERIES["v_mmr_diverse_topk"] = v_mmr_diverse_topk
 ORACLE["v_mmr_diverse_topk"] = _mmr_sql()
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket label purity (bucketing-quality diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def v_lsh_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does hyperplane-LSH bucketing respect the label structure? Per
+    bucket: the majority label and its share (ppm) — the cheap proxy for
+    "will bucketed semantic dedup/ANN mostly compare like with like".
+    Low-purity buckets are where the LSH scale path loses recall vs the
+    exact path (read next to ``v_recall_at_k``).
+
+    Determinism: buckets and labels are integers; the majority pick is
+    an exact-count argmax with ties to the smaller label; purity is
+    integer ppm. Scale shape: one (bucket × label) rollup — both bounded
+    — then a per-bucket argmax window over label cells (≤ |labels| rows
+    per bucket).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        e.withColumn("bucket", OD.hyperplane_bucket("embedding", DIM))
+        .groupBy("bucket", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("n"), "label")
+    return (
+        cells.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_vecs", F.sum("n").over(Window.partitionBy("bucket")))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "bucket",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.col("label").cast("bigint").alias("top_label"),
+            F.expr("n * 1000000 div n_vecs").alias("purity_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+V_BUCKET_PURITY_SQL = f"""
+WITH cells AS (
+  SELECT {OQ.sql_hyperplane_bucket('embedding', DIM)} AS bucket, label,
+         COUNT(*) AS n
+  FROM embeddings GROUP BY 1, 2
+), ranked AS (
+  SELECT bucket, label, n,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n DESC, label) AS rk,
+         SUM(n) OVER (PARTITION BY bucket) AS n_vecs
+  FROM cells
+)
+SELECT bucket, CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(label AS BIGINT) AS top_label,
+       CAST(n * 1000000 // n_vecs AS BIGINT) AS purity_ppm
+FROM ranked WHERE rk = 1
+ORDER BY bucket
+"""
+
+QUERIES["v_lsh_bucket_purity"] = v_lsh_bucket_purity
+ORACLE["v_lsh_bucket_purity"] = V_BUCKET_PURITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# k-NN label classification (embedding-space label propagation)
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_QUERIES = 10
+
+
+def v_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification: hold out the first
+    ``KNN_QUERIES`` vectors, predict each one's label from its ``KNN_K``
+    cosine-nearest neighbors in the rest of the corpus, and report
+    prediction vs truth per query — the embedding-space label-propagation
+    primitive (auto-labeling a new slice from a labeled corpus) built
+    ENTIRELY from the audited ``cosine_topk`` plan.
+
+    Determinism: neighbor selection is ``cosine_topk``'s
+    (score DESC, vec_id) ranking — bit-identical floats in both engines;
+    the vote is an exact-count argmax with ties to the smaller label.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    holdout = e.filter(F.col("vec_id") < KNN_QUERIES)
+    corpus = e.filter(F.col("vec_id") >= KNN_QUERIES)
+    q = holdout.select(F.col("vec_id").alias("query_id"), "embedding")
+    nn = OS.cosine_topk(corpus, q, k=KNN_K)
+    votes = (
+        nn.join(
+            corpus.select("vec_id", F.col("label").alias("nn_label")), "vec_id"
+        )
+        .groupBy("query_id", "nn_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), "nn_label")
+    pred = votes.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") == 1
+    )
+    return (
+        pred.join(
+            holdout.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("true_label"),
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.col("nn_label").cast("bigint").alias("pred_label"),
+            F.col("true_label").cast("bigint").alias("true_label"),
+            "votes",
+        )
+        .orderBy("query_id")
+    )
+
+
+V_KNN_SQL = f"""
+WITH nn AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {OQ.sql_cosine('c.embedding', 'q.embedding', DIM)} DESC,
+                      c.vec_id ASC) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id >= {KNN_QUERIES}) c
+    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {KNN_QUERIES}) q
+  ) WHERE rank <= {KNN_K}
+), votes AS (
+  SELECT nn.query_id, c.label AS nn_label, COUNT(*) AS votes
+  FROM nn JOIN embeddings c USING (vec_id)
+  GROUP BY nn.query_id, c.label
+), pred AS (
+  SELECT query_id, nn_label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, nn_label) AS rk
+  FROM votes
+)
+SELECT query_id, CAST(nn_label AS BIGINT) AS pred_label,
+       CAST(q.label AS BIGINT) AS true_label, votes
+FROM pred JOIN embeddings q ON pred.query_id = q.vec_id
+WHERE rk = 1
+ORDER BY query_id
+"""
+
+QUERIES["v_knn_classify"] = v_knn_classify
+ORACLE["v_knn_classify"] = V_KNN_SQL
