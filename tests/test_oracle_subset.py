@@ -91,6 +91,13 @@ SUBSET = [
     "g_common_neighbors",
     "v_lsh_bucket_purity",
     "v_knn_classify",
+    "s_psi_drift",
+    "e_srm_check",
+    "e_funnel_wilson_ci",
+    "c_length_bucket_batching",
+    "s_mannwhitney_u",
+    "x_cramers_v",
+    "t_char_entropy",
 ]
 
 

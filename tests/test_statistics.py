@@ -1,0 +1,352 @@
+"""Independent-reference tests for the statistics layer (sweeps 20-23).
+
+The DuckDB oracles mirror each query's ALGEBRA, so a shared algorithmic
+bug (wrong run-algebra for the Gini rank sum, a dropped tie correction
+in Mann-Whitney) would pass both engines. These tests recompute each
+statistic from the raw sf0.001 parquet with a DIFFERENT algorithm —
+direct sort-based formulas in plain Python/numpy — the reference
+repo's Python-vs-Rust differential house style
+(`/root/reference/tests/test_image_technical_quality.py`) aimed at the
+statistics instead of the kernels.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+def _run(spark, name):
+    from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES
+
+    return QUERIES[name](spark, SF_DIR).toPandas()
+
+
+# ---------------------------------------------------------------------------
+# e_activity_gini vs the direct sorted-rank formula
+# ---------------------------------------------------------------------------
+
+
+def test_gini_matches_direct_formula(spark, events):
+    x = np.sort(events.groupby("user_id").size().to_numpy())
+    n = len(x)
+    i = np.arange(1, n + 1)
+    gini = (2 * np.sum(i * x) - (n + 1) * np.sum(x)) / (n * np.sum(x))
+    row = _run(spark, "e_activity_gini").iloc[0]
+    assert row["n_users"] == n
+    assert row["total_events"] == int(np.sum(x))
+    assert abs(row["gini"] - gini) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# s_ks_test vs direct empirical CDFs
+# ---------------------------------------------------------------------------
+
+
+def test_ks_matches_direct_cdfs(spark, docs):
+    a = np.sort(docs.loc[docs.lang == "en", "n_chars"].to_numpy())
+    b = np.sort(docs.loc[docs.lang != "en", "n_chars"].to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, grid, side="right") / len(a)
+    f2 = np.searchsorted(b, grid, side="right") / len(b)
+    d = np.max(np.abs(f1 - f2))
+    row = _run(spark, "s_ks_test").iloc[0]
+    assert row["n1"] == len(a) and row["n2"] == len(b)
+    assert abs(row["d_stat"] - d) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# s_mannwhitney_u vs direct midrank computation
+# ---------------------------------------------------------------------------
+
+
+def test_mannwhitney_matches_direct_midranks(spark, docs):
+    a = docs.loc[docs.lang == "en", "n_chars"].to_numpy()
+    b = docs.loc[docs.lang != "en", "n_chars"].to_numpy()
+    combined = np.concatenate([a, b])
+    # midranks via average rank of ties (pandas implements exactly this)
+    ranks = pd.Series(combined).rank(method="average").to_numpy()
+    r1 = np.sum(ranks[: len(a)])
+    n1, n2 = len(a), len(b)
+    u1 = n1 * n2 + n1 * (n1 + 1) / 2 - r1
+    _, t_counts = np.unique(combined, return_counts=True)
+    ties = np.sum(t_counts.astype(np.float64) ** 3 - t_counts)
+    nn = n1 + n2
+    var = n1 * n2 / 12.0 * ((nn + 1) - ties / (nn * (nn - 1)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+    row = _run(spark, "s_mannwhitney_u").iloc[0]
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["u_stat"] - u1) < 1e-9
+    assert abs(row["z_score"] - z) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# s_shard_jackknife: pseudovalues average back to the full-sample mean
+# ---------------------------------------------------------------------------
+
+
+def test_jackknife_pseudovalues_consistent(spark, docs):
+    import hashlib
+
+    out = _run(spark, "s_shard_jackknife").set_index("shard")
+    assert len(out) == 10
+    assert out["n_docs"].sum() == len(docs)
+    # direct recomputation with the same md5 sharding (shards are
+    # UNEQUAL-sized, so K·x̄ − (K−1)·mean(loo) ≠ x̄ exactly — compare the
+    # per-shard values themselves, not the equal-weight identity)
+    shard = docs.doc_id.map(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 10
+    )
+    s_all, c_all = docs.n_chars.sum(), len(docs)
+    overall = s_all / c_all
+    for k, grp in docs.groupby(shard):
+        loo = (s_all - grp.n_chars.sum()) / (c_all - len(grp))
+        pv = 10 * overall - 9 * loo
+        row = out.loc[k]
+        assert row["n_docs"] == len(grp)
+        assert abs(row["loo_mean"] - loo) < 1e-6
+        assert abs(row["pseudovalue"] - pv) < 1e-6
+    # and the pseudovalue mean still lands near the overall mean
+    assert abs(out["pseudovalue"].mean() - overall) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# s_psi_drift vs a direct histogram PSI
+# ---------------------------------------------------------------------------
+
+
+def test_psi_matches_direct_histogram(spark):
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    bucket = np.floor(orders.o_totalprice.to_numpy() / 50_000).astype(int)
+    year = orders.o_orderdate.dt.year.to_numpy()
+    base = bucket[year <= 1997]
+    curr = bucket[year > 1997]
+    vals = np.unique(bucket)
+    nb, nc, k = len(base), len(curr), len(vals)
+    psi = 0.0
+    for v in vals:
+        pb = (np.sum(base == v) + 1) / (nb + k)
+        pc = (np.sum(curr == v) + 1) / (nc + k)
+        psi += (pc - pb) * math.log(pc / pb)
+    row = _run(spark, "s_psi_drift").iloc[0]
+    assert row["n_base"] == nb and row["n_curr"] == nc and row["n_buckets"] == k
+    assert abs(row["psi"] - psi) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# e_funnel_wilson_ci vs the direct Wilson formula
+# ---------------------------------------------------------------------------
+
+
+def _wilson(k: int, n: int) -> tuple[float, float]:
+    z = 1.96
+    ph = k / n
+    center = (ph + z * z / (2 * n)) / (1 + z * z / n)
+    half = z * math.sqrt(ph * (1 - ph) / n + z * z / (4 * n * n)) / (1 + z * z / n)
+    return center - half, center + half
+
+
+def test_wilson_ci_matches_direct(spark, events):
+    flags = events.pivot_table(
+        index="user_id",
+        columns="event_type",
+        values="event_id",
+        aggfunc="count",
+    ).notna()
+    for col in ("view", "click", "purchase"):
+        assert col in flags.columns
+    n_view = int(flags["view"].sum())
+    n_vc = int((flags["view"] & flags["click"]).sum())
+    n_vcp = int((flags["view"] & flags["click"] & flags["purchase"]).sum())
+    out = _run(spark, "e_funnel_wilson_ci").set_index("stage")
+    vc = out.loc["view_to_click"]
+    assert vc["n"] == n_view and vc["k"] == n_vc
+    lo, hi = _wilson(n_vc, n_view)
+    assert abs(vc["wilson_low"] - lo) < 1e-6 and abs(vc["wilson_high"] - hi) < 1e-6
+    cp = out.loc["click_to_purchase"]
+    assert cp["n"] == n_vc and cp["k"] == n_vcp
+    lo, hi = _wilson(n_vcp, n_vc)
+    assert abs(cp["wilson_low"] - lo) < 1e-6 and abs(cp["wilson_high"] - hi) < 1e-6
+    # interval sanity: rate inside bounds
+    assert lo <= n_vcp / n_vc <= hi
+
+
+# ---------------------------------------------------------------------------
+# x_cramers_v vs a direct contingency computation
+# ---------------------------------------------------------------------------
+
+
+def test_cramers_v_matches_direct(spark, events):
+    ct = pd.crosstab(events.event_type, events.ts.dt.hour)
+    o = ct.to_numpy().astype(np.float64)
+    n = o.sum()
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / n
+    chi2 = float(np.sum((o - e) ** 2 / e))
+    v = math.sqrt(chi2 / (n * min(o.shape[0] - 1, o.shape[1] - 1)))
+    row = _run(spark, "x_cramers_v").iloc[0]
+    assert row["n_events"] == int(n)
+    assert row["n_rows"] == o.shape[0] and row["n_cols"] == o.shape[1]
+    # the query decimal-rounds per cell at 6 decimals; tolerance covers it
+    assert abs(row["chi2"] - chi2) < 1e-3
+    assert abs(row["cramers_v"] - v) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# t_char_entropy vs a direct Counter-based entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_matches_direct(spark, docs):
+    letters = set("abcdefghijklmnopqrstuvwxyz")
+
+    def ent(text: str) -> float:
+        lt = text.lower()
+        if not lt:
+            return 0.0
+        counts: dict[str, int] = {}
+        for ch in lt:
+            key = ch if ch in letters else ("#" if ch.isdigit() else (" " if ch == " " else "?"))
+            counts[key] = counts.get(key, 0) + 1
+        total = len(lt)
+        return -sum(c / total * math.log(c / total) for c in counts.values())
+
+    per_doc = docs.assign(ent=[ent(t) for t in docs.text])
+    expected = per_doc.groupby("source")["ent"].agg(["count", "mean", "min", "max"])
+    out = _run(spark, "t_char_entropy").set_index("source")
+    assert set(out.index) == set(expected.index)
+    for src, row in expected.iterrows():
+        got = out.loc[src]
+        assert got["n_docs"] == row["count"]
+        assert abs(got["mean_entropy"] - row["mean"]) < 1e-4
+        assert abs(got["min_entropy"] - row["min"]) < 1e-5
+        assert abs(got["max_entropy"] - row["max"]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# t_ttr_diversity vs direct distinct-token counting
+# ---------------------------------------------------------------------------
+
+
+def test_ttr_matches_direct(spark, docs):
+    def ttr_ppm(text: str) -> int | None:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            return None
+        return len(set(toks)) * 1_000_000 // len(toks)
+
+    vals = docs.assign(ttr=[ttr_ppm(t) for t in docs.text]).dropna(subset=["ttr"])
+    expected = vals.groupby("source")["ttr"].agg(["count", "min", "max"])
+    out = _run(spark, "t_ttr_diversity").set_index("source")
+    for src, row in expected.iterrows():
+        got = out.loc[src]
+        assert got["n_docs"] == row["count"]
+        assert got["min_ttr_ppm"] == row["min"]
+        assert got["max_ttr_ppm"] == row["max"]
+
+
+# ---------------------------------------------------------------------------
+# v_knn_classify vs a direct numpy k-NN
+# ---------------------------------------------------------------------------
+
+
+def test_knn_matches_numpy(spark):
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    hold = ids < 10
+    corpus_m, corpus_ids, corpus_lab = mat[~hold], ids[~hold], labels[~hold]
+    out = _run(spark, "v_knn_classify").set_index("query_id")
+    for qi in np.where(hold)[0]:
+        q = mat[qi]
+        cos = corpus_m @ q / (
+            np.linalg.norm(corpus_m, axis=1) * np.linalg.norm(q)
+        )
+        # (cosine DESC, vec_id ASC) ordering
+        order = np.lexsort((corpus_ids, -cos))[:5]
+        votes: dict[int, int] = {}
+        for lab in corpus_lab[order]:
+            votes[int(lab)] = votes.get(int(lab), 0) + 1
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        row = out.loc[ids[qi]]
+        assert row["pred_label"] == pred
+        assert row["true_label"] == labels[qi]
+        assert row["votes"] == votes[pred]
+
+
+# ---------------------------------------------------------------------------
+# g_common_neighbors vs a direct set-based computation
+# ---------------------------------------------------------------------------
+
+
+def test_common_neighbors_matches_sets(spark):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    edges: set[tuple[int, int]] = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ss = sorted(set(grp.l_suppkey))
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                edges.add((ss[i], ss[j]))
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    scores: dict[tuple[int, int], int] = {}
+    for center, nbrs in adj.items():
+        if len(nbrs) > 50:
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                pair = (ns[i], ns[j])
+                scores[pair] = scores.get(pair, 0) + 1
+    cands = [(p, c) for p, c in scores.items() if p not in edges]
+    cands.sort(key=lambda pc: (-pc[1], pc[0]))
+    expected = cands[:15]
+    out = _run(spark, "g_common_neighbors")
+    got = [
+        ((int(r.supp_a), int(r.supp_b)), int(r.common_neighbors))
+        for r in out.itertuples()
+    ]
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# c_length_bucket_batching vs a direct batching simulation
+# ---------------------------------------------------------------------------
+
+
+def test_batching_waste_matches_simulation(spark, docs):
+    out = _run(spark, "c_length_bucket_batching").set_index("bucket")
+    sim: dict[int, list[int]] = {}
+    for n in docs.n_chars:
+        sim.setdefault(int(n) // 64, []).append(int(n))
+    for bucket, lens in sim.items():
+        lens.sort(reverse=True)
+        padded = total = batches = 0
+        for i in range(0, len(lens), 8):
+            chunk = lens[i : i + 8]
+            padded += len(chunk) * chunk[0]
+            total += sum(chunk)
+            batches += 1
+        row = out.loc[bucket]
+        assert row["n_docs"] == len(lens)
+        assert row["n_batches"] == batches
+        assert row["total_chars"] == total
+        assert row["padded_chars"] == padded
+        assert row["waste_ppm"] == (padded - total) * 1_000_000 // padded

@@ -101,6 +101,7 @@ _ALLOW: dict[tuple[str, str], str] = {
     ("m_phash_blocklist", F_BCAST): "hinted side = curated hash blocklist (distributed as a small list by nature)",
     ("x_revenue_share", F_SINGLE): "single-partition window input = per-nation rollup (bounded by the nation dim)",
     ("s_ks_test", F_SINGLE): "single-partition cumulative window input = per-length rollup (bounded by the length value domain, then reduced to a scalar)",
+    ("s_mannwhitney_u", F_SINGLE): "single-partition cumulative window input = per-length rollup (the s_ks_test class)",
     ("e_activity_gini", F_SINGLE): "single-partition cumulative window input = per-activity-level rollup (bounded value domain, then reduced to a scalar)",
     ("e_growth_accounting", F_SINGLE): "single-partition cumsum input = per-DAY rollup (bounded by the calendar, not the data)",
     ("v_filtered_ann_topk", F_BCAST): "hinted side = the query set (vec_id < N_QUERIES), the v_cosine_topk contract on the semi-join-reduced corpus",

@@ -701,3 +701,101 @@ FROM documents GROUP BY lang ORDER BY lang
 
 QUERIES["c_tokenizer_fertility"] = c_tokenizer_fertility
 ORACLE["c_tokenizer_fertility"] = C_FERTILITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding-waste accounting
+# ---------------------------------------------------------------------------
+
+_LBB_BUCKET = 64
+_LBB_BATCH = 8
+
+
+def c_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for length-bucketed batching — the
+    standard training-loader trick (bucket by length, batch within
+    bucket, pad to the batch max) quantified per bucket: how many pad
+    characters does each length bucket cost, in exact ppm of the padded
+    volume? The table is what you read to pick bucket/batch widths
+    before exporting (``c_curriculum_export`` orders; this sizes).
+
+    Batches are deterministic: within a bucket, docs are ordered by
+    (n_chars DESC, doc_id) and cut into fixed runs of ``_LBB_BATCH``;
+    descending order makes each batch max its FIRST element, which is
+    how bucketed loaders minimize within-batch spread. Padded volume =
+    Σ_batches batch_count·batch_max (partial tail batches pay only
+    their own count). All integers; one ``div`` at the end.
+
+    Scale shape: row-local bucket key, ONE window pass per bucket
+    (hash-distributed — buckets are the partition key, same shape as
+    ``x_weighted_median``), per-batch rollup, bounded per-bucket output.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    bucketed = d.select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars") / _LBB_BUCKET).cast("long").alias("bucket"),
+    )
+    w = W.partitionBy("bucket").orderBy(F.desc("n_chars"), "doc_id")
+    batches = (
+        bucketed.withColumn(
+            "batch", ((F.row_number().over(w) - 1) / _LBB_BATCH).cast("long")
+        )
+        .groupBy("bucket", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.max("n_chars").alias("bmax"),
+            F.sum("n_chars").alias("bsum"),
+        )
+    )
+    return (
+        batches.groupBy("bucket")
+        .agg(
+            F.sum("bn").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("bsum").cast("bigint").alias("total_chars"),
+            F.sum(F.col("bn") * F.col("bmax")).cast("bigint").alias("padded_chars"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_batches",
+            "total_chars",
+            "padded_chars",
+            F.expr(
+                "(padded_chars - total_chars) * 1000000 div padded_chars"
+            ).alias("waste_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+C_LBB_SQL = f"""
+WITH bucketed AS (
+  SELECT doc_id, n_chars, CAST(n_chars // {_LBB_BUCKET} AS BIGINT) AS bucket
+  FROM documents
+), numbered AS (
+  SELECT bucket, n_chars,
+         CAST((ROW_NUMBER() OVER (PARTITION BY bucket
+                                  ORDER BY n_chars DESC, doc_id) - 1)
+              // {_LBB_BATCH} AS BIGINT) AS batch
+  FROM bucketed
+), batches AS (
+  SELECT bucket, batch, COUNT(*) AS bn, MAX(n_chars) AS bmax,
+         SUM(n_chars) AS bsum
+  FROM numbered GROUP BY bucket, batch
+)
+SELECT bucket, CAST(SUM(bn) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(bsum) AS BIGINT) AS total_chars,
+       CAST(SUM(bn * bmax) AS BIGINT) AS padded_chars,
+       CAST((SUM(bn * bmax) - SUM(bsum)) * 1000000 // SUM(bn * bmax) AS BIGINT)
+         AS waste_ppm
+FROM batches GROUP BY bucket
+ORDER BY bucket
+"""
+
+QUERIES["c_length_bucket_batching"] = c_length_bucket_batching
+ORACLE["c_length_bucket_batching"] = C_LBB_SQL

@@ -1376,3 +1376,177 @@ FROM agg
 
 QUERIES["e_activity_gini"] = e_activity_gini
 ORACLE["e_activity_gini"] = E_GINI_SQL
+
+
+# ---------------------------------------------------------------------------
+# A/B hygiene: sample-ratio-mismatch check
+# ---------------------------------------------------------------------------
+
+
+def e_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) guardrail for a 50/50 hash split of
+    users — the first thing to check before reading ANY experiment
+    metric (a skewed split means assignment is broken and every
+    downstream comparison is invalid). The split is the repo's seeded
+    md5 convention, so the check is reproducible.
+
+    The 2-cell chi-square against expected 50/50 collapses to EXACT
+    integer algebra: ``χ² = (n0 − n1)² / (n0 + n1)``; only the final
+    division touches floats. χ² > 3.84 (α=0.05, 1 df) means SRM.
+
+    Scale shape: per-user rollup, then one scalar aggregate.
+    """
+    from webscale_multimodal_datapipeline_spark.functions.text import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct().select(
+        F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2)).alias("arm")
+    )
+    agg = users.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n1"),
+    )
+    return agg.select(
+        F.col("n0").cast("bigint").alias("n_arm0"),
+        F.col("n1").cast("bigint").alias("n_arm1"),
+        F.round(
+            ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast(
+                "double"
+            )
+            / (F.col("n0") + F.col("n1")).cast("double"),
+            6,
+        ).alias("chi2"),
+    )
+
+
+E_SRM_SQL = """
+WITH users AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 2 AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_arm0,
+       CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_arm1,
+       ROUND(CAST((COUNT(*) FILTER (WHERE arm = 0)
+                   - COUNT(*) FILTER (WHERE arm = 1))
+                  * (COUNT(*) FILTER (WHERE arm = 0)
+                     - COUNT(*) FILTER (WHERE arm = 1)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS chi2
+FROM users
+"""
+
+QUERIES["e_srm_check"] = e_srm_check
+ORACLE["e_srm_check"] = E_SRM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion with Wilson confidence intervals
+# ---------------------------------------------------------------------------
+
+
+def e_funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion rates WITH error bars: view→click and
+    view+click→purchase user conversion, each with the Wilson 95%
+    interval — the uncertainty-aware version of ``e_funnel`` (a 2-point
+    drop on a 300-user stage is noise; the interval says so before
+    anyone reacts to it).
+
+    Determinism: k and n are exact distinct-user counts from ONE
+    per-user flag rollup; the Wilson center/half-width is a single fixed
+    expression tree over (k, n) — identical double ops in both engines —
+    rounded to 6 at the end.
+
+    Scale shape: per-user conditional-flag rollup (one shuffle), scalar
+    flag sums, two bounded output rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "p"
+        ),
+    )
+    agg = per_user.agg(
+        F.sum("v").alias("n_view"),
+        F.sum(F.col("v") * F.col("c")).alias("n_vc"),
+        F.sum(F.col("v") * F.col("c") * F.col("p")).alias("n_vcp"),
+    )
+
+    def wilson(k, n):
+        z = F.lit(1.96)
+        ph = k.cast("double") / n.cast("double")
+        nf = n.cast("double")
+        center = (ph + z * z / (2 * nf)) / (1 + z * z / nf)
+        half = (
+            z
+            * F.sqrt(ph * (1 - ph) / nf + z * z / (4 * nf * nf))
+            / (1 + z * z / nf)
+        )
+        return (
+            F.round(center - half, 6).alias("wilson_low"),
+            F.round(center + half, 6).alias("wilson_high"),
+        )
+
+    s1 = agg.select(
+        F.lit("view_to_click").alias("stage"),
+        F.col("n_view").cast("bigint").alias("n"),
+        F.col("n_vc").cast("bigint").alias("k"),
+        F.expr("n_vc * 1000000 div n_view").alias("rate_ppm"),
+        *wilson(F.col("n_vc"), F.col("n_view")),
+    )
+    s2 = agg.select(
+        F.lit("click_to_purchase").alias("stage"),
+        F.col("n_vc").cast("bigint").alias("n"),
+        F.col("n_vcp").cast("bigint").alias("k"),
+        F.expr("n_vcp * 1000000 div n_vc").alias("rate_ppm"),
+        *wilson(F.col("n_vcp"), F.col("n_vc")),
+    )
+    return s1.unionByName(s2).orderBy("stage")
+
+
+_WILSON_SQL_TMPL = """
+  SELECT '{stage}' AS stage, CAST({n} AS BIGINT) AS n, CAST({k} AS BIGINT) AS k,
+         CAST({k} * 1000000 // {n} AS BIGINT) AS rate_ppm,
+         ROUND((CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE)
+                + 1.96 * 1.96 / (2 * CAST({n} AS DOUBLE)))
+               / (1 + 1.96 * 1.96 / CAST({n} AS DOUBLE))
+               - 1.96 * sqrt(CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE)
+                             * (1 - CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE))
+                             / CAST({n} AS DOUBLE)
+                             + 1.96 * 1.96
+                               / (4 * CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE)))
+                 / (1 + 1.96 * 1.96 / CAST({n} AS DOUBLE)), 6) AS wilson_low,
+         ROUND((CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE)
+                + 1.96 * 1.96 / (2 * CAST({n} AS DOUBLE)))
+               / (1 + 1.96 * 1.96 / CAST({n} AS DOUBLE))
+               + 1.96 * sqrt(CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE)
+                             * (1 - CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE))
+                             / CAST({n} AS DOUBLE)
+                             + 1.96 * 1.96
+                               / (4 * CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE)))
+                 / (1 + 1.96 * 1.96 / CAST({n} AS DOUBLE)), 6) AS wilson_high
+  FROM agg
+"""
+
+E_WILSON_SQL = (
+    """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY user_id
+), agg AS (
+  SELECT SUM(v) AS n_view, SUM(v * c) AS n_vc, SUM(v * c * p) AS n_vcp
+  FROM per_user
+)
+"""
+    + _WILSON_SQL_TMPL.format(stage="view_to_click", n="n_view", k="n_vc")
+    + "UNION ALL"
+    + _WILSON_SQL_TMPL.format(stage="click_to_purchase", n="n_vc", k="n_vcp")
+    + "ORDER BY stage"
+)
+
+QUERIES["e_funnel_wilson_ci"] = e_funnel_wilson_ci
+ORACLE["e_funnel_wilson_ci"] = E_WILSON_SQL

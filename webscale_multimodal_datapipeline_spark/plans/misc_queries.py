@@ -1496,3 +1496,97 @@ LIMIT 10
 
 QUERIES["x_chi2_cells"] = x_chi2_cells
 ORACLE["x_chi2_cells"] = X_CHI2_SQL
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (categorical association strength)
+# ---------------------------------------------------------------------------
+
+
+def x_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for (event type × hour of day): the normalized 0-1
+    "are these two categoricals associated" number that makes chi-square
+    comparable across tables — the one-glance answer to "is traffic mix
+    time-of-day dependent" before hour-stratified sampling is worth it.
+    Extends ``x_chi2_cells`` (which ranks cells) to the corpus-level
+    statistic.
+
+    Determinism: each cell contribution ``(o·n − rt·ct)²/(n·rt·ct)`` is
+    one float division of exact integer products (the x_chi2_cells
+    discipline), rounded to 6 and summed as DECIMAL — no engine-ordered
+    float accumulation; V = sqrt(χ² / (n·min(r−1, c−1))) is a single
+    expression over that exact sum.
+
+    Scale shape: one (type × hour) rollup — both domains bounded — two
+    bounded marginals, scalar output.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr")
+    )
+    cells = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("hr").agg(F.sum("o").alias("ct"))
+    dims = (
+        rt.agg(F.count(F.lit(1)).alias("r"), F.sum("rt").alias("n"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("c")))
+    )
+    contrib = F.round(
+        (
+            (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("double")
+            * (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast(
+                "double"
+            )
+        )
+        / (F.col("n") * F.col("rt") * F.col("ct")).cast("double"),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        cells.join(rt, "event_type")
+        .join(ct, "hr")
+        .crossJoin(F.broadcast(dims))
+        .select("n", "r", "c", contrib.alias("t"))
+        .groupBy("n", "r", "c")
+        .agg(F.sum("t").cast("double").alias("chi2"))
+        .select(
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("r").cast("bigint").alias("n_rows"),
+            F.col("c").cast("bigint").alias("n_cols"),
+            "chi2",
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1)
+                    ).cast("double")
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+X_CRAMERS_SQL = """
+WITH ev AS (SELECT event_type, hour(ts) AS hr FROM events),
+cells AS (SELECT event_type, hr, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+rt AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT hr, SUM(o) AS ct FROM cells GROUP BY 1),
+dims AS (SELECT (SELECT COUNT(*) FROM rt) AS r, (SELECT COUNT(*) FROM ct) AS c,
+                (SELECT SUM(rt) FROM rt) AS n)
+SELECT CAST(n AS BIGINT) AS n_events, CAST(r AS BIGINT) AS n_rows,
+       CAST(c AS BIGINT) AS n_cols,
+       CAST(SUM(CAST(ROUND(
+           (CAST(o * n - rt.rt * ct.ct AS DOUBLE)
+            * CAST(o * n - rt.rt * ct.ct AS DOUBLE))
+           / CAST(n * rt.rt * ct.ct AS DOUBLE), 6) AS DECIMAL(18,6)))
+         AS DOUBLE) AS chi2,
+       ROUND(sqrt(CAST(SUM(CAST(ROUND(
+           (CAST(o * n - rt.rt * ct.ct AS DOUBLE)
+            * CAST(o * n - rt.rt * ct.ct AS DOUBLE))
+           / CAST(n * rt.rt * ct.ct AS DOUBLE), 6) AS DECIMAL(18,6)))
+         AS DOUBLE) / CAST(n * least(r - 1, c - 1) AS DOUBLE)), 6) AS cramers_v
+FROM cells JOIN rt USING (event_type) JOIN ct USING (hr), dims
+GROUP BY n, r, c
+"""
+
+QUERIES["x_cramers_v"] = x_cramers_v
+ORACLE["x_cramers_v"] = X_CRAMERS_SQL

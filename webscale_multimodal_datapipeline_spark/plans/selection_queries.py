@@ -556,3 +556,173 @@ ORDER BY source
 
 QUERIES["s_kl_per_source"] = s_kl_per_source
 ORACLE["s_kl_per_source"] = S_KL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (snapshot drift)
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKET = 50_000
+
+
+def s_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    baseline (orders through 1997) vs current (1998 onward) — the
+    industry-standard "has the incoming distribution shifted" score
+    (PSI < 0.1 stable, > 0.25 action), computed on fixed-width value
+    buckets with +1 smoothing so empty cells never blow up the log.
+
+    Determinism: ``psi = Σ_b (pc_b − pb_b)·ln(pc_b / pb_b)`` where each
+    p is a double quotient of exact smoothed integers; per-bucket terms
+    are rounded to 6 decimals and summed as DECIMAL. Scale shape: ONE
+    bucket rollup with conditional counts (bounded bucket domain), a
+    1-row total, scalar output.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    # explicit floor: CAST(double AS BIGINT) truncates in Spark but ROUNDS
+    # in DuckDB (the ts_seasonal_naive lesson) — floor is identical in both
+    cells = o.groupBy(
+        F.floor(F.col("o_totalprice") / _PSI_BUCKET).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.when(F.year("o_orderdate") <= 1997, 1)).alias("cb"),
+        F.count(F.when(F.year("o_orderdate") > 1997, 1)).alias("cc"),
+    )
+    tot = cells.agg(
+        F.sum("cb").alias("nb"),
+        F.sum("cc").alias("nc"),
+        F.count(F.lit(1)).alias("nbuckets"),
+    )
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("nbuckets")).cast(
+        "double"
+    )
+    pc = (F.col("cc") + 1).cast("double") / (F.col("nc") + F.col("nbuckets")).cast(
+        "double"
+    )
+    term = F.round((pc - pb) * F.log(pc / pb), 6).cast("decimal(18,6)")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select("nb", "nc", "nbuckets", term.alias("t"))
+        .groupBy("nb", "nc", "nbuckets")
+        .agg(F.sum("t").cast("double").alias("psi"))
+        .select(
+            F.col("nb").cast("bigint").alias("n_base"),
+            F.col("nc").cast("bigint").alias("n_curr"),
+            F.col("nbuckets").cast("bigint").alias("n_buckets"),
+            "psi",
+        )
+    )
+
+
+S_PSI_SQL = f"""
+WITH cells AS (
+  SELECT CAST(floor(o_totalprice / {_PSI_BUCKET}) AS BIGINT) AS bucket,
+         COUNT(*) FILTER (WHERE year(o_orderdate) <= 1997) AS cb,
+         COUNT(*) FILTER (WHERE year(o_orderdate) > 1997) AS cc
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT SUM(cb) AS nb, SUM(cc) AS nc, COUNT(*) AS nbuckets FROM cells
+)
+SELECT CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_curr,
+       CAST(nbuckets AS BIGINT) AS n_buckets,
+       CAST(SUM(CAST(ROUND(
+         (CAST(cc + 1 AS DOUBLE) / CAST(nc + nbuckets AS DOUBLE)
+          - CAST(cb + 1 AS DOUBLE) / CAST(nb + nbuckets AS DOUBLE))
+         * ln((CAST(cc + 1 AS DOUBLE) / CAST(nc + nbuckets AS DOUBLE))
+              / (CAST(cb + 1 AS DOUBLE) / CAST(nb + nbuckets AS DOUBLE))), 6)
+         AS DECIMAL(18,6))) AS DOUBLE) AS psi
+FROM cells, tot
+GROUP BY nb, nc, nbuckets
+"""
+
+QUERIES["s_psi_drift"] = s_psi_drift
+ORACLE["s_psi_drift"] = S_PSI_SQL
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U rank test (nonparametric two-sample drift)
+# ---------------------------------------------------------------------------
+
+
+def s_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test of document length, English vs the rest —
+    the nonparametric companion to ``s_ks_test`` (KS asks "any
+    distributional difference"; U asks the directional "does one group
+    tend to run longer"). Exact to the last bit before the z-score:
+    with per-value counts, doubled midrank sums and the tie-correction
+    term ``Σ(t³−t)`` are plain integer algebra —
+    ``2·R1 = Σ c1·(2r + t + 1)``, ``2·U1 = 2·n1·n2 + n1(n1+1) − 2·R1``
+    — and only the final normal approximation divides doubles.
+
+    Scale shape: the ``s_ks_test`` plan — bounded per-length rollup, ONE
+    cumulative window over the bounded value domain, scalar output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_v = d.groupBy("n_chars").agg(
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c1"),
+        F.count(F.when(F.col("lang") != "en", 1)).alias("c2"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    runs = per_v.select(
+        "c1",
+        (F.col("c1") + F.col("c2")).alias("t"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0)).alias(
+            "r"
+        ),
+    )
+    agg = runs.agg(
+        F.sum(F.col("c1") * (2 * F.col("r") + F.col("t") + 1)).alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("t") - F.col("c1")).alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = n1 + n2
+    u1x2 = 2 * n1 * n2 + n1 * (n1 + 1) - F.col("r1x2")
+    mu_x2 = n1 * n2  # 2·μ_U = n1·n2
+    var = (
+        (n1 * n2).cast("double")
+        / 12.0
+        * (
+            (nn + 1).cast("double")
+            - F.col("ties").cast("double") / (nn * (nn - 1)).cast("double")
+        )
+    )
+    z = (u1x2 - mu_x2).cast("double") / (2.0 * F.sqrt(var))
+    return agg.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        (u1x2.cast("double") / 2.0).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+S_MWU_SQL = """
+WITH per_v AS (
+  SELECT n_chars,
+         COUNT(*) FILTER (WHERE lang = 'en') AS c1,
+         COUNT(*) FILTER (WHERE lang <> 'en') AS c2
+  FROM documents GROUP BY n_chars
+), runs AS (
+  SELECT c1, c1 + c2 AS t,
+         COALESCE(SUM(c1 + c2) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+  FROM per_v
+), agg AS (
+  SELECT SUM(c1 * (2 * r + t + 1)) AS r1x2,
+         SUM(t * t * t - t) AS ties,
+         SUM(c1) AS n1, SUM(t - c1) AS n2
+  FROM runs
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1x2 AS DOUBLE) / 2.0 AS u_stat,
+       ROUND(CAST((2 * n1 * n2 + n1 * (n1 + 1) - r1x2) - n1 * n2 AS DOUBLE)
+             / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                    - CAST(ties AS DOUBLE)
+                      / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))), 6)
+         AS z_score
+FROM agg
+"""
+
+QUERIES["s_mannwhitney_u"] = s_mannwhitney_u
+ORACLE["s_mannwhitney_u"] = S_MWU_SQL

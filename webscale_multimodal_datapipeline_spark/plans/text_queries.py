@@ -1607,3 +1607,110 @@ ORDER BY source
 
 QUERIES["t_ttr_diversity"] = t_ttr_diversity
 ORACLE["t_ttr_diversity"] = T_TTR_SQL
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy compressibility proxy
+# ---------------------------------------------------------------------------
+
+_ENT_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-entropy census — the compressibility proxy:
+    low-entropy documents are repeated boilerplate / padded junk (they
+    gzip to nothing), abnormally high entropy flags base64 blobs and
+    minified noise. The standard cheap screen next to ``t_repetition``
+    and ``t_ttr_diversity``, over a FIXED 29-class alphabet (26 letters,
+    digits, space, other) so the entropy scale is comparable across
+    documents.
+
+    Determinism: class counts are exact integers (replace/regex length
+    arithmetic, no explode); per-document entropy is a FIXED left fold
+    of 29 ``−p·ln p`` terms — same expression order in both engines →
+    bit-identical — rounded once to 6 and accumulated as DECIMAL for
+    the per-source mean. Scale shape: row-local expression, one bounded
+    per-source rollup; zero data-sized shuffles beyond the rollup.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    L = F.length(lt)
+    counts = [
+        F.length(lt) - F.length(F.replace(lt, F.lit(ch))) for ch in _ENT_LETTERS
+    ]
+    counts.append(F.length(lt) - F.length(F.regexp_replace(lt, "[0-9]", "")))
+    counts.append(F.length(lt) - F.length(F.replace(lt, F.lit(" "))))
+    counts.append(L - sum(counts[:28]))
+    term = None
+    for c in counts:
+        p = c.cast("double") / L.cast("double")
+        t = F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+        term = t if term is None else term + t
+    per_doc = d.filter(L > 0).select(
+        "source", F.round(term, 6).cast("decimal(18,6)").alias("ent")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ent").alias("_sum"),
+            F.min("ent").cast("double").alias("min_entropy"),
+            F.max("ent").cast("double").alias("max_entropy"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            # integer-resolution mean (the t_unigram_logprob discipline):
+            # ROUND(x, 6) of a double quotient takes engine-specific paths;
+            # ROUND(x) of the same scaled double is tie-ruled identically.
+            (
+                F.round(
+                    (F.col("_sum") * 1000000).cast("bigint").cast("double")
+                    / F.col("n_docs"),
+                    0,
+                )
+                / F.lit(1000000.0)
+            ).alias("mean_entropy"),
+            "min_entropy",
+            "max_entropy",
+        )
+        .orderBy("source")
+    )
+
+
+def _char_entropy_sql() -> str:
+    cnts = [
+        f"length(lt) - length(replace(lt, '{ch}', ''))" for ch in _ENT_LETTERS
+    ]
+    cnts.append("length(lt) - length(regexp_replace(lt, '[0-9]', '', 'g'))")
+    cnts.append("length(lt) - length(replace(lt, ' ', ''))")
+    named = ", ".join(f"({e}) AS c{i}" for i, e in enumerate(cnts))
+    other = "length(lt) - (" + " + ".join(f"c{i}" for i in range(28)) + ")"
+    terms = []
+    for i in range(29):
+        c = f"c{i}" if i < 28 else "c28"
+        terms.append(
+            f"(CASE WHEN {c} > 0 THEN -(CAST({c} AS DOUBLE) / CAST(length(lt) AS DOUBLE))"
+            f" * ln(CAST({c} AS DOUBLE) / CAST(length(lt) AS DOUBLE)) ELSE 0.0 END)"
+        )
+    fold = " + ".join(terms)
+    return f"""
+WITH base AS (SELECT source, lower(text) AS lt FROM documents),
+cls AS (SELECT source, lt, {named} FROM base),
+cls2 AS (SELECT *, ({other}) AS c28 FROM cls),
+per_doc AS (
+  SELECT source, CAST(ROUND({fold}, 6) AS DECIMAL(18,6)) AS ent
+  FROM cls2 WHERE length(lt) > 0
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(CAST(CAST(SUM(ent) * 1000000 AS BIGINT) AS DOUBLE) / COUNT(*))
+         / 1000000.0 AS mean_entropy,
+       CAST(MIN(ent) AS DOUBLE) AS min_entropy,
+       CAST(MAX(ent) AS DOUBLE) AS max_entropy
+FROM per_doc GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["t_char_entropy"] = t_char_entropy
+ORACLE["t_char_entropy"] = _char_entropy_sql()
