@@ -98,6 +98,8 @@ SUBSET = [
     "s_mannwhitney_u",
     "x_cramers_v",
     "t_char_entropy",
+    "e_theil_index",
+    "e_seasonality_strength",
 ]
 
 

@@ -350,3 +350,51 @@ def test_batching_waste_matches_simulation(spark, docs):
         assert row["total_chars"] == total
         assert row["padded_chars"] == padded
         assert row["waste_ppm"] == (padded - total) * 1_000_000 // padded
+
+
+# ---------------------------------------------------------------------------
+# e_theil_index vs the direct per-user formula
+# ---------------------------------------------------------------------------
+
+
+def test_theil_matches_direct(spark, events):
+    x = events.groupby("user_id").size().to_numpy().astype(np.float64)
+    mu = x.mean()
+    theil = float(np.mean((x / mu) * np.log(x / mu)))
+    row = _run(spark, "e_theil_index").iloc[0]
+    assert row["n_users"] == len(x)
+    assert row["total_events"] == int(x.sum())
+    assert abs(row["theil"] - theil) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# e_seasonality_strength vs a direct one-way ANOVA eta²
+# ---------------------------------------------------------------------------
+
+
+def test_seasonality_matches_direct_anova(spark, events):
+    cells = (
+        events.assign(d=events.ts.dt.date, hr=events.ts.dt.hour)
+        .groupby(["d", "hr"])
+        .size()
+        .reset_index(name="c")
+    )
+    c = cells.c.to_numpy().astype(np.float64)
+    grand = c.mean()
+    sst = float(np.sum((c - grand) ** 2))
+    ssb = float(
+        sum(
+            len(g) * (g.c.mean() - grand) ** 2
+            for _, g in cells.groupby("hr")
+        )
+    )
+    row = _run(spark, "e_seasonality_strength").iloc[0]
+    assert row["n_cells"] == len(c)
+    assert row["n_events"] == int(c.sum())
+    assert abs(row["eta2"] - ssb / sst) < 1e-4
+    by_hr = cells.groupby("hr")["c"].sum()
+    peak = by_hr.sort_values(ascending=False).index[0]
+    assert row["peak_events"] == by_hr.max()
+    assert row["peak_hour"] == min(
+        h for h in by_hr.index if by_hr[h] == by_hr.max()
+    )

@@ -1550,3 +1550,154 @@ WITH per_user AS (
 
 QUERIES["e_funnel_wilson_ci"] = e_funnel_wilson_ci
 ORACLE["e_funnel_wilson_ci"] = E_WILSON_SQL
+
+
+# ---------------------------------------------------------------------------
+# Inequality (Theil) and seasonality-strength diagnostics
+# ---------------------------------------------------------------------------
+
+
+def e_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil index of per-user activity — the decomposable companion to
+    ``e_activity_gini`` (Theil, unlike Gini, splits exactly into
+    between-group + within-group shares, so it is the concentration
+    number you can later attribute to segments). ``T = (1/n)·Σ
+    (x/μ)·ln(x/μ)``, grouped by distinct activity LEVEL with
+    multiplicity: each level term is ``m·(x·n/S)·ln(x·n/S)`` — integer
+    products inside the log, rounded to 6 and decimal-summed over the
+    bounded level domain; one double division by ``n`` at the end.
+
+    Scale shape: per-user rollup → bounded per-level rollup → scalar.
+    No window at all (unlike the Gini's rank recovery).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    per_level = per_user.groupBy("x").agg(F.count(F.lit(1)).alias("m"))
+    tot = per_level.agg(
+        F.sum(F.col("x") * F.col("m")).alias("s"), F.sum("m").alias("n")
+    )
+    ratio = (F.col("x") * F.col("n")).cast("double") / F.col("s").cast("double")
+    term = F.round(F.col("m") * ratio * F.log(ratio), 6).cast("decimal(18,6)")
+    return (
+        per_level.crossJoin(F.broadcast(tot))
+        .select("n", "s", term.alias("t"))
+        .groupBy("n", "s")
+        .agg(F.sum("t").alias("_sum"))
+        .select(
+            F.col("n").cast("bigint").alias("n_users"),
+            F.col("s").cast("bigint").alias("total_events"),
+            F.round(F.col("_sum").cast("double") / F.col("n").cast("double"), 6).alias(
+                "theil"
+            ),
+        )
+    )
+
+
+E_THEIL_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+), per_level AS (
+  SELECT x, COUNT(*) AS m FROM per_user GROUP BY x
+), tot AS (SELECT SUM(x * m) AS s, SUM(m) AS n FROM per_level)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS total_events,
+       ROUND(CAST(SUM(CAST(ROUND(
+           m * (CAST(x * n AS DOUBLE) / CAST(s AS DOUBLE))
+             * ln(CAST(x * n AS DOUBLE) / CAST(s AS DOUBLE)), 6)
+         AS DECIMAL(18,6))) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS theil
+FROM per_level, tot
+GROUP BY n, s
+"""
+
+QUERIES["e_theil_index"] = e_theil_index
+ORACLE["e_theil_index"] = E_THEIL_SQL
+
+
+def e_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of hourly traffic variance is explained by hour-of-day?
+    One-way eta² over calendar (date × hour) event-count cells:
+    ``η² = SS_between / SS_total`` — ~0 means load is flat (no point
+    hour-stratifying anything), ~1 means schedule-driven (cron/bot
+    traffic; compare ``e_bot_heuristic``). The peak hour comes along for
+    free as an exact argmax.
+
+    Determinism: cell counts are integers; ``SS_total = Σc² − S²/k``
+    uses exact decimal sums; the between term ``Σ_h S_h²/n_h`` is 24
+    bounded per-hour divisions, rounded to 6 and decimal-summed. Scale
+    shape: calendar-bounded (date, hour) rollup → 24-row hour rollup →
+    scalar. All map-side combinable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.to_date("ts").alias("d"), F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    hours = cells.groupBy("hr").agg(
+        F.sum("c").alias("s_h"), F.count(F.lit(1)).alias("n_h")
+    )
+    tot = cells.agg(
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    bterm = F.round(
+        (F.col("s_h") * F.col("s_h")).cast("double") / F.col("n_h").cast("double"),
+        6,
+    ).cast("decimal(18,6)")
+    peak = hours.orderBy(F.desc("s_h"), "hr").limit(1).select(
+        F.col("hr").alias("peak_hour"), F.col("s_h").alias("peak_events")
+    )
+    agg = (
+        hours.crossJoin(F.broadcast(tot))
+        .select("s", "ss", "k", bterm.alias("b"))
+        .groupBy("s", "ss", "k")
+        .agg(F.sum("b").alias("bsum"))
+    )
+    corr = F.col("s").cast("double") * F.col("s").cast("double") / F.col(
+        "k"
+    ).cast("double")
+    return (
+        agg.crossJoin(F.broadcast(peak))
+        .select(
+            F.col("k").cast("bigint").alias("n_cells"),
+            F.col("s").cast("bigint").alias("n_events"),
+            F.round(
+                (F.col("bsum").cast("double") - corr)
+                / (F.col("ss").cast("double") - corr),
+                6,
+            ).alias("eta2"),
+            F.col("peak_hour").cast("bigint").alias("peak_hour"),
+            F.col("peak_events").cast("bigint").alias("peak_events"),
+        )
+    )
+
+
+E_SEASONALITY_SQL = """
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS d, hour(ts) AS hr, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), hours AS (
+  SELECT hr, SUM(c) AS s_h, COUNT(*) AS n_h FROM cells GROUP BY hr
+), tot AS (
+  SELECT SUM(c) AS s, SUM(c * c) AS ss, COUNT(*) AS k FROM cells
+), peak AS (
+  SELECT hr AS peak_hour, s_h AS peak_events FROM hours
+  ORDER BY s_h DESC, hr LIMIT 1
+), agg AS (
+  SELECT s, ss, k,
+         SUM(CAST(ROUND(CAST(s_h * s_h AS DOUBLE) / CAST(n_h AS DOUBLE), 6)
+                  AS DECIMAL(18,6))) AS bsum
+  FROM hours, tot
+  GROUP BY s, ss, k
+)
+SELECT CAST(k AS BIGINT) AS n_cells, CAST(s AS BIGINT) AS n_events,
+       ROUND((CAST(bsum AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+             / (CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(k AS DOUBLE)),
+             6) AS eta2,
+       CAST(peak_hour AS BIGINT) AS peak_hour,
+       CAST(peak_events AS BIGINT) AS peak_events
+FROM agg, peak
+"""
+
+QUERIES["e_seasonality_strength"] = e_seasonality_strength
+ORACLE["e_seasonality_strength"] = E_SEASONALITY_SQL
