@@ -100,6 +100,8 @@ SUBSET = [
     "t_char_entropy",
     "e_theil_index",
     "e_seasonality_strength",
+    "x_id_gap_audit",
+    "t_heaps_law",
 ]
 
 

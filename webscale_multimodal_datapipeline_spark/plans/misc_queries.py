@@ -1590,3 +1590,77 @@ GROUP BY n, r, c
 
 QUERIES["x_cramers_v"] = x_cramers_v
 ORACLE["x_cramers_v"] = X_CRAMERS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Id-space gap audit (ingestion-loss forensics)
+# ---------------------------------------------------------------------------
+
+_GAP_RANGE = 1000
+_GAP_TOPK = 20
+
+
+def x_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where did the ids go? Deficit census of an id space: count keys
+    present per fixed 1000-wide range between the subset's min and max
+    and surface the ranges missing the most — the ingestion-loss /
+    filter-loss forensic that finds a dropped shard, a truncated
+    export, or a range-localized rejection spike WITHOUT enumerating
+    the (output-unbounded) individual gaps. Audited here on the
+    finished-order subset (``o_orderstatus = 'F'``), whose id space is
+    naturally sparse — the deficit per range IS the non-finished mass.
+
+    Deliberately WINDOW-FREE: the classic gaps-and-islands
+    ``key − row_number()`` needs a data-sized global sort; the range
+    rollup is one map-side-combinable aggregate at any scale, and the
+    tail range's expected count is clamped to the actual key span. All
+    exact integers.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    rng = o.groupBy(
+        F.expr(f"o_orderkey div {_GAP_RANGE}").alias("range_id")
+    ).agg(F.count(F.lit(1)).alias("n_present"))
+    span = o.agg(F.min("o_orderkey").alias("kmin"), F.max("o_orderkey").alias("kmax"))
+    expected = F.least(
+        F.lit(_GAP_RANGE),
+        F.col("kmax") - F.col("range_id") * _GAP_RANGE + 1,
+    ) - F.greatest(
+        F.lit(0), F.col("kmin") - F.col("range_id") * _GAP_RANGE
+    )
+    return (
+        rng.crossJoin(F.broadcast(span))
+        .select(
+            (F.col("range_id") * _GAP_RANGE).cast("bigint").alias("range_start"),
+            F.col("n_present").cast("bigint").alias("n_present"),
+            (expected - F.col("n_present")).cast("bigint").alias("n_missing"),
+        )
+        .filter(F.col("n_missing") > 0)
+        .orderBy(F.desc("n_missing"), "range_start")
+        .limit(_GAP_TOPK)
+    )
+
+
+X_ID_GAP_SQL = f"""
+WITH sub AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+rng AS (
+  SELECT o_orderkey // {_GAP_RANGE} AS range_id, COUNT(*) AS n_present
+  FROM sub GROUP BY 1
+), span AS (SELECT MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax FROM sub)
+SELECT CAST(range_id * {_GAP_RANGE} AS BIGINT) AS range_start,
+       CAST(n_present AS BIGINT) AS n_present,
+       CAST(least({_GAP_RANGE}, kmax - range_id * {_GAP_RANGE} + 1)
+            - greatest(0, kmin - range_id * {_GAP_RANGE})
+            - n_present AS BIGINT) AS n_missing
+FROM rng, span
+WHERE least({_GAP_RANGE}, kmax - range_id * {_GAP_RANGE} + 1)
+      - greatest(0, kmin - range_id * {_GAP_RANGE}) - n_present > 0
+ORDER BY n_missing DESC, range_start
+LIMIT {_GAP_TOPK}
+"""
+
+QUERIES["x_id_gap_audit"] = x_id_gap_audit
+ORACLE["x_id_gap_audit"] = X_ID_GAP_SQL

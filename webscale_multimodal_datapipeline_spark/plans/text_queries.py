@@ -1714,3 +1714,123 @@ ORDER BY source
 
 QUERIES["t_char_entropy"] = t_char_entropy
 ORACLE["t_char_entropy"] = _char_entropy_sql()
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law: vocabulary-growth exponent
+# ---------------------------------------------------------------------------
+
+_HEAPS_POINTS = 10
+
+
+def t_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth — ``V(N) ≈ K·N^β`` with β
+    typically 0.4-0.6 for natural text: the corpus-health law that
+    tells you whether more data still buys new vocabulary (β collapsing
+    toward 0 = the crawl is recrawling itself; β near 1 = id-like junk
+    tokens). Fitted by log-log least squares over ``_HEAPS_POINTS``
+    checkpoints placed at fixed fractions of the doc-id span.
+
+    Mechanics: a term's FIRST document (min doc_id per term) makes the
+    cumulative vocabulary at checkpoint c a plain conditional count
+    (``first_doc ≤ c``), so no ordered scan ever happens — vocabulary
+    table × 10 checkpoints via a bounded-multiplier non-equi join, same
+    for cumulative token counts. Regression sums are 6-decimal-rounded
+    (ln N, ln V) products accumulated as DECIMAL; the slope/intercept
+    are single divisions of those exact sums.
+
+    Scale shape: explode → per-term min aggregate (vocab-sized,
+    map-side combinable) → ×10 bounded fanout rollups → 10-point
+    regression reduced in one scalar aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.norm_tokens("text")).alias("term"))
+    fd = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    ntok = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    span = d.agg(F.max("doc_id").alias("maxid"))
+    cps = (
+        spark.range(1, _HEAPS_POINTS + 1)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(span))
+        .select("i", F.expr(f"maxid * i div {_HEAPS_POINTS}").alias("cp"))
+    )
+    vocab = (
+        cps.join(fd, fd.first_doc <= cps.cp)
+        .groupBy("i", "cp")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    tokens = (
+        cps.join(ntok, ntok.doc_id <= cps.cp)
+        .groupBy("i")
+        .agg(F.sum("nt").alias("n"))
+    )
+    pts = vocab.join(tokens, "i").select(
+        F.round(F.log(F.col("n").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("v").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return sums.select(
+        F.col("k").cast("bigint").alias("n_points"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+            / F.col("k").cast("double"),
+            6,
+        ).alias("intercept_ln_k"),
+    )
+
+
+T_HEAPS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS term
+  FROM documents
+), fd AS (
+  SELECT term, MIN(doc_id) AS first_doc FROM toks GROUP BY term
+), ntok AS (
+  SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id
+), span AS (SELECT MAX(doc_id) AS maxid FROM documents),
+cps AS (
+  SELECT i, maxid * i // {_HEAPS_POINTS} AS cp
+  FROM generate_series(1, {_HEAPS_POINTS}) AS t(i), span
+), vocab AS (
+  SELECT i, cp, COUNT(*) AS v FROM cps JOIN fd ON fd.first_doc <= cps.cp
+  GROUP BY i, cp
+), tokens AS (
+  SELECT i, SUM(nt) AS n FROM cps JOIN ntok ON ntok.doc_id <= cps.cp
+  GROUP BY i
+), pts AS (
+  SELECT CAST(ROUND(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         CAST(ROUND(ln(CAST(v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+  FROM vocab JOIN tokens USING (i)
+), sums AS (
+  SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts
+)
+SELECT CAST(k AS BIGINT) AS n_points,
+       ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+             / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(k AS DOUBLE), 6) AS intercept_ln_k
+FROM sums
+"""
+
+QUERIES["t_heaps_law"] = t_heaps_law
+ORACLE["t_heaps_law"] = T_HEAPS_SQL
