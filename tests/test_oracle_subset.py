@@ -102,6 +102,7 @@ SUBSET = [
     "e_seasonality_strength",
     "x_id_gap_audit",
     "t_heaps_law",
+    "p_pk_uniqueness",
 ]
 
 

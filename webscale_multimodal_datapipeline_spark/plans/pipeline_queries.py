@@ -443,3 +443,65 @@ FROM binned GROUP BY source, bin ORDER BY source, bin
 
 QUERIES["p_compaction_plan"] = p_compaction_plan
 ORACLE["p_compaction_plan"] = P_COMPACTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Primary-key uniqueness audit (catalog-wide)
+# ---------------------------------------------------------------------------
+
+_PK_COLUMNS = (
+    ("customer", "c_custkey"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+    ("events", "event_id"),
+    ("orders", "o_orderkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+)
+
+
+def p_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-wide primary-key uniqueness audit: one row per table with
+    the row count, distinct-key count, null-key count, and duplicate
+    mass — the first data-contract check a pipeline runs on a new
+    snapshot (the key-level complement to ``p_referential_integrity``'s
+    cross-table edges and the ``expectations`` layer's per-column
+    rules).
+
+    Scale shape: one COUNT/COUNT-DISTINCT aggregate per table — each a
+    single map-side-combinable pass — unioned into a bounded 7-row
+    report. Exact integers throughout.
+    """
+    parts = []
+    for tbl, pk in _PK_COLUMNS:
+        t = load_table(spark, sf_dir, tbl)
+        parts.append(
+            t.agg(
+                F.lit(tbl).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct(F.col(pk)).cast("bigint").alias("n_distinct"),
+                F.count(F.when(F.col(pk).isNull(), 1))
+                .cast("bigint")
+                .alias("n_null_keys"),
+                (F.count(F.col(pk)) - F.count_distinct(F.col(pk)))
+                .cast("bigint")
+                .alias("n_duplicates"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+P_PK_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{tbl}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT {pk}) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) FILTER (WHERE {pk} IS NULL) AS BIGINT) AS n_null_keys,
+       CAST(COUNT({pk}) - COUNT(DISTINCT {pk}) AS BIGINT) AS n_duplicates
+FROM {tbl}"""
+    for tbl, pk in _PK_COLUMNS
+) + "\nORDER BY table_name"
+
+QUERIES["p_pk_uniqueness"] = p_pk_uniqueness
+ORACLE["p_pk_uniqueness"] = P_PK_SQL
