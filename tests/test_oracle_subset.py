@@ -103,6 +103,7 @@ SUBSET = [
     "x_id_gap_audit",
     "t_heaps_law",
     "p_pk_uniqueness",
+    "t_length_lognormal_fit",
 ]
 
 

@@ -1834,3 +1834,66 @@ FROM sums
 
 QUERIES["t_heaps_law"] = t_heaps_law
 ORACLE["t_heaps_law"] = T_HEAPS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Lognormal length-model fit
+# ---------------------------------------------------------------------------
+
+
+def t_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments lognormal fit of the document-length
+    distribution — lengths of web text are canonically lognormal, and
+    the fitted (μ, σ) is what sizing decisions read: the predicted
+    median ``e^μ``, and the z-score any length threshold corresponds to
+    (a ``max_length`` filter at z=3 cuts a known mass). Pair with
+    ``s_ks_test``/``s_psi_drift``, which detect change; this names the
+    shape.
+
+    Determinism: per-doc ``ln n_chars`` is rounded to 6 and both moment
+    sums accumulate as DECIMAL (exact, order-free); μ uses the
+    integer-resolution mean discipline and σ is one fixed expression
+    tree over the exact sums. Scale shape: ONE scalar aggregate pass.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    y = F.round(F.log(F.col("n_chars").cast("double")), 6).cast("decimal(18,6)")
+    sums = d.select(y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    mu = (
+        F.round((F.col("sy") * 1000000).cast("bigint").cast("double") / F.col("n"), 0)
+        / F.lit(1000000.0)
+    )
+    var = F.col("syy").cast("double") / F.col("n").cast("double") - (
+        F.col("sy").cast("double") / F.col("n").cast("double")
+    ) * (F.col("sy").cast("double") / F.col("n").cast("double"))
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        mu.alias("mu"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+        F.round(F.exp(mu), 2).alias("pred_median_chars"),
+    )
+
+
+T_LOGNORMAL_SQL = """
+WITH ys AS (
+  SELECT CAST(ROUND(ln(CAST(n_chars AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+  FROM documents WHERE n_chars > 0
+), sums AS (
+  SELECT COUNT(*) AS n, SUM(y) AS sy, SUM(y * y) AS syy FROM ys
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       ROUND(CAST(CAST(sy * 1000000 AS BIGINT) AS DOUBLE) / n) / 1000000.0
+         AS mu,
+       ROUND(sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS sigma,
+       ROUND(exp(ROUND(CAST(CAST(sy * 1000000 AS BIGINT) AS DOUBLE) / n)
+                 / 1000000.0), 2) AS pred_median_chars
+FROM sums
+"""
+
+QUERIES["t_length_lognormal_fit"] = t_length_lognormal_fit
+ORACLE["t_length_lognormal_fit"] = T_LOGNORMAL_SQL
