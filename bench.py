@@ -24,6 +24,102 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES
 from webscale_multimodal_datapipeline_spark.session import get_spark
 
+# ---------------------------------------------------------------------------
+# Contention sentinel (round-5 fix, VERDICT r4 #2): the r4 driver run was
+# depressed 3-8x on ~8 lanes by external box load, with tight within-run
+# spread — invisible to the record. Two signals fix that:
+#   * 1-min loadavg before/after the whole bench run, and
+#   * one fixed ~50 ms single-threaded calibration kernel re-timed between
+#     lane groups. The kernel's work is constant, so any deviation between
+#     re-timings is external load (or GC/THP stalls), never workload drift.
+# Both land in the compact machine line so a regression gate can discount
+# contended runs instead of recording phantom regressions.
+# ---------------------------------------------------------------------------
+
+_CAL_ARR = None
+
+
+def calibration_ms() -> float:
+    """Fixed single-threaded kernel, ~40-60 ms idle: integer multiply-shift
+    sweep over a preallocated 4M-element uint64 array. Constant work →
+    wall-time deviation between invocations measures external load only."""
+    import numpy as np
+
+    global _CAL_ARR
+    if _CAL_ARR is None:
+        _CAL_ARR = np.arange(4_000_000, dtype=np.uint64)
+        # Untimed warm pass (full kernel): first-touch page faults + numpy
+        # dispatch otherwise inflate the first timed reading ~5x (measured
+        # 200 ms vs a ~25 ms steady state), which would read as phantom
+        # load and false-trip the 30% gate.
+        for _ in range(5):
+            ((_CAL_ARR * np.uint64(2654435761)) >> np.uint64(7)).sum()
+    t0 = time.perf_counter()
+    acc = 0
+    for _ in range(5):
+        acc ^= int((( _CAL_ARR * np.uint64(2654435761)) >> np.uint64(7)).sum())
+    assert acc != 0  # keep the work observable (no dead-code elimination)
+    return (time.perf_counter() - t0) * 1000.0
+
+
+def contention_flag(cal_ms: list[float], threshold: float = 0.30) -> tuple[float, bool]:
+    """(deviation, contended): deviation = (max-min)/min over the calibration
+    re-timings; contended when it exceeds ``threshold`` (the VERDICT r4 gate:
+    flag lanes whose sentinel deviates >30%)."""
+    if not cal_ms or min(cal_ms) <= 0:
+        return 0.0, False
+    dev = (max(cal_ms) - min(cal_ms)) / min(cal_ms)
+    return round(dev, 2), dev > threshold
+
+
+# Compact-line lane keys: the verbose detail line keeps the full historical
+# lane names; the budgeted machine line shortens them (suffix strip only —
+# a reader maps them back unambiguously).
+def _short_lane(name: str) -> str:
+    for suf in ("_1m_md5_oracle", "_100k", "_1m"):
+        if name.endswith(suf):
+            return name[: -len(suf)] + ("_md5" if "md5" in suf else "")
+    # infix size tag (e.g. simhash_1m_arrow -> simhash_arrow)
+    return name.replace("_1m_", "_").replace("_100k_", "_")
+
+
+def compact_line(
+    total: float,
+    per_query: dict[str, float],
+    tp: dict[str, dict[str, float]],
+    sf: float,
+    load: list[float],
+    cal: list[float],
+) -> str:
+    """The LAST stdout line — must fit the driver's 2,000-char tail buffer.
+
+    Budget (VERDICT r4 #1): walls at 2 dp, rec/s as integer THOUSANDS under
+    short lane keys (``"url_filter":502`` = 502K rec/s), spreads only in the
+    verbose line, plus the contention sentinel. Asserted < 1900 chars so
+    growth fails loudly at build/test time, not in the driver's record
+    (the r2/r4 failure mode: the line silently outgrew the buffer)."""
+    dev, contended = contention_flag(cal)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in per_query.items()},
+            "rec_k": {_short_lane(k): int(round(m["rec_per_sec"] / 1000.0)) for k, m in tp.items()},
+            "load": [round(x, 2) for x in load],
+            "cal_ms": [int(round(c)) for c in cal],
+            "cal_dev": dev,
+            "contended": int(contended),
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, (
+        f"compact bench line is {len(line)} chars — over the 1900 budget "
+        "(driver tail buffer is 2000). Trim lanes/precision before adding more."
+    )
+    return line
+
 # Headline set: the queries that exercise scan/join/agg/window/dedup/vector
 # machinery hardest at sf0.1 (lineitem 600K, events 100K rows).
 BENCH_QUERIES = (
@@ -79,6 +175,33 @@ BENCH_QUERIES = (
 )
 
 
+# Canonical throughput-lane registry: every measure() call must use a name
+# from this tuple (enforced in _measure_into), and the compact-line budget
+# test sizes the worst-case machine line from it — so adding a lane without
+# re-checking the 1900-char budget is impossible.
+LANES = (
+    "url_filter_1m",
+    "text_length_filter_1m",
+    "exact_dedup_1m",
+    "token_count_1m",
+    "lang_id_1m",
+    "simhash_1m",
+    "simhash_1m_md5_oracle",
+    "simhash_1m_arrow",
+    "gopher_rules_1m",
+    "quality_clf_1m",
+    "quality_clf_1m_md5_oracle",
+    "pii_redact_1m",
+    "image_metadata_100k",
+    "technical_quality_100k",
+    "phash_100k",
+    "jpeg_scrub_100k",
+    "resize_100k",
+    "html_extract_100k",
+    "image_quality_filter_1m",
+)
+
+
 def _measure_into(out: dict, n: int):
     """Shared lane timer: one warm-up action, then THREE timed runs;
     reports the MEDIAN plus a ``spread`` dispersion field
@@ -91,6 +214,7 @@ def _measure_into(out: dict, n: int):
     import time as _t
 
     def measure(name, df):
+        assert name in LANES, f"lane {name!r} missing from bench.LANES"
         df.count()  # warm-up absorbs per-plan codegen + worker spin-up
         ts = []
         kept = 0
@@ -335,6 +459,9 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
     spark = get_spark("bench")
 
+    load = [os.getloadavg()[0]]
+    cal = [calibration_ms()]
+
     # Warm up the JVM / parquet footer cache with a trivial action.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
@@ -366,8 +493,12 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — JVM GC nudge is best-effort
         pass
 
+    cal.append(calibration_ms())  # after headline walls, before text lanes
     tp = throughput_workloads(spark, sf_dir)
+    cal.append(calibration_ms())  # between text lanes and image lanes
     tp.update(image_workloads(spark, sf_dir))
+    cal.append(calibration_ms())
+    load.append(os.getloadavg()[0])
     for name, m in tp.items():
         print(f"# {name}: {m['rec_per_sec']:.0f} rec/s ({m['rows_in']} rows in {m['sec']}s)", file=sys.stderr)
 
@@ -391,6 +522,8 @@ def main() -> None:
                 # timed run and r2-r3 min-of-2, so cross-round comparisons
                 # carry that delta (median ≥ min by construction).
                 "method": "throughput=median_of_3_after_warmup",
+                "load_1min": [round(x, 2) for x in load],
+                "calibration_ms": [round(c, 1) for c in cal],
             }
         )
     )
@@ -398,23 +531,10 @@ def main() -> None:
 
     # Compact machine line LAST — must always fit the driver's tail buffer.
     # Per-query walls (the brief's required "queries" map) + per-lane rec/s
-    # as bare ints + per-lane spread (the r4 noise gate: a lane delta only
-    # counts as signal when it exceeds the lane's own spread); full nested
-    # row/sec detail lives in the line above.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "rec_per_sec": {k: int(m["rec_per_sec"]) for k, m in tp.items()},
-                "spread": {k: m["spread"] for k, m in tp.items()},
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
-    )
+    # in integer thousands + the contention sentinel; per-lane spread and
+    # full row/sec detail live in the verbose line above (r5 budget fix —
+    # the r4 line outgrew the 2,000-char tail and recorded `parsed: null`).
+    print(compact_line(total, per_query, tp, sf, load, cal))
 
 
 if __name__ == "__main__":

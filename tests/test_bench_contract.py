@@ -1,0 +1,118 @@
+"""Bench machine-line contract tests (round-5 fixes, VERDICT r4 #1/#2).
+
+The driver stores only a 2,000-char tail of bench output and parses the
+LAST line. Rounds 2 and 4 both lost their bench record because the compact
+line silently outgrew that buffer. These tests pin the budget at build
+time, and pin the contention sentinel that separates "box was loaded"
+from "operator regressed".
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import statistics
+import time
+
+import bench
+
+
+def _worst_case_tp() -> dict[str, dict[str, float]]:
+    # 9.999M rec/s is above every lane's ceiling (fastest observed: 7.9M).
+    return {k: {"rec_per_sec": 9_999_000.0, "spread": 0.99} for k in bench.LANES}
+
+
+def _worst_case_walls() -> dict[str, float]:
+    # 99.99 s per query is ~25x the slowest wall ever recorded (3.9 s).
+    return {k: 99.99 for k in bench.BENCH_QUERIES}
+
+
+def test_compact_line_fits_tail_buffer_at_worst_case():
+    line = bench.compact_line(
+        total=9999.99,
+        per_query=_worst_case_walls(),
+        tp=_worst_case_tp(),
+        sf=0.1,
+        load=[99.99, 99.99],
+        cal=[999.9, 999.9, 999.9, 999.9],
+    )
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    # The driver contract: metric/value/unit/queries/sf all present.
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert parsed["unit"] == "sec"
+    assert set(parsed["queries"]) == set(bench.BENCH_QUERIES)
+    assert parsed["sf"] == 0.1
+    # Sentinel fields present.
+    assert len(parsed["load"]) == 2
+    assert len(parsed["cal_ms"]) == 4
+    assert parsed["contended"] in (0, 1)
+    # rec_k covers every lane under its shortened key.
+    assert len(parsed["rec_k"]) == len(bench.LANES)
+
+
+def test_compact_line_overflow_fails_loudly():
+    # Growth past the budget must raise at build/test time, never reach the
+    # driver as a silently-truncated tail.
+    bloated = {f"q_{i}_some_longer_query_name_here": 99.99 for i in range(200)}
+    try:
+        bench.compact_line(1.0, bloated, _worst_case_tp(), 0.1, [1, 1], [50] * 4)
+    except AssertionError as e:
+        assert "1900" in str(e)
+    else:
+        raise AssertionError("oversized compact line did not raise")
+
+
+def test_short_lane_keys_are_unique_and_reversible_by_eye():
+    shorts = [bench._short_lane(k) for k in bench.LANES]
+    assert len(set(shorts)) == len(shorts)
+    assert bench._short_lane("url_filter_1m") == "url_filter"
+    assert bench._short_lane("image_metadata_100k") == "image_metadata"
+    assert bench._short_lane("quality_clf_1m_md5_oracle") == "quality_clf_md5"
+
+
+def test_contention_flag_thresholds():
+    dev, flagged = bench.contention_flag([50.0, 50.0, 50.0, 50.0])
+    assert dev == 0.0 and not flagged
+    # r4 shape: one lane group ran while the box was loaded — kernel 2.4x.
+    dev, flagged = bench.contention_flag([50.0, 50.0, 120.0, 50.0])
+    assert flagged and dev == 1.4
+    # Boundary: 30% deviation is the gate; just under stays clean.
+    _, flagged = bench.contention_flag([50.0, 64.0])
+    assert not flagged
+    _, flagged = bench.contention_flag([50.0, 66.0])
+    assert flagged
+    # Degenerate inputs never divide by zero.
+    assert bench.contention_flag([]) == (0.0, False)
+    assert bench.contention_flag([0.0, 50.0]) == (0.0, False)
+
+
+def _spin(stop_t: float) -> None:
+    x = 1
+    while time.time() < stop_t:
+        x = (x * 1103515245 + 12345) % (1 << 31)
+
+
+def test_calibration_kernel_flags_synthetic_load():
+    """End-to-end sentinel check: the fixed kernel re-timed under a burst of
+    CPU-saturating processes must deviate enough to trip the 30% gate
+    (this is exactly the r4 failure the sentinel exists to catch)."""
+    # Idle baseline: median of 3 to shake scheduler noise.
+    bench.calibration_ms()  # touch/allocate the array outside timing
+    idle = statistics.median(bench.calibration_ms() for _ in range(3))
+    # Saturate every core (2x oversubscription) for ~3s.
+    ncpu = multiprocessing.cpu_count()
+    stop_t = time.time() + 3.0
+    procs = [multiprocessing.Process(target=_spin, args=(stop_t,)) for _ in range(ncpu * 2)]
+    for p in procs:
+        p.start()
+    try:
+        time.sleep(0.5)  # let the load ramp
+        loaded = statistics.median(bench.calibration_ms() for _ in range(3))
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            p.join()
+    _, flagged = bench.contention_flag([idle, loaded])
+    assert flagged, f"idle {idle:.1f}ms vs loaded {loaded:.1f}ms did not trip the gate"

@@ -301,8 +301,14 @@ def test_xml_source_and_zstd_codec(spark, tmp_path):
         "<rows><row><id>1</id><txt>a</txt></row>"
         "<row><id>2</id><txt>b</txt></row></rows>"
     )
+    # SECOND file: load() must receive the path LIST (a comma-joined
+    # string is one unsplittable path — the round-4 ADVICE bug).
+    (xd / "feed2.xml").write_text(
+        "<rows><row><id>3</id><txt>c</txt></row></rows>"
+    )
     df = read_dataset(spark, str(xd), pattern="*.xml")
-    assert df.count() == 2 and set(df.columns) == {"id", "txt"}
+    assert df.count() == 3 and set(df.columns) == {"id", "txt"}
+    assert {r.id for r in df.collect()} == {1, 2, 3}
     zp = str(tmp_path / "z")
     spark.range(100).write.option("compression", "zstd").parquet(zp)
     import os

@@ -83,7 +83,9 @@ def test_mannwhitney_matches_direct_midranks(spark, docs):
     ranks = pd.Series(combined).rank(method="average").to_numpy()
     r1 = np.sum(ranks[: len(a)])
     n1, n2 = len(a), len(b)
-    u1 = n1 * n2 + n1 * (n1 + 1) / 2 - r1
+    # standard (scipy) convention: U1 = R1 − n1(n1+1)/2; z > 0 ⇔ group 1
+    # tends larger (round-5 fix — the old complement form inverted z's sign)
+    u1 = r1 - n1 * (n1 + 1) / 2
     _, t_counts = np.unique(combined, return_counts=True)
     ties = np.sum(t_counts.astype(np.float64) ** 3 - t_counts)
     nn = n1 + n2

@@ -1190,13 +1190,20 @@ def d_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_total = e.count()
     per_vid = pairs.groupBy("vid").agg(F.max("cos").alias("max_cos"))
+    # coalesce: with ZERO same-bucket pairs per_vid is empty and SUM over
+    # no rows is NULL — the report must read 0 dropped / n_total survivors.
     rows = [
         per_vid.agg(
             F.lit(int(t * 100)).alias("threshold_pct"),
-            F.sum((F.col("max_cos") >= t).cast("long")).alias("n_dropped"),
-            (F.lit(n_total) - F.sum((F.col("max_cos") >= t).cast("long"))).alias(
-                "n_survivors"
-            ),
+            F.coalesce(
+                F.sum((F.col("max_cos") >= t).cast("long")), F.lit(0)
+            ).alias("n_dropped"),
+            (
+                F.lit(n_total)
+                - F.coalesce(
+                    F.sum((F.col("max_cos") >= t).cast("long")), F.lit(0)
+                )
+            ).alias("n_survivors"),
         )
         for t in _SWEEP_THRESHOLDS
     ]
@@ -1208,9 +1215,9 @@ def d_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SWEEP_ARMS = "\nUNION ALL\n".join(
     f"""SELECT {int(t * 100)} AS threshold_pct,
-       CAST(SUM(CASE WHEN max_cos >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(COALESCE(SUM(CASE WHEN max_cos >= {t} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped,
        CAST((SELECT COUNT(*) FROM embeddings)
-            - SUM(CASE WHEN max_cos >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+            - COALESCE(SUM(CASE WHEN max_cos >= {t} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_survivors
 FROM per_vid"""
     for t in _SWEEP_THRESHOLDS
 )

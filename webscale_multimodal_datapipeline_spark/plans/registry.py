@@ -137,10 +137,40 @@ _RECORDED_R3 = {
 
 _RECORDED = _RECORDED_R1 | _RECORDED_R2 | _RECORDED_R3
 
-# Every query has a green driver row in its latest recorded round
-# (r1-r3); round-4 additions are unrecorded and therefore order first so
-# the driver's 50-entry window records them this round.
+# The 50 names the driver recorded green in round 4's CORRECTNESS_r04.json.
+_RECORDED_R4 = {
+    "x_bucketed_join", "x_bucketed_agg", "g_pagerank", "g_degree_histogram",
+    "g_triangle_count", "g_bfs_hops", "g_common_neighbors", "x_hll_merge",
+    "x_approx_percentile_sketch", "x_distribution_moments", "v_hard_negatives",
+    "v_matryoshka_overlap", "v_recall_at_k", "v_pq_rerank_topk",
+    "v_cluster_balanced_sample", "v_filtered_ann_topk",
+    "v_binary_quantize_rerank", "v_embedding_drift", "v_trained_classifier",
+    "v_calibration_curve", "v_mmr_diverse_topk", "v_lsh_bucket_purity",
+    "v_knn_classify", "e_concurrency_sweep", "e_spike_zscore",
+    "e_session_window", "e_time_to_convert", "e_rfm_segments",
+    "e_growth_accounting", "e_dau_wau_stickiness", "e_variant_shred",
+    "e_attribution_credit", "e_session_funnel_strict", "e_wow_growth",
+    "e_activity_streaks", "e_bot_heuristic", "e_activity_gini", "e_srm_check",
+    "e_funnel_wilson_ci", "e_theil_index", "e_seasonality_strength",
+    "p_referential_integrity", "p_snapshot_diff", "p_compaction_plan",
+    "p_pk_uniqueness", "m_aspect_bucket", "m_scene_cuts", "m_phash_near_dup",
+    "m_exif_scrub", "a_welch_ab_test",
+}
+
+_RECORDED |= _RECORDED_R4
+
+# Round-5 additions: new queries this round order AFTER the 54 carried-over
+# never-recorded names (the r4 verdict's recording-debt drain takes the
+# 50-entry window first; ≤4 carryover + these land in r6's window).
+_ROUND5_NEW: set[str] = set()
+
+# Every query has a green driver row in its latest recorded round (r1-r4);
+# the 54 never-recorded names (r4-session additions past the 50-entry
+# window) order FIRST so round 5's window drains the recording debt, then
+# round-5 additions, then everything already recorded.
 QUERIES = {
-    **{k: v for k, v in QUERIES.items() if k not in _RECORDED},
+    **{k: v for k, v in QUERIES.items()
+       if k not in _RECORDED and k not in _ROUND5_NEW},
+    **{k: v for k, v in QUERIES.items() if k in _ROUND5_NEW},
     **{k: v for k, v in QUERIES.items() if k in _RECORDED},
 }

@@ -445,7 +445,10 @@ def s_mahalanobis_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("decimal(38,0)") * F.col(f"ss{i}")
             - F.col(f"s{i}") * F.col(f"s{i}")
         ).cast("double")
-        t = (num * num) / den
+        # A constant (or constant-after-quantization) dimension has zero
+        # variance → den = 0; guard it to contribute 0 instead of a NaN/Inf
+        # that would silently poison the top-k ranking.
+        t = F.when(den > 0, (num * num) / den).otherwise(F.lit(0.0))
         term = t if term is None else term + t
     return (
         scored.select("vec_id", F.round(term, 6).alias("ood_score"))
@@ -468,7 +471,10 @@ def _maha_sql() -> str:
     for i in range(_MAHA_DIMS):
         num = f"CAST(CAST(q{i} AS DECIMAL(38,0)) * n - s{i} AS DOUBLE)"
         den = f"CAST(CAST(n AS DECIMAL(38,0)) * ss{i} - s{i} * s{i} AS DOUBLE)"
-        terms.append(f"(({num}) * ({num})) / ({den})")
+        terms.append(
+            f"(CASE WHEN ({den}) > 0 THEN (({num}) * ({num})) / ({den}) "
+            "ELSE 0.0 END)"
+        )
     score = " + ".join(terms)
     return f"""
 WITH base AS (SELECT vec_id, {qs} FROM embeddings),
@@ -650,8 +656,10 @@ def s_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     tend to run longer"). Exact to the last bit before the z-score:
     with per-value counts, doubled midrank sums and the tie-correction
     term ``Σ(t³−t)`` are plain integer algebra —
-    ``2·R1 = Σ c1·(2r + t + 1)``, ``2·U1 = 2·n1·n2 + n1(n1+1) − 2·R1``
-    — and only the final normal approximation divides doubles.
+    ``2·R1 = Σ c1·(2r + t + 1)``, ``2·U1 = 2·R1 − n1(n1+1)`` (the
+    standard scipy convention: U1 = R1 − n1(n1+1)/2, so z > 0 means
+    group 1 tends LARGER) — and only the final normal approximation
+    divides doubles.
 
     Scale shape: the ``s_ks_test`` plan — bounded per-length rollup, ONE
     cumulative window over the bounded value domain, scalar output.
@@ -677,7 +685,7 @@ def s_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2 = F.col("n1"), F.col("n2")
     nn = n1 + n2
-    u1x2 = 2 * n1 * n2 + n1 * (n1 + 1) - F.col("r1x2")
+    u1x2 = F.col("r1x2") - n1 * (n1 + 1)
     mu_x2 = n1 * n2  # 2·μ_U = n1·n2
     var = (
         (n1 * n2).cast("double")
@@ -714,8 +722,8 @@ WITH per_v AS (
   FROM runs
 )
 SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-       CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1x2 AS DOUBLE) / 2.0 AS u_stat,
-       ROUND(CAST((2 * n1 * n2 + n1 * (n1 + 1) - r1x2) - n1 * n2 AS DOUBLE)
+       CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+       ROUND(CAST((r1x2 - n1 * (n1 + 1)) - n1 * n2 AS DOUBLE)
              / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
                  * (CAST(n1 + n2 + 1 AS DOUBLE)
                     - CAST(ties AS DOUBLE)

@@ -130,8 +130,10 @@ def read_dataset(
         df = spark.read.json(files)
     elif ext == ".xml":
         # Spark 4 native XML; rowTag "row" by convention (override by
-        # reading directly when a feed uses a different element)
-        df = spark.read.option("rowTag", "row").format("xml").load(",".join(files))
+        # reading directly when a feed uses a different element). Pass the
+        # LIST — load() does not split comma-joined paths, so the joined
+        # form breaks on any multi-file dataset.
+        df = spark.read.option("rowTag", "row").format("xml").load(files)
     else:
         raise NotImplementedError(f"format {ext} needs pyarrow bridge")
     if max_samples:
