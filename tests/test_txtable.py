@@ -93,3 +93,68 @@ def test_commit_files_are_create_exclusive(spark, tmp_path):
     assert TX._try_commit(t, c)
     assert not TX._try_commit(t, c)
     assert os.path.exists(TX._commit_file(t, 0))
+
+
+def test_merge_upsert_transactional(spark, tmp_path):
+    """MERGE (delta wins on key, unmatched inserts, base carries over) as
+    an ACID commit: result visible at the new version, pre-merge snapshot
+    intact via time travel."""
+    t = str(tmp_path / "tbl")
+    TX.append(_df(spark, range(3)), t)  # ids 0,1,2 with v="r0".."r2"
+    delta = spark.createDataFrame([(1, "UPDATED"), (7, "NEW")], "id long, v string")
+    v = TX.merge(spark, delta, t, "id")
+    assert v == 1
+    got = {r.id: r.v for r in TX.read(spark, t).collect()}
+    assert got == {0: "r0", 1: "UPDATED", 2: "r2", 7: "NEW"}
+    # pre-merge snapshot is still exactly readable
+    old = {r.id: r.v for r in TX.read(spark, t, version=0).collect()}
+    assert old == {0: "r0", 1: "r1", 2: "r2"}
+    assert [h["action"] for h in TX.history(t)] == ["append", "overwrite"]
+
+
+def test_merge_duplicate_delta_keys_rejected(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    TX.append(_df(spark, range(2)), t)
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "id long, v string")
+    with pytest.raises(ValueError, match="duplicate delta keys"):
+        TX.merge(spark, dup, t, "id")
+
+
+def test_merge_retries_after_interleaved_commit(spark, tmp_path):
+    """Optimistic concurrency: a commit that lands between the merge's
+    snapshot read and its commit attempt forces a re-read + re-merge, so
+    the final state contains BOTH the interleaved append and the merge
+    (a plain overwrite would have silently clobbered the append)."""
+    t = str(tmp_path / "tbl")
+    TX.append(_df(spark, range(2)), t)  # ids 0,1
+
+    interleaved = {"done": False}
+
+    def commit_concurrently():
+        # fires after the merge stages its data, before its commit attempt
+        if not interleaved["done"]:
+            interleaved["done"] = True
+            TX.append(_df(spark, [5]), t)
+
+    delta = spark.createDataFrame([(1, "UPDATED")], "id long, v string")
+    v = TX.merge(spark, delta, t, "id", _on_staged=commit_concurrently)
+    # versions: 0=seed append, 1=interleaved append, 2=the merge's overwrite
+    assert v == 2
+    got = {r.id: r.v for r in TX.read(spark, t).collect()}
+    assert got == {0: "r0", 1: "UPDATED", 5: "r5"}
+
+
+def test_merge_reader_never_torn(spark, tmp_path):
+    """A reader pinned at the pre-merge version sees exactly the pre-merge
+    rows while (and after) the merge commits — either-snapshot, never a
+    mix of old and new files."""
+    t = str(tmp_path / "tbl")
+    TX.append(_df(spark, range(3)), t)
+    pinned = TX.latest_version(t)
+    pre = TX.read(spark, t, version=pinned)  # plan resolved against v0 files
+    delta = spark.createDataFrame([(0, "X"), (9, "Y")], "id long, v string")
+    TX.merge(spark, delta, t, "id")
+    assert {r.id: r.v for r in pre.collect()} == {0: "r0", 1: "r1", 2: "r2"}
+    assert {r.id: r.v for r in TX.read(spark, t).collect()} == {
+        0: "X", 1: "r1", 2: "r2", 9: "Y",
+    }

@@ -6,6 +6,12 @@ sorted values. Reports exact-match and a tolerance diagnostic so float
 divergences are visible before the driver sees them.
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+       python tools/oracle_check.py --json OUT.json [sf_dir] [query ...]
+
+``--json`` writes a CORRECTNESS-shaped artifact (one record per query:
+rows/schema/hash match + row counts) so the repo carries committed
+oracle evidence for EVERY registered query, not just the driver's
+50-per-round sample (round-4 ADVICE: 54 queries had no in-repo record).
 """
 
 from __future__ import annotations
@@ -60,14 +66,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, oracles = queries(), oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,11 +88,21 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            records[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark {type(e).__name__}: {e}"[:300],
+            }
             n_fail += 1
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]")
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None, "err": None,
+                "no_oracle": True,
+            }
             n_rows_only += 1
             continue
         t0 = time.time()
@@ -88,15 +110,44 @@ def main() -> int:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            records[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": f"duckdb {type(e).__name__}: {e}"[:300],
+            }
             n_fail += 1
             continue
         t_duck = time.time() - t0
         ok, msg = compare(name, sdf, ddf)
         status = "PASS" if ok else "FAIL"
         print(f"{status}  {name}: {len(sdf)} rows, {msg} [spark {t_spark:.1f}s, duck {t_duck:.1f}s]")
+        records[name] = {
+            "rows_match": len(sdf) == len(ddf),
+            "schema_match": sorted(sdf.columns) == sorted(ddf.columns),
+            "hash_match": bool(ok),
+            "spark_rows": len(sdf),
+            "oracle_rows": len(ddf),
+            "err": None if ok else msg[:300],
+        }
         n_pass += ok
         n_fail += not ok
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "queries": records,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_out} ({len(records)} records)")
     return 1 if n_fail else 0
 
 

@@ -167,6 +167,56 @@ def overwrite(df: DataFrame, table: str) -> int:
     return version
 
 
+def merge(
+    spark: SparkSession,
+    delta: DataFrame,
+    table: str,
+    key: str,
+    max_retries: int = 10,
+    _on_staged=None,
+) -> int:
+    """Transactional MERGE upsert (round-5 W2 closure): read the latest
+    snapshot, apply ``operators/curation.py::merge_upsert`` (delta wins on
+    key match, unmatched delta inserts, unmatched base carries over), and
+    commit the merged result as an overwrite — so the CDC path the
+    reference's Iceberg writer implies (``writers/iceberg_writer.py:28-207``)
+    is ACID end-to-end here.
+
+    Unlike ``append``, a merge's RESULT depends on the snapshot it read, so
+    the commit must target exactly ``read_version + 1``: the target version
+    is pinned BEFORE staging, and a concurrent commit at that version forces
+    a full re-read + re-merge + re-stage retry (optimistic concurrency, the
+    Delta-protocol "blind overwrites lose" rule). Plain ``overwrite`` would
+    silently clobber an interleaved commit; this never does.
+
+    Readers are never torn: they resolve file lists from committed log
+    entries only, so any concurrent reader sees the pre-merge or post-merge
+    snapshot, never a mix.
+
+    ``_on_staged`` is a test seam: called after data staging, before the
+    commit attempt (used to interleave a concurrent commit deterministically).
+
+    Returns the committed version.
+    """
+    from webscale_multimodal_datapipeline_spark.operators.curation import merge_upsert
+
+    for _ in range(max_retries):
+        read_version = latest_version(table)
+        if read_version < 0:
+            raise FileNotFoundError(f"no committed table at {table}")
+        base = read(spark, table, version=read_version)
+        merged = merge_upsert(base, delta, key, check_unique_delta_keys=True)
+        files, schema_json = _write_data(merged, table)
+        if _on_staged is not None:
+            _on_staged()
+        target = read_version + 1
+        if _try_commit(
+            table, Commit(target, "overwrite", tuple(files), schema_json)
+        ):
+            return target
+    raise CommitConflict(f"gave up after {max_retries} contended merges")
+
+
 def read(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
     """Snapshot read at ``version`` (default latest). Empty table -> an
     empty DataFrame with the last committed schema (or an error if no
