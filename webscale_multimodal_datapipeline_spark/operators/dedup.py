@@ -474,10 +474,17 @@ from pyspark.sql.functions import pandas_udf as _pandas_udf  # noqa: E402
 # allocates a 35 MB scratch per call — past glibc's mmap threshold, so
 # every batch mmap/munmaps tens of MB in each of 32 workers. The
 # resulting page-fault churn made the lane bimodal across processes
-# (r2: 737K rec/s, r3 judge rerun: 414K). Capping the expansion at
-# 128K tokens (8 MB scratch, arena-recycled) restores 604-770K rec/s
-# with a tight spread — measured, see ARCHITECTURE.md §15.
-_SWAR_MAX_TOKENS = 1 << 17
+# (r2: 737K rec/s, r3 judge rerun: 414K). r4 capped the expansion at
+# 2^17 tokens (8 MB scratch, arena-recycled), restoring 604-770K rec/s.
+# r5 lowered it to 2^14 (1 MB scratch): single-threaded the kernel is
+# ~40% faster at this size (13.6 ms vs 22.7 ms per 540K tokens — the
+# working set approaches L2), and under 32-way Spark parallelism the
+# lane measures equal-or-slightly-better (session medians 719-826K vs
+# 726-770K) with an 8x smaller allocator footprint. NOTE when probing
+# this knob: executors re-import this module, so a driver-side
+# monkeypatch of _SWAR_MAX_TOKENS changes NOTHING in the executors —
+# edit the module (see ARCHITECTURE.md §21).
+_SWAR_MAX_TOKENS = 1 << 14
 
 
 def _simhash_votes_swar(h64, starts, seg_lens):
