@@ -395,3 +395,43 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     assert out.count() == n_a + b.count()
     assert out.select("event_id").distinct().count() == n_a + b.count()
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_streaming_spike_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """Round-5 streaming lift of e_spike_zscore: watermarked UPDATE-mode
+    hourly rollup → per-trigger MERGE into a transactional table → the
+    shared exact-integer scorer. Input is split into 3 ts-range files
+    (1 per trigger, processed in ts order — the arrival pattern a real
+    file stream has) so boundary hours genuinely span triggers and the
+    MERGE path (not just the initial append) executes; a time-scrambled
+    split would instead have the watermark legitimately drop two files
+    as late. Parity with the batch query is EXACT — the z-test is
+    integer algebra, no float tolerance needed."""
+    from webscale_multimodal_datapipeline_spark.plans.events_queries import (
+        e_spike_zscore,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    ev_dir = str(tmp_path / "evparts")
+    load_table(spark, sf_dir, "events").repartitionByRange(3, "ts").write.parquet(
+        ev_dir
+    )
+
+    stream = SP.read_parquet_events_stream(spark, ev_dir, max_files_per_trigger=1)
+    table = str(tmp_path / "rollup_tbl")
+    SP.stream_rollup_to_txtable(
+        SP.hourly_rollup(stream), table, str(tmp_path / "ckpt")
+    )
+    # multi-trigger actually happened: initial append + ≥1 merge commit
+    actions = [h["action"] for h in TX.history(table)]
+    assert actions[0] == "append" and "overwrite" in actions[1:]
+
+    got = {
+        (r.event_type, r.hour): (r.cnt, r.is_spike)
+        for r in SP.spike_flags_from_rollup(spark, table).collect()
+    }
+    want = {
+        (r.event_type, r.hour): (r.cnt, r.is_spike)
+        for r in e_spike_zscore(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -530,13 +530,25 @@ def e_spike_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: hourly rollup (map-side combinable), then per-type
     scalar stats joined back — the stats table is bounded by the number
-    of types, and hours scale with TIME, not corpus size."""
+    of types, and hours scale with TIME, not corpus size.
+
+    The scoring step is factored as ``spike_flags_over_hourly`` so the
+    streaming lift (``streaming/pipeline.py``: watermarked rollup →
+    txtable MERGE → the SAME scorer) shares one algorithm — integer
+    exactness makes batch/streaming parity bit-identical."""
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("_h")
         ).agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return spike_flags_over_hourly(hourly)
+
+
+def spike_flags_over_hourly(hourly: DataFrame) -> DataFrame:
+    """Exact-integer spike test over an hourly rollup with columns
+    ``(event_type, _h timestamp, cnt)`` — the shared batch/streaming
+    scorer (see ``e_spike_zscore``)."""
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("cnt").alias("_s"),

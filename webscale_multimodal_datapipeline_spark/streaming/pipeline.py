@@ -152,6 +152,94 @@ def foreach_batch_dual_write(
         q.stop()
 
 
+def read_parquet_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an arbitrary events-shaped parquet
+    directory (schema from a batch footer read), with per-trigger file
+    backpressure — the multi-file form of ``read_events_stream`` used to
+    exercise cross-trigger window updates."""
+    from webscale_multimodal_datapipeline_spark.catalog import normalize_events_ts
+
+    schema = events_schema(spark, path)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return normalize_events_ts(raw)
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming hourly count rollup per event type — stage 1
+    of the streaming spike detector (``spike_flags_over_hourly`` is stage
+    2). Emitted in UPDATE mode: a window row re-emits whenever its count
+    grows, and the txtable MERGE keyed on (type, hour) keeps the latest —
+    so the accumulated rollup converges to the exact batch rollup without
+    waiting for watermark closure. ``_k`` is the composite merge key."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat_ws(
+                "\x1f", F.col("event_type"), F.col("w.start").cast("string")
+            ).alias("_k"),
+            "event_type",
+            F.col("w.start").alias("_h"),
+            "cnt",
+        )
+    )
+
+
+def stream_rollup_to_txtable(rollup: DataFrame, table: str, checkpoint: str) -> None:
+    """Drive an UPDATE-mode rollup stream into a transactional table via
+    per-micro-batch MERGE (``sources/txtable.py``): each trigger's updated
+    window rows upsert by ``_k``, so a reader always sees a consistent
+    rollup snapshot (never a torn mix of old and re-emitted rows) and the
+    final snapshot equals the batch rollup. This is the streaming→CDC
+    composition the reference's Iceberg writer implies but never commits
+    (``writers/iceberg_writer.py:28-207``)."""
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # update-mode batches CAN repeat a key within one trigger's output
+        # in rare replan cases — collapse to the latest cnt per key first
+        latest = batch_df.groupBy("_k", "event_type", "_h").agg(
+            F.max("cnt").alias("cnt")
+        )
+        if TX.latest_version(table) < 0:
+            TX.append(latest, table)
+        else:
+            TX.merge(spark, latest, table, "_k")
+
+    q = (
+        rollup.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def spike_flags_from_rollup(spark: SparkSession, table: str) -> DataFrame:
+    """Stage-2 scoring over the accumulated rollup snapshot — the SAME
+    exact-integer z-test as the batch ``e_spike_zscore``, so streaming
+    and batch flags are bit-identical on the same input."""
+    from webscale_multimodal_datapipeline_spark.plans.events_queries import (
+        spike_flags_over_hourly,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    return spike_flags_over_hourly(
+        TX.read(spark, table).select("event_type", "_h", "cnt")
+    )
+
+
 def run_stream_collect_metrics(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> dict[str, int]:
