@@ -158,3 +158,69 @@ def test_merge_reader_never_torn(spark, tmp_path):
     assert {r.id: r.v for r in TX.read(spark, t).collect()} == {
         0: "X", 1: "r1", 2: "r2", 9: "Y",
     }
+
+
+def test_commit_stats_and_file_pruning(spark, tmp_path):
+    """Data skipping: per-file [min,max] stats land in the commit log at
+    write time; a between-read skips disjoint files entirely (log-only
+    decision) and returns exactly the filtered rows."""
+    t = str(tmp_path / "tbl")
+    # two appends with disjoint id ranges -> disjoint per-commit files
+    TX.append(_df(spark, range(0, 100)).coalesce(1), t)
+    TX.append(_df(spark, range(1000, 1100)).coalesce(1), t)
+    all_files = TX.snapshot_files(t)
+    assert len(all_files) == 2
+    stats = TX.snapshot_file_stats(t)
+    assert all("id" in st for st in stats.values())
+    kept = TX.pruned_files(t, "id", 1000, 1050)
+    assert len(kept) == 1
+    rows = TX.read(spark, t, between=("id", 1000, 1050)).collect()
+    assert sorted(r.id for r in rows) == list(range(1000, 1051))
+    # range touching neither file's span reads nothing
+    assert TX.pruned_files(t, "id", 500, 600) == []
+    assert TX.read(spark, t, between=("id", 500, 600)).count() == 0
+
+
+def test_pruning_is_conservative_without_stats(spark, tmp_path):
+    """Files from commits without stats are always kept (never silently
+    skipped) — backward compatibility with pre-stats commit logs."""
+    t = str(tmp_path / "tbl")
+    TX.append(_df(spark, range(5)).coalesce(1), t)
+    # simulate a legacy commit: strip stats from the log entry
+    import json as _json
+
+    p = TX._commit_file(t, 0)
+    d = _json.load(open(p))
+    d.pop("stats")
+    _json.dump(d, open(p, "w"))
+    assert TX.snapshot_file_stats(t) == {f: {} for f in TX.snapshot_files(t)}
+    assert TX.pruned_files(t, "id", 9999, 10000) == TX.snapshot_files(t)
+    assert TX.read(spark, t, between=("id", 0, 2)).count() == 3
+
+
+def test_compact_preserves_data_and_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 40, 10):
+        TX.append(_df(spark, range(lo, lo + 10)).coalesce(1), t)
+    assert len(TX.snapshot_files(t)) == 4
+    v = TX.compact(spark, t, target_files=1)
+    assert len(TX.snapshot_files(t)) == 1
+    assert sorted(r.id for r in TX.read(spark, t).collect()) == list(range(40))
+    # every pre-compaction version still time-travels
+    assert TX.read(spark, t, version=v - 1).count() == 40
+    assert TX.read(spark, t, version=0).count() == 10
+
+
+def test_epoch_idempotent_commits(spark, tmp_path):
+    """At-least-once delivery: re-running a commit with an already-
+    committed app_epoch is a no-op for both append and merge."""
+    t = str(tmp_path / "tbl")
+    TX.append(_df(spark, range(3)), t, app_epoch="e0")
+    v = TX.append(_df(spark, range(3)), t, app_epoch="e0")  # retry: no-op
+    assert v == 0 and TX.read(spark, t).count() == 3
+    delta = spark.createDataFrame([(1, "U")], "id long, v string")
+    v1 = TX.merge(spark, delta, t, "id", app_epoch="e1")
+    v2 = TX.merge(spark, delta, t, "id", app_epoch="e1")  # retry: no-op
+    assert v1 == v2 == 1
+    assert len(TX.history(t)) == 2
+    assert TX.committed_epochs(t) == {"e0", "e1"}

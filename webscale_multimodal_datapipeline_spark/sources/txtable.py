@@ -54,6 +54,12 @@ class Commit:
     action: str  # "append" | "overwrite"
     files: tuple[str, ...]
     schema_json: str
+    # per-file column stats for file-level data skipping:
+    # {file: {col: [min, max]}} over numeric/string leaf columns
+    stats: dict | None = None
+    # application-assigned idempotence token (e.g. a streaming epoch id):
+    # a retried commit with an already-committed epoch is a no-op
+    app_epoch: str | None = None
 
 
 def _log_path(table: str) -> str:
@@ -76,7 +82,14 @@ def read_log(table: str) -> list[Commit]:
         with open(os.path.join(log, name)) as f:
             d = json.load(f)
         commits.append(
-            Commit(d["version"], d["action"], tuple(d["files"]), d["schema"])
+            Commit(
+                d["version"],
+                d["action"],
+                tuple(d["files"]),
+                d["schema"],
+                d.get("stats"),
+                d.get("app_epoch"),
+            )
         )
     return commits
 
@@ -101,9 +114,41 @@ def snapshot_files(table: str, version: int | None = None) -> list[str]:
     return files
 
 
-def _write_data(df: DataFrame, table: str) -> tuple[list[str], str]:
+def _file_stats(path: str) -> dict:
+    """Per-column [min, max] for one parquet file from its footer (merged
+    across row groups) — collected at WRITE time so readers can skip
+    whole files without touching them (the Delta/Iceberg data-skipping
+    shape; at 100 TB the win is that a selective read never even lists
+    irrelevant files into the scan)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            name = col.path_in_schema
+            if name in out:
+                out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+            else:
+                out[name] = [lo, hi]
+    return out
+
+
+def _write_data(df: DataFrame, table: str) -> tuple[list[str], str, dict]:
     """Stage the DataFrame as parquet under a unique per-commit directory;
-    only a committed log entry will ever make these files visible."""
+    only a committed log entry will ever make these files visible.
+    Returns (files, schema_json, per-file stats)."""
     stage = f"data-{uuid.uuid4().hex[:12]}"
     out = os.path.join(table, stage)
     df.write.option("compression", "snappy").parquet(out)
@@ -112,7 +157,8 @@ def _write_data(df: DataFrame, table: str) -> tuple[list[str], str]:
         for f in sorted(os.listdir(out))
         if f.endswith(".parquet")
     ]
-    return files, df.schema.json()
+    stats = {f: _file_stats(os.path.join(table, f)) for f in files}
+    return files, df.schema.json(), stats
 
 
 def _try_commit(table: str, commit: Commit) -> bool:
@@ -130,6 +176,8 @@ def _try_commit(table: str, commit: Commit) -> bool:
                 "action": commit.action,
                 "files": list(commit.files),
                 "schema": commit.schema_json,
+                "stats": commit.stats,
+                "app_epoch": commit.app_epoch,
             },
             f,
         )
@@ -141,17 +189,33 @@ def _schema_compatible(table: str, schema_json: str) -> bool:
     return not log or log[-1].schema_json == schema_json
 
 
-def append(df: DataFrame, table: str, max_retries: int = 10) -> int:
+def committed_epochs(table: str) -> set[str]:
+    """All ``app_epoch`` idempotence tokens in the committed log."""
+    return {c.app_epoch for c in read_log(table) if c.app_epoch is not None}
+
+
+def append(
+    df: DataFrame, table: str, max_retries: int = 10, app_epoch: str | None = None
+) -> int:
     """Append-commit; retries past version conflicts (appends commute).
-    Returns the committed version."""
-    files, schema_json = _write_data(df, table)
+    With ``app_epoch`` set, an already-committed epoch is a no-op (exactly
+    -once under at-least-once retries, e.g. foreachBatch re-delivery).
+    Returns the committed version (the existing one on an epoch no-op)."""
+    if app_epoch is not None and app_epoch in committed_epochs(table):
+        return latest_version(table)
+    files, schema_json, stats = _write_data(df, table)
     for _ in range(max_retries):
         if not _schema_compatible(table, schema_json):
             raise ValueError(
                 f"append schema does not match table schema at {table}"
             )
+        if app_epoch is not None and app_epoch in committed_epochs(table):
+            return latest_version(table)  # a concurrent retry won the epoch
         version = latest_version(table) + 1
-        if _try_commit(table, Commit(version, "append", tuple(files), schema_json)):
+        if _try_commit(
+            table,
+            Commit(version, "append", tuple(files), schema_json, stats, app_epoch),
+        ):
             return version
     raise CommitConflict(f"gave up after {max_retries} contended versions")
 
@@ -160,11 +224,36 @@ def overwrite(df: DataFrame, table: str) -> int:
     """Replace-the-table commit; a version conflict is surfaced, not
     retried (the overwrite was decided against a snapshot that no longer
     exists). Returns the committed version."""
-    files, schema_json = _write_data(df, table)
+    files, schema_json, stats = _write_data(df, table)
     version = latest_version(table) + 1
-    if not _try_commit(table, Commit(version, "overwrite", tuple(files), schema_json)):
+    if not _try_commit(
+        table, Commit(version, "overwrite", tuple(files), schema_json, stats)
+    ):
         raise CommitConflict(f"version {version} was committed concurrently")
     return version
+
+
+def compact(spark: SparkSession, table: str, target_files: int = 1) -> int:
+    """Small-file compaction as a transaction: rewrite the CURRENT
+    snapshot into ``target_files`` files and commit as an overwrite
+    pinned to the snapshot it read (a concurrent commit in between
+    raises instead of being clobbered — rerun on a quiet table). Data is
+    bit-identical; history keeps every pre-compaction version readable.
+    This is the executable form of ``p_compaction_plan``'s advice and
+    the data-file answer to the log-structured small-file problem."""
+    read_version = latest_version(table)
+    if read_version < 0:
+        raise FileNotFoundError(f"no committed table at {table}")
+    snap = read(spark, table, version=read_version).coalesce(target_files)
+    files, schema_json, stats = _write_data(snap, table)
+    target = read_version + 1
+    if not _try_commit(
+        table, Commit(target, "overwrite", tuple(files), schema_json, stats)
+    ):
+        raise CommitConflict(
+            f"version {target} was committed concurrently during compaction"
+        )
+    return target
 
 
 def merge(
@@ -173,6 +262,7 @@ def merge(
     table: str,
     key: str,
     max_retries: int = 10,
+    app_epoch: str | None = None,
     _on_staged=None,
 ) -> int:
     """Transactional MERGE upsert (round-5 W2 closure): read the latest
@@ -201,36 +291,90 @@ def merge(
     from webscale_multimodal_datapipeline_spark.operators.curation import merge_upsert
 
     for _ in range(max_retries):
+        if app_epoch is not None and app_epoch in committed_epochs(table):
+            return latest_version(table)  # retried epoch: already applied
         read_version = latest_version(table)
         if read_version < 0:
             raise FileNotFoundError(f"no committed table at {table}")
         base = read(spark, table, version=read_version)
         merged = merge_upsert(base, delta, key, check_unique_delta_keys=True)
-        files, schema_json = _write_data(merged, table)
+        files, schema_json, stats = _write_data(merged, table)
         if _on_staged is not None:
             _on_staged()
         target = read_version + 1
         if _try_commit(
-            table, Commit(target, "overwrite", tuple(files), schema_json)
+            table,
+            Commit(target, "overwrite", tuple(files), schema_json, stats, app_epoch),
         ):
             return target
     raise CommitConflict(f"gave up after {max_retries} contended merges")
 
 
-def read(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+def snapshot_file_stats(table: str, version: int | None = None) -> dict:
+    """{file: {col: [min, max]}} for the snapshot's files, replayed from
+    the log (files from commits that predate stats collection map to {} —
+    i.e. never skippable)."""
+    all_stats: dict[str, dict] = {}
+    for c in read_log(table):
+        if version is not None and c.version > version:
+            break
+        if c.stats:
+            all_stats.update(c.stats)
+    return {f: all_stats.get(f, {}) for f in snapshot_files(table, version)}
+
+
+def pruned_files(
+    table: str, col: str, lo, hi, version: int | None = None
+) -> list[str]:
+    """Snapshot files that MAY contain rows with ``col`` in [lo, hi]:
+    a file is skipped iff its committed [min, max] for ``col`` is
+    disjoint from the range; files without stats are conservatively
+    kept. Driver-side, log-only — no parquet footer is touched for a
+    skipped file (at 100 TB this is the layer above Spark's row-group
+    pruning: a selective read never even lists the cold files)."""
+    out = []
+    for f, st in snapshot_file_stats(table, version).items():
+        mm = st.get(col)
+        if mm is not None and (mm[1] < lo or mm[0] > hi):
+            continue
+        out.append(f)
+    return out
+
+
+def read(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    between: tuple | None = None,
+) -> DataFrame:
     """Snapshot read at ``version`` (default latest). Empty table -> an
     empty DataFrame with the last committed schema (or an error if no
-    schema was ever committed)."""
-    files = snapshot_files(table, version)
+    schema was ever committed).
+
+    ``between=(col, lo, hi)`` additionally applies file-level data
+    skipping from committed stats AND the row-level filter — semantics
+    identical to ``read(...).filter(col between lo and hi)``, minus the
+    skipped files' I/O."""
     log = read_log(table)
     if not log:
         raise FileNotFoundError(f"no committed table at {table}")
+    if between is not None:
+        col, lo, hi = between
+        files = pruned_files(table, col, lo, hi, version)
+    else:
+        files = snapshot_files(table, version)
     if not files:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(log[-1].schema_json))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*[os.path.join(table, f) for f in files])
+    df = spark.read.parquet(*[os.path.join(table, f) for f in files])
+    if between is not None:
+        col, lo, hi = between
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col(col).between(lo, hi))
+    return df
 
 
 def history(table: str) -> list[dict]:

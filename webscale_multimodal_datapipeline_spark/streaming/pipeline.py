@@ -209,10 +209,14 @@ def stream_rollup_to_txtable(rollup: DataFrame, table: str, checkpoint: str) -> 
         latest = batch_df.groupBy("_k", "event_type", "_h").agg(
             F.max("cnt").alias("cnt")
         )
+        # app_epoch makes a re-delivered micro-batch (foreachBatch is
+        # at-least-once on restart) a committed no-op — exactly-once
+        # table contents without relying on the sink being idempotent
+        epoch = f"rollup-epoch-{epoch_id}"
         if TX.latest_version(table) < 0:
-            TX.append(latest, table)
+            TX.append(latest, table, app_epoch=epoch)
         else:
-            TX.merge(spark, latest, table, "_k")
+            TX.merge(spark, latest, table, "_k", app_epoch=epoch)
 
     q = (
         rollup.writeStream.outputMode("update")
