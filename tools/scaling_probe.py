@@ -1,0 +1,164 @@
+"""Dedup-family scaling-curve probe — pins the exponent behind the
+100-TB extrapolations (round-5, VERDICT r4 #9).
+
+The small-SF bench lanes measure throughput at ONE size; every "this
+shape survives 1000x" claim implicitly asserts the wall grows ~linearly
+in rows. This probe measures it: each dedup lane runs at 1M / 2M / 4M
+rows (documents replicated with remapped unique ids — same text
+distribution, so candidate-pair structure per row is held constant) and
+fits the log-log slope alpha in ``wall ∝ rows^alpha``.
+
+Reading the slope: alpha ≈ 1.0 → linear (shuffle-bound, the shape the
+architecture promises); alpha >> 1 → super-linear (a pairwise or skewed
+stage is growing faster than its input — the 100-TB red flag). Fixed
+per-job overhead (~0.2 s scheduling floor) biases alpha DOWN at small
+walls, so the probe also prints per-size rec/s, which should be flat or
+rising for a healthy lane.
+
+Each replica's text is PERTURBED with a per-replica suffix token:
+verbatim replication would be adversarial for the near-dup lanes (800
+identical copies of a doc form one LSH bucket clique → candidate pairs
+grow QUADRATICALLY in the replication factor — a property of the probe
+input, not of real corpora, where duplicate-cluster size does not grow
+with corpus size). With the suffix, per-row shingle/signature work is
+unchanged, cross-replica collisions drop to the background rate, and
+the exact-dedup key space scales with rows (as a real crawl's does).
+
+Usage: python tools/scaling_probe.py [--scales 200,400,800]
+Prints one JSON line per lane plus a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from webscale_multimodal_datapipeline_spark.operators import dedup as OD  # noqa: E402
+from webscale_multimodal_datapipeline_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_dedup,
+    text_exact_dedup,
+)
+from webscale_multimodal_datapipeline_spark.session import get_spark  # noqa: E402
+
+
+def replicated(spark, sf_dir: str, factor: int):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    big = (
+        docs.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+        .withColumn("doc_id", F.col("doc_id") * 10_000 + F.col("rep"))
+        .withColumn(
+            "text", F.concat(F.col("text"), F.lit(" zrep"), F.col("rep"))
+        )
+        .drop("rep")
+        .repartition(ncpu * 2)
+        .persist()
+    )
+    n = big.count()
+    return big, n
+
+
+def timed(df, runs: int = 3) -> float:
+    df.count()  # warm
+    ts = []
+    for _ in range(runs):
+        t0 = time.time()
+        df.count()
+        ts.append(time.time() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def main() -> None:
+    # Per-lane replication factors: cheap map/shuffle lanes run at
+    # 1M/2M/4M rows; the full MinHash+LSH+verify pipeline is ~200x
+    # heavier per row (128-perm signatures over ~50 shingles), so its
+    # curve is taken at 40K/80K/160K — the EXPONENT needs consistent
+    # ratios, not absolute size, and 4 timed runs of a 1M-row minhash
+    # would cost ~an hour for no extra information.
+    lane_scales = {
+        "exact_dedup": [200, 400, 800],
+        "simhash_map": [200, 400, 800],
+        "minhash_lsh_dedup": [8, 16, 32],
+    }
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scaling_probe")
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    def lane_df(name, big):
+        if name == "exact_dedup":
+            return text_exact_dedup().apply(big)
+        if name == "simhash_map":
+            return (
+                big.withColumn("_th", OD.token_hashes("text", algo="xxhash64"))
+                .select(OD.simhash_fast_udf("_th").alias("sh"))
+                .filter(F.col("sh") != 0)
+            )
+        return minhash_lsh_dedup(big)
+
+    from bench import calibration_ms, contention_flag  # the bench sentinel
+
+    results: dict[str, list[tuple[int, float]]] = {}
+    cal = [calibration_ms()]
+    all_factors = sorted({f for fs in lane_scales.values() for f in fs})
+    for factor in all_factors:
+        big = None
+        for name, fs in lane_scales.items():
+            if factor not in fs:
+                continue
+            if big is None:
+                big, n = replicated(spark, sf_dir, factor)
+            wall = timed(lane_df(name, big))
+            results.setdefault(name, []).append((n, wall))
+            print(
+                f"# {name} @ {n} rows: {wall:.2f}s ({n / wall / 1000:.0f}K rec/s)",
+                file=sys.stderr,
+            )
+        if big is not None:
+            big.unpersist()
+        cal.append(calibration_ms())
+
+    summary = {}
+    for name, pts in results.items():
+        # log-log least-squares slope
+        xs = [math.log(n) for n, _ in pts]
+        ys = [math.log(w) for _, w in pts]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        summary[name] = {
+            "alpha": round(alpha, 3),
+            "points": [
+                {"rows": n, "wall_s": round(w, 2), "rec_k": round(n / w / 1000)}
+                for n, w in pts
+            ],
+        }
+        print(json.dumps({"lane": name, **summary[name]}))
+    worst = max(summary.items(), key=lambda kv: kv[1]["alpha"])
+    dev, contended = contention_flag(cal)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_scaling_exponents",
+                "alphas": {k: v["alpha"] for k, v in summary.items()},
+                "worst_lane": worst[0],
+                "worst_alpha": worst[1]["alpha"],
+                "cal_ms": [int(round(c)) for c in cal],
+                "cal_dev": dev,
+                "contended": int(contended),
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
