@@ -104,6 +104,14 @@ SUBSET = [
     "t_heaps_law",
     "p_pk_uniqueness",
     "t_length_lognormal_fit",
+    "ts_cusum_changepoint",
+    "s_bh_fdr",
+    "d_lsh_s_curve",
+    "d_ngram_novelty",
+    "t_winnowing_fingerprint",
+    "v_multiprobe_recall",
+    "s_poisson_bootstrap",
+    "s_neyman_allocation",
 ]
 
 

@@ -416,6 +416,23 @@ def test_streaming_spike_pipeline_matches_batch(spark, sf_dir, tmp_path):
     load_table(spark, sf_dir, "events").repartitionByRange(3, "ts").write.parquet(
         ev_dir
     )
+    # The 3 part files are written by PARALLEL tasks, so their mtimes can
+    # finish out of ts order — and FileStreamSource feeds files in mtime
+    # order, so a latest-range file landing first would advance the
+    # watermark and (correctly) drop the earlier files as late. Pin
+    # strictly increasing mtimes in part-file (= ts-range) order so the
+    # arrival order the docstring promises actually holds under load.
+    import os
+    import time as _time
+
+    base = _time.time()
+    for i, p in enumerate(
+        sorted(
+            f for f in os.listdir(ev_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+    ):
+        os.utime(os.path.join(ev_dir, p), (base + 10 * i, base + 10 * i))
 
     stream = SP.read_parquet_events_stream(spark, ev_dir, max_files_per_trigger=1)
     table = str(tmp_path / "rollup_tbl")

@@ -479,3 +479,25 @@ def flesch_parts(col: Column | str) -> dict[str, Column]:
             words > 0, F.round(fre * 100, 0).cast("bigint") / F.lit(100.0)
         ),
     }
+
+
+def word_shingle_seq(
+    col: Column | str, k: int = 3, toks: Column | None = None
+) -> Column:
+    """POSITIONAL k-word shingle sequence (array<string>, duplicates
+    kept, token order preserved) — the input winnowing is defined over
+    (Schleimer et al. 2003 fingerprint the k-gram SEQUENCE, not the
+    distinct set: window positions are positions in the document).
+    ``word_shingles`` stays the set-semantic variant for MinHash /
+    Jaccard, where ``array_distinct``'s engine-specific ordering is
+    harmless; this variant is the cross-engine-order-stable one.
+    Short texts (< k tokens) yield the single whole-text shingle."""
+    if toks is None:
+        toks = norm_tokens(col)
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.when(n >= k, shingles).otherwise(whole)

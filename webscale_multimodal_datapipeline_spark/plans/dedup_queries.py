@@ -1304,3 +1304,207 @@ ORDER BY source_a, source_b
 
 QUERIES["d_cross_source_overlap"] = d_cross_source_overlap
 ORACLE["d_cross_source_overlap"] = D_CROSS_SOURCE_SQL
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve tuning audit
+# ---------------------------------------------------------------------------
+
+
+def d_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-curve audit of the MinHash-LSH banding (b=4 bands × r=3 rows):
+    for every candidate pair the banding ACTUALLY produced, count
+    matching signature positions k (the signature-estimated Jaccard is
+    k/12), and attach the THEORETICAL collision probability
+    ``p(s) = 1 − (1 − s^r)^b`` at s = k/12 (Leskovec/Rajaraman/Ullman,
+    MMDS ch.3). A well-tuned banding shows candidate mass concentrated
+    where p(s) is high; heavy mass at low k means the bands are wasting
+    verify work on chance collisions — THE dial a 100-TB dedup run
+    tunes before paying for the exact-Jaccard verify stage.
+
+    Exactness: k is an integer sum of 12 per-position equality tests
+    over exact signature elements; the two reported doubles divide /
+    exponentiate bit-identical operands in both engines. Candidates by
+    construction share a full band, so k ≥ r = 3 always holds — a
+    built-in sanity floor for the audit.
+
+    Scale shape: the pair set comes from the band-bucket equi-join
+    (never all-pairs), grouped straight down to ≤ 13 rows (k ∈ 3..12).
+    Signatures ride along the band rows, so no second fact join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.withColumn("_toks", TX.norm_tokens("text"))
+        .withColumn("_shingles", TX.word_shingles("text", k=3, toks=F.col("_toks")))
+        .withColumn("_hashes", OD.shingle_hashes(F.col("_shingles")))
+        .withColumn("_sig", OD.minhash_signature("text", k=3, hashes=F.col("_hashes")))
+        .select("doc_id", "_sig")
+    )
+    banded = base.select(
+        "doc_id", "_sig", F.explode(OD.lsh_bands(F.col("_sig"))).alias("_band")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l.doc_id") > F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_l"),
+            F.col("r.doc_id").alias("id_r"),
+            F.col("l._sig").alias("_ls"),
+            F.col("r._sig").alias("_rs"),
+        )
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    k = F.size(
+        F.filter(
+            F.zip_with("_ls", "_rs", lambda x, y: x == y), lambda v: v
+        )
+    ).cast("long")
+    n, b = OD.NUM_MINHASHES, OD.LSH_BANDS
+    rr = n // b
+    s = F.col("sig_match_k").cast("double") / F.lit(float(n))
+    return (
+        cand.select(k.alias("sig_match_k"))
+        .groupBy("sig_match_k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "sig_match_k",
+            "n_pairs",
+            F.round(s, 6).alias("est_jaccard"),
+            F.round(
+                F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(s, F.lit(float(rr))), F.lit(float(b))),
+                6,
+            ).alias("p_collide_theory"),
+        )
+    )
+
+
+def _lsh_s_curve_sql() -> str:
+    n, b = OD.NUM_MINHASHES, OD.LSH_BANDS
+    rr = n // b
+    sig_list = "[" + ", ".join(_SIG_ELEMS) + "]"
+    bands_list = "[" + ", ".join(OQ.sql_lsh_bands("sig")) + "]"
+    kmatch = " + ".join(
+        f"(CASE WHEN l.sig[{i}] = r.sig[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, n + 1)
+    )
+    s = f"CAST(sig_match_k AS DOUBLE) / CAST({n} AS DOUBLE)"
+    return (
+        _SH_CTE
+        + f""", sig AS (
+  SELECT doc_id, {sig_list} AS sig FROM hs
+), bands AS (
+  SELECT doc_id, sig, unnest({bands_list}) AS band FROM sig
+), cand AS (
+  SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+         CAST(MIN({kmatch}) AS BIGINT) AS sig_match_k
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.doc_id > r.doc_id
+  GROUP BY 1, 2
+)
+SELECT sig_match_k, COUNT(*) AS n_pairs,
+       ROUND({s}, 6) AS est_jaccard,
+       ROUND(CAST(1 AS DOUBLE) - POW(CAST(1 AS DOUBLE)
+               - POW({s}, CAST({rr} AS DOUBLE)),
+             CAST({b} AS DOUBLE)), 6) AS p_collide_theory
+FROM cand
+GROUP BY sig_match_k
+"""
+    )
+
+
+QUERIES["d_lsh_s_curve"] = d_lsh_s_curve
+ORACLE["d_lsh_s_curve"] = _lsh_s_curve_sql()
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty: eval-split shingles unseen in the train split
+# ---------------------------------------------------------------------------
+
+
+def d_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram NOVELTY of the eval split vs the train split:
+    the fraction of an eval document's distinct 3-word shingles that
+    appear in NO train document — the memorization-exposure dial of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") turned around: low novelty means the eval set is largely
+    reconstructible from training n-grams and its scores are
+    contaminated-optimistic. Uses the same deterministic id-hash
+    80/10/10 split as ``t_dataset_split``, so the split is reproducible
+    across engines and runs.
+
+    Scale shape: the train side is reduced to a DISTINCT shingle-hash
+    key index (keys only — the ``d_incremental_dedup`` trick) before a
+    hash-partitioned LEFT JOIN from the eval instance table; nothing is
+    broadcast, nothing quadratic, and the rollup is m-source-bounded.
+    Novelty is an exact integer ratio divided once at the end.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(TX.md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    inst = (
+        d.withColumn("_b", bucket)
+        .withColumn("_toks", TX.norm_tokens("text"))
+        .withColumn("_sh", TX.word_shingles("text", k=3, toks=F.col("_toks")))
+        .select(
+            "doc_id",
+            "source",
+            "_b",
+            F.explode(OD.shingle_hashes(F.col("_sh"))).alias("_h"),
+        )
+        .dropDuplicates(["doc_id", "_h"])
+    )
+    train_h = (
+        inst.filter(F.col("_b") < 80).select(F.col("_h"), F.lit(1).alias("_seen"))
+        .dropDuplicates(["_h"])
+    )
+    ev = inst.filter(F.col("_b") >= 90)
+    return (
+        ev.join(train_h, "_h", "left")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_eval_docs"),
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("_seen").isNull(), 1)).alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_eval_docs",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+D_NGRAM_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         {OQ.sql_md5_long("CAST(doc_id AS VARCHAR)")} % 100 AS b,
+         {OQ.sql_tokens(OQ.sql_norm('text'))} AS t
+  FROM documents
+), shl AS (
+  SELECT doc_id, source, b, {OQ.sql_shingles_from_tokens('t')} AS sh FROM toks
+), inst AS (
+  SELECT DISTINCT doc_id, source, b, unnest({OQ.sql_shingle_hashes('sh')}) AS h
+  FROM shl
+), train_h AS (
+  SELECT DISTINCT h FROM inst WHERE b < 80
+)
+SELECT e.source,
+       CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) FILTER (WHERE t.h IS NULL) AS BIGINT) AS n_novel,
+       ROUND(CAST(COUNT(*) FILTER (WHERE t.h IS NULL) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM (SELECT * FROM inst WHERE b >= 90) e
+LEFT JOIN train_h t ON e.h = t.h
+GROUP BY e.source
+"""
+
+QUERIES["d_ngram_novelty"] = d_ngram_novelty
+ORACLE["d_ngram_novelty"] = D_NGRAM_NOVELTY_SQL

@@ -245,3 +245,14 @@ def sql_hyperplane_bucket(col: str, dim: int, planes: int = EMB_LSH_PLANES) -> s
         )
         parts.append(f"(CASE WHEN ({proj}) > 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END)")
     return "(" + " + ".join(parts) + ")"
+
+
+def sql_shingle_seq_from_tokens(tok_col: str = "t", k: int = 3) -> str:
+    """Mirror of functions.text.word_shingle_seq: POSITIONAL k-word
+    shingles, duplicates kept — both engines emit the identical sequence
+    (list_distinct's engine-specific reordering never enters)."""
+    t = tok_col
+    parts = " || ' ' || ".join(f"{t}[i + {j}]" for j in range(k))
+    shingles = f"list_transform(range(1, len({t}) - {k - 2}), i -> {parts})"
+    whole = f"[array_to_string({t}, ' ')]"
+    return f"(CASE WHEN len({t}) >= {k} THEN {shingles} ELSE {whole} END)"

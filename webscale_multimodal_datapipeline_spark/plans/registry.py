@@ -162,7 +162,11 @@ _RECORDED |= _RECORDED_R4
 # Round-5 additions: new queries this round order AFTER the 54 carried-over
 # never-recorded names (the r4 verdict's recording-debt drain takes the
 # 50-entry window first; ≤4 carryover + these land in r6's window).
-_ROUND5_NEW: set[str] = set()
+_ROUND5_NEW: set[str] = {
+    "ts_cusum_changepoint", "s_bh_fdr", "d_lsh_s_curve",
+    "d_ngram_novelty", "t_winnowing_fingerprint", "v_multiprobe_recall",
+    "s_poisson_bootstrap", "s_neyman_allocation",
+}
 
 # Every query has a green driver row in its latest recorded round (r1-r4);
 # the 54 never-recorded names (r4-session additions past the 50-entry

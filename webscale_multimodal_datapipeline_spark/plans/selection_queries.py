@@ -734,3 +734,369 @@ FROM agg
 
 QUERIES["s_mannwhitney_u"] = s_mannwhitney_u
 ORACLE["s_mannwhitney_u"] = S_MWU_SQL
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR over per-source drift tests
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA = "0.05"  # spelled as a literal so both engines parse the same token
+
+
+def s_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control (BH 1995) over per-source
+    length-drift tests: for each ``source``, a Chebyshev-bounded p-value
+    for "this source's mean document length differs from the corpus
+    mean", then the BH step-up rule at α=0.05 — the multiple-testing
+    discipline a curation run needs when it screens dozens of sources
+    at once (raw per-test α would flag ~α·m sources by chance alone).
+
+    Exactness: with per-source (n_s, s_s=Σ len) and corpus (N, S=Σ len,
+    Q=Σ len²) integer sums, the mean deviation is ``dev = N·s_s − n_s·S``
+    (exact BIGINT) and Chebyshev gives
+    ``p_s = min(1, n_s·(N·Q − S²) / dev²)`` — a double ratio of exact
+    integers, bit-identical operands in both engines (dev² computed as
+    double: dev ~1e10 would overflow BIGINT when squared). ``dev = 0``
+    (a source exactly at the corpus mean) is p=1 by convention. The BH
+    step-up ``k = max{i : p_(i) ≤ i·α/m}`` ranks by (p, source) so ties
+    are bit-determined.
+
+    Scale shape: ONE pass over documents → per-source rollup (m groups,
+    m = # sources, bounded by contract), a 1-row corpus total broadcast,
+    and windows over the m-row table only. The fact table never crosses
+    the wire unaggregated.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("n_chars").cast("long").alias("s_s"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("n_chars").cast("long").alias("ss"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("qq"),
+    )
+    dev = F.col("nn") * F.col("s_s") - F.col("n_s") * F.col("ss")
+    p_raw = (
+        F.col("n_s").cast("double")
+        * (F.col("nn") * F.col("qq") - F.col("ss") * F.col("ss")).cast("double")
+        / (dev.cast("double") * dev.cast("double"))
+    )
+    scored = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            F.round(
+                F.when(dev == 0, F.lit(1.0)).otherwise(F.least(F.lit(1.0), p_raw)), 8
+            ).alias("p_value"),
+        )
+    )
+    wr = Window.orderBy(F.col("p_value").asc(), F.col("source").asc())
+    m = Window.partitionBy()  # m-row table: bounded by contract
+    ranked = scored.select(
+        "source",
+        "n_s",
+        "p_value",
+        F.row_number().over(wr).alias("bh_rank"),
+        F.count(F.lit(1)).over(m).alias("m"),
+    )
+    passes = F.when(
+        F.col("p_value")
+        <= F.col("bh_rank").cast("double")
+        * F.lit(float(_BH_ALPHA))
+        / F.col("m").cast("double"),
+        F.col("bh_rank"),
+    )
+    return (
+        ranked.select(
+            "source",
+            "n_s",
+            "p_value",
+            "bh_rank",
+            F.max(passes).over(m).alias("k"),
+        )
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            "p_value",
+            F.col("bh_rank").cast("long").alias("bh_rank"),
+            (F.col("bh_rank") <= F.coalesce(F.col("k"), F.lit(0)))
+            .cast("int")
+            .alias("bh_reject"),
+        )
+    )
+
+
+S_BH_FDR_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+         CAST(SUM(n_chars) AS BIGINT) AS s_s
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(n_chars) AS BIGINT) AS ss,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS qq
+  FROM documents
+), scored AS (
+  SELECT source, n_s,
+         ROUND(CASE WHEN nn * s_s - n_s * ss = 0 THEN 1.0
+           ELSE LEAST(1.0,
+             CAST(n_s AS DOUBLE) * CAST(nn * qq - ss * ss AS DOUBLE)
+             / (CAST(nn * s_s - n_s * ss AS DOUBLE)
+                * CAST(nn * s_s - n_s * ss AS DOUBLE)))
+           END, 8) AS p_value
+  FROM per, tot
+), ranked AS (
+  SELECT source, n_s, p_value,
+         ROW_NUMBER() OVER (ORDER BY p_value ASC, source ASC) AS bh_rank,
+         COUNT(*) OVER () AS m
+  FROM scored
+), kk AS (
+  SELECT source, n_s, p_value, bh_rank,
+         MAX(CASE WHEN p_value <= CAST(bh_rank AS DOUBLE) * {_BH_ALPHA}
+                                  / CAST(m AS DOUBLE)
+                  THEN bh_rank END) OVER () AS k
+  FROM ranked
+)
+SELECT source, n_s AS n_docs, p_value, CAST(bh_rank AS BIGINT) AS bh_rank,
+       CAST(bh_rank <= COALESCE(k, 0) AS INT) AS bh_reject
+FROM kk
+"""
+
+QUERIES["s_bh_fdr"] = s_bh_fdr
+ORACLE["s_bh_fdr"] = S_BH_FDR_SQL
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (hash-deterministic replicate weights)
+# ---------------------------------------------------------------------------
+
+_BOOT_REPS = 32
+# Inverse CDF of Poisson(1) over u ~ U[0,1) scaled to integers per 1e6:
+# P(0)=.367879, P(<=1)=.735759, P(<=2)=.919699, P(<=3)=.981012, else 4.
+_BOOT_CUTS = (367879, 735759, 919699, 981012)
+
+
+def _boot_weight_spark(u):
+    from pyspark.sql import functions as FF
+
+    w = FF.when(u < _BOOT_CUTS[0], 0)
+    for i, c in enumerate(_BOOT_CUTS[1:], start=1):
+        w = w.when(u < c, i)
+    return w.otherwise(4)
+
+
+def _boot_weight_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {i}" for i, c in enumerate(_BOOT_CUTS)
+    )
+    return f"(CASE {cases} ELSE 4 END)"
+
+
+def s_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap standard error + empirical CI for the corpus
+    mean document length (Chamandy et al. 2012, "Estimating Uncertainty
+    for Massive Data Streams" — THE bootstrap that works on data too big
+    to resample: replicate b weights each row by an independent
+    Poisson(1) draw, so no replicate ever materializes). Weights are
+    hash-DETERMINISTIC: ``u = md5(doc_id|b) mod 1e6`` through the exact
+    integer inverse-CDF of Poisson(1), so both engines draw identical
+    replicates and the whole statistic is reproducible run-to-run.
+
+    Exactness: per-replicate (Σ w·len, Σ w) are exact integers in ONE
+    scan (2·B conditional aggregates, map-side combinable — no row
+    fanout, the scale-critical choice vs the explode-by-B shape);
+    replicate means are rounded to 6 decimals and accumulated as
+    DECIMAL, so the bootstrap SE's power sums are order-independent.
+    CI bounds are the 2nd / 31st order statistics of the 32 replicate
+    means (the ~±2σ empirical band).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("s_all"),
+    ]
+    for b in range(_BOOT_REPS):
+        u = F.pmod(
+            TX.md5_long(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(str(b)))),
+            F.lit(1_000_000),
+        )
+        w = _boot_weight_spark(u)
+        aggs.append(F.sum(w * F.col("n_chars")).cast("long").alias(f"_s{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"_c{b}"))
+    tot = d.agg(*aggs)
+    means = tot.select(
+        "n_docs",
+        "s_all",
+        F.explode(
+            F.array(
+                *[
+                    F.round(
+                        F.col(f"_s{b}").cast("double") / F.col(f"_c{b}").cast("double"),
+                        6,
+                    ).cast("decimal(18,6)")
+                    for b in range(_BOOT_REPS)
+                ]
+            )
+        ).alias("m"),
+    )
+    nb = _BOOT_REPS
+    return (
+        means.groupBy("n_docs", "s_all")
+        .agg(
+            F.sum("m").alias("_sm"),
+            F.sum(F.col("m") * F.col("m")).alias("_sm2"),
+            F.array_sort(F.collect_list("m")).alias("_ms"),
+        )
+        .select(
+            "n_docs",
+            F.lit(nb).cast("int").alias("n_reps"),
+            F.round(
+                F.col("s_all").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("mean_chars"),
+            F.round((F.col("_sm") / nb).cast("double"), 6).alias("boot_mean"),
+            F.round(
+                F.sqrt(
+                    (nb * F.col("_sm2") - F.col("_sm") * F.col("_sm")).cast("double")
+                    / (nb * (nb - 1))
+                ),
+                6,
+            ).alias("boot_se"),
+            F.element_at("_ms", 2).cast("double").alias("ci_lo"),
+            F.element_at("_ms", nb - 1).cast("double").alias("ci_hi"),
+        )
+    )
+
+
+def _poisson_bootstrap_sql() -> str:
+    nb = _BOOT_REPS
+    u = OQ.sql_md5_long("CAST(doc_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)") + " % 1000000"
+    w = _boot_weight_sql(f"({u})")
+    return f"""
+WITH reps AS (
+  SELECT b, CAST(SUM({w} * n_chars) AS BIGINT) AS s,
+         CAST(SUM({w}) AS BIGINT) AS c
+  FROM documents CROSS JOIN (SELECT unnest(range(0, {nb})) AS b)
+  GROUP BY b
+), means AS (
+  SELECT CAST(ROUND(CAST(s AS DOUBLE) / CAST(c AS DOUBLE), 6) AS DECIMAL(18,6)) AS m,
+         ROW_NUMBER() OVER (ORDER BY CAST(s AS DOUBLE) / CAST(c AS DOUBLE) ASC) AS rk
+  FROM reps
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS s_all
+  FROM documents
+)
+SELECT n_docs, CAST({nb} AS INT) AS n_reps,
+       ROUND(CAST(s_all AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_chars,
+       ROUND(CAST(SUM(m) / {nb} AS DOUBLE), 6) AS boot_mean,
+       ROUND(sqrt(CAST({nb} * SUM(m * m) - SUM(m) * SUM(m) AS DOUBLE)
+                  / ({nb} * {nb - 1})), 6) AS boot_se,
+       CAST(MIN(CASE WHEN rk = 2 THEN m END) AS DOUBLE) AS ci_lo,
+       CAST(MIN(CASE WHEN rk = {nb - 1} THEN m END) AS DOUBLE) AS ci_hi
+FROM means, tot
+GROUP BY n_docs, s_all
+"""
+
+
+QUERIES["s_poisson_bootstrap"] = s_poisson_bootstrap
+ORACLE["s_poisson_bootstrap"] = _poisson_bootstrap_sql()
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation for stratified sampling
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 10_000
+
+
+def s_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation (Neyman 1934) over
+    sources: for a fixed audit budget of n=10,000 documents, the
+    allocation ``n_h ∝ N_h·σ_h`` minimizes the variance of the
+    estimated corpus mean — put the samples where the strata are big
+    AND internally diverse. Output per source: stratum size, length σ,
+    the proportional and Neyman allocations, and their ratio (the
+    "how much does optimal differ from naive" dial a quality-audit
+    pipeline reads before spending labeling budget).
+
+    Exactness: σ_h = sqrt((N_h·Q_h − S_h²)/N_h²) over exact integer
+    power sums; stratum weights w_h = N_h·σ_h are rounded to 6 decimals
+    and DECIMAL-summed so the denominator is order-independent;
+    integer allocations use ``floor(x + 0.5)`` (identical operand
+    expressions in both engines — no HALF_UP/HALF_EVEN divergence).
+
+    Scale shape: ONE pass over documents → m-source-bounded rollup, a
+    1-row weight total broadcast back. Constant-size output.
+    """
+    n = _NEYMAN_BUDGET
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("n_chars").cast("long").alias("s_h"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("q_h"),
+    )
+    sigma = F.sqrt(
+        (F.col("n_h") * F.col("q_h") - F.col("s_h") * F.col("s_h")).cast("double")
+        / (F.col("n_h") * F.col("n_h")).cast("double")
+    )
+    w = F.round(F.col("n_h").cast("double") * sigma, 6).cast("decimal(24,6)")
+    weighted = per.select("source", "n_h", sigma.alias("_sig"), w.alias("_w"))
+    tot = weighted.agg(
+        F.sum("_w").alias("_wsum"), F.sum("n_h").cast("long").alias("_ntot")
+    )
+    n_prop = F.floor(
+        F.lit(float(n)) * F.col("n_h").cast("double") / F.col("_ntot").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    n_ney = F.floor(
+        F.lit(float(n))
+        * (F.col("_w").cast("double") / F.col("_wsum").cast("double"))
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_h").alias("n_docs"),
+            F.round(F.col("_sig"), 6).alias("sigma_len"),
+            n_prop.alias("n_prop"),
+            n_ney.alias("n_neyman"),
+            F.round(n_ney.cast("double") / n_prop.cast("double"), 4).alias(
+                "alloc_ratio"
+            ),
+        )
+    )
+
+
+S_NEYMAN_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(n_chars) AS BIGINT) AS s_h,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS q_h
+  FROM documents GROUP BY source
+), weighted AS (
+  SELECT source, n_h,
+         sqrt(CAST(n_h * q_h - s_h * s_h AS DOUBLE)
+              / CAST(n_h * n_h AS DOUBLE)) AS sig,
+         CAST(ROUND(CAST(n_h AS DOUBLE)
+              * sqrt(CAST(n_h * q_h - s_h * s_h AS DOUBLE)
+                     / CAST(n_h * n_h AS DOUBLE)), 6) AS DECIMAL(24,6)) AS w
+  FROM per
+), tot AS (
+  SELECT SUM(w) AS wsum, CAST(SUM(n_h) AS BIGINT) AS ntot FROM weighted
+)
+SELECT source, n_h AS n_docs, ROUND(sig, 6) AS sigma_len,
+       CAST(floor(CAST({_NEYMAN_BUDGET} AS DOUBLE) * CAST(n_h AS DOUBLE)
+                  / CAST(ntot AS DOUBLE) + 0.5) AS BIGINT) AS n_prop,
+       CAST(floor(CAST({_NEYMAN_BUDGET} AS DOUBLE)
+                  * (CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)) + 0.5) AS BIGINT) AS n_neyman,
+       ROUND(CAST(floor(CAST({_NEYMAN_BUDGET} AS DOUBLE)
+                        * (CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)) + 0.5) AS DOUBLE)
+             / CAST(floor(CAST({_NEYMAN_BUDGET} AS DOUBLE) * CAST(n_h AS DOUBLE)
+                          / CAST(ntot AS DOUBLE) + 0.5) AS DOUBLE), 4)
+         AS alloc_ratio
+FROM weighted, tot
+"""
+
+QUERIES["s_neyman_allocation"] = s_neyman_allocation
+ORACLE["s_neyman_allocation"] = S_NEYMAN_SQL

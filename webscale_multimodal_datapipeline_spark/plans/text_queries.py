@@ -1897,3 +1897,119 @@ FROM sums
 
 QUERIES["t_length_lognormal_fit"] = t_length_lognormal_fit
 ORACLE["t_length_lognormal_fit"] = T_LOGNORMAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # winnowing window (in k-grams); expected density 2/(w+1)
+
+
+def t_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint audit (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS algorithm): slide a w=4 window over each document's
+    POSITIONAL 3-word-shingle hash sequence (``word_shingle_seq`` —
+    winnowing is defined over the k-gram sequence, not the distinct
+    set), keep the minimum hash per window, dedupe — the
+    guaranteed-coverage fingerprint set that lets a dedup index store
+    ~2/(w+1) of all k-gram hashes while still catching any match of
+    length ≥ w+k−1. Per source: document count, k-gram volume, selected
+    fingerprint volume, measured density vs the paper's 2/(w+1)
+    expectation, and the distinct-fingerprint count (the actual index
+    size a 100-TB near-dup index would carry). Sub-k-token documents
+    (including empty ones) contribute their single whole-text shingle,
+    so every document keeps a fingerprint — the ``word_shingles``
+    fallback contract.
+
+    Exactness: fingerprints are min-selections over exact integer
+    hashes — no floats until the final density ratio. Value-min stands
+    in for the paper's rightmost-min tiebreak: ties are equal VALUES,
+    so the selected set is identical.
+
+    Scale shape: ONE pass — per-document array algebra, posexplode of
+    the per-doc fingerprint set (pos==0 marks the doc row, so doc-level
+    sums need no second branch or join), one m-source-bounded rollup.
+    Shuffle carries fingerprint hashes only, never text.
+    """
+    from webscale_multimodal_datapipeline_spark.operators import dedup as OD
+
+    w = _WINNOW_W
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.withColumn("_toks", TX.norm_tokens("text"))
+        .withColumn("_sh", TX.word_shingle_seq("text", k=3, toks=F.col("_toks")))
+        .withColumn("_h", OD.shingle_hashes(F.col("_sh")))
+    )
+    nwin = F.greatest(F.size("_h") - F.lit(w - 1), F.lit(1))
+    fp = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.array_min(F.slice(F.col("_h"), i, w)),
+        )
+    )
+    return (
+        base.select(
+            "doc_id",
+            "source",
+            F.size("_h").cast("long").alias("n_kgrams"),
+            F.posexplode(fp).alias("_pos", "_f"),
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.when(F.col("_pos") == 0, F.col("n_kgrams"))).alias(
+                "total_kgrams"
+            ),
+            F.count(F.lit(1)).alias("total_fp"),
+            F.countDistinct("_f").alias("n_distinct_fp"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_kgrams",
+            "total_fp",
+            "n_distinct_fp",
+            F.round(
+                F.col("total_fp").cast("double") / F.col("total_kgrams").cast("double"),
+                6,
+            ).alias("density"),
+            F.round(F.lit(2.0) / F.lit(float(w + 1)), 6).alias("expected_density"),
+        )
+    )
+
+
+def _winnowing_sql() -> str:
+    w = _WINNOW_W
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t FROM documents
+), shl AS (
+  SELECT doc_id, source, {OQ.sql_shingle_seq_from_tokens('t')} AS sh FROM toks
+), hs AS (
+  SELECT doc_id, source, {OQ.sql_shingle_hashes('sh')} AS h FROM shl
+), fp AS (
+  SELECT doc_id, source, len(h) AS n_kgrams,
+         list_distinct(list_transform(
+           range(1, greatest(len(h) - {w - 1}, 1) + 1),
+           i -> list_min(list_slice(h, i, i + {w - 1})))) AS f
+  FROM hs
+), per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_kgrams) AS BIGINT) AS total_kgrams,
+         CAST(SUM(len(f)) AS BIGINT) AS total_fp
+  FROM fp GROUP BY source
+), dfp AS (
+  SELECT source, CAST(COUNT(DISTINCT uf) AS BIGINT) AS n_distinct_fp
+  FROM (SELECT source, unnest(f) AS uf FROM fp) GROUP BY source
+)
+SELECT p.source, n_docs, total_kgrams, total_fp, n_distinct_fp,
+       ROUND(CAST(total_fp AS DOUBLE) / CAST(total_kgrams AS DOUBLE), 6)
+         AS density,
+       ROUND(CAST(2 AS DOUBLE) / CAST({w + 1} AS DOUBLE), 6) AS expected_density
+FROM per_source p JOIN dfp USING (source)
+"""
+
+
+QUERIES["t_winnowing_fingerprint"] = t_winnowing_fingerprint
+ORACLE["t_winnowing_fingerprint"] = _winnowing_sql()

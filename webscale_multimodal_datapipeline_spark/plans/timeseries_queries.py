@@ -466,3 +466,86 @@ GROUP BY event_type ORDER BY event_type
 
 QUERIES["ts_seasonal_naive"] = ts_seasonal_naive
 ORACLE["ts_seasonal_naive"] = TS_SEASONAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (exact integer formulation)
+# ---------------------------------------------------------------------------
+
+
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint over the daily order-count series: the day t
+    maximizing |C_t/N − t/n| — the normalized cumulative-sum deviation
+    from a uniform-in-time arrival rate (Page 1954's CUSUM reduced to
+    its scale-free single-changepoint estimator; the same statistic a
+    curation pipeline uses to spot "the crawl mix changed on day X").
+
+    Exactness: the argmax is taken over ``dev_t = n·C_t − t·N`` — pure
+    BIGINT algebra (n days, C_t cumulative count, t day index, N total),
+    so the selected day is bit-determined; only the final reported
+    statistic divides (``dev/(n·N) = C_t/N − t/n``), with identical
+    operand expressions in both engines.
+
+    Scale shape: one daily rollup (calendar-bounded, map-side
+    combinable), one single-partition window over ~2.4K calendar days
+    (value-domain-bounded — the allowlisted cumulative-window class),
+    1-row output. The fact table crosses the wire once, pre-aggregated.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("o_orderdate")
+    cum = daily.select(
+        F.col("o_orderdate"),
+        F.row_number().over(w).alias("t"),
+        F.sum("c").over(w).alias("cumc"),
+    )
+    tot = daily.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    dev = F.col("n_days") * F.col("cumc") - F.col("t") * F.col("n_total")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("changepoint_date"),
+            F.col("t").cast("long").alias("day_idx"),
+            "n_days",
+            "n_total",
+            F.abs(dev).cast("long").alias("abs_dev"),
+            F.round(
+                F.abs(dev).cast("double")
+                / (F.col("n_days").cast("double") * F.col("n_total").cast("double")),
+                8,
+            ).alias("cusum_stat"),
+        )
+        .orderBy(F.col("abs_dev").desc(), F.col("changepoint_date").asc())
+        .limit(1)
+    )
+
+
+TS_CUSUM_SQL = """
+WITH daily AS (
+  SELECT o_orderdate, COUNT(*) AS c FROM orders GROUP BY 1
+), cum AS (
+  SELECT o_orderdate,
+         ROW_NUMBER() OVER (ORDER BY o_orderdate) AS t,
+         SUM(c) OVER (ORDER BY o_orderdate
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+  FROM daily
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily
+)
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS changepoint_date,
+       CAST(t AS BIGINT) AS day_idx,
+       n_days, n_total,
+       CAST(abs(n_days * cumc - t * n_total) AS BIGINT) AS abs_dev,
+       ROUND(CAST(abs(n_days * cumc - t * n_total) AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * CAST(n_total AS DOUBLE)), 8) AS cusum_stat
+FROM cum, tot
+ORDER BY abs_dev DESC, changepoint_date ASC
+LIMIT 1
+"""
+
+QUERIES["ts_cusum_changepoint"] = ts_cusum_changepoint
+ORACLE["ts_cusum_changepoint"] = TS_CUSUM_SQL

@@ -1530,3 +1530,151 @@ ORDER BY query_id
 
 QUERIES["v_knn_classify"] = v_knn_classify
 ORACLE["v_knn_classify"] = V_KNN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH recall/cost sweep
+# ---------------------------------------------------------------------------
+
+_MP_MAX_LVL = 2  # probe buckets up to Hamming distance 2 from the query code
+
+
+def v_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH sweep (Lv et al. 2007): recall@k AND candidate
+    cost of hyperplane-LSH retrieval when each query probes every bucket
+    within Hamming distance p of its own 8-bit code, for p ∈ {0,1,2}
+    (1 / 9 / 37 buckets of 256). THE tuning table for a bucketed ANN
+    tier: multi-probe buys recall with extra probes instead of extra
+    hash tables, so the index stays single-copy at 100 TB while recall
+    climbs — this query shows exactly what each probe level pays
+    (candidates scanned) and buys (exact-top-k hits).
+
+    Scale shape: probe codes are enumerated on the QUERY side (≤ 37 per
+    query, broadcast by the query-set contract); the corpus side is a
+    bucket EQUI-join — never a cross join — and each candidate is scored
+    once, with the 3-row level table fanning out only the bounded
+    candidate set. Exact top-k reuses the broadcast-query corpus scan.
+    Determinism: ranking ties break by vec_id; all counts integer.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = e.withColumn(
+        "_bucket", OD.hyperplane_bucket("embedding", DIM)
+    ).withColumn("_c_norm", VX.l2_norm("embedding"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_q_emb"),
+        VX.l2_norm("embedding").alias("_q_norm"),
+        OD.hyperplane_bucket("embedding", DIM).alias("_qb"),
+    )
+    probes = q.select(
+        "query_id",
+        "_q_emb",
+        "_q_norm",
+        "_qb",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), F.lit(255)),
+                lambda c: F.bit_count(c.bitwiseXOR(F.col("_qb"))) <= _MP_MAX_LVL,
+            )
+        ).alias("_bucket"),
+    ).withColumn("_lvl", F.bit_count(F.col("_bucket").bitwiseXOR(F.col("_qb"))))
+    exact = OS.cosine_topk(
+        e,
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=TOP_K,
+    ).select("query_id", "vec_id", F.lit(1).alias("_ex"))
+    scored = (
+        cb.join(F.broadcast(probes), "_bucket")
+        .select(
+            "query_id",
+            "vec_id",
+            "_lvl",
+            (
+                VX.dot(F.col("embedding"), F.col("_q_emb"))
+                / (F.col("_c_norm") * F.col("_q_norm"))
+            ).alias("_cos"),
+        )
+        .join(F.broadcast(exact), ["query_id", "vec_id"], "left")
+    )
+    levels = scored.crossJoin(
+        F.broadcast(
+            spark.range(0, _MP_MAX_LVL + 1).select(
+                F.col("id").cast("int").alias("probe_level")
+            )
+        )
+    ).filter(F.col("_lvl") <= F.col("probe_level"))
+    w = Window.partitionBy("probe_level", "query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        levels.withColumn("_rank", F.row_number().over(w))
+        .groupBy("probe_level", "query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(
+                F.when((F.col("_rank") <= TOP_K) & (F.col("_ex") == 1), 1)
+            ).alias("n_hits"),
+        )
+        .select(
+            "probe_level",
+            "query_id",
+            "n_candidates",
+            "n_hits",
+            F.lit(TOP_K).cast("int").alias("k"),
+        )
+    )
+
+
+def _multiprobe_sql() -> str:
+    bucket = OQ.sql_hyperplane_bucket("embedding", DIM)
+    return f"""
+WITH cb AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, {bucket} AS qb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {OQ.sql_cosine('c.embedding', 'q.embedding', DIM)} DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings c
+    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+  ) WHERE rank <= {TOP_K}
+), probes AS (
+  SELECT query_id, q_emb, qb,
+         unnest(list_filter(range(0, 256),
+           c -> bit_count(CAST(xor(c, qb) AS BIGINT)) <= {_MP_MAX_LVL})) AS bucket
+  FROM q
+), scored AS (
+  SELECT p.query_id, c.vec_id,
+         bit_count(CAST(xor(p.bucket, p.qb) AS BIGINT)) AS lvl,
+         {OQ.sql_cosine('c.embedding', 'p.q_emb', DIM)} AS cos,
+         CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS ex
+  FROM cb c JOIN probes p ON c.bucket = p.bucket
+  LEFT JOIN exact e ON e.query_id = p.query_id AND e.vec_id = c.vec_id
+), leveled AS (
+  SELECT s.*, l.probe_level,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.probe_level, s.query_id
+           ORDER BY s.cos DESC, s.vec_id ASC) AS rank
+  FROM scored s
+  JOIN (SELECT unnest(range(0, {_MP_MAX_LVL + 1})) AS probe_level) l
+    ON s.lvl <= l.probe_level
+)
+SELECT CAST(probe_level AS INT) AS probe_level, query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COUNT(*) FILTER (WHERE rank <= {TOP_K} AND ex = 1) AS BIGINT)
+         AS n_hits,
+       CAST({TOP_K} AS INT) AS k
+FROM leveled
+GROUP BY probe_level, query_id
+"""
+
+
+QUERIES["v_multiprobe_recall"] = v_multiprobe_recall
+ORACLE["v_multiprobe_recall"] = _multiprobe_sql()
