@@ -452,3 +452,49 @@ def test_streaming_spike_pipeline_matches_batch(spark, sf_dir, tmp_path):
         for r in e_spike_zscore(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_srm_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """Round-5 streaming lift #2 (e_srm_check): stateful first-seen user
+    dedup → UPDATE-mode arm counts → per-trigger MERGE into a
+    transactional table → the shared exact-integer chi-square scorer.
+    3 ts-range files arrive in order (pinned mtimes, see the spike test)
+    so users spanning triggers exercise the dedup state and the MERGE
+    path; parity with the batch query is EXACT."""
+    import os
+    import time as _time
+
+    from webscale_multimodal_datapipeline_spark.plans.events_queries import (
+        e_srm_check,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    ev_dir = str(tmp_path / "evparts")
+    load_table(spark, sf_dir, "events").repartitionByRange(3, "ts").write.parquet(
+        ev_dir
+    )
+    base = _time.time()
+    for i, p in enumerate(
+        sorted(
+            f for f in os.listdir(ev_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+    ):
+        os.utime(os.path.join(ev_dir, p), (base + 10 * i, base + 10 * i))
+
+    stream = SP.read_parquet_events_stream(spark, ev_dir, max_files_per_trigger=1)
+    table = str(tmp_path / "srm_tbl")
+    SP.stream_arm_counts_to_txtable(
+        SP.user_arm_counts(stream), table, str(tmp_path / "ckpt")
+    )
+    # multi-trigger actually happened: initial append + ≥1 merge commit
+    actions = [h["action"] for h in TX.history(table)]
+    assert actions[0] == "append" and "overwrite" in actions[1:]
+
+    got = SP.srm_from_arm_counts(spark, table).collect()[0]
+    want = e_srm_check(spark, sf_dir).collect()[0]
+    assert (got.n_arm0, got.n_arm1, got.chi2) == (
+        want.n_arm0,
+        want.n_arm1,
+        want.chi2,
+    )

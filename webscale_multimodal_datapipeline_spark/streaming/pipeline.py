@@ -338,3 +338,79 @@ def stream_stream_click_purchase_join(
         "purchase_ts",
         "click_ts",
     )
+
+
+def user_arm_counts(events: DataFrame) -> DataFrame:
+    """Stage 1 of the STREAMING sample-ratio-mismatch guardrail
+    (``e_srm_check`` lifted): stateful first-seen dedup of user ids,
+    then an UPDATE-mode count per experiment arm (the repo's seeded
+    md5 50/50 split). Each trigger re-emits only the arm rows whose
+    distinct-user count grew, so the txtable MERGE keyed on ``_k``
+    converges to the exact all-time batch counts. The dedup state is
+    key-only (one bigint-hash row per distinct user); a deployment
+    that can tolerate re-counting a user after N days would bound it
+    with ``dropDuplicatesWithinWatermark`` — the all-time form is kept
+    here because the batch query's semantics are all-time distinct."""
+    from webscale_multimodal_datapipeline_spark.functions.text import md5_long
+
+    return (
+        events.select(F.col("user_id").cast("string").alias("user_id"))
+        .dropDuplicates(["user_id"])
+        .select(F.pmod(md5_long(F.col("user_id")), F.lit(2)).alias("arm"))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("arm").cast("string").alias("_k"), "arm", "cnt")
+    )
+
+
+def stream_arm_counts_to_txtable(counts: DataFrame, table: str, checkpoint: str) -> None:
+    """Drive the UPDATE-mode arm-count stream into a transactional table
+    via per-micro-batch MERGE — the ``stream_rollup_to_txtable`` pattern
+    (idempotent app_epoch commits, latest-wins within a trigger) applied
+    to a 2-row experiment-health table a dashboard can poll with
+    snapshot-isolation reads while the experiment runs."""
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = batch_df.groupBy("_k", "arm").agg(F.max("cnt").alias("cnt"))
+        epoch = f"srm-epoch-{epoch_id}"
+        if TX.latest_version(table) < 0:
+            TX.append(latest, table, app_epoch=epoch)
+        else:
+            TX.merge(spark, latest, table, "_k", app_epoch=epoch)
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def srm_from_arm_counts(spark: SparkSession, table: str) -> DataFrame:
+    """Stage 2 of the streaming SRM guardrail: the SAME exact-integer
+    2-cell chi-square as the batch ``e_srm_check`` (``χ² = (n0−n1)² /
+    (n0+n1)``, floats only in the final division), read from the
+    accumulated transactional snapshot — so streaming-vs-batch parity
+    is exact, no tolerance."""
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    counts = TX.read(spark, table)
+    agg = counts.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("cnt")).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cnt")).otherwise(0)).alias("n1"),
+    )
+    return agg.select(
+        F.col("n0").cast("bigint").alias("n_arm0"),
+        F.col("n1").cast("bigint").alias("n_arm1"),
+        F.round(
+            ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast("double")
+            / (F.col("n0") + F.col("n1")).cast("double"),
+            6,
+        ).alias("chi2"),
+    )
