@@ -112,6 +112,7 @@ SUBSET = [
     "v_multiprobe_recall",
     "s_poisson_bootstrap",
     "s_neyman_allocation",
+    "d_bloom_bitmap_fpr",
 ]
 
 

@@ -176,3 +176,30 @@ def test_norm_tokens_equals_tokens_of_normalize(spark, texts):
     for t, a, b in zip(texts, fast, spec):
         assert list(a) == list(b), repr(t)
         assert list(a) == t.lower().split(), repr(t)
+
+
+@given(texts=_TEXTS)
+@settings(**_SETTINGS)
+def test_word_shingle_seq_matches_python(spark, texts):
+    """word_shingle_seq == the positional k-gram sequence of the
+    normalized token list (duplicates KEPT, order preserved) — the
+    order-stability contract winnowing depends on (ARCHITECTURE §23)."""
+    got = _run(spark, texts, TX.word_shingle_seq("text", k=3))
+    for t, g in zip(texts, got):
+        toks = " ".join(t.split()).lower().split()
+        if len(toks) >= 3:
+            want = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        else:
+            want = [" ".join(toks)]
+        assert list(g) == want, repr(t)
+
+
+@given(texts=_TEXTS)
+@settings(**_SETTINGS)
+def test_word_shingles_is_first_occurrence_distinct_of_seq(spark, texts):
+    """word_shingles (set-semantic) == word_shingle_seq deduped keeping
+    first occurrences — the two variants must never drift apart."""
+    got_set = _run(spark, texts, TX.word_shingles("text", k=3))
+    got_seq = _run(spark, texts, TX.word_shingle_seq("text", k=3))
+    for t, s, q in zip(texts, got_set, got_seq):
+        assert list(s) == list(dict.fromkeys(q)), repr(t)

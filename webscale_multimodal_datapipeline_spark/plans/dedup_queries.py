@@ -1508,3 +1508,183 @@ GROUP BY e.source
 
 QUERIES["d_ngram_novelty"] = d_ngram_novelty
 ORACLE["d_ngram_novelty"] = D_NGRAM_NOVELTY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter bitmap FPR audit (incremental-dedup prefilter)
+# ---------------------------------------------------------------------------
+
+_BBM_M = 1 << 16  # bits in the filter
+_BBM_K = 4  # hash functions
+_BBM_WORD = 32  # bits per packed word (sign-safe shifts in both engines)
+
+
+def d_bloom_bitmap_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter PREFILTER audit for incremental dedup (Bloom 1970;
+    the Broder/Mitzenmacher network-survey workhorse): pack the
+    snapshot's content-hash keys into an m=2^16-bit filter (k=4 affine
+    hashes, 32-bit words via bit_or rollup), probe the new batch, and
+    measure what the prefilter buys — candidates vs true duplicates,
+    the realized false-positive rate, and the ``(1−e^{−kn/m})^k``
+    theoretical rate beside it. At 100 TB this is the step that turns
+    "anti-join every new key against a billion-row snapshot index" into
+    "anti-join the ~FPR fraction the filter couldn't clear": the filter
+    is a few KB broadcast everywhere, the snapshot index is touched
+    only for candidates. ``n_missed`` is the no-false-negatives
+    invariant and must be 0 by construction.
+
+    Exactness: bit positions are affine-mod arithmetic over exact
+    integer key hashes; the packed words are integer bit_or rollups;
+    both FPR floats divide/exponentiate bit-identical operands.
+
+    Scale shape: the filter build is ONE bounded rollup (≤ 2^11 word
+    rows — bounded BY CONSTRUCTION, its broadcast is free at any scale);
+    the probe is a key-side explode (k rows per key) joined to that
+    bounded table; the exact-truth arm is the keys-only semi-join of
+    ``d_incremental_dedup``. Output is 1 row.
+    """
+    m, k, wbits = _BBM_M, _BBM_K, _BBM_WORD
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(TX.md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    keyed = d.select(
+        bucket.alias("_b"),
+        F.pmod(TX.md5_long(TX.normalize_text(F.col("text"))), F.lit(OD.MINHASH_P)).alias(
+            "_key"
+        ),
+    )
+    train = keyed.filter(F.col("_b") < 80).select("_key").dropDuplicates(["_key"])
+    probe = keyed.filter(F.col("_b") >= 90).select("_key").dropDuplicates(["_key"])
+
+    def positions(df):
+        return df.select(
+            "_key",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            (F.col("_key") * (2 * i + 3) + (7 * i + 1)),
+                            F.lit(OD.MINHASH_P),
+                        )
+                        % m
+                        for i in range(k)
+                    ]
+                )
+            ).alias("_pos"),
+        ).select(
+            "_key",
+            (F.col("_pos") / wbits).cast("long").alias("_word"),
+            F.pmod(F.col("_pos"), F.lit(wbits)).alias("_bit"),
+        )
+
+    words = (
+        positions(train)
+        .groupBy("_word")
+        .agg(F.bit_or(F.expr(f"shiftleft(CAST(1 AS BIGINT), _bit)")).alias("_mask"))
+    )
+    probed = (
+        positions(probe)
+        .join(F.broadcast(words), "_word", "left")
+        .withColumn(
+            "_present",
+            F.expr("(shiftright(coalesce(_mask, CAST(0 AS BIGINT)), _bit) & 1)"),
+        )
+        .groupBy("_key")
+        .agg(F.min("_present").alias("_hit"))
+    )
+    truth = probe.join(train, "_key", "left_semi").select(
+        F.col("_key"), F.lit(1).alias("_dup")
+    )
+    joined = probed.join(truth, "_key", "left")
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_keys"),
+        F.sum("_hit").cast("long").alias("n_candidates"),
+        F.count(F.when(F.col("_dup") == 1, 1)).cast("long").alias("n_true_dups"),
+        F.count(F.when((F.col("_dup") == 1) & (F.col("_hit") == 0), 1))
+        .cast("long")
+        .alias("n_missed"),
+    )
+    ntr = train.agg(F.count(F.lit(1)).cast("long").alias("n_train_keys"))
+    fp = F.col("n_candidates") - F.col("n_true_dups")
+    clean = F.col("n_probe_keys") - F.col("n_true_dups")
+    fpr_theory = F.pow(
+        F.lit(1.0)
+        - F.pow(
+            F.lit(1.0) - F.lit(1.0) / m,
+            (F.lit(k) * F.col("n_train_keys")).cast("double"),
+        ),
+        F.lit(float(k)),
+    )
+    return agg.crossJoin(F.broadcast(ntr)).select(
+        "n_train_keys",
+        "n_probe_keys",
+        "n_candidates",
+        "n_true_dups",
+        "n_missed",
+        F.round(
+            F.when(clean > 0, fp.cast("double") / clean.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("fpr"),
+        F.round(fpr_theory, 6).alias("fpr_theory"),
+    )
+
+
+def _bloom_sql() -> str:
+    m, k, wbits = _BBM_M, _BBM_K, _BBM_WORD
+    P = OD.MINHASH_P
+    pos_list = "[" + ", ".join(
+        f"((_key * {2 * i + 3} + {7 * i + 1}) % {P}) % {m}" for i in range(k)
+    ) + "]"
+    return f"""
+WITH keyed AS (
+  SELECT {OQ.sql_md5_long("CAST(doc_id AS VARCHAR)")} % 100 AS b,
+         {OQ.sql_md5_long(OQ.sql_norm('text'))} % {P} AS _key
+  FROM documents
+), train AS (
+  SELECT DISTINCT _key FROM keyed WHERE b < 80
+), probe AS (
+  SELECT DISTINCT _key FROM keyed WHERE b >= 90
+), tpos AS (
+  SELECT _key, unnest({pos_list}) AS pos FROM train
+), words AS (
+  SELECT CAST(floor(pos / {wbits}) AS BIGINT) AS word,
+         bit_or(CAST(1 AS BIGINT) << (pos % {wbits})) AS mask
+  FROM tpos GROUP BY 1
+), ppos AS (
+  SELECT _key, unnest({pos_list}) AS pos FROM probe
+), probed AS (
+  SELECT p._key,
+         MIN((COALESCE(w.mask, 0) >> (p.pos % {wbits})) & 1) AS hit
+  FROM (SELECT _key, pos, CAST(floor(pos / {wbits}) AS BIGINT) AS word
+        FROM ppos) p
+  LEFT JOIN words w ON w.word = p.word
+  GROUP BY p._key
+), joined AS (
+  SELECT pr._key, pr.hit,
+         CASE WHEN t._key IS NULL THEN 0 ELSE 1 END AS dup
+  FROM probed pr LEFT JOIN train t ON t._key = pr._key
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+         CAST(SUM(hit) AS BIGINT) AS n_candidates,
+         CAST(COUNT(*) FILTER (WHERE dup = 1) AS BIGINT) AS n_true_dups,
+         CAST(COUNT(*) FILTER (WHERE dup = 1 AND hit = 0) AS BIGINT) AS n_missed
+  FROM joined
+), ntr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train_keys FROM train
+)
+SELECT n_train_keys, n_probe_keys, n_candidates, n_true_dups, n_missed,
+       ROUND(CASE WHEN n_probe_keys - n_true_dups > 0
+         THEN CAST(n_candidates - n_true_dups AS DOUBLE)
+              / CAST(n_probe_keys - n_true_dups AS DOUBLE)
+         ELSE 0.0 END, 6) AS fpr,
+       ROUND(POW(CAST(1 AS DOUBLE) - POW(CAST(1 AS DOUBLE)
+                   - CAST(1 AS DOUBLE) / {m},
+                 CAST({k} * n_train_keys AS DOUBLE)),
+             CAST({k} AS DOUBLE)), 6) AS fpr_theory
+FROM agg, ntr
+"""
+
+
+QUERIES["d_bloom_bitmap_fpr"] = d_bloom_bitmap_fpr
+ORACLE["d_bloom_bitmap_fpr"] = _bloom_sql()
