@@ -77,3 +77,23 @@ def test_priority_order_front_loads_unrecorded_queries():
             seen_recorded = True
         else:
             assert not seen_recorded, f"unrecorded {n!r} ordered after recorded queries"
+
+
+def test_no_shadowed_query_assignments_within_modules():
+    """A module assigning QUERIES["name"] twice silently overwrites the
+    first definition (dict semantics — the cross-module assert in
+    registry.py cannot see it; a round-5 draft shadowed
+    d_bloom_prefilter exactly this way). Grep each plans module source
+    for duplicate registration keys."""
+    import inspect
+    import re as _re
+
+    from webscale_multimodal_datapipeline_spark.plans import registry
+
+    pat = _re.compile(r'(?:QUERIES|ORACLE)\["([A-Za-z0-9_]+)"\]\s*=')
+    for mod in registry._MODULES:
+        src = inspect.getsource(mod)
+        for kind in ("QUERIES", "ORACLE"):
+            names = _re.findall(kind + r'\["([A-Za-z0-9_]+)"\]\s*=', src)
+            dupes = {n for n in names if names.count(n) > 1}
+            assert not dupes, f"{mod.__name__}: duplicate {kind} assignment {dupes}"
