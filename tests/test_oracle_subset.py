@@ -113,6 +113,7 @@ SUBSET = [
     "s_poisson_bootstrap",
     "s_neyman_allocation",
     "d_bloom_bitmap_fpr",
+    "p_dataset_card",
 ]
 
 

@@ -505,3 +505,109 @@ FROM {tbl}"""
 
 QUERIES["p_pk_uniqueness"] = p_pk_uniqueness
 ORACLE["p_pk_uniqueness"] = P_PK_SQL
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row release summary
+# ---------------------------------------------------------------------------
+
+
+def p_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DATASET CARD for the documents corpus — the release
+    summary every published training set ships (HF dataset cards,
+    Datasheets for Datasets, Gebru et al. 2021): volume (docs, chars,
+    whitespace tokens), composition (sources, languages, English
+    share), hygiene (exact-duplicate rate on the normalized-text hash),
+    and shape (mean/median length). One query a release pipeline runs
+    LAST, after curation, to stamp the artifact.
+
+    Exactness: counts and sums are integers; ratios divide exact
+    integers once; the median is the exact lower-median element
+    (count/2+1-th order statistic via one bounded-domain length rollup,
+    no global sort of rows).
+
+    Scale shape: ONE pass over documents computes every count/sum
+    (map-side combinable conditional aggregates) + one distinct-hash
+    count; the median comes from a length-histogram rollup (bounded by
+    the length value domain) — the fact table never sorts.
+    """
+    from webscale_multimodal_datapipeline_spark.functions import text as TXF
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(TXF.token_count("text")).cast("long").alias("total_tokens"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("_n_en"),
+        F.countDistinct(TXF.md5_long(TXF.normalize_text(F.col("text"))))
+        .cast("long")
+        .alias("_n_uniq"),
+    )
+    hist = d.groupBy(F.col("n_chars").alias("_len")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.orderBy("_len")
+    med = (
+        hist.select("_len", F.sum("_c").over(w).alias("_cum"))
+        .crossJoin(F.broadcast(base.select("n_docs")))
+        .filter(F.col("_cum") * 2 >= F.col("n_docs") + 1)
+        .orderBy("_len")
+        .limit(1)
+        .select(F.col("_len").cast("long").alias("median_chars"))
+    )
+    return base.crossJoin(F.broadcast(med)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_chars",
+        "total_tokens",
+        F.round(
+            F.col("total_chars").cast("double") / F.col("n_docs").cast("double"), 4
+        ).alias("mean_chars"),
+        "median_chars",
+        F.round(F.col("_n_en").cast("double") / F.col("n_docs").cast("double"), 6).alias(
+            "pct_english"
+        ),
+        F.round(
+            (F.col("n_docs") - F.col("_n_uniq")).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+    )
+
+
+P_DATASET_CARD_SQL = f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM({OQ.sql_token_count('text')}) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+         CAST(COUNT(DISTINCT {OQ.sql_md5_long(OQ.sql_norm('text'))}) AS BIGINT)
+           AS n_uniq
+  FROM documents
+), hist AS (
+  SELECT n_chars AS len, COUNT(*) AS c FROM documents GROUP BY 1
+), med AS (
+  SELECT CAST(len AS BIGINT) AS median_chars
+  FROM (SELECT len, SUM(c) OVER (ORDER BY len
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist), base
+  WHERE cum * 2 >= n_docs + 1
+  ORDER BY len LIMIT 1
+)
+SELECT n_docs, n_sources, n_langs, total_chars, total_tokens,
+       ROUND(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+         AS mean_chars,
+       median_chars,
+       ROUND(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pct_english,
+       ROUND(CAST(n_docs - n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS exact_dup_rate
+FROM base, med
+"""
+
+QUERIES["p_dataset_card"] = p_dataset_card
+ORACLE["p_dataset_card"] = P_DATASET_CARD_SQL
