@@ -188,6 +188,7 @@ LANES = (
     "simhash_1m",
     "simhash_1m_md5_oracle",
     "simhash_1m_arrow",
+    "winnow_1m",
     "gopher_rules_1m",
     "quality_clf_1m",
     "quality_clf_1m_md5_oracle",
@@ -317,6 +318,18 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     measure(
         "simhash_1m_arrow",
         OD.simhash_text_column(big, "text", "sh").filter(F.col("sh") != 0),
+    )
+    # winnowing fingerprint kernel (round-5): production Arrow form
+    # (token hashes -> segmented 3-gram mix -> flat w=4 sliding minima ->
+    # lexsort distinct; operators/dedup.py::_winnow_fp_block) — the MOSS
+    # selection behind t_winnowing_fingerprint. The column-expression
+    # spelling of the same selection measured < 1K rec/s (CollapseProject
+    # re-inlines tokenization into every per-window element access — the
+    # word_shingles PERF pitfall, unavoidable without a Generate barrier);
+    # the md5 query form stays the cross-engine oracle spec.
+    measure(
+        "winnow_1m",
+        OD.winnow_fp_count_column(big, "text", "nf").filter(F.col("nf") > 0),
     )
     measure(
         "gopher_rules_1m",

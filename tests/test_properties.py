@@ -203,3 +203,44 @@ def test_word_shingles_is_first_occurrence_distinct_of_seq(spark, texts):
     got_seq = _run(spark, texts, TX.word_shingle_seq("text", k=3))
     for t, s, q in zip(texts, got_set, got_seq):
         assert list(s) == list(dict.fromkeys(q)), repr(t)
+
+
+@given(texts=_TEXTS)
+@settings(**_SETTINGS)
+def test_winnow_fp_kernel_matches_python_reference(spark, texts):
+    """The vectorized winnowing kernel (segmented shingle mix + flat
+    sliding-min + lexsort distinct, operators/dedup.py::_winnow_fp_block)
+    equals a per-document pure-Python reference over the SAME token
+    hashes — pinning the segment arithmetic, the riskiest part."""
+    import numpy as np
+
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        _token_hash_block,
+        _winnow_fp_block,
+    )
+
+    k, w = 3, 4
+    got = list(_winnow_fp_block(texts, k=k, w=w))
+    h64, doc_lens, nulls = _token_hash_block(texts)
+    h = h64.view(np.uint64)
+    mults = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+    offs = np.cumsum(doc_lens) - doc_lens
+    for d in range(len(doc_lens)):
+        n = int(doc_lens[d])
+        if nulls[d] or n == 0:
+            want = 0
+        elif n < k:
+            want = 1
+        else:
+            hs = h[offs[d] : offs[d] + n]
+            sh = []
+            for i in range(n - k + 1):
+                v = np.uint64(0)
+                for j in range(k):
+                    v = v + hs[i + j] * np.uint64(mults[j])
+                v = v ^ (v >> np.uint64(29))
+                sh.append(int(v))
+            nw = max(len(sh) - w + 1, 1)
+            mins = [min(sh[i : i + w]) for i in range(nw)]
+            want = len(set(mins))
+        assert got[d] == want, (d, texts[d] if d < len(texts) else None)

@@ -588,19 +588,19 @@ def _simhash_weights():
     return _SIMHASH_WEIGHTS
 
 
-def _simhash_text_block(texts) -> "object":
-    """text → SimHash for one Arrow batch, zero per-row Python.
+def _token_hash_block(texts):
+    """Arrow batch of raw text → flat per-token 60-bit hashes + per-doc
+    token counts, zero per-row Python — the shared front half of the
+    production text kernels (SimHash votes, winnowing minima).
 
     Stages (all C loops): ``utf8_lower`` + ``utf8_split_whitespace``
     (Arrow), per-token hash = position-weighted byte sum over the flat
-    token buffer (column-wise: ``_SIMHASH_TOKEN_PREFIX`` masked-gather
-    passes, no (tokens × width) matrix) + murmur-style finalizer, then
-    the SWAR vote kernel. Nulls and whitespace-only docs → 0.
+    token buffer (column-wise ``_SIMHASH_TOKEN_PREFIX`` masked-gather
+    passes, no (tokens × width) matrix) + murmur-style finalizer.
 
-    This is the production lane for raw text (same role as the xxhash64
-    ``token_hashes`` variant: SimHash semantics — deterministic,
-    whitespace-invariant, case-folded — with non-oracle hash values; the
-    md5 SQL form stays the cross-engine spec)."""
+    Returns ``(h64, doc_lens, nulls)``: ``h64`` int64 flat array of
+    valid-token hashes in document order, ``doc_lens`` int64 valid-token
+    count per document, ``nulls`` bool mask of null inputs."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -668,6 +668,15 @@ def _simhash_text_block(texts) -> "object":
     cmask = np.zeros(len(valid) + 1, dtype=np.int64)
     np.cumsum(valid, out=cmask[1:])
     doc_lens = cmask[doc_offs[1:]] - cmask[doc_offs[:-1]]
+    return h64, doc_lens, nulls
+
+
+def _simhash_text_block(texts) -> "object":
+    """text → SimHash for one Arrow batch: ``_token_hash_block`` front
+    half + the SWAR vote kernel. Nulls and whitespace-only docs → 0."""
+    import numpy as np
+
+    h64, doc_lens, nulls = _token_hash_block(texts)
     out = np.zeros(len(doc_lens), dtype=np.int64)
     nz = np.flatnonzero(doc_lens > 0)
     if len(nz):
@@ -676,6 +685,109 @@ def _simhash_text_block(texts) -> "object":
         out[nz] = _simhash_votes_swar(h64, seg_starts, seg_lens)
     out[nulls] = 0
     return out
+
+
+def _winnow_fp_block(texts, k: int = 3, w: int = 4):
+    """text → winnowing fingerprint count for one Arrow batch, zero
+    per-row Python — the production kernel behind the
+    ``t_winnowing_fingerprint`` query's selection structure (Schleimer
+    et al. 2003): k-gram shingle hashes over the token-hash sequence,
+    sliding w-window minima, distinct count per document.
+
+    All segmented steps are vectorized across the FLAT batch arrays:
+    shingle hashes are a 3-term mix of shifted token-hash arrays,
+    window minima are ``np.minimum`` folds of shifted shingle arrays
+    masked at segment ends, and the per-doc distinct count is one
+    lexsort + change-point scan (no per-document Python loop). Docs
+    with 1..k-1 tokens yield 1 fingerprint (the whole-text-shingle
+    fallback contract); empty/null docs yield 0.
+
+    Hash caveat (the simhash_1m precedent): token hashes are the
+    murmur-finalized production hashes, NOT the md5 oracle spec — this
+    kernel measures/drives selection structure at scale; the md5 query
+    form stays the cross-engine spec."""
+    import numpy as np
+
+    h64, doc_lens, nulls = _token_hash_block(texts)
+    h = h64.view(np.uint64)
+    out = np.zeros(len(doc_lens), dtype=np.int64)
+    out[(doc_lens > 0) & (doc_lens < k)] = 1
+    big = doc_lens >= k
+    if not big.any():
+        out[nulls] = 0
+        return out
+    # segment layout of the ≥k-token docs within the flat token array
+    tstarts_all = np.cumsum(doc_lens) - doc_lens
+    tstarts, tlens = tstarts_all[big], doc_lens[big]
+    ns = tlens - (k - 1)  # shingles per doc
+    # flat shingle hashes: s[i] = mix of h[i..i+k-1]; windows never cross
+    # segment boundaries because each doc's shingles use only its tokens.
+    # Segmented ranges: for each doc d, positions tstarts[d]..tstarts[d]+ns[d]-1
+    sstarts = np.cumsum(ns) - ns
+    total_s = int(ns.sum())
+    pos = np.arange(total_s, dtype=np.int64)
+    doc_of_s = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
+    local = pos - sstarts[doc_of_s]
+    base_idx = tstarts[doc_of_s] + local
+    mix = np.zeros(total_s, dtype=np.uint64)
+    mults = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+    for j in range(k):
+        mix += h[base_idx + j] * np.uint64(mults[j % len(mults)])
+    mix ^= mix >> np.uint64(29)
+    # sliding w-window minima: nw[d] = max(ns[d]-w+1, 1); window i covers
+    # shingles i..i+w-1 truncated at the segment end
+    nw = np.maximum(ns - (w - 1), 1)
+    wstarts = np.cumsum(nw) - nw
+    total_w = int(nw.sum())
+    wpos = np.arange(total_w, dtype=np.int64)
+    doc_of_w = np.repeat(np.arange(len(nw), dtype=np.int64), nw)
+    wlocal = wpos - wstarts[doc_of_w]
+    s_idx = sstarts[doc_of_w] + wlocal
+    seg_end = sstarts[doc_of_w] + ns[doc_of_w]
+    m = mix[s_idx].copy()
+    for shift in range(1, w):
+        nxt = s_idx + shift
+        ok = nxt < seg_end
+        vals = mix[np.minimum(nxt, total_s - 1)]
+        m = np.where(ok, np.minimum(m, vals), m)
+    # distinct fingerprints per doc: sort by (doc, value), count changes
+    order = np.lexsort((m, doc_of_w))
+    dm, dd = m[order], doc_of_w[order]
+    new = np.empty(total_w, dtype=bool)
+    new[0] = True
+    new[1:] = (dd[1:] != dd[:-1]) | (dm[1:] != dm[:-1])
+    counts = np.bincount(dd[new], minlength=len(nw))
+    out[big] = counts
+    out[nulls] = 0
+    return out
+
+
+def winnow_fp_count_column(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_fp"
+) -> DataFrame:
+    """Append the winnowing fingerprint COUNT per document straight from
+    raw text (``mapInArrow``, the ``simhash_text_column`` lane shape).
+    Narrow map — no shuffle; schema = input + ``out_col`` long."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    idx_schema = df.schema
+    if out_col in idx_schema.names:
+        raise ValueError(f"column {out_col!r} already exists")
+
+    def _gen(batches):
+        for b in batches:
+            nf = _winnow_fp_block(b.column(b.schema.get_field_index(text_col)))
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [pa.array(nf, type=pa.int64())],
+                names=list(b.schema.names) + [out_col],
+            )
+
+    out_schema = T.StructType(
+        list(idx_schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+    return df.mapInArrow(_gen, out_schema)
 
 
 @_pandas_udf(_T.LongType())
