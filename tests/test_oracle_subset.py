@@ -114,6 +114,8 @@ SUBSET = [
     "s_neyman_allocation",
     "d_bloom_bitmap_fpr",
     "p_dataset_card",
+    "e_power_analysis",
+    "ts_autocorrelation",
 ]
 
 

@@ -111,6 +111,7 @@ _ALLOW: dict[tuple[str, str], str] = {
     ("s_bh_fdr", F_SINGLE): "single-partition window input = per-SOURCE rollup (m sources, bounded by contract)",
     ("v_multiprobe_recall", F_BCAST): "hinted sides = the query set (vec_id < N_QUERIES): its ≤37-probe-code expansion, the exact-top-k arm, and the k·|Q| exact-hit flags",
     ("p_dataset_card", F_SINGLE): "single-partition cumsum input = per-LENGTH histogram rollup (bounded value domain, the s_ks_test class), reduced to the 1-row median",
+    ("ts_autocorrelation", F_SINGLE): "single-partition lag window input = per-DAY rollup (calendar-bounded, the e_growth_accounting class), reduced to 2 rows",
 }
 
 

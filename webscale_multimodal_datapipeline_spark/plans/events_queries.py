@@ -1713,3 +1713,82 @@ FROM agg, peak
 
 QUERIES["e_seasonality_strength"] = e_seasonality_strength
 ORACLE["e_seasonality_strength"] = E_SEASONALITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# A/B-test power analysis (experiment design)
+# ---------------------------------------------------------------------------
+
+_POWER_Z_ALPHA = "1.959964"  # two-sided alpha = 0.05
+_POWER_Z_BETA = "0.841621"  # power = 0.80
+_POWER_MDE_FRAC = "0.05"  # detect a 5% lift on the mean
+
+
+def e_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test POWER ANALYSIS over the events-per-user metric: the
+    sample size per arm needed to detect a 5% lift at α=0.05 two-sided
+    with 80% power — ``n = (z_α + z_β)² · 2σ² / δ²`` (the standard
+    two-sample normal-approximation formula every experimentation
+    platform runs before an experiment is even assigned; pairs with
+    ``e_srm_check`` which runs after). Metric is the per-user event
+    COUNT, so the variance comes from exact integer power sums.
+
+    Determinism: σ² = (n·ΣX² − (ΣX)²)/n² over exact BIGINTs; z and MDE
+    constants are shared literal tokens; the one ceil() acts on a
+    bit-identical double in both engines.
+
+    Scale shape: per-user rollup (map-side combinable), one scalar
+    aggregate, 1-row output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n_users").cast("double")
+    var = (
+        F.col("n_users") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double") / (F.col("n_users") * F.col("n_users")).cast("double")
+    delta = F.lit(float(_POWER_MDE_FRAC)) * mean
+    zsum = F.lit(float(_POWER_Z_ALPHA)) + F.lit(float(_POWER_Z_BETA))
+    n_arm = F.ceil(zsum * zsum * 2.0 * var / (delta * delta)).cast("long")
+    return tot.select(
+        "n_users",
+        F.round(mean, 6).alias("mean_events"),
+        F.round(var, 6).alias("var_events"),
+        F.round(delta, 6).alias("mde_abs"),
+        n_arm.alias("n_per_arm"),
+    )
+
+
+E_POWER_SQL = f"""
+WITH per AS (
+  SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM per
+)
+SELECT n_users,
+       ROUND(CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_events,
+       ROUND(CAST(n_users * sxx - sx * sx AS DOUBLE)
+             / CAST(n_users * n_users AS DOUBLE), 6) AS var_events,
+       ROUND(CAST({_POWER_MDE_FRAC} AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+         AS mde_abs,
+       CAST(ceil((CAST({_POWER_Z_ALPHA} AS DOUBLE) + CAST({_POWER_Z_BETA} AS DOUBLE))
+                 * (CAST({_POWER_Z_ALPHA} AS DOUBLE) + CAST({_POWER_Z_BETA} AS DOUBLE))
+                 * CAST(2.0 AS DOUBLE)
+                 * (CAST(n_users * sxx - sx * sx AS DOUBLE)
+                    / CAST(n_users * n_users AS DOUBLE))
+                 / ((CAST({_POWER_MDE_FRAC} AS DOUBLE) * CAST(sx AS DOUBLE)
+                     / CAST(n_users AS DOUBLE))
+                    * (CAST({_POWER_MDE_FRAC} AS DOUBLE) * CAST(sx AS DOUBLE)
+                       / CAST(n_users AS DOUBLE)))) AS BIGINT) AS n_per_arm
+FROM tot
+"""
+
+QUERIES["e_power_analysis"] = e_power_analysis
+ORACLE["e_power_analysis"] = E_POWER_SQL

@@ -166,7 +166,7 @@ _ROUND5_NEW: set[str] = {
     "ts_cusum_changepoint", "s_bh_fdr", "d_lsh_s_curve",
     "d_ngram_novelty", "t_winnowing_fingerprint", "v_multiprobe_recall",
     "s_poisson_bootstrap", "s_neyman_allocation", "d_bloom_bitmap_fpr",
-    "p_dataset_card",
+    "p_dataset_card", "e_power_analysis", "ts_autocorrelation",
 }
 
 # Every query has a green driver row in its latest recorded round (r1-r4);

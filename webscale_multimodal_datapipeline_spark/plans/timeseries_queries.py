@@ -549,3 +549,82 @@ LIMIT 1
 
 QUERIES["ts_cusum_changepoint"] = ts_cusum_changepoint
 ORACLE["ts_cusum_changepoint"] = TS_CUSUM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation (ACF at fixed lags)
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 7)
+
+
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily order-count series at lags 1 and 7 —
+    the two numbers that say "is there day-to-day momentum, and is there
+    a weekly cycle" before anyone fits a seasonal model (the ACF
+    complement to ``e_seasonality_strength``'s η² and
+    ``ts_seasonal_naive``'s forecast check).
+
+    Pearson r over the (c_t, c_{t−lag}) pairs:
+    ``r = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²)·(n·Σyy − Σy²))`` — every
+    power sum an exact BIGINT over the lag-joined daily rollup; floats
+    enter only in the final quotient/sqrt of bit-identical operands.
+
+    Scale shape: one daily rollup (calendar-bounded), one single-
+    partition lag window over ~2.4K days (the allowlisted bounded-domain
+    class), a 2-row output (one per lag).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("o_orderdate")
+    lagged = daily.select(
+        F.col("c").alias("x"),
+        *[F.lag("c", lag).over(w).alias(f"y{lag}") for lag in _ACF_LAGS],
+    )
+    parts = []
+    for lag in _ACF_LAGS:
+        y = F.col(f"y{lag}")
+        agg = lagged.filter(y.isNotNull()).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(y).cast("long").alias("sy"),
+            F.sum(F.col("x") * y).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(y * y).cast("long").alias("syy"),
+        )
+        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        den = F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        )
+        parts.append(
+            agg.select(
+                F.lit(lag).cast("int").alias("lag"),
+                F.col("n").alias("n_pairs"),
+                F.round(num / den, 6).alias("acf"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _acf_sql() -> str:
+    arms = []
+    for lag in _ACF_LAGS:
+        arms.append(f"""
+SELECT CAST({lag} AS INT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+             / sqrt(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+                    * CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)),
+             6) AS acf
+FROM (SELECT c AS x,
+             LAG(c, {lag}) OVER (ORDER BY o_orderdate) AS y
+      FROM (SELECT o_orderdate, COUNT(*) AS c FROM orders GROUP BY 1))
+WHERE y IS NOT NULL""")
+    return " UNION ALL ".join(arms)
+
+
+QUERIES["ts_autocorrelation"] = ts_autocorrelation
+ORACLE["ts_autocorrelation"] = _acf_sql()
