@@ -116,6 +116,7 @@ SUBSET = [
     "p_dataset_card",
     "e_power_analysis",
     "ts_autocorrelation",
+    "x_skipping_benefit",
 ]
 
 

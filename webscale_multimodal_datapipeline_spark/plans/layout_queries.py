@@ -140,3 +140,137 @@ ORACLE = {
     "x_bucketed_join": X_BUCKETED_JOIN_SQL,
     "x_bucketed_agg": X_BUCKETED_AGG_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Data-skipping benefit: arrival vs linear-sort vs z-order file layouts
+# ---------------------------------------------------------------------------
+
+_SKIP_PX = (32, 47)  # predicate tile on l_partkey % 256
+_SKIP_SY = (96, 111)  # predicate tile on l_suppkey % 256
+
+
+def x_skipping_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified DATA-SKIPPING benefit of three file layouts for the
+    same 2-D predicate (a 16×16 tile on ``(l_partkey%256, l_suppkey%256)``):
+    ARRIVAL order (contiguous ``l_orderkey`` ranges — what an ingest-order
+    table looks like), LINEAR sort on the first predicate column, and
+    Z-ORDER on both. Per layout: simulated file count, files whose
+    min/max box overlaps the predicate (what parquet footer pruning
+    scans), rows in those files, and rows actually matching — the
+    scan-amplification table that justifies a re-layout job before
+    anyone pays for one. Expected shape: arrival hits ~every file,
+    linear prunes on one dimension, z-order prunes on both — the
+    OPTIMIZE/z-order story (Delta/Iceberg) as a measurable query.
+
+    Files are simulated ANALYTICALLY as fixed-width key ranges (no
+    global sort, no ntile — a real re-layout range-partitions by the
+    same keys); all aggregates are exact integers over one rollup per
+    layout, each map-side combinable to its bounded file-id domain.
+    """
+    from webscale_multimodal_datapipeline_spark.operators.scale import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_partkey") % 256).alias("px"),
+        (F.col("l_suppkey") % 256).alias("sy"),
+    )
+    keyed = li.withColumn("zkey", zorder_key(["px", "sy"], bits=8))
+    plo, phi = _SKIP_PX
+    slo, shi = _SKIP_SY
+    match = (
+        (F.col("px") >= plo) & (F.col("px") <= phi)
+        & (F.col("sy") >= slo) & (F.col("sy") <= shi)
+    )
+    arms = []
+    for layout, fid in (
+        ("arrival", F.floor(F.col("l_orderkey") / 2048)),
+        ("linear_px", F.col("px")),  # perfectly clustered on px: 256 files
+        ("zorder", F.floor(F.col("zkey") / 1024)),  # 64 files
+    ):
+        per_file = (
+            keyed.groupBy(fid.alias("_f"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("px").alias("pmn"),
+                F.max("px").alias("pmx"),
+                F.min("sy").alias("smn"),
+                F.max("sy").alias("smx"),
+                F.count(F.when(match, 1)).alias("nm"),
+            )
+        )
+        hit = (
+            (F.col("pmn") <= phi) & (F.col("pmx") >= plo)
+            & (F.col("smn") <= shi) & (F.col("smx") >= slo)
+        )
+        arms.append(
+            per_file.agg(
+                F.lit(layout).alias("layout"),
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.count(F.when(hit, 1)).cast("long").alias("files_hit"),
+                F.sum(F.when(hit, F.col("n")).otherwise(0)).cast("long").alias(
+                    "rows_scanned"
+                ),
+                F.sum("nm").cast("long").alias("rows_matched"),
+            ).select(
+                "layout",
+                "n_files",
+                "files_hit",
+                "rows_scanned",
+                "rows_matched",
+                F.round(
+                    F.col("rows_scanned").cast("double")
+                    / F.greatest(F.col("rows_matched"), F.lit(1)).cast("double"),
+                    4,
+                ).alias("scan_amplification"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def _skipping_sql() -> str:
+    from webscale_multimodal_datapipeline_spark.operators.scale import zorder_sql
+
+    z = zorder_sql(["px", "sy"], bits=8)
+    plo, phi = _SKIP_PX
+    slo, shi = _SKIP_SY
+    arms = []
+    for layout, fid in (
+        ("arrival", "CAST(floor(l_orderkey / 2048) AS BIGINT)"),
+        ("linear_px", "px"),
+        ("zorder", "CAST(floor(zkey / 1024) AS BIGINT)"),
+    ):
+        arms.append(f"""
+SELECT '{layout}' AS layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS files_hit,
+       CAST(SUM(CASE WHEN hit THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(nm) AS BIGINT) AS rows_matched,
+       ROUND(CAST(SUM(CASE WHEN hit THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(GREATEST(SUM(nm), 1) AS DOUBLE), 4) AS scan_amplification
+FROM (
+  SELECT {fid} AS f, COUNT(*) AS n,
+         MIN(px) <= {phi} AND MAX(px) >= {plo}
+           AND MIN(sy) <= {shi} AND MAX(sy) >= {slo} AS hit,
+         COUNT(*) FILTER (WHERE px BETWEEN {plo} AND {phi}
+                            AND sy BETWEEN {slo} AND {shi}) AS nm
+  FROM keyed GROUP BY 1
+)""")
+    return (
+        f"""
+WITH cols AS (
+  SELECT l_orderkey, l_partkey % 256 AS px, l_suppkey % 256 AS sy
+  FROM lineitem
+), keyed AS (
+  SELECT l_orderkey, px, sy, {z} AS zkey FROM cols
+)
+"""
+        + " UNION ALL ".join(arms)
+    )
+
+
+QUERIES["x_skipping_benefit"] = x_skipping_benefit
+ORACLE["x_skipping_benefit"] = _skipping_sql()
