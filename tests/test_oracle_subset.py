@@ -117,6 +117,7 @@ SUBSET = [
     "e_power_analysis",
     "ts_autocorrelation",
     "x_skipping_benefit",
+    "d_capture_recapture",
 ]
 
 

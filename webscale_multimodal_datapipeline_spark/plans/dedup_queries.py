@@ -1688,3 +1688,119 @@ FROM agg, ntr
 
 QUERIES["d_bloom_bitmap_fpr"] = d_bloom_bitmap_fpr
 ORACLE["d_bloom_bitmap_fpr"] = _bloom_sql()
+
+
+# ---------------------------------------------------------------------------
+# Capture–recapture estimate of total near-dup pairs
+# ---------------------------------------------------------------------------
+
+_CR_JACCARD_T = 0.5  # detector A: verified n-gram Jaccard >= 0.5
+
+
+def d_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture (Lincoln–Petersen / Chapman) estimate of the
+    TRUE near-duplicate pair count from two INDEPENDENT detectors —
+    MinHash-verified Jaccard (≥ 0.5) and SimHash Hamming (≤ 12). Each
+    detector misses pairs; treating one's catch as a "marking" of the
+    population, the overlap rate estimates what BOTH miss:
+    ``N̂ = (nA+1)(nB+1)/(nAB+1) − 1`` (Chapman's bias-corrected form).
+    This is how a dedup QA pass reports "we removed X% of duplication"
+    with an honest denominator instead of assuming its own recall is 1
+    — mark-recapture applied to data quality (the Lee et al. 2022
+    dedup-coverage question made estimable). Caveat carried with the
+    number: LP assumes equal catchability; detectors tuned to different
+    similarity notions (strict Jaccard vs Hamming) violate it, so treat
+    the estimate as a coverage DIAGNOSTIC (at sf0.01 it reads: the
+    J≥0.5 detector sees 1.5% of the hamming-near population) rather
+    than a census.
+
+    Determinism: both pair sets are existing oracle-checked pipelines;
+    pairs are normalized to (lo, hi) id order before the equi-join;
+    every count is an exact BIGINT, the estimator a double of exact
+    integers, rounded.
+
+    Scale shape: two bucketed pair generators (never all-pairs), one
+    hash join of pair keys, one scalar aggregate. At 100 TB both pair
+    sets are materialized dedup by-products — the audit is a join of
+    two existing tables.
+    """
+    a = (
+        d_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= _CR_JACCARD_T)
+        .select(
+            F.least("id_l", "id_r").alias("lo"),
+            F.greatest("id_l", "id_r").alias("hi"),
+        )
+    )
+    b = d_simhash_near_pairs(spark, sf_dir).select(
+        F.least("id_l", "id_r").alias("lo"),
+        F.greatest("id_l", "id_r").alias("hi"),
+    )
+    na = a.agg(F.count(F.lit(1)).cast("long").alias("n_minhash"))
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("n_simhash"))
+    nab = (
+        a.join(b, ["lo", "hi"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    est = (
+        (F.col("n_minhash") + 1) * (F.col("n_simhash") + 1)
+    ).cast("double") / (F.col("n_both") + 1).cast("double") - F.lit(1.0)
+    return (
+        na.crossJoin(nb)
+        .crossJoin(nab)
+        .select(
+            "n_minhash",
+            "n_simhash",
+            "n_both",
+            F.round(est, 2).alias("chapman_estimate"),
+            F.round(F.col("n_minhash").cast("double") / est, 4).alias(
+                "coverage_minhash"
+            ),
+            F.round(F.col("n_simhash").cast("double") / est, 4).alias(
+                "coverage_simhash"
+            ),
+        )
+    )
+
+
+def _capture_recapture_sql() -> str:
+    chunks = ", ".join(_CHUNKS)
+    return (
+        _minhash_pipeline_sql(_CR_JACCARD_T)
+        + f""", a AS (
+  SELECT LEAST(lid, rid) AS lo, GREATEST(lid, rid) AS hi
+  FROM ver WHERE jaccard >= {_CR_JACCARD_T}
+), sh2 AS (
+  SELECT doc_id, {OQ.sql_token_hashes('text')} AS th FROM documents
+), sims AS (
+  SELECT doc_id, {OQ.sql_simhash_from_hashes('th')} AS s FROM sh2
+), chunked AS (
+  SELECT doc_id, s, unnest([{chunks.replace('sh >>', 's >>')}]) AS chunk FROM sims
+), b AS (
+  SELECT DISTINCT LEAST(l.doc_id, r.doc_id) AS lo,
+         GREATEST(l.doc_id, r.doc_id) AS hi
+  FROM chunked l JOIN chunked r ON l.chunk = r.chunk AND l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.s, r.s)) <= 12
+), na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_minhash FROM a),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_simhash FROM b),
+nab AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM a JOIN b ON a.lo = b.lo AND a.hi = b.hi)
+SELECT n_minhash, n_simhash, n_both,
+       ROUND(CAST((n_minhash + 1) * (n_simhash + 1) AS DOUBLE)
+             / CAST(n_both + 1 AS DOUBLE) - CAST(1 AS DOUBLE), 2)
+         AS chapman_estimate,
+       ROUND(CAST(n_minhash AS DOUBLE)
+             / (CAST((n_minhash + 1) * (n_simhash + 1) AS DOUBLE)
+                / CAST(n_both + 1 AS DOUBLE) - CAST(1 AS DOUBLE)), 4)
+         AS coverage_minhash,
+       ROUND(CAST(n_simhash AS DOUBLE)
+             / (CAST((n_minhash + 1) * (n_simhash + 1) AS DOUBLE)
+                / CAST(n_both + 1 AS DOUBLE) - CAST(1 AS DOUBLE)), 4)
+         AS coverage_simhash
+FROM na, nb, nab
+"""
+    )
+
+
+QUERIES["d_capture_recapture"] = d_capture_recapture
+ORACLE["d_capture_recapture"] = _capture_recapture_sql()
