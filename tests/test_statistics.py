@@ -400,3 +400,116 @@ def test_seasonality_matches_direct_anova(spark, events):
     assert row["peak_hour"] == min(
         h for h in by_hr.index if by_hr[h] == by_hr.max()
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: CUSUM, BH-FDR, bootstrap, Neyman, power, ACF
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def orders() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/orders.parquet")
+
+
+def test_cusum_matches_direct_argmax(spark, orders):
+    daily = orders.groupby("o_orderdate").size().sort_index()
+    c = daily.to_numpy().cumsum()
+    n, N = len(daily), int(daily.sum())
+    t = np.arange(1, n + 1)
+    dev = np.abs(n * c - t * N)
+    # argmax with earliest-date tie-break = numpy's first-max semantics
+    i = int(np.argmax(dev))
+    row = _run(spark, "ts_cusum_changepoint").iloc[0]
+    assert row["day_idx"] == i + 1
+    assert str(row["changepoint_date"]) == str(daily.index[i])[:10]
+    assert row["abs_dev"] == int(dev[i])
+    assert abs(row["cusum_stat"] - dev[i] / (n * N)) < 1e-8
+
+
+def test_bh_fdr_matches_direct_stepup(spark, docs):
+    g = docs.groupby("source")["n_chars"]
+    N, S = len(docs), int(docs["n_chars"].sum())
+    Q = int((docs["n_chars"].astype(object) ** 2).sum())
+    rows = []
+    for src, grp in g:
+        n_s, s_s = len(grp), int(grp.sum())
+        dev = N * s_s - n_s * S
+        p = 1.0 if dev == 0 else min(1.0, n_s * (N * Q - S * S) / float(dev) ** 2)
+        rows.append((src, round(p, 8)))
+    rows.sort(key=lambda r: (r[1], r[0]))
+    m = len(rows)
+    ks = [i + 1 for i, (_, p) in enumerate(rows) if p <= (i + 1) * 0.05 / m]
+    k = max(ks) if ks else 0
+    want = {src: (i + 1, int(i + 1 <= k)) for i, (src, _) in enumerate(rows)}
+    got = _run(spark, "s_bh_fdr")
+    for _, r in got.iterrows():
+        rank, rej = want[r["source"]]
+        assert r["bh_rank"] == rank and r["bh_reject"] == rej, r["source"]
+
+
+def test_poisson_bootstrap_matches_direct_replicates(spark, docs):
+    import hashlib
+
+    cuts = (367879, 735759, 919699, 981012)
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ids = docs["doc_id"].to_numpy()
+    lens = docs["n_chars"].to_numpy()
+    means = []
+    for b in range(32):
+        u = np.array([md5_long(f"{i}|{b}") % 1_000_000 for i in ids])
+        w = np.searchsorted(cuts, u, side="right")  # inverse CDF: 0..4
+        means.append(round(float((w * lens).sum()) / float(w.sum()), 6))
+    ms = sorted(means)
+    row = _run(spark, "s_poisson_bootstrap").iloc[0]
+    assert row["n_docs"] == len(docs)
+    assert abs(row["boot_mean"] - round(sum(ms) / 32, 6)) < 1e-6
+    se = math.sqrt((32 * sum(m * m for m in ms) - sum(ms) ** 2) / (32 * 31))
+    assert abs(row["boot_se"] - se) < 1e-5
+    assert row["ci_lo"] == ms[1] and row["ci_hi"] == ms[30]
+
+
+def test_neyman_matches_direct_allocation(spark, docs):
+    g = docs.groupby("source")["n_chars"]
+    sigs = {}
+    for src, grp in g:
+        n_h, s_h = len(grp), int(grp.sum())
+        q_h = int((grp.astype(object) ** 2).sum())
+        sigs[src] = (n_h, math.sqrt((n_h * q_h - s_h * s_h) / (n_h * n_h)))
+    wsum = sum(round(n * s, 6) for n, s in sigs.values())
+    ntot = sum(n for n, _ in sigs.values())
+    got = _run(spark, "s_neyman_allocation")
+    for _, r in got.iterrows():
+        n_h, sig = sigs[r["source"]]
+        assert r["n_docs"] == n_h
+        assert abs(r["sigma_len"] - round(sig, 6)) < 1e-6
+        assert r["n_prop"] == math.floor(10_000 * n_h / ntot + 0.5)
+        assert r["n_neyman"] == math.floor(
+            10_000 * (round(n_h * sig, 6) / wsum) + 0.5
+        )
+
+
+def test_power_analysis_matches_direct_formula(spark, events):
+    x = events.groupby("user_id").size().to_numpy()
+    n = len(x)
+    mean = x.sum() / n
+    var = (n * (x.astype(np.int64) ** 2).sum() - x.sum() ** 2) / (n * n)
+    delta = 0.05 * mean
+    z = 1.959964 + 0.841621
+    row = _run(spark, "e_power_analysis").iloc[0]
+    assert row["n_users"] == n
+    assert abs(row["var_events"] - round(var, 6)) < 1e-6
+    assert row["n_per_arm"] == math.ceil(z * z * 2.0 * var / (delta * delta))
+
+
+def test_autocorrelation_matches_numpy_corrcoef(spark, orders):
+    daily = orders.groupby("o_orderdate").size().sort_index().to_numpy().astype(float)
+    got = {int(r["lag"]): r for _, r in _run(spark, "ts_autocorrelation").iterrows()}
+    for lag in (1, 7):
+        x, y = daily[lag:], daily[:-lag]
+        r = np.corrcoef(x, y)[0, 1]
+        assert got[lag]["n_pairs"] == len(x)
+        assert abs(got[lag]["acf"] - r) < 1e-6, lag
