@@ -287,3 +287,47 @@ def test_bfs_hops_chain_graph(spark, tmp_path):
     )
     got = {r.hops: r.n_nodes for r in g_bfs_hops(spark, str(tmp_path)).collect()}
     assert got == {0: 1, 1: 2, 2: 1, 3: 1}
+
+
+def test_multiprobe_recall_monotone_in_probe_level(spark, sf_dir):
+    """Multi-probe LSH invariants: raising the probe level can only ADD
+    candidate buckets, so per-query candidates and hits are monotone
+    non-decreasing in p, level-0 probes exactly the query's own bucket
+    (so the self-match guarantees >= 1 candidate and >= 1 hit), and
+    hits never exceed k."""
+    from webscale_multimodal_datapipeline_spark.plans.vector_queries import (
+        TOP_K,
+        v_multiprobe_recall,
+    )
+
+    rows = v_multiprobe_recall(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.probe_level] = r
+    for q, lv in by_q.items():
+        assert set(lv) == {0, 1, 2}
+        assert lv[0].n_candidates >= 1 and lv[0].n_hits >= 1, q  # self-match
+        for p in (1, 2):
+            assert lv[p].n_candidates >= lv[p - 1].n_candidates, q
+            assert lv[p].n_hits >= lv[p - 1].n_hits, q
+        assert all(r.n_hits <= TOP_K for r in lv.values()), q
+
+
+def test_lsh_s_curve_floor_and_theory(spark, sf_dir):
+    """S-curve audit invariants: every candidate pair shares a full band,
+    so the signature-match count k is >= r = 3; est_jaccard = k/12; and
+    the theoretical collision probability is monotone increasing in k
+    with p(12/12) = 1."""
+    from webscale_multimodal_datapipeline_spark.plans.dedup_queries import (
+        d_lsh_s_curve,
+    )
+
+    rows = sorted(d_lsh_s_curve(spark, sf_dir).collect(), key=lambda r: r.sig_match_k)
+    assert rows, "banding produced no candidate pairs at this sf"
+    assert all(r.sig_match_k >= 3 for r in rows)
+    for r in rows:
+        assert abs(r.est_jaccard - round(r.sig_match_k / 12.0, 6)) < 1e-9
+    ps = [r.p_collide_theory for r in rows]
+    assert all(b >= a for a, b in zip(ps, ps[1:]))
+    if rows[-1].sig_match_k == 12:
+        assert rows[-1].p_collide_theory == 1.0
