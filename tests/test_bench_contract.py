@@ -77,11 +77,16 @@ def test_contention_flag_thresholds():
     # r4 shape: one lane group ran while the box was loaded — kernel 2.4x.
     dev, flagged = bench.contention_flag([50.0, 50.0, 120.0, 50.0])
     assert flagged and dev == 1.4
-    # Boundary: 30% deviation is the gate; just under stays clean.
-    _, flagged = bench.contention_flag([50.0, 64.0])
+    # Boundary: 60% is the gate (resident-JVM self-noise measures 0.31-0.46
+    # and can't be sampled away; real events measure >= 2.0). Just under
+    # stays clean.
+    _, flagged = bench.contention_flag([50.0, 79.0])
     assert not flagged
-    _, flagged = bench.contention_flag([50.0, 66.0])
+    _, flagged = bench.contention_flag([50.0, 81.0])
     assert flagged
+    # The measured self-noise band must NOT trip (the r5 false-positive).
+    _, flagged = bench.contention_flag([34.0, 45.0, 43.0, 39.0])
+    assert not flagged
     # Degenerate inputs never divide by zero.
     assert bench.contention_flag([]) == (0.0, False)
     assert bench.contention_flag([0.0, 50.0]) == (0.0, False)
@@ -95,20 +100,21 @@ def _spin(stop_t: float) -> None:
 
 def test_calibration_kernel_flags_synthetic_load():
     """End-to-end sentinel check: the fixed kernel re-timed under a burst of
-    CPU-saturating processes must deviate enough to trip the 30% gate
+    CPU-saturating processes must deviate enough to trip the 60% gate
     (this is exactly the r4 failure the sentinel exists to catch)."""
     # Idle baseline: median of 3 to shake scheduler noise.
     bench.calibration_ms()  # touch/allocate the array outside timing
     idle = statistics.median(bench.calibration_ms() for _ in range(3))
-    # Saturate every core (2x oversubscription) for ~3s.
+    # Saturate every core (2x oversubscription) long enough to cover one
+    # full min-of-3 checkpoint (~1s of sleeps + kernels).
     ncpu = multiprocessing.cpu_count()
-    stop_t = time.time() + 3.0
+    stop_t = time.time() + 6.0
     procs = [multiprocessing.Process(target=_spin, args=(stop_t,)) for _ in range(ncpu * 2)]
     for p in procs:
         p.start()
     try:
         time.sleep(0.5)  # let the load ramp
-        loaded = statistics.median(bench.calibration_ms() for _ in range(3))
+        loaded = bench.calibration_ms()
     finally:
         for p in procs:
             p.terminate()

@@ -86,6 +86,7 @@ def main() -> None:
     lane_scales = {
         "exact_dedup": [200, 400, 800],
         "simhash_map": [200, 400, 800],
+        "winnow_fp": [200, 400, 800],
         "minhash_lsh_dedup": [8, 16, 32],
     }
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,6 +101,10 @@ def main() -> None:
                 big.withColumn("_th", OD.token_hashes("text", algo="xxhash64"))
                 .select(OD.simhash_fast_udf("_th").alias("sh"))
                 .filter(F.col("sh") != 0)
+            )
+        if name == "winnow_fp":
+            return OD.winnow_fp_count_column(big, "text", "nf").filter(
+                F.col("nf") > 0
             )
         return minhash_lsh_dedup(big)
 
