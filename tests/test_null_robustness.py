@@ -99,3 +99,68 @@ def test_flesch_and_bigram_null_safe(spark, messy):
     pairs = _adjacent_pairs(messy)
     assert pairs.filter("doc_id IN (1, 2, 3)").count() == 0
     assert pairs.filter("doc_id = 4").count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Round-5 queries: full Spark-vs-DuckDB parity ON a null-injected corpus
+# (the function-level guards above prove "no exception"; this proves both
+# engines agree on what nulls MEAN for whole query results)
+# ---------------------------------------------------------------------------
+
+_R5_TEXT_QUERIES = [
+    "t_winnowing_fingerprint",
+    "d_ngram_novelty",
+    "d_lsh_s_curve",
+    "d_bloom_bitmap_fpr",
+    "p_dataset_card",
+]
+
+
+@pytest.fixture(scope="module")
+def messy_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("messy_sf")
+    rows = [
+        (1, None, None, None, None),
+        (2, "", "en", "src0", 0),
+        (3, "   \t\n  ", "es", None, 7),
+        (4, "normal text with words repeated words repeated words", "fr", "src1", 53),
+        (5, "normal text with words repeated words repeated words", "en", "src1", 53),
+        (6, "another clean document with enough words to shingle", "en", "src0", 51),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _R5_TEXT_QUERIES)
+def test_round5_queries_null_parity(spark, messy_dir, name):
+    import duckdb
+    import pandas as pd
+
+    from webscale_multimodal_datapipeline_spark.plans.registry import ORACLE, QUERIES
+
+    got = QUERIES[name](spark, messy_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{messy_dir}/documents.parquet/*.parquet'"
+    )
+    want = con.sql(ORACLE[name]).df()
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_bool_dtype(df[c]):
+                df[c] = df[c].astype("int64")
+            elif pd.api.types.is_float_dtype(df[c]):
+                df[c] = df[c].astype("float64").round(9)
+            else:
+                df[c] = df[c].astype(str)
+        return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    a, b = norm(got), norm(want)
+    assert list(a.columns) == list(b.columns), name
+    assert len(a) == len(b), (name, len(a), len(b))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -1331,8 +1331,11 @@ def d_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the pair set comes from the band-bucket equi-join
     (never all-pairs), grouped straight down to ≤ 13 rows (k ∈ 3..12).
     Signatures ride along the band rows, so no second fact join.
+    NULL-text docs have no signature and are excluded by spec (the
+    null-parity test pins this — Spark's concat_ws-built bands would
+    otherwise collide where DuckDB's propagate NULL).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     base = (
         d.withColumn("_toks", TX.norm_tokens("text"))
         .withColumn("_shingles", TX.word_shingles("text", k=3, toks=F.col("_toks")))
@@ -1392,8 +1395,18 @@ def _lsh_s_curve_sql() -> str:
         for i in range(1, n + 1)
     )
     s = f"CAST(sig_match_k AS DOUBLE) / CAST({n} AS DOUBLE)"
+    # own CTE head (not _SH_CTE): the NULL-text exclusion is part of this
+    # query's spec (see the docstring / null-parity test)
     return (
-        _SH_CTE
+        f"""
+WITH toks AS (
+  SELECT doc_id, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, {OQ.sql_shingles_from_tokens('t')} AS sh FROM toks
+), hs AS (
+  SELECT doc_id, sh, {OQ.sql_shingle_hashes('sh')} AS h FROM sh
+)"""
         + f""", sig AS (
   SELECT doc_id, {sig_list} AS sig FROM hs
 ), bands AS (

@@ -156,7 +156,10 @@ def sql_shingles_from_tokens(tok_col: str = "t", k: int = 3) -> str:
     t = tok_col
     parts = " || ' ' || ".join(f"{t}[i + {j}]" for j in range(k))
     shingles = f"list_distinct(list_transform(range(1, len({t}) - {k - 2}), i -> {parts}))"
-    whole = f"[array_to_string({t}, ' ')]"
+    # COALESCE: array_to_string([], ' ') is NULL in DuckDB where Spark's
+    # concat_ws over an empty array is '' — the whole-text fallback must
+    # agree on empty-token documents (caught by the null-parity tests)
+    whole = f"[COALESCE(array_to_string({t}, ' '), '')]"
     return f"(CASE WHEN len({t}) >= {k} THEN {shingles} ELSE {whole} END)"
 
 
@@ -254,5 +257,5 @@ def sql_shingle_seq_from_tokens(tok_col: str = "t", k: int = 3) -> str:
     t = tok_col
     parts = " || ' ' || ".join(f"{t}[i + {j}]" for j in range(k))
     shingles = f"list_transform(range(1, len({t}) - {k - 2}), i -> {parts})"
-    whole = f"[array_to_string({t}, ' ')]"
+    whole = f"[COALESCE(array_to_string({t}, ' '), '')]"
     return f"(CASE WHEN len({t}) >= {k} THEN {shingles} ELSE {whole} END)"

@@ -1918,9 +1918,12 @@ def t_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint volume, measured density vs the paper's 2/(w+1)
     expectation, and the distinct-fingerprint count (the actual index
     size a 100-TB near-dup index would carry). Sub-k-token documents
-    (including empty ones) contribute their single whole-text shingle,
-    so every document keeps a fingerprint — the ``word_shingles``
-    fallback contract.
+    (including empty/whitespace ones) contribute their single
+    whole-text shingle — the ``word_shingles`` fallback contract;
+    NULL-text documents carry no fingerprints and are excluded by spec
+    (``concat_ws`` swallows NULL in Spark where DuckDB's
+    ``array_to_string`` propagates it — the filter IS the cross-engine
+    semantics, pinned by the null-parity test).
 
     Exactness: fingerprints are min-selections over exact integer
     hashes — no floats until the final density ratio. Value-min stands
@@ -1935,7 +1938,7 @@ def t_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webscale_multimodal_datapipeline_spark.operators import dedup as OD
 
     w = _WINNOW_W
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     base = (
         d.withColumn("_toks", TX.norm_tokens("text"))
         .withColumn("_sh", TX.word_shingle_seq("text", k=3, toks=F.col("_toks")))
@@ -1983,7 +1986,8 @@ def _winnowing_sql() -> str:
     w = _WINNOW_W
     return f"""
 WITH toks AS (
-  SELECT doc_id, source, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t FROM documents
+  SELECT doc_id, source, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t
+  FROM documents WHERE text IS NOT NULL
 ), shl AS (
   SELECT doc_id, source, {OQ.sql_shingle_seq_from_tokens('t')} AS sh FROM toks
 ), hs AS (
@@ -2007,7 +2011,7 @@ SELECT p.source, n_docs, total_kgrams, total_fp, n_distinct_fp,
        ROUND(CAST(total_fp AS DOUBLE) / CAST(total_kgrams AS DOUBLE), 6)
          AS density,
        ROUND(CAST(2 AS DOUBLE) / CAST({w + 1} AS DOUBLE), 6) AS expected_density
-FROM per_source p JOIN dfp USING (source)
+FROM per_source p JOIN dfp d ON p.source IS NOT DISTINCT FROM d.source
 """
 
 
