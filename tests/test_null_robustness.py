@@ -113,6 +113,17 @@ _R5_TEXT_QUERIES = [
     "d_lsh_s_curve",
     "d_bloom_bitmap_fpr",
     "p_dataset_card",
+    # widened sweep over older text-family queries (round-5 session 2):
+    # crawl corpora contain NULL/empty/whitespace text in volume, so the
+    # engines must agree on what those MEAN, not merely not crash
+    "t_text_stats",
+    "t_length_filter",
+    "t_lang_id",
+    "t_fingerprint",
+    "d_exact_dedup",
+    "d_simhash",
+    "t_hash_sample",
+    "t_dataset_split",
 ]
 
 
