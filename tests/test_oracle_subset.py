@@ -118,6 +118,7 @@ SUBSET = [
     "ts_autocorrelation",
     "x_skipping_benefit",
     "d_capture_recapture",
+    "s_runs_test",
 ]
 
 

@@ -513,3 +513,17 @@ def test_autocorrelation_matches_numpy_corrcoef(spark, orders):
         r = np.corrcoef(x, y)[0, 1]
         assert got[lag]["n_pairs"] == len(x)
         assert abs(got[lag]["acf"] - r) < 1e-6, lag
+
+
+def test_runs_test_matches_direct_scan(spark, orders):
+    daily = orders.groupby("o_orderdate").size().sort_index().to_numpy()
+    med = int(np.sort(daily)[(len(daily) - 1) // 2])  # exact lower median
+    s = (daily > med).astype(int)
+    runs = 1 + int((s[1:] != s[:-1]).sum())
+    n, n1 = len(s), int(s.sum())
+    n0 = n - n1
+    mu = 2.0 * n1 * n0 / n + 1.0
+    var = (mu - 1) * (mu - 2) / (n - 1)
+    row = _run(spark, "s_runs_test").iloc[0]
+    assert (row["n"], row["n1"], row["n0"], row["runs"]) == (n, n1, n0, runs)
+    assert abs(row["z"] - (runs - mu) / math.sqrt(var)) < 1e-6

@@ -112,6 +112,7 @@ _ALLOW: dict[tuple[str, str], str] = {
     ("v_multiprobe_recall", F_BCAST): "hinted sides = the query set (vec_id < N_QUERIES): its ≤37-probe-code expansion, the exact-top-k arm, and the k·|Q| exact-hit flags",
     ("p_dataset_card", F_SINGLE): "single-partition cumsum input = per-LENGTH histogram rollup (bounded value domain, the s_ks_test class), reduced to the 1-row median",
     ("ts_autocorrelation", F_SINGLE): "single-partition lag window input = per-DAY rollup (calendar-bounded, the e_growth_accounting class), reduced to 2 rows",
+    ("s_runs_test", F_SINGLE): "single-partition windows = per-COUNT histogram cumsum (bounded value domain) and per-DAY lag (calendar-bounded), reduced to 1 row",
 }
 
 

@@ -1100,3 +1100,118 @@ FROM weighted, tot
 
 QUERIES["s_neyman_allocation"] = s_neyman_allocation
 ORACLE["s_neyman_allocation"] = S_NEYMAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test (sequence randomness)
+# ---------------------------------------------------------------------------
+
+
+def s_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz RUNS test on the daily order-count series: are
+    above-median and below-median days randomly interleaved, or does
+    the series cluster (trends/regimes) or alternate (oscillation)?
+    The sequence-randomness complement to ``ts_autocorrelation``'s
+    lag-linear view: runs catch non-linear regime structure ACF can't.
+
+    Exact formulation: the median cut uses the exact lower median from
+    the count histogram (ties: days AT the median are assigned below —
+    a fixed convention, stated here, mirrored in both engines); the run
+    count is 1 + Σ(sign flips) via one lag over the calendar-bounded
+    daily rollup; under H0, ``μ = 2·n1·n0/n + 1`` and
+    ``σ² = (μ−1)(μ−2)/(n−1)`` — both double expressions of exact BIGINT
+    counts; z = (R − μ)/σ. |z| > 1.96 rejects randomness.
+
+    Scale shape: one daily rollup, one bounded-domain lag window, one
+    scalar aggregate — 1-row output.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("o_orderdate")
+    hist = daily.groupBy("c").agg(F.count(F.lit(1)).alias("_n"))
+    wn = Window.orderBy("c")
+    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    med = (
+        hist.select("c", F.sum("_n").over(wn).alias("_cum"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("_cum") * 2 >= F.col("n_days") + 1)
+        .orderBy("c")
+        .limit(1)
+        .select(F.col("c").alias("_med"))
+    )
+    signed = daily.crossJoin(F.broadcast(med)).select(
+        "o_orderdate", (F.col("c") > F.col("_med")).cast("int").alias("s")
+    )
+    lagged = signed.select(
+        "s", F.lag("s").over(Window.orderBy("o_orderdate")).alias("_prev")
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n0"),
+        (
+            F.count(F.when(F.col("_prev").isNotNull() & (F.col("s") != F.col("_prev")), 1))
+            + 1
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    mu = (
+        F.lit(2.0) * F.col("n1").cast("double") * F.col("n0").cast("double")
+        / F.col("n").cast("double")
+        + F.lit(1.0)
+    )
+    var = (mu - 1.0) * (mu - 2.0) / (F.col("n").cast("double") - 1.0)
+    return agg.select(
+        "n",
+        "n1",
+        "n0",
+        "runs",
+        F.round(mu, 6).alias("expected_runs"),
+        F.round((F.col("runs").cast("double") - mu) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+S_RUNS_SQL = """
+WITH daily AS (
+  SELECT o_orderdate, COUNT(*) AS c FROM orders GROUP BY 1
+), hist AS (
+  SELECT c, COUNT(*) AS n FROM daily GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+), med AS (
+  SELECT c AS m
+  FROM (SELECT c, SUM(n) OVER (ORDER BY c
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist), tot
+  WHERE cum * 2 >= n_days + 1
+  ORDER BY c LIMIT 1
+), signed AS (
+  SELECT o_orderdate, CAST(c > m AS INT) AS s FROM daily, med
+), lagged AS (
+  SELECT s, LAG(s) OVER (ORDER BY o_orderdate) AS prev FROM signed
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(s) AS BIGINT) AS n1,
+       CAST(COUNT(*) - SUM(s) AS BIGINT) AS n0,
+       CAST(COUNT(*) FILTER (WHERE prev IS NOT NULL AND s <> prev) + 1 AS BIGINT)
+         AS runs,
+       ROUND(CAST(2 AS DOUBLE) * CAST(SUM(s) AS DOUBLE)
+             * CAST(COUNT(*) - SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             + CAST(1 AS DOUBLE), 6) AS expected_runs,
+       ROUND((CAST(COUNT(*) FILTER (WHERE prev IS NOT NULL AND s <> prev) + 1
+                   AS DOUBLE)
+              - (CAST(2 AS DOUBLE) * CAST(SUM(s) AS DOUBLE)
+                 * CAST(COUNT(*) - SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 + CAST(1 AS DOUBLE)))
+             / sqrt((CAST(2 AS DOUBLE) * CAST(SUM(s) AS DOUBLE)
+                     * CAST(COUNT(*) - SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                    * (CAST(2 AS DOUBLE) * CAST(SUM(s) AS DOUBLE)
+                       * CAST(COUNT(*) - SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       - CAST(1 AS DOUBLE))
+                    / (CAST(COUNT(*) AS DOUBLE) - CAST(1 AS DOUBLE))), 6) AS z
+FROM lagged
+"""
+
+QUERIES["s_runs_test"] = s_runs_test
+ORACLE["s_runs_test"] = S_RUNS_SQL
