@@ -90,7 +90,6 @@ def test_no_shadowed_query_assignments_within_modules():
 
     from webscale_multimodal_datapipeline_spark.plans import registry
 
-    pat = _re.compile(r'(?:QUERIES|ORACLE)\["([A-Za-z0-9_]+)"\]\s*=')
     for mod in registry._MODULES:
         src = inspect.getsource(mod)
         for kind in ("QUERIES", "ORACLE"):

@@ -397,6 +397,25 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
+def _pin_part_mtimes(ev_dir: str) -> None:
+    """Pin strictly increasing mtimes on the ts-range part files (in
+    part-file = ts-range order): the files are written by PARALLEL tasks,
+    so their mtimes can finish out of ts order, and FileStreamSource feeds
+    files in mtime order — a latest-range file landing first would advance
+    the watermark and (correctly) drop the earlier files as late."""
+    import os
+    import time as _time
+
+    base = _time.time()
+    for i, p in enumerate(
+        sorted(
+            f for f in os.listdir(ev_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+    ):
+        os.utime(os.path.join(ev_dir, p), (base + 10 * i, base + 10 * i))
+
+
 def test_streaming_spike_pipeline_matches_batch(spark, sf_dir, tmp_path):
     """Round-5 streaming lift of e_spike_zscore: watermarked UPDATE-mode
     hourly rollup → per-trigger MERGE into a transactional table → the
@@ -416,23 +435,7 @@ def test_streaming_spike_pipeline_matches_batch(spark, sf_dir, tmp_path):
     load_table(spark, sf_dir, "events").repartitionByRange(3, "ts").write.parquet(
         ev_dir
     )
-    # The 3 part files are written by PARALLEL tasks, so their mtimes can
-    # finish out of ts order — and FileStreamSource feeds files in mtime
-    # order, so a latest-range file landing first would advance the
-    # watermark and (correctly) drop the earlier files as late. Pin
-    # strictly increasing mtimes in part-file (= ts-range) order so the
-    # arrival order the docstring promises actually holds under load.
-    import os
-    import time as _time
-
-    base = _time.time()
-    for i, p in enumerate(
-        sorted(
-            f for f in os.listdir(ev_dir)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-    ):
-        os.utime(os.path.join(ev_dir, p), (base + 10 * i, base + 10 * i))
+    _pin_part_mtimes(ev_dir)
 
     stream = SP.read_parquet_events_stream(spark, ev_dir, max_files_per_trigger=1)
     table = str(tmp_path / "rollup_tbl")
@@ -461,9 +464,6 @@ def test_streaming_srm_pipeline_matches_batch(spark, sf_dir, tmp_path):
     3 ts-range files arrive in order (pinned mtimes, see the spike test)
     so users spanning triggers exercise the dedup state and the MERGE
     path; parity with the batch query is EXACT."""
-    import os
-    import time as _time
-
     from webscale_multimodal_datapipeline_spark.plans.events_queries import (
         e_srm_check,
     )
@@ -473,14 +473,7 @@ def test_streaming_srm_pipeline_matches_batch(spark, sf_dir, tmp_path):
     load_table(spark, sf_dir, "events").repartitionByRange(3, "ts").write.parquet(
         ev_dir
     )
-    base = _time.time()
-    for i, p in enumerate(
-        sorted(
-            f for f in os.listdir(ev_dir)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-    ):
-        os.utime(os.path.join(ev_dir, p), (base + 10 * i, base + 10 * i))
+    _pin_part_mtimes(ev_dir)
 
     stream = SP.read_parquet_events_stream(spark, ev_dir, max_files_per_trigger=1)
     table = str(tmp_path / "srm_tbl")

@@ -254,8 +254,10 @@ def pq_train_encode(
     n_total = ids_emb.count()
     samp = ids_emb
     if n_total > sample_cap:
-        # deterministic hash thinning: keep ~sample_cap rows, id-keyed
-        keep_mod = max(1, n_total // sample_cap)
+        # deterministic hash thinning: ceil division so the EXPECTED kept
+        # rows stay <= sample_cap (floor made keep_mod=1 for any n_total
+        # under 2x the cap — a no-op "cap" that collected the full corpus)
+        keep_mod = -(-n_total // sample_cap)
         samp = samp.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(keep_mod)) == 0)
     rows = sorted(samp.collect(), key=lambda r: r[0])
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)

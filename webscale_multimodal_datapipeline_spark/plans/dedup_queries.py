@@ -252,10 +252,19 @@ def d_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK_W = OD.SIMHASH_BITS // 4
 _CHUNK_MASK = (1 << _CHUNK_W) - 1
-_CHUNKS = [
-    f"concat_ws('|', '{c}', CAST(((sh >> {c * _CHUNK_W}) & {_CHUNK_MASK}) AS VARCHAR))"
-    for c in range(4)
-]
+
+
+def _chunks_for(col: str) -> list[str]:
+    """Chunk-LSH key expressions over a simhash column — parameterized so
+    every consumer names its own column (a string-replace on a sibling's
+    literal broke silently on reformat; review finding)."""
+    return [
+        f"concat_ws('|', '{c}', CAST((({col} >> {c * _CHUNK_W}) & {_CHUNK_MASK}) AS VARCHAR))"
+        for c in range(4)
+    ]
+
+
+_CHUNKS = _chunks_for("sh")
 
 D_SIMHASH_PAIRS_SQL = f"""
 WITH h AS (SELECT doc_id, {OQ.sql_token_hashes('text')} AS h FROM documents),
@@ -1777,7 +1786,7 @@ def d_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _capture_recapture_sql() -> str:
-    chunks = ", ".join(_CHUNKS)
+    chunks = ", ".join(_chunks_for("s"))
     return (
         _minhash_pipeline_sql(_CR_JACCARD_T)
         + f""", a AS (
@@ -1788,7 +1797,7 @@ def _capture_recapture_sql() -> str:
 ), sims AS (
   SELECT doc_id, {OQ.sql_simhash_from_hashes('th')} AS s FROM sh2
 ), chunked AS (
-  SELECT doc_id, s, unnest([{chunks.replace('sh >>', 's >>')}]) AS chunk FROM sims
+  SELECT doc_id, s, unnest([{chunks}]) AS chunk FROM sims
 ), b AS (
   SELECT DISTINCT LEAST(l.doc_id, r.doc_id) AS lo,
          GREATEST(l.doc_id, r.doc_id) AS hi

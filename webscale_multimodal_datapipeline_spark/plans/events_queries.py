@@ -1776,17 +1776,18 @@ SELECT n_users,
        ROUND(CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_events,
        ROUND(CAST(n_users * sxx - sx * sx AS DOUBLE)
              / CAST(n_users * n_users AS DOUBLE), 6) AS var_events,
-       ROUND(CAST({_POWER_MDE_FRAC} AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+       ROUND(CAST({_POWER_MDE_FRAC} AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE)), 6)
          AS mde_abs,
        CAST(ceil((CAST({_POWER_Z_ALPHA} AS DOUBLE) + CAST({_POWER_Z_BETA} AS DOUBLE))
                  * (CAST({_POWER_Z_ALPHA} AS DOUBLE) + CAST({_POWER_Z_BETA} AS DOUBLE))
                  * CAST(2.0 AS DOUBLE)
                  * (CAST(n_users * sxx - sx * sx AS DOUBLE)
                     / CAST(n_users * n_users AS DOUBLE))
-                 / ((CAST({_POWER_MDE_FRAC} AS DOUBLE) * CAST(sx AS DOUBLE)
-                     / CAST(n_users AS DOUBLE))
-                    * (CAST({_POWER_MDE_FRAC} AS DOUBLE) * CAST(sx AS DOUBLE)
-                       / CAST(n_users AS DOUBLE)))) AS BIGINT) AS n_per_arm
+                 / ((CAST({_POWER_MDE_FRAC} AS DOUBLE)
+                     * (CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE)))
+                    * (CAST({_POWER_MDE_FRAC} AS DOUBLE)
+                       * (CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE))))) AS BIGINT)
+         AS n_per_arm
 FROM tot
 """
 

@@ -259,3 +259,19 @@ def sql_shingle_seq_from_tokens(tok_col: str = "t", k: int = 3) -> str:
     shingles = f"list_transform(range(1, len({t}) - {k - 2}), i -> {parts})"
     whole = f"[COALESCE(array_to_string({t}, ' '), '')]"
     return f"(CASE WHEN len({t}) >= {k} THEN {shingles} ELSE {whole} END)"
+
+
+def sql_lower_median(value_expr: str, source_sql: str) -> str:
+    """Scalar subquery: exact LOWER median of the non-null values of
+    ``value_expr`` over ``source_sql`` (mirror of
+    ``functions.stats.exact_lower_median`` — histogram + bounded
+    cumulative window, NULLs excluded by spec)."""
+    return f"""(
+  SELECT v FROM (
+    SELECT v, SUM(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      SUM(c) OVER () AS n
+    FROM (SELECT {value_expr} AS v, COUNT(*) AS c
+          FROM {source_sql} WHERE {value_expr} IS NOT NULL GROUP BY 1)
+  ) WHERE cum * 2 >= n + 1 ORDER BY v LIMIT 1
+)"""

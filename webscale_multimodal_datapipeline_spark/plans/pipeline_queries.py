@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from webscale_multimodal_datapipeline_spark.catalog import load_table
 from webscale_multimodal_datapipeline_spark.compiler import compile_pipeline
 from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ
+from webscale_multimodal_datapipeline_spark.functions import stats as ST
 
 PIPELINE_CFG = {
     "data_loader": {"table": "documents"},
@@ -544,25 +545,11 @@ def p_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(TXF.md5_long(TXF.normalize_text(F.col("text"))))
         .cast("long")
         .alias("_n_uniq"),
-        F.count("n_chars").cast("long").alias("_n_len"),  # non-null lengths
     )
-    # median over KNOWN lengths only: a NULL length would land nulls-first
-    # in Spark's cumulative window but nulls-last in DuckDB's — excluding
-    # them is the cross-engine spec (pinned by the null-parity test); the
-    # count/sum fields above already skip NULLs by aggregate semantics
-    hist = (
-        d.filter(F.col("n_chars").isNotNull())
-        .groupBy(F.col("n_chars").alias("_len"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    w = Window.orderBy("_len")
-    med = (
-        hist.select("_len", F.sum("_c").over(w).alias("_cum"))
-        .crossJoin(F.broadcast(base.select("_n_len")))
-        .filter(F.col("_cum") * 2 >= F.col("_n_len") + 1)
-        .orderBy("_len")
-        .limit(1)
-        .select(F.col("_len").cast("long").alias("median_chars"))
+    # exact lower median over KNOWN lengths (shared helper — NULL
+    # exclusion is the cross-engine spec, see functions/stats.py)
+    med = ST.exact_lower_median(d, "n_chars").select(
+        F.col("median").cast("long").alias("median_chars")
     )
     return base.crossJoin(F.broadcast(med)).select(
         "n_docs",
@@ -594,19 +581,11 @@ WITH base AS (
          CAST(SUM({OQ.sql_token_count('text')}) AS BIGINT) AS total_tokens,
          CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
          CAST(COUNT(DISTINCT {OQ.sql_md5_long(OQ.sql_norm('text'))}) AS BIGINT)
-           AS n_uniq,
-         CAST(COUNT(n_chars) AS BIGINT) AS n_len
+           AS n_uniq
   FROM documents
-), hist AS (
-  SELECT n_chars AS len, COUNT(*) AS c FROM documents
-  WHERE n_chars IS NOT NULL GROUP BY 1
 ), med AS (
-  SELECT CAST(len AS BIGINT) AS median_chars
-  FROM (SELECT len, SUM(c) OVER (ORDER BY len
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        FROM hist), base
-  WHERE cum * 2 >= n_len + 1
-  ORDER BY len LIMIT 1
+  SELECT CAST({OQ.sql_lower_median('n_chars', 'documents')} AS BIGINT)
+           AS median_chars
 )
 SELECT n_docs, n_sources, n_langs, total_chars, total_tokens,
        ROUND(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)

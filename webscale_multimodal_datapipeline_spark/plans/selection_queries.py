@@ -787,8 +787,18 @@ def s_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_s",
-            F.round(
-                F.when(dev == 0, F.lit(1.0)).otherwise(F.least(F.lit(1.0), p_raw)), 8
+            # coalesce: a source whose every length is NULL yields NULL sums
+            # -> NULL p; "no evidence" is p = 1.0 by the dev == 0 convention
+            # (and keeps NULL out of the rank ordering, where Spark sorts
+            # NULLs first but DuckDB last)
+            F.coalesce(
+                F.round(
+                    F.when(dev == 0, F.lit(1.0)).otherwise(
+                        F.least(F.lit(1.0), p_raw)
+                    ),
+                    8,
+                ),
+                F.lit(1.0),
             ).alias("p_value"),
         )
     )
@@ -839,12 +849,12 @@ WITH per AS (
   FROM documents
 ), scored AS (
   SELECT source, n_s,
-         ROUND(CASE WHEN nn * s_s - n_s * ss = 0 THEN 1.0
+         COALESCE(ROUND(CASE WHEN nn * s_s - n_s * ss = 0 THEN 1.0
            ELSE LEAST(1.0,
              CAST(n_s AS DOUBLE) * CAST(nn * qq - ss * ss AS DOUBLE)
              / (CAST(nn * s_s - n_s * ss AS DOUBLE)
                 * CAST(nn * s_s - n_s * ss AS DOUBLE)))
-           END, 8) AS p_value
+           END, 8), 1.0) AS p_value
   FROM per, tot
 ), ranked AS (
   SELECT source, n_s, p_value,
@@ -954,10 +964,17 @@ def s_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("s_all").cast("double") / F.col("n_docs").cast("double"), 6
             ).alias("mean_chars"),
-            F.round((F.col("_sm") / nb).cast("double"), 6).alias("boot_mean"),
+            F.round(F.col("_sm").cast("double") / nb, 6).alias("boot_mean"),
+            # double-FIRST algebra: 32·Σm² and (Σm)² overflow DecimalType's
+            # 38-digit cap in Spark (silently rounded) while DuckDB keeps
+            # DECIMAL(38,12) exact — casting the two decimal sums to double
+            # BEFORE the power-sum algebra makes the operands bit-identical
             F.round(
                 F.sqrt(
-                    (nb * F.col("_sm2") - F.col("_sm") * F.col("_sm")).cast("double")
+                    (
+                        nb * F.col("_sm2").cast("double")
+                        - F.col("_sm").cast("double") * F.col("_sm").cast("double")
+                    )
                     / (nb * (nb - 1))
                 ),
                 6,
@@ -988,8 +1005,9 @@ WITH reps AS (
 )
 SELECT n_docs, CAST({nb} AS INT) AS n_reps,
        ROUND(CAST(s_all AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_chars,
-       ROUND(CAST(SUM(m) / {nb} AS DOUBLE), 6) AS boot_mean,
-       ROUND(sqrt(CAST({nb} * SUM(m * m) - SUM(m) * SUM(m) AS DOUBLE)
+       ROUND(CAST(SUM(m) AS DOUBLE) / {nb}, 6) AS boot_mean,
+       ROUND(sqrt(({nb} * CAST(SUM(m * m) AS DOUBLE)
+                   - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE))
                   / ({nb} * {nb - 1})), 6) AS boot_se,
        CAST(MIN(CASE WHEN rk = 2 THEN m END) AS DOUBLE) AS ci_lo,
        CAST(MIN(CASE WHEN rk = {nb - 1} THEN m END) AS DOUBLE) AS ci_hi
@@ -1125,20 +1143,11 @@ def s_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one daily rollup, one bounded-domain lag window, one
     scalar aggregate — 1-row output.
     """
+    from webscale_multimodal_datapipeline_spark.functions import stats as ST
+
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy("o_orderdate").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("o_orderdate")
-    hist = daily.groupBy("c").agg(F.count(F.lit(1)).alias("_n"))
-    wn = Window.orderBy("c")
-    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
-    med = (
-        hist.select("c", F.sum("_n").over(wn).alias("_cum"))
-        .crossJoin(F.broadcast(tot))
-        .filter(F.col("_cum") * 2 >= F.col("n_days") + 1)
-        .orderBy("c")
-        .limit(1)
-        .select(F.col("c").alias("_med"))
-    )
+    med = ST.exact_lower_median(daily, "c").select(F.col("median").alias("_med"))
     signed = daily.crossJoin(F.broadcast(med)).select(
         "o_orderdate", (F.col("c") > F.col("_med")).cast("int").alias("s")
     )
@@ -1172,20 +1181,11 @@ def s_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-S_RUNS_SQL = """
+S_RUNS_SQL = f"""
 WITH daily AS (
   SELECT o_orderdate, COUNT(*) AS c FROM orders GROUP BY 1
-), hist AS (
-  SELECT c, COUNT(*) AS n FROM daily GROUP BY 1
-), tot AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
 ), med AS (
-  SELECT c AS m
-  FROM (SELECT c, SUM(n) OVER (ORDER BY c
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        FROM hist), tot
-  WHERE cum * 2 >= n_days + 1
-  ORDER BY c LIMIT 1
+  SELECT {OQ.sql_lower_median('c', 'daily')} AS m
 ), signed AS (
   SELECT o_orderdate, CAST(c > m AS INT) AS s FROM daily, med
 ), lagged AS (
