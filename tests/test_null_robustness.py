@@ -124,6 +124,11 @@ _R5_TEXT_QUERIES = [
     "d_simhash",
     "t_hash_sample",
     "t_dataset_split",
+    # statistics over n_chars with a NULL-length doc in a NULL source —
+    # the exact shape behind the s_bh_fdr NULL-p-value ordering fix
+    "s_bh_fdr",
+    "s_neyman_allocation",
+    "s_poisson_bootstrap",
 ]
 
 
