@@ -119,6 +119,7 @@ SUBSET = [
     "x_skipping_benefit",
     "d_capture_recapture",
     "s_runs_test",
+    "s_dsir_ess",
 ]
 
 

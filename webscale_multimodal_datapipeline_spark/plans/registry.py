@@ -167,7 +167,7 @@ _ROUND5_NEW: set[str] = {
     "d_ngram_novelty", "t_winnowing_fingerprint", "v_multiprobe_recall",
     "s_poisson_bootstrap", "s_neyman_allocation", "d_bloom_bitmap_fpr",
     "p_dataset_card", "e_power_analysis", "ts_autocorrelation",
-    "x_skipping_benefit", "d_capture_recapture", "s_runs_test",
+    "x_skipping_benefit", "d_capture_recapture", "s_runs_test", "s_dsir_ess",
 }
 
 # Every query has a green driver row in its latest recorded round (r1-r4);

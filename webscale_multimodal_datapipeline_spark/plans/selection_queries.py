@@ -1215,3 +1215,125 @@ FROM lagged
 
 QUERIES["s_runs_test"] = s_runs_test
 ORACLE["s_runs_test"] = S_RUNS_SQL
+
+
+# ---------------------------------------------------------------------------
+# DSIR effective sample size
+# ---------------------------------------------------------------------------
+
+
+def s_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights (Kong 1992:
+    ``ESS = (Σw)²/Σw²``) — the one number that says whether importance
+    resampling is USABLE: ESS ≈ n means the target and raw distributions
+    barely differ (reweighting is cheap), ESS ≪ n means a few documents
+    carry all the weight and the resampled corpus will be tiny and
+    high-variance. Runs the same hashed-unigram log-ratio pipeline as
+    ``s_dsir_importance`` over ALL documents (no top-k cut).
+
+    Determinism: per-doc log-weights are the DECIMAL sums of the rounded
+    lr table (exact, order-free); weights are exp(lw − max lw) — the max
+    is an exact decimal scalar, the shift cancels in ESS algebraically
+    and bounds exp at 1 numerically — rounded to 8 decimals and
+    DECIMAL-summed; the final ESS divides double casts of the two exact
+    sums (the double-FIRST discipline from ``s_poisson_bootstrap``).
+
+    Scale shape: the ``s_dsir_importance`` plan (bounded 64-row ratio
+    broadcast, one per-doc aggregate) plus one 1-row max broadcast and
+    one scalar aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tb = d.select(
+        "doc_id",
+        "lang",
+        F.explode(TX.norm_tokens("text")).alias("term"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(TX.md5_long(F.col("term")), F.lit(DSIR_BUCKETS)).alias("b"),
+    )
+    buckets = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+    )
+    tot = buckets.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    lr = buckets.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("nr") + DSIR_BUCKETS)).cast("double")
+                / ((F.col("cr") + 1) * (F.col("nt") + DSIR_BUCKETS)).cast("double")
+            ),
+            4,
+        )
+        .cast("decimal(18,4)")
+        .alias("lr"),
+    )
+    lw = (
+        tb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("_lw"))
+    )
+    mx = lw.agg(F.max("_lw").alias("_mx"))
+    e = F.round(F.exp((F.col("_lw") - F.col("_mx")).cast("double")), 8).cast(
+        "decimal(18,8)"
+    )
+    sums = (
+        lw.crossJoin(F.broadcast(mx))
+        .select(e.alias("_e"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_e").alias("_se"),
+            F.sum(F.col("_e") * F.col("_e")).alias("_se2"),
+        )
+    )
+    ess = (
+        F.col("_se").cast("double") * F.col("_se").cast("double")
+    ) / F.col("_se2").cast("double")
+    return sums.select(
+        "n_docs",
+        F.round(ess, 4).alias("ess"),
+        F.round(ess / F.col("n_docs").cast("double"), 6).alias("ess_ratio"),
+    )
+
+
+S_DSIR_ESS_SQL = f"""
+WITH tb AS (
+  SELECT doc_id, lang,
+         {OQ.sql_md5_long('term')} % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang,
+               unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS term
+        FROM documents)
+), buckets AS (
+  SELECT b, COUNT(*) AS cr,
+         COUNT(*) FILTER (WHERE lang = 'en') AS ct
+  FROM tb GROUP BY b
+), tot AS (
+  SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM buckets
+), lr AS (
+  SELECT b,
+         CAST(ROUND(ln(CAST((ct + 1) * (nr + {DSIR_BUCKETS}) AS DOUBLE)
+                       / CAST((cr + 1) * (nt + {DSIR_BUCKETS}) AS DOUBLE)), 4)
+              AS DECIMAL(18,4)) AS lr
+  FROM buckets, tot
+), lw AS (
+  SELECT tb.doc_id, SUM(lr.lr) AS lw
+  FROM tb JOIN lr USING (b) GROUP BY tb.doc_id
+), mx AS (
+  SELECT MAX(lw) AS m FROM lw
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(e) AS se, SUM(e * e) AS se2
+  FROM (SELECT CAST(ROUND(exp(CAST(lw - m AS DOUBLE)), 8) AS DECIMAL(18,8)) AS e
+        FROM lw, mx)
+)
+SELECT n_docs,
+       ROUND(CAST(se AS DOUBLE) * CAST(se AS DOUBLE) / CAST(se2 AS DOUBLE), 4)
+         AS ess,
+       ROUND(CAST(se AS DOUBLE) * CAST(se AS DOUBLE) / CAST(se2 AS DOUBLE)
+             / CAST(n_docs AS DOUBLE), 6) AS ess_ratio
+FROM sums
+"""
+
+QUERIES["s_dsir_ess"] = s_dsir_ess
+ORACLE["s_dsir_ess"] = S_DSIR_ESS_SQL
