@@ -180,3 +180,70 @@ def test_round5_queries_null_parity(spark, messy_dir, name):
     assert list(a.columns) == list(b.columns), name
     assert len(a) == len(b), (name, len(a), len(b))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Events-family null parity: NULL user_id / event_type / value / ts
+# ---------------------------------------------------------------------------
+
+_EVENTS_NULL_QUERIES = [
+    "e_srm_check",
+    "e_power_analysis",
+    "e_activity_gini",
+    "e_tumbling_window",
+    "e_markov_transitions",
+    "e_dau_wau_stickiness",
+    "e_sliding_window",
+]
+
+
+@pytest.fixture(scope="module")
+def messy_events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("messy_ev")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.5, None),
+        (2, "2024-01-01 10:30:00", 1, "click", 2.0, "{}"),
+        (3, "2024-01-01 11:00:00", None, "view", None, None),  # null user+value
+        (4, "2024-01-01 12:00:00", 2, None, 3.0, None),  # null event_type
+        (5, None, 2, "purchase", 4.0, None),  # null ts
+        (6, "2024-01-02 09:00:00", 3, "view", 1.0, None),
+        (7, "2024-01-02 09:05:00", 3, "view", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _EVENTS_NULL_QUERIES)
+def test_events_queries_null_parity(spark, messy_events_dir, name):
+    import duckdb
+    import pandas as pd
+
+    from webscale_multimodal_datapipeline_spark.plans.registry import ORACLE, QUERIES
+
+    got = QUERIES[name](spark, messy_events_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{messy_events_dir}/events.parquet/*.parquet'"
+    )
+    want = con.sql(ORACLE[name]).df()
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_bool_dtype(df[c]):
+                df[c] = df[c].astype("int64")
+            elif pd.api.types.is_float_dtype(df[c]):
+                df[c] = df[c].astype("float64").round(9)
+            else:
+                df[c] = df[c].astype(str)
+        return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    a, b = norm(got), norm(want)
+    assert list(a.columns) == list(b.columns), name
+    assert len(a) == len(b), (name, len(a), len(b))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

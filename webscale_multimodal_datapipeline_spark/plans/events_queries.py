@@ -22,8 +22,12 @@ SESSION_GAP_MIN = 30
 
 
 def e_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour tumbling window: count + value sum per (window, event_type)."""
-    ev = load_table(spark, sf_dir, "events")
+    """1-hour tumbling window: count + value sum per (window, event_type).
+    NULL-ts events are excluded by spec — Spark's ``window()`` drops them
+    implicitly, DuckDB's ``date_trunc`` would keep a NULL group; the
+    explicit filter on both sides IS the cross-engine semantics (pinned
+    by the events null-parity sweep)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -44,15 +48,16 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        COUNT(*) AS n,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
 def e_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour window sliding every 30 minutes: count per (window, type).
     Each event lands in 2 windows (epoch-aligned, Spark ``window()``
-    semantics)."""
-    ev = load_table(spark, sf_dir, "events")
+    semantics). NULL-ts events excluded by spec (the e_tumbling_window
+    convention)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -71,7 +76,7 @@ WITH slid AS (
            to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)),
            to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT))
          ]) AS wstart
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
        COUNT(*) AS n
@@ -273,8 +278,16 @@ def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     One window (partitioned by user — never global) + one aggregate;
     the output is |event_types|² rows, bounded regardless of corpus
     size. Probability = n / total(from_type): both engines compute the
-    identical double division before the 6-dp round."""
-    ev = load_table(spark, sf_dir, "events")
+    identical double division before the 6-dp round.
+
+    Events without a timestamp or a type carry no position / no state in
+    the chain and are excluded by spec on BOTH sides (a NULL ts would
+    otherwise sort first in Spark's sequence window but last in DuckDB's,
+    silently flipping which transition exists — events null-parity
+    sweep)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.withColumn("to_type", F.lead("event_type").over(w))
@@ -295,7 +308,7 @@ E_MARKOV_SQL = """
 WITH seq AS (
   SELECT user_id, event_type,
          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
 ), pairs AS (
   SELECT event_type AS from_type, to_type, COUNT(*) AS n
   FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
@@ -1411,8 +1424,16 @@ def e_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webscale_multimodal_datapipeline_spark.functions.text import md5_long
 
     ev = load_table(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct().select(
-        F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2)).alias("arm")
+    # NULL user_id cannot be assigned an arm; excluded by spec on both
+    # sides (DuckDB's COUNT(*) denominator would otherwise count the
+    # unassignable row that its arm filters exclude — null-parity sweep)
+    users = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .select(
+            F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2)).alias("arm")
+        )
     )
     agg = users.agg(
         F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
@@ -1435,7 +1456,7 @@ E_SRM_SQL = """
 WITH users AS (
   SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
            % 2 AS arm
-  FROM (SELECT DISTINCT user_id FROM events)
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
 )
 SELECT CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_arm0,
        CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_arm1,

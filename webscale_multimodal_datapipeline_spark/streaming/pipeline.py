@@ -354,7 +354,8 @@ def user_arm_counts(events: DataFrame) -> DataFrame:
     from webscale_multimodal_datapipeline_spark.functions.text import md5_long
 
     return (
-        events.select(F.col("user_id").cast("string").alias("user_id"))
+        events.filter(F.col("user_id").isNotNull())  # the batch SRM spec
+        .select(F.col("user_id").cast("string").alias("user_id"))
         .dropDuplicates(["user_id"])
         .select(F.pmod(md5_long(F.col("user_id")), F.lit(2)).alias("arm"))
         .groupBy("arm")
