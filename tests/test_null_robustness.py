@@ -194,6 +194,12 @@ _EVENTS_NULL_QUERIES = [
     "e_markov_transitions",
     "e_dau_wau_stickiness",
     "e_sliding_window",
+    "e_sessionization",
+    "e_first_event_dedup",
+    "e_funnel",
+    "e_activity_streaks",
+    "ts_gap_fill",
+    "e_bot_heuristic",
 ]
 
 
