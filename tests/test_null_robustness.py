@@ -200,6 +200,17 @@ _EVENTS_NULL_QUERIES = [
     "e_activity_streaks",
     "ts_gap_fill",
     "e_bot_heuristic",
+    "e_retention_cohorts",
+    "e_time_to_convert",
+    "e_spike_zscore",
+    "e_wow_growth",
+    "e_theil_index",
+    "e_growth_accounting",
+    "e_trigram_paths",
+    "ts_moving_avg",
+    "ts_event_gaps",
+    "e_concurrency_sweep",
+    "e_session_window",
 ]
 
 

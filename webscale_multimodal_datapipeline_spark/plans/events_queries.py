@@ -87,8 +87,10 @@ FROM slid GROUP BY 1, 2
 def e_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: new session when gap to previous event (per user)
     exceeds 30 min. Batch analog of ``session_window(ts, '30 minutes')``.
-    Returns per-user session count + event count."""
-    ev = load_table(spark, sf_dir, "events")
+    Returns per-user session count + event count. NULL-ts events carry
+    no session position and are excluded by spec (the e_session_window
+    convention — events null-parity sweep)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_flag = F.when(
         (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
@@ -111,7 +113,7 @@ WITH flagged AS (
          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                    > {SESSION_GAP_MIN * 60}
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT user_id,
        CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
@@ -462,8 +464,13 @@ def e_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id, making the order TOTAL, so local RANGE frames equal ROWS
     frames and partition boundaries cannot split tie groups. Ends sort
     before starts at the same instant (half-open semantics: a touch is
-    not an overlap)."""
-    ev = load_table(spark, sf_dir, "events")
+    not an overlap). NULL-ts events have no interval and NULL-type
+    events no lane; both excluded by spec (the Spark sweep's typed
+    partitioning drops the NULL-type group where DuckDB keeps it —
+    events null-parity sweep)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     starts = ev.select(
         "event_type", F.col("ts").alias("t"), F.lit(1).alias("d"), "event_id"
     )
@@ -508,10 +515,13 @@ def e_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 E_CONCURRENCY_SQL = """
-WITH deltas AS (
-  SELECT event_type, ts AS t, 1 AS d, event_id FROM events
+WITH typed AS (
+  SELECT event_type, ts, event_id FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+), deltas AS (
+  SELECT event_type, ts AS t, 1 AS d, event_id FROM typed
   UNION ALL
-  SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS d, event_id FROM events
+  SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS d, event_id FROM typed
 ), swept AS (
   SELECT event_type,
          SUM(d) OVER (PARTITION BY event_type
@@ -623,8 +633,10 @@ def e_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     event count. Scale shape: session merge happens inside one
     UpdatingSessionsExec pass after a single shuffle on user_id; the
     per-user rollup reuses that partitioning (no second exchange on a
-    different key)."""
-    ev = load_table(spark, sf_dir, "events")
+    different key). NULL-ts events are excluded by spec — Spark's
+    session_window drops them implicitly, the oracle's islands logic
+    would keep them (events null-parity sweep)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     sessions = ev.groupBy(
         "user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
     ).agg(F.count(F.lit(1)).alias("_n_ev"))
@@ -645,7 +657,7 @@ WITH flagged AS (
          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                    > {SESSION_GAP_MIN * 60}
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), numbered AS (
   SELECT user_id,
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
@@ -804,9 +816,14 @@ def e_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     user, one aggregate) instead of a distinct-over-growing-window,
     which at 100 TB is the difference between one user-keyed shuffle and
     a quadratic re-scan per day. The cumulative sum runs on the
-    DAY-keyed rollup — rows bounded by the calendar, not the data."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.to_date("ts")
+    DAY-keyed rollup — rows bounded by the calendar, not the data.
+    NULL-ts events carry no activity day and are excluded by spec (a
+    NULL "day" would land first in Spark's cumsum ordering but last in
+    DuckDB's — events null-parity sweep)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("day", F.to_date("ts"))
     )
     dau = ev.groupBy("day").agg(F.countDistinct("user_id").alias("active_users"))
     first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
@@ -828,7 +845,8 @@ def e_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 E_GROWTH_SQL = """
-WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events
+            WHERE ts IS NOT NULL),
 dau AS (SELECT day, COUNT(DISTINCT user_id) AS active_users FROM ev GROUP BY day),
 fs AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id),
 nu AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day)
@@ -1099,7 +1117,7 @@ WITH lagged AS (
          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id)) > {SESSION_GAP_MIN * 60}
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), flagged AS (
   SELECT user_id, ts, event_id, event_type,
          SUM(new_session) OVER (
