@@ -19,7 +19,10 @@ import bench
 
 def _worst_case_tp() -> dict[str, dict[str, float]]:
     # 9.999M rec/s is above every lane's ceiling (fastest observed: 7.9M).
-    return {k: {"rec_per_sec": 9_999_000.0, "spread": 0.99} for k in bench.LANES}
+    return {
+        k: {"rec_per_sec": 9_999_000.0, "spread": 0.99, "cal_ms": [999.9, 999.9]}
+        for k in bench.LANES
+    }
 
 
 def _worst_case_walls() -> dict[str, float]:
@@ -35,6 +38,8 @@ def test_compact_line_fits_tail_buffer_at_worst_case():
         sf=0.1,
         load=[99.99, 99.99],
         cal=[999.9, 999.9, 999.9, 999.9],
+        # worst case: EVERY lane flagged at a 2-digit deviation
+        flags={k: 99.99 for k in bench.LANES},
     )
     assert len(line) < 1900
     parsed = json.loads(line)
@@ -57,7 +62,8 @@ def test_compact_line_overflow_fails_loudly():
     bloated = {f"q_{i}_some_longer_query_name_here": 99.99 for i in range(200)}
     try:
         bench.compact_line(1.0, bloated, _worst_case_tp(), 0.1, [1, 1], [50] * 4)
-    except AssertionError as e:
+    except RuntimeError as e:
+        # RuntimeError, not assert: python -O strips asserts (ADVICE r5)
         assert "1900" in str(e)
     else:
         raise AssertionError("oversized compact line did not raise")
@@ -96,6 +102,74 @@ def _spin(stop_t: float) -> None:
     x = 1
     while time.time() < stop_t:
         x = (x * 1103515245 + 12345) % (1 << 31)
+
+
+class _FakeDF:
+    """Stands in for a DataFrame in lane-timer tests: count() returns a
+    fixed row count after a tiny sleep (so the triple has nonzero walls)."""
+
+    def count(self) -> int:
+        time.sleep(0.02)
+        return 1000
+
+
+def test_per_lane_sentinel_flags_only_the_loaded_lane():
+    """VERDICT r5 #2 acceptance: synthetic load injected during ONE lane's
+    measurement must flag that lane and no others. The load spans the
+    whole measure() call (both bracket readings) and is fully torn down
+    before the next lane runs."""
+    bench.calibration_ms()  # allocate/warm the kernel array outside timing
+    out: dict[str, dict[str, float]] = {}
+    measure = bench._measure_into(out, 1000)
+
+    measure("url_filter_1m", _FakeDF())
+
+    ncpu = multiprocessing.cpu_count()
+    stop_t = time.time() + 30.0  # upper bound; terminated explicitly below
+    procs = [
+        multiprocessing.Process(target=_spin, args=(stop_t,))
+        for _ in range(ncpu * 2)
+    ]
+    for p in procs:
+        p.start()
+    try:
+        time.sleep(0.5)  # let the load ramp before the bracket reading
+        measure("exact_dedup_1m", _FakeDF())
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            p.join()
+    time.sleep(0.3)  # let the box settle before the clean lane
+
+    measure("token_count_1m", _FakeDF())
+
+    flags = bench.lane_flags(out)
+    assert "exact_dedup_1m" in flags, f"loaded lane not flagged: {out}"
+    assert set(flags) == {"exact_dedup_1m"}, f"clean lanes flagged: {flags}"
+    # every lane carries its bracket readings + annotated deviation
+    for name in ("url_filter_1m", "exact_dedup_1m", "token_count_1m"):
+        assert len(out[name]["cal_ms"]) == 2
+        assert "cal_dev" in out[name]
+
+
+def test_lane_flags_degenerate_inputs():
+    assert bench.lane_flags({}) == {}
+    assert bench.lane_flags({"url_filter_1m": {"rec_per_sec": 1.0}}) == {}
+    assert bench.lane_flags({"url_filter_1m": {"cal_ms": [0.0, 50.0]}}) == {}
+    # uniform readings: no flags, dev annotated as 0
+    tp = {
+        "url_filter_1m": {"cal_ms": [50.0, 50.0]},
+        "exact_dedup_1m": {"cal_ms": [50.0, 50.0]},
+    }
+    assert bench.lane_flags(tp) == {}
+    assert tp["url_filter_1m"]["cal_dev"] == 0.0
+    # one lane 2.4x the session base: only it flags
+    tp = {
+        "url_filter_1m": {"cal_ms": [50.0, 52.0]},
+        "exact_dedup_1m": {"cal_ms": [120.0, 118.0]},
+    }
+    assert set(bench.lane_flags(tp)) == {"exact_dedup_1m"}
 
 
 def test_calibration_kernel_flags_synthetic_load():

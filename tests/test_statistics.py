@@ -527,3 +527,33 @@ def test_runs_test_matches_direct_scan(spark, orders):
     row = _run(spark, "s_runs_test").iloc[0]
     assert (row["n"], row["n1"], row["n0"], row["runs"]) == (n, n1, n0, runs)
     assert abs(row["z"] - (runs - mu) / math.sqrt(var)) < 1e-6
+
+
+def test_exact_lower_median_is_lower_for_even_n(spark, docs):
+    """ADVICE r5: `cum*2 >= n+1` picked the UPPER median for even n (both
+    engines shared the bug, so oracle parity masked it). The fixture
+    check: documents.n_chars at sf0.001 has even n, distinct lower/upper
+    medians — assert the true (n+1)//2-th order statistic on both the
+    Spark helper and the SQL mirror, plus a tiny even-n case with no ties
+    at the cut."""
+    import duckdb
+
+    from webscale_multimodal_datapipeline_spark.functions import stats as ST
+    from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ
+
+    vals = docs["n_chars"].dropna().to_numpy()
+    true_lower = int(np.sort(vals)[(len(vals) - 1) // 2])
+    got = ST.exact_lower_median(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), "n_chars"
+    ).collect()[0]["median"]
+    assert got == true_lower
+
+    # minimal even-n case where lower != upper: [1, 2, 3, 4] -> 2
+    tiny = spark.createDataFrame([(1,), (2,), (3,), (4,)], "v int")
+    assert ST.exact_lower_median(tiny, "v").collect()[0]["median"] == 2
+
+    con = duckdb.connect()
+    sql = OQ.sql_lower_median("v", "(SELECT UNNEST([1, 2, 3, 4]) AS v) s")
+    assert con.execute(f"SELECT {sql}").fetchone()[0] == 2
+    sql = OQ.sql_lower_median("v", "(SELECT UNNEST([1, 2, 3]) AS v) s")
+    assert con.execute(f"SELECT {sql}").fetchone()[0] == 2  # odd n unchanged

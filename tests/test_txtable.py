@@ -224,3 +224,102 @@ def test_epoch_idempotent_commits(spark, tmp_path):
     assert v1 == v2 == 1
     assert len(TX.history(t)) == 2
     assert TX.committed_epochs(t) == {"e0", "e1"}
+
+
+def _orphan_stage_dirs(t: str) -> list[str]:
+    """data-* dirs under the table not referenced by ANY committed entry."""
+    referenced = {f.split(os.sep)[0] for c in TX.read_log(t) for f in c.files}
+    return sorted(
+        d
+        for d in os.listdir(t)
+        if d.startswith("data-") and d not in referenced
+    )
+
+
+def test_failed_commits_do_not_leak_staged_data(spark, tmp_path, monkeypatch):
+    """ADVICE r5: every non-commit exit path reclaims its staging dir —
+    overwrite conflict, merge retry iterations, append epoch no-op,
+    append schema mismatch. A contended table must not grow unreferenced
+    data-* directories."""
+    t = str(tmp_path / "tbl")
+    TX.append(_df(spark, range(2)), t)
+    assert _orphan_stage_dirs(t) == []
+
+    # overwrite losing the version race: staged dir reclaimed
+    with monkeypatch.context() as m:
+        m.setattr(TX, "latest_version", lambda _t: 0)  # stale read
+        assert TX._try_commit(t, TX.Commit(1, "append", (), _df(spark, [9]).schema.json()))
+        with pytest.raises(TX.CommitConflict):
+            TX.overwrite(_df(spark, [7]), t)
+    assert _orphan_stage_dirs(t) == []
+
+    # merge retry: the lost iteration's staged result is reclaimed
+    interleaved = {"done": False}
+
+    def commit_concurrently():
+        if not interleaved["done"]:
+            interleaved["done"] = True
+            TX.append(_df(spark, [5]), t)
+
+    delta = spark.createDataFrame([(1, "U")], "id long, v string")
+    TX.merge(spark, delta, t, "id", _on_staged=commit_concurrently)
+    assert _orphan_stage_dirs(t) == []
+
+    # append epoch no-op after staging: reclaimed
+    TX.append(_df(spark, [50]), t, app_epoch="eA")
+    TX.append(_df(spark, [50]), t, app_epoch="eA")
+    assert _orphan_stage_dirs(t) == []
+
+    # append schema mismatch: reclaimed
+    bad = spark.createDataFrame([(1.5,)], "x double")
+    with pytest.raises(ValueError):
+        TX.append(bad, t)
+    assert _orphan_stage_dirs(t) == []
+
+
+def test_vacuum_sweeps_aged_orphans_only(spark, tmp_path):
+    """vacuum() removes unreferenced data-* dirs past the retention age;
+    committed dirs (including historical ones) and fresh stages survive,
+    so time travel and in-flight writers are safe."""
+    t = str(tmp_path / "tbl")
+    TX.append(_df(spark, range(3)), t)
+    TX.overwrite(_df(spark, range(10, 12)), t)
+    # a crashed writer's orphan, backdated past retention
+    orphan = os.path.join(t, "data-deadbeef0000")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "wb").close()
+    os.utime(orphan, (0, 0))
+    # a FRESH stage (in-flight writer): must survive the sweep
+    fresh = os.path.join(t, "data-fresh0000beef")
+    os.makedirs(fresh)
+
+    removed = TX.vacuum(t, min_age_seconds=3600)
+    assert removed == ["data-deadbeef0000"]
+    assert not os.path.isdir(orphan) and os.path.isdir(fresh)
+    # both committed versions still read (v0 is historical after overwrite)
+    assert TX.read(spark, t, version=0).count() == 3
+    assert TX.read(spark, t).count() == 2
+
+
+def test_file_stats_drop_column_when_any_rowgroup_unusable(tmp_path):
+    """ADVICE r5: a column whose min/max is unusable in ANY row group is
+    dropped from the file's stats entirely — a partial merge would commit
+    an under-covering range and data skipping could skip matching rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "f.parquet")
+    # 4 rows, row_group_size=2: rg0's b-values decode as UTF-8, rg1's do
+    # not (invalid byte 0xff) -> decode fails for rg1 only
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "b": pa.array([b"aa", b"ab", b"\xff\xfe", b"\xff\xff"], pa.binary()),
+        }
+    )
+    pq.write_table(tbl, path, row_group_size=2)
+    md = pq.ParquetFile(path).metadata
+    assert md.num_row_groups == 2  # precondition for the scenario
+    st = TX._file_stats(path)
+    assert st.get("id") == [1, 4]  # fully-usable column keeps full range
+    assert "b" not in st  # partially-usable column dropped == never skipped

@@ -27,7 +27,7 @@ def exact_lower_median(df: DataFrame, col: str | Column) -> DataFrame:
     return (
         hist.select("_v", F.sum("_c").over(w).alias("_cum"))
         .crossJoin(F.broadcast(tot))
-        .filter(F.col("_cum") * 2 >= F.col("_n") + 1)
+        .filter(F.col("_cum") * 2 >= F.col("_n") + F.pmod(F.col("_n"), F.lit(2)))
         .orderBy("_v")
         .limit(1)
         .select(F.col("_v").alias("median"))

@@ -132,6 +132,22 @@ def minhash_lsh_dedup(
     exact-Jaccard verify → drop any row with a verified near-dup of
     smaller id. Two shuffles total (band exchange + semi-join back).
     """
+    dupes = minhash_lsh_dup_map(df, text_col, id_col, k, jaccard_threshold)
+    return df.join(dupes.select(id_col), id_col, "left_anti")
+
+
+def minhash_lsh_dup_map(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """``(id_col, _rep)`` for every row with a verified near-dup of smaller
+    id (``_rep`` = smallest such id — the rejected-rows representative).
+    This is the single shared candidate/verify plan: ``minhash_lsh_dedup``
+    anti-joins its keys, the YAML operator's ``split()`` also reads
+    ``_rep`` for ``_rejection_details`` (VERDICT r5 #4)."""
     base = (
         df.withColumn("_toks", TX.norm_tokens(text_col))
         .withColumn("_shingles", TX.word_shingles(text_col, k=k, toks=F.col("_toks")))
@@ -139,9 +155,6 @@ def minhash_lsh_dedup(
         .withColumn("_sig", minhash_signature(text_col, k=k, hashes=F.col("_hashes")))
         .drop("_toks", "_hashes")
     )
-    # Only (id, band) rides the band-bucket shuffle — shingle arrays are
-    # heavy (50+ strings/row) and would be replicated once per band.
-    # Candidates re-join the shingle table by id for exact verification.
     sh = base.select(F.col(id_col), "_shingles")
     banded = base.select(
         F.col(id_col), F.explode(lsh_bands(F.col("_sig"))).alias("_band")
@@ -165,8 +178,11 @@ def minhash_lsh_dedup(
         .join(sh.select(F.col(id_col).alias("_rid"), F.col("_shingles").alias("_rs")), "_rid")
     )
     jac = F.size(F.array_intersect("_ls", "_rs")) / F.size(F.array_union("_ls", "_rs"))
-    dupes = pairs.filter(jac >= jaccard_threshold).select(F.col("_lid").alias(id_col))
-    return df.join(dupes.distinct(), id_col, "left_anti")
+    return (
+        pairs.filter(jac >= jaccard_threshold)
+        .groupBy(F.col("_lid").alias(id_col))
+        .agg(F.min("_rid").alias("_rep"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -426,6 +442,22 @@ def embedding_cosine_dedup(
     bucket join replaces the O(n²) cross join (at 100 TB the bucket count
     scales with ``planes`` — 16-24 planes for billions of rows).
     """
+    dupes = embedding_cosine_dup_map(df, emb_col, id_col, dim, threshold, planes)
+    return df.join(dupes.select(id_col), id_col, "left_anti")
+
+
+def embedding_cosine_dup_map(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.98,
+    planes: int = EMB_LSH_PLANES,
+) -> DataFrame:
+    """``(id_col, _rep)`` for every row with a verified cosine near-dup of
+    smaller id (``_rep`` = smallest such id). Shared plan:
+    ``embedding_cosine_dedup`` anti-joins its keys; the YAML operator's
+    ``split()`` reads ``_rep`` for ``_rejection_details``."""
     from webscale_multimodal_datapipeline_spark.functions import vectors as VX
 
     # Precompute the L2 norm per row BEFORE the pair join — cosine inside
@@ -441,17 +473,16 @@ def embedding_cosine_dedup(
     cos = VX.dot(F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}")) / (
         F.col("l._norm") * F.col("r._norm")
     )
-    dupes = (
+    return (
         l.join(
             r,
             (F.col("l._bucket") == F.col("r._bucket"))
             & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}")),
         )
         .filter(cos >= threshold)
-        .select(F.col(f"l.{id_col}").alias(id_col))
-        .distinct()
+        .groupBy(F.col(f"l.{id_col}").alias(id_col))
+        .agg(F.min(F.col(f"r.{id_col}")).alias("_rep"))
     )
-    return df.join(dupes, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -1105,4 +1136,109 @@ def incremental_text_dedup(
         order_col=id_col,
         index_path=index_path,
         snapshot_keys=snapshot_keys,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup family as YAML-reachable operators (VERDICT r5 #4): the
+# config-driven user could previously reach exact/simhash/incremental dedup
+# only; MinHash-LSH and semantic (embedding-cosine) dedup — the operators a
+# real curation config wants — now compile from ``type:`` names too, with
+# the rejected-rows side output intact (reference name-resolution contract:
+# ``framework/registry.py:13-133``; rejected annotation:
+# ``framework/operator.py:345-352``).
+# ---------------------------------------------------------------------------
+
+from typing import Callable  # noqa: E402
+
+from webscale_multimodal_datapipeline_spark.operators.base import (  # noqa: E402
+    REJECTION_COL,
+    Operator,
+    OperatorResult,
+    rejection_details,
+)
+
+
+class NearDupOperator(Operator):
+    """Dedup by a verified NEAR-duplicate pair set instead of a derived
+    equality key. ``dup_map_fn(df) -> (id_col, _rep)`` lists every row to
+    drop with its surviving representative (smallest verified near-dup
+    id); apply() anti-joins, split() additionally annotates the dropped
+    rows with ``_rejection_details`` — same contract as ``DedupOperator``
+    but without pretending near-dup semantics fit a partition key.
+
+    ``kind = "deduplicator"`` so the streaming compiler's fail-loud guard
+    (batch dedup has no watermark semantics) covers these too."""
+
+    kind = "deduplicator"
+
+    def __init__(
+        self,
+        name: str,
+        dup_map_fn: Callable[[DataFrame], DataFrame],
+        id_col: str,
+        reason: str = "near_duplicate",
+    ):
+        super().__init__(name)
+        self.dup_map_fn = dup_map_fn
+        self.id_col = id_col
+        self.reason = reason
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        dupes = self.dup_map_fn(df)
+        return df.join(dupes.select(self.id_col), self.id_col, "left_anti")
+
+    def split(self, df: DataFrame) -> OperatorResult:
+        dupes = self.dup_map_fn(df).cache()  # one candidate/verify pass
+        passed = df.join(dupes.select(self.id_col), self.id_col, "left_anti")
+        rejected = (
+            df.join(dupes, self.id_col, "inner")
+            .withColumn(
+                REJECTION_COL,
+                rejection_details(
+                    self.reason,
+                    self.name,
+                    dedup_key=F.col(self.id_col).cast("string"),
+                    representative_id=F.col("_rep").cast("string"),
+                ),
+            )
+            .drop("_rep")
+        )
+        return OperatorResult(passed, rejected)
+
+
+def minhash_lsh_dedup_op(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    jaccard_threshold: float = 0.7,
+    name: str = "minhash_lsh_dedup",
+) -> NearDupOperator:
+    """MinHash+banded-LSH near-dup removal as a YAML operator
+    (``type: minhash_lsh_dedup``). Same plan as the oracle-checked
+    ``d_minhash_lsh_dedup`` query (both call ``minhash_lsh_dup_map``)."""
+    return NearDupOperator(
+        name,
+        lambda df: minhash_lsh_dup_map(df, text_col, id_col, k, jaccard_threshold),
+        id_col,
+    )
+
+
+def embedding_cosine_dedup_op(
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.98,
+    planes: int = EMB_LSH_PLANES,
+    name: str = "embedding_cosine_dedup",
+) -> NearDupOperator:
+    """Semantic (embedding-cosine) near-dup removal as a YAML operator
+    (``type: embedding_cosine_dedup``). Same plan as the oracle-checked
+    ``v_cosine_dedup`` query (both call ``embedding_cosine_dup_map``)."""
+    return NearDupOperator(
+        name,
+        lambda df: embedding_cosine_dup_map(
+            df, emb_col, id_col, dim, threshold, planes
+        ),
+        id_col,
     )

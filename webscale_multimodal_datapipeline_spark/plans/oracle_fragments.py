@@ -273,5 +273,5 @@ def sql_lower_median(value_expr: str, source_sql: str) -> str:
       SUM(c) OVER () AS n
     FROM (SELECT {value_expr} AS v, COUNT(*) AS c
           FROM {source_sql} WHERE {value_expr} IS NOT NULL GROUP BY 1)
-  ) WHERE cum * 2 >= n + 1 ORDER BY v LIMIT 1
+  ) WHERE cum * 2 >= n + n % 2 ORDER BY v LIMIT 1
 )"""

@@ -159,24 +159,39 @@ _RECORDED_R4 = {
 
 _RECORDED |= _RECORDED_R4
 
-# Round-5 additions: new queries this round order AFTER the 54 carried-over
-# never-recorded names (the r4 verdict's recording-debt drain takes the
-# 50-entry window first; ≤4 carryover + these land in r6's window).
-_ROUND5_NEW: set[str] = {
-    "ts_cusum_changepoint", "s_bh_fdr", "d_lsh_s_curve",
-    "d_ngram_novelty", "t_winnowing_fingerprint", "v_multiprobe_recall",
-    "s_poisson_bootstrap", "s_neyman_allocation", "d_bloom_bitmap_fpr",
-    "p_dataset_card", "e_power_analysis", "ts_autocorrelation",
-    "x_skipping_benefit", "d_capture_recapture", "s_runs_test", "s_dsir_ess",
+# The 50 names the driver recorded green in round 5's CORRECTNESS_r05.json.
+_RECORDED_R5 = {
+    "a_grouped_agg_pandas", "a_grouped_map_rank", "c_curriculum_export",
+    "d_bloom_prefilter", "d_cluster_size_profile", "d_containment_pairs",
+    "d_cross_source_overlap", "d_dedup_savings", "d_incremental_dedup",
+    "d_minhash_ml_crosscheck", "d_ngram_dup_mass", "d_soft_dedup_weight",
+    "d_split_leakage_audit", "d_threshold_sweep", "q2_argmax_min_price",
+    "s_dsir_importance", "s_kl_per_source", "s_ks_test", "s_mahalanobis_ood",
+    "s_mannwhitney_u", "s_perplexity_buckets", "s_psi_drift",
+    "s_shard_jackknife", "s_weighted_sample", "t_bm25_rank",
+    "t_bpe_merge_candidates", "t_cdc_chunking", "t_char_entropy", "t_heaps_law",
+    "t_label_agreement_kappa", "t_lang_confusion", "t_length_lognormal_fit",
+    "t_temperature_mix", "t_ttr_diversity", "t_zipf_fit", "ts_m4_downsample",
+    "ts_seasonal_naive", "u_crawl_frontier", "x_benford_audit", "x_chi2_cells",
+    "x_correlation", "x_countmin_topk", "x_cramers_v", "x_entity_resolution",
+    "x_grouping_sets", "x_id_gap_audit", "x_market_basket", "x_mode_median",
+    "x_pareto_frontier", "x_weighted_median",
 }
 
-# Every query has a green driver row in its latest recorded round (r1-r4);
-# the 54 never-recorded names (r4-session additions past the 50-entry
-# window) order FIRST so round 5's window drains the recording debt, then
-# round-5 additions, then everything already recorded.
+_RECORDED |= _RECORDED_R5
+
+# Round-6 additions: order after the 20 never-recorded names (4 r4-session
+# carryover + 16 round-5 additions — the whole remaining recording debt),
+# well inside the same 50-entry window.
+_ROUND6_NEW: set[str] = set()
+
+# Every other query has a green driver row in its latest recorded round
+# (r1-r5). The 20 never-recorded names order FIRST so round 6's window
+# clears the debt entirely, then round-6 additions, then everything
+# already recorded.
 QUERIES = {
     **{k: v for k, v in QUERIES.items()
-       if k not in _RECORDED and k not in _ROUND5_NEW},
-    **{k: v for k, v in QUERIES.items() if k in _ROUND5_NEW},
+       if k not in _RECORDED and k not in _ROUND6_NEW},
+    **{k: v for k, v in QUERIES.items() if k in _ROUND6_NEW},
     **{k: v for k, v in QUERIES.items() if k in _RECORDED},
 }

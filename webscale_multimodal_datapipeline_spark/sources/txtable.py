@@ -124,24 +124,35 @@ def _file_stats(path: str) -> dict:
 
     md = pq.ParquetFile(path).metadata
     out: dict[str, list] = {}
+    # Columns with ANY row group lacking usable min/max are dropped from
+    # the file's stats ENTIRELY (ADVICE r5): merging only the usable row
+    # groups would commit a [min, max] that under-covers the file, and
+    # ``pruned_files``/``read(between=...)`` could then skip a file that
+    # holds matching rows — breaking the documented "identical to
+    # filter(...)" contract. No stats for a column == conservatively kept.
+    unusable: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
+            name = col.path_in_schema
             st = col.statistics
             if st is None or not st.has_min_max:
+                unusable.add(name)
                 continue
             lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 try:
                     lo, hi = lo.decode(), hi.decode()
                 except UnicodeDecodeError:
+                    unusable.add(name)
                     continue
-            name = col.path_in_schema
             if name in out:
                 out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
             else:
                 out[name] = [lo, hi]
+    for name in unusable:
+        out.pop(name, None)
     return out
 
 
@@ -159,6 +170,51 @@ def _write_data(df: DataFrame, table: str) -> tuple[list[str], str, dict]:
     ]
     stats = {f: _file_stats(os.path.join(table, f)) for f in files}
     return files, df.schema.json(), stats
+
+
+def _discard_staged(table: str, files: list[str]) -> None:
+    """Remove the per-commit staging directory behind ``files`` (all files
+    of one ``_write_data`` call share one ``data-<uuid>`` dir). Called on
+    every non-commit exit path (ADVICE r5: staged data survived failed/
+    abandoned commit attempts, so contended tables leaked storage without
+    bound). Best-effort — a vacuum() sweep catches anything missed."""
+    import shutil
+
+    if not files:
+        return
+    stage = os.path.join(table, files[0].split(os.sep)[0])
+    # never touch the log, and only ever remove a staging-shaped dir
+    if os.path.basename(stage).startswith("data-"):
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def vacuum(table: str, min_age_seconds: float = 24 * 3600.0) -> list[str]:
+    """Remove ``data-*`` staging directories not referenced by ANY
+    committed log entry (orphans from crashed or conflict-abandoned
+    writers) and older than ``min_age_seconds`` (mtime guard so an
+    IN-FLIGHT writer's freshly staged data is never swept — the same
+    retention rule as Delta's VACUUM). Committed data dirs are kept even
+    when only historical versions reference them (time travel stays
+    intact). Returns the removed directory names."""
+    import shutil
+    import time
+
+    referenced = {
+        f.split(os.sep)[0] for c in read_log(table) for f in c.files
+    }
+    removed: list[str] = []
+    now = time.time()
+    for name in sorted(os.listdir(table)):
+        full = os.path.join(table, name)
+        if (
+            name.startswith("data-")
+            and os.path.isdir(full)
+            and name not in referenced
+            and now - os.path.getmtime(full) >= min_age_seconds
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(name)
+    return removed
 
 
 def _try_commit(table: str, commit: Commit) -> bool:
@@ -206,17 +262,20 @@ def append(
     files, schema_json, stats = _write_data(df, table)
     for _ in range(max_retries):
         if not _schema_compatible(table, schema_json):
+            _discard_staged(table, files)
             raise ValueError(
                 f"append schema does not match table schema at {table}"
             )
         if app_epoch is not None and app_epoch in committed_epochs(table):
-            return latest_version(table)  # a concurrent retry won the epoch
+            _discard_staged(table, files)  # a concurrent retry won the epoch
+            return latest_version(table)
         version = latest_version(table) + 1
         if _try_commit(
             table,
             Commit(version, "append", tuple(files), schema_json, stats, app_epoch),
         ):
             return version
+    _discard_staged(table, files)
     raise CommitConflict(f"gave up after {max_retries} contended versions")
 
 
@@ -229,6 +288,7 @@ def overwrite(df: DataFrame, table: str) -> int:
     if not _try_commit(
         table, Commit(version, "overwrite", tuple(files), schema_json, stats)
     ):
+        _discard_staged(table, files)
         raise CommitConflict(f"version {version} was committed concurrently")
     return version
 
@@ -250,6 +310,7 @@ def compact(spark: SparkSession, table: str, target_files: int = 1) -> int:
     if not _try_commit(
         table, Commit(target, "overwrite", tuple(files), schema_json, stats)
     ):
+        _discard_staged(table, files)
         raise CommitConflict(
             f"version {target} was committed concurrently during compaction"
         )
@@ -307,6 +368,10 @@ def merge(
             Commit(target, "overwrite", tuple(files), schema_json, stats, app_epoch),
         ):
             return target
+        # lost the version race: this iteration's staged result is stale
+        # (it merged against a superseded snapshot) — reclaim it before
+        # the re-read + re-merge + re-stage retry
+        _discard_staged(table, files)
     raise CommitConflict(f"gave up after {max_retries} contended merges")
 
 
