@@ -491,3 +491,64 @@ def test_streaming_srm_pipeline_matches_batch(spark, sf_dir, tmp_path):
         want.n_arm1,
         want.chi2,
     )
+
+
+def test_stream_incremental_dedup_exact_parity_with_batch(spark, sf_dir, tmp_path):
+    """VERDICT r5 #5 acceptance: 3-file replay of the documents table
+    through streaming incremental dedup → txtable equals the batch exact
+    dedup (replay files ascend by doc_id, so arrival-order first-seen ==
+    min-id winner), and a re-delivered epoch (at-least-once retry) is a
+    committed no-op."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        text_exact_dedup,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    # the sf0.001 corpus has no exact dups — inject cross-batch recrawls:
+    # later files re-carry early texts under fresh ids (the crawler shape)
+    chunks = [c.copy() for c in np.array_split(pdf, 3)]
+    for i in (1, 2):
+        recrawl = chunks[0].head(25).copy()
+        recrawl["doc_id"] = recrawl["doc_id"] + 10_000 * i
+        chunks[i] = pd.concat([chunks[i], recrawl], ignore_index=True)
+    replay = pd.concat(chunks, ignore_index=True)
+    for i, chunk in enumerate(chunks):
+        p = f"{src}/file-{i}.parquet"
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))  # deterministic order
+
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    SP.stream_incremental_dedup_to_txtable(
+        SP.read_parquet_stream(spark, src, max_files_per_trigger=1),
+        table,
+        ckpt,
+    )
+    # one commit per micro-batch epoch (3 replay files)
+    assert [h["action"] for h in TX.history(table)] == ["append"] * 3
+
+    got = sorted(r.doc_id for r in TX.read(spark, table).collect())
+    expected = sorted(
+        r.doc_id
+        for r in text_exact_dedup().apply(spark.createDataFrame(replay)).collect()
+    )
+    assert got == expected and len(got) < len(replay)
+
+    # injected duplicate epoch: re-deliver epoch 0's batch verbatim
+    handler = SP.incremental_dedup_batch_handler(table)
+    handler(spark.read.parquet(f"{src}/file-0.parquet"), 0)
+    assert len(TX.history(table)) == 3  # epoch no-op: nothing committed
+    assert sorted(r.doc_id for r in TX.read(spark, table).collect()) == got
+
+    # a NEW epoch carrying only already-seen content commits zero docs
+    handler(spark.read.parquet(f"{src}/file-1.parquet"), 99)
+    assert sorted(r.doc_id for r in TX.read(spark, table).collect()) == got

@@ -291,6 +291,13 @@ def simhash_near_pairs(
         if bits == SIMHASH_BITS
         else simhash(text_col, bits, hashes="_th")
     )
+    # coalesce-to-0 marks the signature provably non-null (the kernel
+    # never emits null, so values are identical): without it Catalyst
+    # infers IsNotNull(_sh) from the join keys and evaluates the Python
+    # UDF TWICE per join side — once for the inferred filter, once for
+    # the projection (4 Arrow round trips per pairs build, measured in
+    # the executedPlan; 2 after this).
+    sig = F.coalesce(sig, F.lit(0))
     sh = df.withColumn("_th", token_hashes(text_col)).select(
         F.col(id_col), sig.alias("_sh")
     )
@@ -312,21 +319,45 @@ def simhash_near_pairs(
             )
         ).alias("_chunk"),
     )
-    l, r = chunked.alias("l"), chunked.alias("r")
+    # Within-bucket pair generation instead of a chunk-key self-join: the
+    # join form computed the signature subtree independently per side
+    # (broadcast joins never get a ReusedExchange), i.e. two full scans +
+    # two Arrow UDF passes. Here the signature table is computed ONCE,
+    # shuffled ONCE (groupBy chunk), and each bucket emits its ordered
+    # i<j pairs JVM-side — the classic LSH bucket-pairing shape, and the
+    # one that scales: at 100 TB the chunk shuffle carries (id, sh) only,
+    # and candidate count is the same Σ b² either way. The bucket array is
+    # id-sorted, so pairs come out id_l < id_r with no extra filter;
+    # verify-then-dedup is value-identical to dedup-then-verify because
+    # ``hamming`` is a function of the pair.
+    buckets = (
+        chunked.groupBy("_chunk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("_sh").alias("s")))
+            ).alias("_arr")
+        )
+        .filter(F.size("_arr") >= 2)
+    )
+    pair = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_arr, (x, i) -> "
+                "transform(slice(_arr, i + 2, size(_arr)), "
+                "y -> struct(x.i AS il, x.s AS sl, y.i AS ir, y.s AS sr))))"
+            )
+        ).alias("_p")
+    )
     pairs = (
-        l.join(
-            r,
-            (F.col("l._chunk") == F.col("r._chunk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        pair.select(
+            F.col("_p.il").alias("id_l"),
+            F.col("_p.ir").alias("id_r"),
+            F.bit_count(F.col("_p.sl").bitwiseXOR(F.col("_p.sr"))).alias("hamming"),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_l"),
-            F.col(f"r.{id_col}").alias("id_r"),
-            F.bit_count(F.col("l._sh").bitwiseXOR(F.col("r._sh"))).alias("hamming"),
-        )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_l", "id_r"])
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -957,7 +988,11 @@ def _star_round(e: DataFrame, large: bool) -> DataFrame:
 
 
 def connected_components_star(
-    edges: DataFrame, src: str = "id_l", dst: str = "id_r", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "id_l",
+    dst: str = "id_r",
+    max_iter: int = 20,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al. 2014,
     "Connected Components in MapReduce and Beyond") — same (id, comp)
@@ -983,11 +1018,15 @@ def connected_components_star(
     edge sets (~2^-64 per probe — and the oracle parity tests would
     surface it deterministically on the test corpora).
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    ).localCheckpoint(eager=True)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    if not edges_distinct:
+        # callers whose pair plan already ends in a per-pair dedup (e.g.
+        # simhash_near_pairs) pass edges_distinct=True and skip one full
+        # shuffle of the edge set here
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id")))
     ).distinct()

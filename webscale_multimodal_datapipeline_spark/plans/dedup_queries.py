@@ -448,7 +448,7 @@ def d_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     pairs = OD.simhash_near_pairs(d, max_hamming=12)
-    comp = OD.connected_components_star(pairs, "id_l", "id_r")
+    comp = OD.connected_components_star(pairs, "id_l", "id_r", edges_distinct=True)
     return d.select("doc_id").join(
         comp, d["doc_id"] == comp["id"], "left"
     ).select(
