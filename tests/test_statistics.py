@@ -557,3 +557,127 @@ def test_exact_lower_median_is_lower_for_even_n(spark, docs):
     assert con.execute(f"SELECT {sql}").fetchone()[0] == 2
     sql = OQ.sql_lower_median("v", "(SELECT UNNEST([1, 2, 3]) AS v) s")
     assert con.execute(f"SELECT {sql}").fetchone()[0] == 2  # odd n unchanged
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: independent numpy/pandas recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_matches_direct_numpy(spark, events):
+    ev = events[events["user_id"].notna()]
+    import hashlib
+
+    def arm(u):
+        h = hashlib.md5((str(int(u)) + "#cuped").encode()).hexdigest()
+        return int(h[:15], 16) % 2
+
+    per = ev.groupby("user_id").apply(
+        lambda g: pd.Series(
+            {
+                "x": g.loc[g.event_type == "view", "value"].sum(),
+                "y": g.loc[g.event_type == "purchase", "value"].sum(),
+            }
+        ),
+        include_groups=False,
+    ).reset_index()
+    per["arm"] = per["user_id"].map(arm)
+    x, y = per["x"].to_numpy(), per["y"].to_numpy()
+    n = len(per)
+    cov = (x * y).sum() - x.sum() * y.sum() / n
+    varx = (x * x).sum() - x.sum() ** 2 / n
+    vary = (y * y).sum() - y.sum() ** 2 / n
+    theta = cov / varx
+    a, b = per[per.arm == 0], per[per.arm == 1]
+    adj = lambda g: g["y"].mean() - theta * (g["x"].mean() - x.mean())  # noqa: E731
+    row = _run(spark, "e_cuped").iloc[0]
+    assert row["n_users"] == n
+    assert abs(row["theta"] - theta) < 1e-4
+    assert abs(row["diff_raw"] - (a["y"].mean() - b["y"].mean())) < 1e-4
+    assert abs(row["diff_cuped"] - (adj(a) - adj(b))) < 1e-4
+    assert abs(row["var_reduction"] - cov * cov / (varx * vary)) < 1e-6
+
+
+def test_sprt_matches_direct_scan(spark, events):
+    got = {r["event_type"]: r for _, r in _run(spark, "s_sprt_boundary").iterrows()}
+    c1, c0 = math.log(0.5 / 0.4), math.log(0.5 / 0.6)
+    A = math.log(19.0)
+    for et, g in events.dropna(subset=["ts", "value"]).groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        succ = (g["value"] > 50.0).to_numpy().astype(int)
+        s = succ.cumsum()
+        t = np.arange(1, len(succ) + 1)
+        llr = s * c1 + (t - s) * c0
+        row = got[et]
+        assert row["n_total"] == len(succ)
+        assert row["n_success"] == int(s[-1])
+        assert abs(row["llr_final"] - llr[-1]) < 1e-5
+        crossed = np.where((llr >= A) | (llr <= -A))[0]
+        if len(crossed) == 0:
+            assert row["decision"] == "continue" and pd.isna(row["first_cross_n"])
+        else:
+            k = crossed[0]
+            assert row["first_cross_n"] == k + 1
+            assert row["decision"] == ("accept_h1" if llr[k] >= A else "accept_h0")
+
+
+def test_g_test_terms_match_direct(spark, docs):
+    counts = docs.groupby("source").size()
+    e = counts.sum() / len(counts)
+    got = {r["source"]: r for _, r in _run(spark, "s_g_test").iterrows()}
+    g_total = 0.0
+    for src, o in counts.items():
+        row = got[src]
+        assert row["observed"] == o
+        term = 2.0 * o * math.log(o / e)
+        assert abs(row["g_term"] - term) < 1e-5
+        g_total += term
+    # sanity: G is non-negative for any observed-vs-uniform layout
+    assert g_total >= 0.0
+
+
+def test_holt_linear_matches_python_loop(spark, orders):
+    daily = orders.groupby("o_orderdate").size().sort_index().to_numpy().astype(float)
+    l, b = daily[0], daily[1] - daily[0]
+    for yv in daily[2:]:
+        l_new = 0.3 * yv + 0.7 * (l + b)
+        b = 0.1 * (l_new - l) + 0.9 * b
+        l = l_new
+    row = _run(spark, "ts_holt_linear").iloc[0]
+    assert row["n_days"] == len(daily)
+    assert abs(row["level"] - l) < 1e-5
+    assert abs(row["trend"] - b) < 1e-5
+    assert abs(row["forecast_7d"] - (l + 7.0 * b)) < 1e-5
+
+
+def test_join_cardinality_actual_matches_pandas_merge(spark, orders):
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    got = {r["join_name"]: r for _, r in _run(spark, "x_join_cardinality_estimate").iterrows()}
+    co = len(cust.merge(orders, left_on="c_custkey", right_on="o_custkey"))
+    ol = len(orders.merge(li, left_on="o_orderkey", right_on="l_orderkey"))
+    assert got["customer_orders"]["actual_rows"] == co
+    assert got["orders_lineitem"]["actual_rows"] == ol
+    for r in got.values():
+        est, act = r["est_uniform"], float(r["actual_rows"])
+        assert abs(r["q_error"] - max(est, act) / min(est, act)) < 1e-4
+
+
+def test_oov_rate_matches_pandas(spark, docs):
+    import re
+
+    def toks(s):
+        s = re.sub(r"\s+", " ", s.lower()).strip()
+        return [t for t in s.split(" ") if t]
+
+    all_toks = docs["text"].map(toks)
+    flat = pd.Series([t for ts in all_toks for t in ts])
+    cnt = flat.value_counts()
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    vocab = {t for t, _ in ranked}
+    got = {r["source"]: r for _, r in _run(spark, "t_oov_rate").iterrows()}
+    for src, g in docs.groupby("source"):
+        ts = [t for txt in g["text"] for t in toks(txt)]
+        oov = sum(1 for t in ts if t not in vocab)
+        row = got[src]
+        assert row["n_tokens"] == len(ts) and row["n_oov"] == oov

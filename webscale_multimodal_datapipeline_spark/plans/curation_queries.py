@@ -799,3 +799,73 @@ ORDER BY bucket
 
 QUERIES["c_length_bucket_batching"] = c_length_bucket_batching
 ORACLE["c_length_bucket_batching"] = C_LBB_SQL
+
+
+def c_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit of the sequence packer: per pack bucket,
+    how many training sequences were produced, the fill rate against the
+    token budget (tokens / (n_seqs · budget)) and how many sequences
+    overflow the budget (a doc whose start offset lands near the seq
+    boundary runs past it — the concat-then-split packer's known cost,
+    vs. the padding waste a first-fit packer trades it for). This is
+    the one-screen answer to "how much compute does our packing waste?".
+
+    All-integer rollups over the existing packed layout; one double
+    division per bucket row."""
+    d = load_table(spark, sf_dir, "documents")
+    packed = CU.sequence_pack(d)
+    seqs = packed.groupBy("pack_bucket", "seq_id").agg(
+        F.sum("n_tokens").alias("seq_tokens")
+    )
+    return (
+        seqs.groupBy("pack_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("seq_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("seq_tokens") > CU.PACK_BUDGET, 1).otherwise(0))
+            .cast("long")
+            .alias("n_overflow_seqs"),
+        )
+        .select(
+            F.col("pack_bucket").cast("bigint").alias("pack_bucket"),
+            "n_seqs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_seqs").cast("double") * float(CU.PACK_BUDGET)),
+                6,
+            ).alias("fill_rate"),
+            "n_overflow_seqs",
+        )
+        .orderBy("pack_bucket")
+    )
+
+
+C_PACK_EFF_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_sql_pack_bucket()} AS pack_bucket,
+         CAST({OQ.sql_token_count('text')} AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, pack_bucket, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+), seqs AS (
+  SELECT pack_bucket,
+         CAST(floor((cum - n_tokens) / {CU.PACK_BUDGET}) AS BIGINT) AS seq_id,
+         SUM(n_tokens) AS seq_tokens
+  FROM c GROUP BY 1, 2
+)
+SELECT CAST(pack_bucket AS BIGINT) AS pack_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(seq_tokens) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {float(CU.PACK_BUDGET)}), 6) AS fill_rate,
+       CAST(COUNT(*) FILTER (WHERE seq_tokens > {CU.PACK_BUDGET}) AS BIGINT) AS n_overflow_seqs
+FROM seqs GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["c_pack_efficiency"] = c_pack_efficiency
+ORACLE["c_pack_efficiency"] = C_PACK_EFF_SQL

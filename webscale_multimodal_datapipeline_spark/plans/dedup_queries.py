@@ -1826,3 +1826,183 @@ FROM na, nb, nab
 
 QUERIES["d_capture_recapture"] = d_capture_recapture
 ORACLE["d_capture_recapture"] = _capture_recapture_sql()
+
+
+def d_cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity terms of the near-dup pair graph under its
+    connected-component clustering — the cluster-quality readout for a
+    dedup run: for component c, q_term = m_c/m − (d_c/2m)² (intra-edge
+    fraction minus the degree-sum null model; Newman & Girvan 2004).
+    Since components make every edge intra-cluster, Σ m_c = m and
+    Q = Σ q_term = 1 − Σ (d_c/2m)² — small dense cliques score high,
+    one giant hairball scores ~0, which is exactly the "did my LSH
+    threshold over-merge?" signal. Top 20 components by intra-edge count.
+
+    Per-component rows (the ``s_kl_per_source`` pattern) keep all float
+    expressions row-local over exact integers. Scale shape: degrees and
+    intra-edge counts are two count rollups over the pair set; the
+    component labels come from the O(log n) star algorithm; nothing
+    materializes beyond (node, comp, degree)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = OD.simhash_near_pairs(d, max_hamming=12).select("id_l", "id_r")
+    comp = OD.connected_components_star(pairs, "id_l", "id_r", edges_distinct=True)
+    m_tot = pairs.agg(F.count(F.lit(1)).cast("double").alias("_m"))
+    deg = (
+        pairs.select(F.col("id_l").alias("id"))
+        .unionAll(pairs.select(F.col("id_r").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    node_stats = deg.join(comp, "id").groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("_deg").alias("d_c")
+    )
+    intra = (
+        pairs.join(comp.withColumnRenamed("id", "id_l"), "id_l")
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("m_c"))
+    )
+    two_m = F.lit(2.0) * F.col("_m")
+    return (
+        node_stats.join(intra, "comp")
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            F.col("comp").cast("bigint").alias("comp"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("m_c").cast("bigint").alias("m_c"),
+            F.col("d_c").cast("bigint").alias("d_c"),
+            F.round(
+                F.col("m_c").cast("double") / F.col("_m")
+                - (F.col("d_c").cast("double") / two_m)
+                * (F.col("d_c").cast("double") / two_m),
+                6,
+            ).alias("q_term"),
+        )
+        .orderBy(F.desc("m_c"), "comp")
+        .limit(20)
+    )
+
+
+D_MODULARITY_SQL = f"""
+WITH RECURSIVE npairs AS (
+  {D_SIMHASH_PAIRS_SQL}
+), edges AS (
+  SELECT id_l AS src, id_r AS dst FROM npairs
+  UNION ALL
+  SELECT id_r AS src, id_l AS dst FROM npairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+), m_tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM npairs
+), deg AS (
+  SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1
+), node_stats AS (
+  SELECT c.comp, COUNT(*) AS n_nodes, SUM(deg.deg) AS d_c
+  FROM deg JOIN comp c USING (id) GROUP BY 1
+), intra AS (
+  SELECT c.comp, COUNT(*) AS m_c
+  FROM npairs p JOIN comp c ON p.id_l = c.id GROUP BY 1
+)
+SELECT CAST(ns.comp AS BIGINT) AS comp,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(m_c AS BIGINT) AS m_c,
+       CAST(d_c AS BIGINT) AS d_c,
+       ROUND(CAST(m_c AS DOUBLE) / m
+             - (CAST(d_c AS DOUBLE) / (2.0 * m)) * (CAST(d_c AS DOUBLE) / (2.0 * m)),
+             6) AS q_term
+FROM node_stats ns JOIN intra i ON ns.comp = i.comp, m_tot
+ORDER BY m_c DESC, comp LIMIT 20
+"""
+
+QUERIES["d_cluster_modularity"] = d_cluster_modularity
+ORACLE["d_cluster_modularity"] = D_MODULARITY_SQL
+
+
+def d_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit: for every LSH candidate pair,
+    the signature-agreement estimate ĵ = |{i: sig_l[i]=sig_r[i]}| / 12
+    against the exact shingle Jaccard, with the absolute error — the
+    Broder 1997 unbiasedness check run on one's OWN signature
+    implementation (a salted-hash bug or a band/row mix-up shows up as
+    systematic bias here long before it degrades dedup recall).
+
+    All ratios are int/int double divisions, identical both engines.
+    Scale shape: candidates come from the band bucket join (never
+    all-pairs); signatures ride the existing row-local pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.withColumn("_toks", TX.norm_tokens("text"))
+        .withColumn("_shingles", TX.word_shingles("text", k=3, toks=F.col("_toks")))
+        .withColumn("_hashes", OD.shingle_hashes(F.col("_shingles")))
+        .withColumn("_sig", OD.minhash_signature("text", k=3, hashes=F.col("_hashes")))
+    )
+    sh = base.select("doc_id", "_shingles", "_sig")
+    banded = base.select("doc_id", F.explode(OD.lsh_bands(F.col("_sig"))).alias("_band"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l._band") == F.col("r._band")) & (F.col("l.doc_id") > F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    matches = F.aggregate(
+        F.zip_with("_sl", "_sr", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    exact = F.size(F.array_intersect("_ls", "_rs")) / F.size(F.array_union("_ls", "_rs"))
+    est = matches.cast("double") / F.lit(float(OD.NUM_MINHASHES))
+    return (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("id_l"),
+                F.col("_shingles").alias("_ls"),
+                F.col("_sig").alias("_sl"),
+            ),
+            "id_l",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_r"),
+                F.col("_shingles").alias("_rs"),
+                F.col("_sig").alias("_sr"),
+            ),
+            "id_r",
+        )
+        .select(
+            "id_l",
+            "id_r",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+        .orderBy("id_l", "id_r")
+    )
+
+
+_SIG_MATCH = " + ".join(
+    f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
+    for i in range(OD.NUM_MINHASHES)
+)
+
+D_MH_EST_SQL = (
+    _minhash_pipeline_sql(0.0).split(", ver AS (")[0]
+    + f"""
+SELECT c.lid AS id_l, c.rid AS id_r,
+       CAST({_SIG_MATCH} AS DOUBLE) / {float(OD.NUM_MINHASHES)} AS est_jaccard,
+       len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(sa.sh || sb.sh)) AS exact_jaccard,
+       ROUND(ABS(CAST({_SIG_MATCH} AS DOUBLE) / {float(OD.NUM_MINHASHES)}
+                 - len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(sa.sh || sb.sh))), 6) AS abs_err
+FROM cand c
+JOIN sig a ON a.doc_id = c.lid JOIN sig b ON b.doc_id = c.rid
+JOIN sh sa ON sa.doc_id = c.lid JOIN sh sb ON sb.doc_id = c.rid
+ORDER BY id_l, id_r
+"""
+)
+
+QUERIES["d_minhash_est_vs_exact"] = d_minhash_est_vs_exact
+ORACLE["d_minhash_est_vs_exact"] = D_MH_EST_SQL

@@ -1832,3 +1832,112 @@ FROM tot
 
 QUERIES["e_power_analysis"] = e_power_analysis
 ORACLE["e_power_analysis"] = E_POWER_SQL
+
+
+def e_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, "Improving the
+    Sensitivity of Online Controlled Experiments") — the standard
+    pre-experiment-covariate adjustment every experimentation platform
+    ships: per user, covariate X = total 'view' value (pre-exposure
+    behavior) and metric Y = total 'purchase' value; θ = cov(X,Y)/var(X)
+    pooled over all users; each arm's adjusted mean is
+    mean(Y) − θ·(mean_arm(X) − mean(X)). Reports the raw and CUPED
+    arm difference plus the achieved variance-reduction factor
+    (corr(X,Y)² — the theoretical variance removed).
+
+    Exact-decimal discipline (the ``a_welch_ab_test`` pattern): per-user
+    X/Y accumulate in DECIMAL (2-dp values, exact, merge-order-free),
+    the five global power sums Σx Σy Σxy Σx² Σy² and the per-arm sums
+    accumulate in DECIMAL too, and θ/means derive with an identical
+    float expression tree in both engines — bit-equal, no tolerance.
+    NULL user_id is excluded by spec (unassignable arm — §24 rule).
+
+    Scale shape: one user-keyed aggregate (the natural shuffle), then a
+    single-row conditional aggregate; no UDF, no window."""
+    from webscale_multimodal_datapipeline_spark.functions.text import md5_long
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    v = F.col("value").cast("decimal(12,2)")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", v).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )).cast("decimal(18,2)").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", v).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )).cast("decimal(18,2)").alias("y"),
+    ).withColumn(
+        "arm",
+        F.pmod(md5_long(F.concat(F.col("user_id").cast("string"), F.lit("#cuped"))), F.lit(2)),
+    )
+    a = F.col("arm") == 0
+    z2 = F.lit(0).cast("decimal(18,2)")
+    z4 = F.lit(0).cast("decimal(38,4)")
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(a, 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).cast("double").alias("syy"),
+        F.sum(F.when(a, F.col("x")).otherwise(z2)).cast("double").alias("sxa"),
+        F.sum(F.when(~a, F.col("x")).otherwise(z2)).cast("double").alias("sxb"),
+        F.sum(F.when(a, F.col("y")).otherwise(z2)).cast("double").alias("sya"),
+        F.sum(F.when(~a, F.col("y")).otherwise(z2)).cast("double").alias("syb"),
+    )
+    n, na, nb = F.col("n"), F.col("na"), F.col("nb")
+    sx, sy, sxy, sxx, syy = (F.col(c) for c in ("sx", "sy", "sxy", "sxx", "syy"))
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    theta = cov / varx
+    mean_x = sx / n
+    adj_a = F.col("sya") / na - theta * (F.col("sxa") / na - mean_x)
+    adj_b = F.col("syb") / nb - theta * (F.col("sxb") / nb - mean_x)
+    return g.select(
+        n.cast("long").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(F.col("sya") / na - F.col("syb") / nb, 6).alias("diff_raw"),
+        F.round(adj_a - adj_b, 6).alias("diff_cuped"),
+        F.round(cov * cov / (varx * vary), 6).alias("var_reduction"),
+    )
+
+
+E_CUPED_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                   THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DECIMAL(18,2)) AS x,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DECIMAL(18,2)) AS y,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#cuped'), 1, 15)) AS BIGINT) % 2 AS arm
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(COUNT(*) FILTER (WHERE arm = 0) AS DOUBLE) AS na,
+         CAST(COUNT(*) FILTER (WHERE arm = 1) AS DOUBLE) AS nb,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+         CAST(COALESCE(SUM(x) FILTER (WHERE arm = 0), 0) AS DOUBLE) AS sxa,
+         CAST(COALESCE(SUM(x) FILTER (WHERE arm = 1), 0) AS DOUBLE) AS sxb,
+         CAST(COALESCE(SUM(y) FILTER (WHERE arm = 0), 0) AS DOUBLE) AS sya,
+         CAST(COALESCE(SUM(y) FILTER (WHERE arm = 1), 0) AS DOUBLE) AS syb
+  FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS theta,
+       ROUND(sya / na - syb / nb, 6) AS diff_raw,
+       ROUND((sya / na - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sxa / na - sx / n))
+             - (syb / nb - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sxb / nb - sx / n)),
+             6) AS diff_cuped,
+       ROUND((sxy - sx * sy / n) * (sxy - sx * sy / n)
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS var_reduction
+FROM g
+"""
+
+QUERIES["e_cuped"] = e_cuped
+ORACLE["e_cuped"] = E_CUPED_SQL

@@ -1664,3 +1664,110 @@ LIMIT {_GAP_TOPK}
 
 QUERIES["x_id_gap_audit"] = x_id_gap_audit
 ORACLE["x_id_gap_audit"] = X_ID_GAP_SQL
+
+
+def x_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics audit: for the two workhorse TPC-H joins
+    (customer⋈orders on custkey, orders⋈lineitem on orderkey), compare
+    the uniform-NDV join-size estimate every cost-based optimizer starts
+    from — |A|·|B| / max(ndv_A, ndv_B), Selinger 1979 — against the
+    EXACT output size Σ_k cnt_A(k)·cnt_B(k), and report the q-error
+    (max(est,actual)/min(est,actual), the standard estimator metric).
+    This is the query a data engineer runs to see WHERE the uniformity
+    assumption breaks (skewed keys → underestimate).
+
+    All-integer algebra until the final two divisions; the exact size
+    comes from joining the two sides' per-key count rollups (keys-only
+    traffic — never materializing the join itself), which is the scale
+    shape: at 100 TB the rollups are each side's group-by, and the
+    estimate needs only 4 scalars."""
+    out = []
+    specs = (
+        ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+        ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    )
+    res = None
+    for name, ta, ka, tb, kb in specs:
+        a = load_table(spark, sf_dir, ta).groupBy(F.col(ka).alias("k")).agg(
+            F.count(F.lit(1)).alias("ca")
+        )
+        b = load_table(spark, sf_dir, tb).groupBy(F.col(kb).alias("k")).agg(
+            F.count(F.lit(1)).alias("cb")
+        )
+        stats_a = a.agg(
+            F.sum("ca").cast("long").alias("rows_a"),
+            F.count(F.lit(1)).cast("long").alias("ndv_a"),
+        )
+        stats_b = b.agg(
+            F.sum("cb").cast("long").alias("rows_b"),
+            F.count(F.lit(1)).cast("long").alias("ndv_b"),
+        )
+        actual = a.join(b, "k").agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("long")
+            .alias("actual_rows")
+        )
+        row = (
+            stats_a.crossJoin(stats_b)
+            .crossJoin(actual)
+            .select(
+                F.lit(name).alias("join_name"),
+                "rows_a",
+                "rows_b",
+                F.greatest("ndv_a", "ndv_b").cast("long").alias("ndv_max"),
+                F.round(
+                    F.col("rows_a").cast("double")
+                    * F.col("rows_b").cast("double")
+                    / F.greatest("ndv_a", "ndv_b").cast("double"),
+                    6,
+                ).alias("est_uniform"),
+                "actual_rows",
+            )
+        )
+        res = row if res is None else res.unionByName(row)
+    q_err = F.greatest(
+        F.col("est_uniform"), F.col("actual_rows").cast("double")
+    ) / F.least(F.col("est_uniform"), F.col("actual_rows").cast("double"))
+    return res.select(
+        "join_name", "rows_a", "rows_b", "ndv_max", "est_uniform", "actual_rows",
+        F.round(q_err, 6).alias("q_error"),
+    ).orderBy("join_name")
+
+
+X_JOIN_CARD_SQL = """
+WITH spec AS (
+  SELECT 'customer_orders' AS join_name,
+         (SELECT COUNT(*) FROM customer) AS rows_a,
+         (SELECT COUNT(*) FROM orders) AS rows_b,
+         GREATEST((SELECT COUNT(DISTINCT c_custkey) FROM customer),
+                  (SELECT COUNT(DISTINCT o_custkey) FROM orders)) AS ndv_max,
+         (SELECT COALESCE(SUM(ca * cb), 0) FROM
+            (SELECT c_custkey AS k, COUNT(*) AS ca FROM customer GROUP BY 1) a
+            JOIN (SELECT o_custkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1) b
+            USING (k)) AS actual_rows
+  UNION ALL
+  SELECT 'orders_lineitem',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM lineitem),
+         GREATEST((SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+                  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)),
+         (SELECT COALESCE(SUM(ca * cb), 0) FROM
+            (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1) a
+            JOIN (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1) b
+            USING (k))
+)
+SELECT join_name,
+       CAST(rows_a AS BIGINT) AS rows_a,
+       CAST(rows_b AS BIGINT) AS rows_b,
+       CAST(ndv_max AS BIGINT) AS ndv_max,
+       ROUND(CAST(rows_a AS DOUBLE) * CAST(rows_b AS DOUBLE) / CAST(ndv_max AS DOUBLE), 6) AS est_uniform,
+       CAST(actual_rows AS BIGINT) AS actual_rows,
+       ROUND(GREATEST(CAST(rows_a AS DOUBLE) * CAST(rows_b AS DOUBLE) / CAST(ndv_max AS DOUBLE),
+                      CAST(actual_rows AS DOUBLE))
+             / LEAST(CAST(rows_a AS DOUBLE) * CAST(rows_b AS DOUBLE) / CAST(ndv_max AS DOUBLE),
+                     CAST(actual_rows AS DOUBLE)), 6) AS q_error
+FROM spec ORDER BY join_name
+"""
+
+QUERIES["x_join_cardinality_estimate"] = x_join_cardinality_estimate
+ORACLE["x_join_cardinality_estimate"] = X_JOIN_CARD_SQL

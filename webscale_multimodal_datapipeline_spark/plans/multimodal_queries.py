@@ -745,3 +745,82 @@ FROM documents
 
 QUERIES["m_exif_scrub"] = m_exif_scrub
 ORACLE["m_exif_scrub"] = M_EXIF_SCRUB_SQL
+
+
+def m_dup_frame_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-frame audit over the sampled video frames —
+    the static-scene / freeze-frame detector a video curation pipeline
+    runs before paying for embeddings: each sampled frame (the real
+    mapInPandas 1→N expansion, ``frame_sample_map_in_pandas``) is
+    reduced to a coarse 2-bit-per-byte signature (the perceptual-hash
+    quantization idea at its cheapest), and a video's duplicate mass is
+    n_frames − distinct(signatures). Reported per source as exact
+    integer counts + one ratio.
+
+    The signature math is per-frame-local (JVM expressions over the
+    frame bytes), so the only shuffles are the per-video distinct and
+    the source rollup."""
+    df = _with_bytes(spark, sf_dir).withColumnRenamed("image_bytes", "video_bytes")
+    frames = MM.frame_sample_map_in_pandas(df, every_n=1)
+    sig = F.expr(
+        "concat_ws('', transform(sequence(1, 4), "
+        "k -> cast(shiftright(cast(conv(hex(substring(frame_bytes, k, 1)), 16, 10) AS int), 6) AS string)))"
+    )
+    per_video = (
+        frames.select("source", "doc_id", sig.alias("_sig"))
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nf"),
+            F.countDistinct("_sig").alias("nd"),
+        )
+    )
+    return (
+        per_video.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_videos"),
+            F.sum("nf").cast("long").alias("n_frames"),
+            F.sum(F.col("nf") - F.col("nd")).cast("long").alias("n_dup_frames"),
+        )
+        .select(
+            "source",
+            "n_videos",
+            "n_frames",
+            "n_dup_frames",
+            F.round(
+                F.col("n_dup_frames").cast("double") / F.col("n_frames").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# frame i (0-based, 16 frames of 4 bytes over the 64-byte payload):
+# hex chars 8i+1 .. 8i+8; byte j of frame i quantized to its top 2 bits.
+_FRAME_SIG = (
+    "list_aggregate(list_transform(range(0, 4), j -> "
+    "CAST(CAST(('0x' || substr(h, 8 * i + 2 * j + 1, 2)) AS INTEGER) // 64 AS VARCHAR)"
+    "), 'string_agg', '')"
+)
+
+M_DUP_FRAME_SQL = f"""
+WITH vids AS (
+  SELECT source, doc_id, {_FAKE_HEX} AS h FROM documents
+), frames AS (
+  SELECT source, doc_id, unnest(range(0, 16)) AS i, h FROM vids
+), sigs AS (
+  SELECT source, doc_id, {_FRAME_SIG} AS sig FROM frames
+), per_video AS (
+  SELECT source, doc_id, COUNT(*) AS nf, COUNT(DISTINCT sig) AS nd
+  FROM sigs GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_videos,
+       CAST(SUM(nf) AS BIGINT) AS n_frames,
+       CAST(SUM(nf - nd) AS BIGINT) AS n_dup_frames,
+       ROUND(CAST(SUM(nf - nd) AS DOUBLE) / CAST(SUM(nf) AS DOUBLE), 6) AS dup_ratio
+FROM per_video GROUP BY source ORDER BY source
+"""
+
+QUERIES["m_dup_frame_ratio"] = m_dup_frame_ratio
+ORACLE["m_dup_frame_ratio"] = M_DUP_FRAME_SQL

@@ -183,7 +183,11 @@ _RECORDED |= _RECORDED_R5
 # Round-6 additions: order after the 20 never-recorded names (4 r4-session
 # carryover + 16 round-5 additions — the whole remaining recording debt),
 # well inside the same 50-entry window.
-_ROUND6_NEW: set[str] = set()
+_ROUND6_NEW: set[str] = {
+    "e_cuped", "s_sprt_boundary", "s_g_test", "x_join_cardinality_estimate",
+    "d_cluster_modularity", "d_minhash_est_vs_exact", "t_oov_rate",
+    "c_pack_efficiency", "m_dup_frame_ratio", "ts_holt_linear",
+}
 
 # Every other query has a green driver row in its latest recorded round
 # (r1-r5). The 20 never-recorded names order FIRST so round 6's window

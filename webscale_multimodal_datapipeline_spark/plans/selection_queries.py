@@ -1337,3 +1337,179 @@ FROM sums
 
 QUERIES["s_dsir_ess"] = s_dsir_ess
 ORACLE["s_dsir_ess"] = S_DSIR_ESS_SQL
+
+
+# ---------------------------------------------------------------------------
+# SPRT — Wald's sequential probability ratio test (round 6)
+# ---------------------------------------------------------------------------
+
+# H0: p = 0.4 vs H1: p = 0.5 for P(value > 50); alpha = beta = 0.05.
+# Literal float constants are embedded with full repr precision in BOTH
+# engines' expressions, so the double arithmetic is bit-identical.
+_SPRT_C1 = repr(__import__("math").log(0.5 / 0.4))
+_SPRT_C0 = repr(__import__("math").log(0.5 / 0.6))
+_SPRT_A = repr(__import__("math").log(19.0))   # ln((1-beta)/alpha)
+_SPRT_B = repr(-__import__("math").log(19.0))  # ln(beta/(1-alpha))
+
+
+def s_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT (1945) over each event type's stream in event-time
+    order — the early-stopping monitor an experimentation pipeline runs
+    instead of a fixed-horizon test: outcome = (value > 50), cumulative
+    log-likelihood ratio LLR_t = s_t·ln(p1/p0) + (t−s_t)·ln((1−p1)/(1−p0))
+    for H0: p=0.4 vs H1: p=0.5, decision boundaries ±ln(19) (α=β=0.05).
+    Emits, per event type, the final LLR, the first boundary-crossing
+    sample index, and the sequential decision at that crossing
+    ('accept_h1' / 'accept_h0' / 'continue').
+
+    Cross-engine determinism: the walk order is (ts, event_id) — unique —
+    LLR derives from integer cumulative counts with shared float literal
+    constants, so both engines produce bit-equal doubles. NULL ts or
+    value rows are excluded by spec (unorderable / no outcome — §24).
+
+    Scale shape: the window partitions by event_type (the metric being
+    monitored), which is exactly the per-metric sequential scan SPRT
+    defines — no global sort, no single-partition exchange."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type", "ts", "event_id",
+            (F.col("value") > 50.0).cast("long").alias("succ"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.sum(F.lit(1)).over(w)
+    s = F.sum("succ").over(w)
+    llr = s.cast("double") * F.lit(float(_SPRT_C1)) + (t - s).cast("double") * F.lit(
+        float(_SPRT_C0)
+    )
+    walk = ev.select(
+        "event_type",
+        t.alias("t"),
+        s.alias("s"),
+        llr.alias("llr"),
+    )
+    up = F.min(F.when(F.col("llr") >= float(_SPRT_A), F.col("t")))
+    lo = F.min(F.when(F.col("llr") <= float(_SPRT_B), F.col("t")))
+    agg = walk.groupBy("event_type").agg(
+        F.max("t").cast("long").alias("n_total"),
+        F.max("s").cast("long").alias("n_success"),
+        F.round(F.max(F.struct(F.col("t"), F.col("llr"))).getField("llr"), 6).alias(
+            "llr_final"
+        ),
+        up.cast("long").alias("_up"),
+        lo.cast("long").alias("_lo"),
+    )
+    first = (
+        F.when(F.col("_up").isNull() & F.col("_lo").isNull(), F.lit(None).cast("long"))
+        .when(F.col("_up").isNull(), F.col("_lo"))
+        .when(F.col("_lo").isNull(), F.col("_up"))
+        .otherwise(F.least("_up", "_lo"))
+    )
+    decision = (
+        F.when(first.isNull(), F.lit("continue"))
+        .when(F.col("_lo").isNull() | (F.col("_up") <= F.col("_lo")), F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+    )
+    return (
+        agg.select(
+            "event_type",
+            "n_total",
+            "n_success",
+            "llr_final",
+            first.alias("first_cross_n"),
+            decision.alias("decision"),
+        )
+        .orderBy("event_type")
+    )
+
+
+S_SPRT_SQL = f"""
+WITH walk AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS t,
+         SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), scored AS (
+  SELECT event_type, t, s,
+         CAST(s AS DOUBLE) * ({_SPRT_C1}) + CAST(t - s AS DOUBLE) * ({_SPRT_C0}) AS llr
+  FROM walk
+), agg AS (
+  SELECT event_type,
+         CAST(MAX(t) AS BIGINT) AS n_total,
+         CAST(MAX(s) AS BIGINT) AS n_success,
+         ROUND(arg_max(llr, t), 6) AS llr_final,
+         CAST(MIN(CASE WHEN llr >= ({_SPRT_A}) THEN t END) AS BIGINT) AS up,
+         CAST(MIN(CASE WHEN llr <= ({_SPRT_B}) THEN t END) AS BIGINT) AS lo
+  FROM scored GROUP BY event_type
+)
+SELECT event_type, n_total, n_success, llr_final,
+       CASE WHEN up IS NULL AND lo IS NULL THEN NULL
+            WHEN up IS NULL THEN lo WHEN lo IS NULL THEN up
+            ELSE LEAST(up, lo) END AS first_cross_n,
+       CASE WHEN up IS NULL AND lo IS NULL THEN 'continue'
+            WHEN lo IS NULL OR up <= lo THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["s_sprt_boundary"] = s_sprt_boundary
+ORACLE["s_sprt_boundary"] = S_SPRT_SQL
+
+
+def s_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood-ratio goodness of fit) of the documents
+    source distribution against uniform — the chi²-family companion the
+    x_chi2_cells query lacks (G is additive across cells and the LRT-
+    exact form). Emits one row per source with its observed count,
+    uniform expectation and G contribution 2·o·ln(o/e); per-cell rows
+    (the ``s_kl_per_source`` pattern) keep every float expression
+    row-local on exact integers, so no cross-engine sum-order issue
+    exists. NULL source would be its own cell; the fixture has none and
+    a NULL group key groups identically in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("observed"))
+    tot = counts.agg(
+        F.sum("observed").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_k"),
+    )
+    e = F.col("_n") / F.col("_k")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("observed").cast("long").alias("observed"),
+            F.round(e, 6).alias("expected_uniform"),
+            F.round(
+                2.0 * F.col("observed").cast("double")
+                * F.log(F.col("observed").cast("double") / e),
+                6,
+            ).alias("g_term"),
+        )
+        .orderBy("source")
+    )
+
+
+S_G_TEST_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS observed FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(observed) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS k
+  FROM counts
+)
+SELECT source,
+       CAST(observed AS BIGINT) AS observed,
+       ROUND(n / k, 6) AS expected_uniform,
+       ROUND(2.0 * CAST(observed AS DOUBLE) * ln(CAST(observed AS DOUBLE) / (n / k)), 6) AS g_term
+FROM counts, tot ORDER BY source
+"""
+
+QUERIES["s_g_test"] = s_g_test
+ORACLE["s_g_test"] = S_G_TEST_SQL

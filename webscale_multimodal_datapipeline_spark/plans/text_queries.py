@@ -2017,3 +2017,75 @@ FROM per_source p JOIN dfp d ON p.source IS NOT DISTINCT FROM d.source
 
 QUERIES["t_winnowing_fingerprint"] = t_winnowing_fingerprint
 ORACLE["t_winnowing_fingerprint"] = _winnowing_sql()
+
+
+_OOV_VOCAB_K = 1000
+
+
+def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: build a frequency-ranked vocabulary of
+    the corpus's top 1000 normalized tokens (ties broken token-asc, the
+    deterministic rule) and report each source's out-of-vocabulary token
+    rate — the number a tokenizer team checks per data source before
+    committing a vocab size (high OOV on a source means its text will
+    fragment into long byte-fallback sequences and inflate training
+    cost). All-integer counts; one double division per row.
+
+    Scale shape: token counts are one map-side-combinable aggregate; the
+    vocab is a bounded top-K (broadcast-joined back); per-source rates
+    are a second rollup — no all-token shuffle beyond the counts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(TX.norm_tokens("text")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok"))),
+        )
+        .filter(F.col("rk") <= _OOV_VOCAB_K)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "tok", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+T_OOV_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({OQ.sql_tokens(OQ.sql_norm('text'))}) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rk
+    FROM toks GROUP BY tok
+  ) WHERE rk <= {_OOV_VOCAB_K}
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+       ROUND(CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.source ORDER BY t.source
+"""
+
+QUERIES["t_oov_rate"] = t_oov_rate
+ORACLE["t_oov_rate"] = T_OOV_SQL

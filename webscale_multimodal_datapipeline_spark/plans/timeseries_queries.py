@@ -628,3 +628,80 @@ WHERE y IS NOT NULL""")
 
 QUERIES["ts_autocorrelation"] = ts_autocorrelation
 ORACLE["ts_autocorrelation"] = _acf_sql()
+
+
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957) over the
+    daily order-count series — the level+trend forecaster one step up
+    from ``ts_ewma``: l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, initialized l=y₁, b=y₂−y₁,
+    folded over y₃..y_n; emits the final state and the 7-day-ahead
+    linear forecast l + 7b.
+
+    Cross-engine float parity by construction: the recursion is a
+    strictly sequential left fold — Spark runs it as ONE
+    ``aggregate()`` over the date-sorted array, DuckDB as a recursive
+    CTE — with the identical inlined expression tree and identical
+    float literals (0.3/0.7/0.1/0.9, never 1−α), so every intermediate
+    double is bit-equal.
+
+    Scale note: the fold is over the DAILY rollup (bounded by calendar
+    days, not rows) after a map-side-combinable count — the same
+    bounded-rollup-then-scalar shape as the statistics layer."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("d", "y"))),
+        lambda s: s["y"].cast("double"),
+    )
+    g = daily.agg(arr.alias("ys"))
+    y1 = F.element_at("ys", 1)
+    y2 = F.element_at("ys", 2)
+    tail = F.slice(F.col("ys"), 3, F.greatest(F.size("ys") - 2, F.lit(0)))
+    A, NA, B, NB = F.lit(0.3), F.lit(0.7), F.lit(0.1), F.lit(0.9)
+
+    def _step(acc, y):
+        l_new = A * y + NA * (acc["l"] + acc["b"])
+        b_new = B * ((A * y + NA * (acc["l"] + acc["b"])) - acc["l"]) + NB * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    state = F.aggregate(
+        tail,
+        F.struct(y1.alias("l"), (y2 - y1).alias("b")),
+        _step,
+    )
+    return g.select(
+        F.size("ys").cast("long").alias("n_days"),
+        F.round(state["l"], 6).alias("level"),
+        F.round(state["b"], 6).alias("trend"),
+        F.round(state["l"] + F.lit(7.0) * state["b"], 6).alias("forecast_7d"),
+    )
+
+
+TS_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, CAST(y AS DOUBLE) AS y
+  FROM (SELECT o_orderdate AS d, COUNT(*) AS y FROM orders
+        WHERE o_orderdate IS NOT NULL GROUP BY 1)
+), nn AS (SELECT MAX(i) AS n FROM daily),
+holt(t, l, b) AS (
+  SELECT 2,
+         (SELECT y FROM daily WHERE i = 1),
+         (SELECT y FROM daily WHERE i = 2) - (SELECT y FROM daily WHERE i = 1)
+  UNION ALL
+  SELECT h.t + 1,
+         0.3 * d.y + 0.7 * (h.l + h.b),
+         0.1 * ((0.3 * d.y + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b
+  FROM holt h JOIN daily d ON d.i = h.t + 1, nn WHERE h.t < nn.n
+)
+SELECT CAST(nn.n AS BIGINT) AS n_days,
+       ROUND(l, 6) AS level,
+       ROUND(b, 6) AS trend,
+       ROUND(l + 7.0 * b, 6) AS forecast_7d
+FROM holt, nn WHERE t = nn.n
+"""
+
+QUERIES["ts_holt_linear"] = ts_holt_linear
+ORACLE["ts_holt_linear"] = TS_HOLT_SQL
