@@ -153,8 +153,16 @@ def minhash_lsh_dup_map(
         .withColumn("_shingles", TX.word_shingles(text_col, k=k, toks=F.col("_toks")))
         .withColumn("_hashes", shingle_hashes(F.col("_shingles")))
         .withColumn("_sig", minhash_signature(text_col, k=k, hashes=F.col("_hashes")))
-        .drop("_toks", "_hashes")
+        .select(F.col(id_col), "_shingles", "_sig")
     )
+    # Materialize the signature table ONCE: the un-checkpointed plan
+    # re-derived the md5-shingle pipeline on every reference (banded
+    # side + both verify sides + anti-join probe = 5 full scans,
+    # measured in executedPlan — broadcast joins never get a
+    # ReusedExchange). This is the signature-table materialization every
+    # production LSH job does anyway; at 100 TB it would be a persisted
+    # table, here a localCheckpoint (one narrow scan, read thereafter).
+    base = base.localCheckpoint(eager=True)
     sh = base.select(F.col(id_col), "_shingles")
     banded = base.select(
         F.col(id_col), F.explode(lsh_bands(F.col("_sig"))).alias("_band")
@@ -493,13 +501,16 @@ def embedding_cosine_dup_map(
 
     # Precompute the L2 norm per row BEFORE the pair join — cosine inside
     # the join is then one dot product + one multiply instead of three
-    # folds (identical values: dot/(||a||*||b||) either way).
+    # folds (identical values: dot/(||a||*||b||) either way). The
+    # projected table is materialized once (localCheckpoint): both join
+    # sides otherwise recompute the `planes × dim`-term bucket projection
+    # from a fresh scan (broadcast join, no ReusedExchange).
     b = df.select(
         F.col(id_col),
         F.col(emb_col),
         VX.l2_norm(emb_col).alias("_norm"),
         hyperplane_bucket(emb_col, dim, planes).alias("_bucket"),
-    )
+    ).localCheckpoint(eager=True)
     l, r = b.alias("l"), b.alias("r")
     cos = VX.dot(F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}")) / (
         F.col("l._norm") * F.col("r._norm")
