@@ -264,3 +264,109 @@ def test_events_queries_null_parity(spark, messy_events_dir, name):
     assert list(a.columns) == list(b.columns), name
     assert len(a) == len(b), (name, len(a), len(b))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 queries: null-injected parity (same harness, three table families)
+# ---------------------------------------------------------------------------
+
+_R6_DOC_QUERIES = [
+    "s_g_test",
+    "t_oov_rate",
+    "c_pack_efficiency",
+    "m_dup_frame_ratio",
+    "d_cluster_modularity",
+    "d_minhash_est_vs_exact",
+]
+
+
+def _assert_parity(got, want, name):
+    import pandas as pd
+
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_bool_dtype(df[c]):
+                df[c] = df[c].astype("int64")
+            elif pd.api.types.is_float_dtype(df[c]):
+                df[c] = df[c].astype("float64").round(9)
+            else:
+                df[c] = df[c].astype(str)
+        return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    a, b = norm(got), norm(want)
+    assert list(a.columns) == list(b.columns), name
+    assert len(a) == len(b), (name, len(a), len(b))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", _R6_DOC_QUERIES)
+def test_round6_doc_queries_null_parity(spark, messy_dir, name):
+    import duckdb
+
+    from webscale_multimodal_datapipeline_spark.plans.registry import ORACLE, QUERIES
+
+    got = QUERIES[name](spark, messy_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{messy_dir}/documents.parquet/*.parquet'"
+    )
+    _assert_parity(got, con.sql(ORACLE[name]).df(), name)
+
+
+@pytest.mark.parametrize("name", ["e_cuped", "s_sprt_boundary"])
+def test_round6_events_queries_null_parity(spark, messy_events_dir, name):
+    import duckdb
+
+    from webscale_multimodal_datapipeline_spark.plans.registry import ORACLE, QUERIES
+
+    got = QUERIES[name](spark, messy_events_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{messy_events_dir}/events.parquet/*.parquet'"
+    )
+    _assert_parity(got, con.sql(ORACLE[name]).df(), name)
+
+
+@pytest.fixture(scope="module")
+def messy_orders_dir(spark, tmp_path_factory):
+    """orders/customer/lineitem with NULL join keys and NULL dates —
+    the relational-family poison shapes (round-6 sweep)."""
+    d = tmp_path_factory.mktemp("messy_rel")
+    orders = [
+        (1, 10, "2024-01-01"),
+        (2, 10, "2024-01-02"),
+        (3, None, "2024-01-03"),   # NULL custkey
+        (4, 20, None),             # NULL date
+        (5, 30, "2024-01-03"),
+        (None, 10, "2024-01-04"),  # NULL orderkey
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date")).coalesce(
+        1
+    ).write.parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        [(10,), (20,), (None,), (40,)], "c_custkey long"
+    ).coalesce(1).write.parquet(str(d / "customer.parquet"))
+    spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (5,), (99,)], "l_orderkey long"
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["ts_holt_linear", "x_join_cardinality_estimate"])
+def test_round6_orders_queries_null_parity(spark, messy_orders_dir, name):
+    import duckdb
+
+    from webscale_multimodal_datapipeline_spark.plans.registry import ORACLE, QUERIES
+
+    got = QUERIES[name](spark, messy_orders_dir).toPandas()
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{messy_orders_dir}/{t}.parquet/*.parquet'"
+        )
+    _assert_parity(got, con.sql(ORACLE[name]).df(), name)

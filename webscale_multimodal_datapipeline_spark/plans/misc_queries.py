@@ -1688,11 +1688,21 @@ def x_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = None
     for name, ta, ka, tb, kb in specs:
-        a = load_table(spark, sf_dir, ta).groupBy(F.col(ka).alias("k")).agg(
-            F.count(F.lit(1)).alias("ca")
+        # NULL join keys can never match, so they are excluded from BOTH
+        # the row counts and the NDV by spec (SQL's COUNT(DISTINCT) also
+        # ignores NULLs; without the filter Spark's rollup would carry a
+        # NULL-key group the estimate denominator must not see — §24)
+        a = (
+            load_table(spark, sf_dir, ta)
+            .filter(F.col(ka).isNotNull())
+            .groupBy(F.col(ka).alias("k"))
+            .agg(F.count(F.lit(1)).alias("ca"))
         )
-        b = load_table(spark, sf_dir, tb).groupBy(F.col(kb).alias("k")).agg(
-            F.count(F.lit(1)).alias("cb")
+        b = (
+            load_table(spark, sf_dir, tb)
+            .filter(F.col(kb).isNotNull())
+            .groupBy(F.col(kb).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cb"))
         )
         stats_a = a.agg(
             F.sum("ca").cast("long").alias("rows_a"),
@@ -1737,23 +1747,27 @@ def x_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 X_JOIN_CARD_SQL = """
 WITH spec AS (
   SELECT 'customer_orders' AS join_name,
-         (SELECT COUNT(*) FROM customer) AS rows_a,
-         (SELECT COUNT(*) FROM orders) AS rows_b,
+         (SELECT COUNT(*) FROM customer WHERE c_custkey IS NOT NULL) AS rows_a,
+         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL) AS rows_b,
          GREATEST((SELECT COUNT(DISTINCT c_custkey) FROM customer),
                   (SELECT COUNT(DISTINCT o_custkey) FROM orders)) AS ndv_max,
          (SELECT COALESCE(SUM(ca * cb), 0) FROM
-            (SELECT c_custkey AS k, COUNT(*) AS ca FROM customer GROUP BY 1) a
-            JOIN (SELECT o_custkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1) b
+            (SELECT c_custkey AS k, COUNT(*) AS ca FROM customer
+             WHERE c_custkey IS NOT NULL GROUP BY 1) a
+            JOIN (SELECT o_custkey AS k, COUNT(*) AS cb FROM orders
+                  WHERE o_custkey IS NOT NULL GROUP BY 1) b
             USING (k)) AS actual_rows
   UNION ALL
   SELECT 'orders_lineitem',
-         (SELECT COUNT(*) FROM orders),
-         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NOT NULL),
+         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
          GREATEST((SELECT COUNT(DISTINCT o_orderkey) FROM orders),
                   (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)),
          (SELECT COALESCE(SUM(ca * cb), 0) FROM
-            (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1) a
-            JOIN (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1) b
+            (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders
+             WHERE o_orderkey IS NOT NULL GROUP BY 1) a
+            JOIN (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem
+                  WHERE l_orderkey IS NOT NULL GROUP BY 1) b
             USING (k))
 )
 SELECT join_name,

@@ -757,6 +757,9 @@ def m_dup_frame_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_frames − distinct(signatures). Reported per source as exact
     integer counts + one ratio.
 
+    NULL-payload videos are excluded by spec on both engines (the
+    frame sampler skips None payloads; the mirror filters NULL text).
+
     The signature math is per-frame-local (JVM expressions over the
     frame bytes), so the only shuffles are the per-video distinct and
     the source rollup."""
@@ -806,6 +809,7 @@ _FRAME_SIG = (
 M_DUP_FRAME_SQL = f"""
 WITH vids AS (
   SELECT source, doc_id, {_FAKE_HEX} AS h FROM documents
+  WHERE text IS NOT NULL
 ), frames AS (
   SELECT source, doc_id, unnest(range(0, 16)) AS i, h FROM vids
 ), sigs AS (
