@@ -316,7 +316,7 @@ def test_round6_doc_queries_null_parity(spark, messy_dir, name):
     _assert_parity(got, con.sql(ORACLE[name]).df(), name)
 
 
-@pytest.mark.parametrize("name", ["e_cuped", "s_sprt_boundary"])
+@pytest.mark.parametrize("name", ["e_cuped", "s_sprt_boundary", "e_cusum_hourly"])
 def test_round6_events_queries_null_parity(spark, messy_events_dir, name):
     import duckdb
 

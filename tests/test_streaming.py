@@ -552,3 +552,197 @@ def test_stream_incremental_dedup_exact_parity_with_batch(spark, sf_dir, tmp_pat
     # a NEW epoch carrying only already-seen content commits zero docs
     handler(spark.read.parquet(f"{src}/file-1.parquet"), 99)
     assert sorted(r.doc_id for r in TX.read(spark, table).collect()) == got
+
+
+def test_streaming_cusum_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """Round-6 third streaming statistics lift: hourly rollup → MERGE →
+    shared CUSUM scorer == the batch e_cusum_hourly, EXACTLY (BIGINT
+    argmax algebra, no tolerance). Same 3-ts-range-file arrival harness
+    as the spike test so the MERGE path genuinely executes."""
+    from webscale_multimodal_datapipeline_spark.plans.events_queries import (
+        e_cusum_hourly,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    ev_dir = str(tmp_path / "evparts")
+    load_table(spark, sf_dir, "events").repartitionByRange(3, "ts").write.parquet(
+        ev_dir
+    )
+    _pin_part_mtimes(ev_dir)
+
+    stream = SP.read_parquet_events_stream(spark, ev_dir, max_files_per_trigger=1)
+    table = str(tmp_path / "rollup_tbl")
+    SP.stream_rollup_to_txtable(
+        SP.hourly_rollup(stream), table, str(tmp_path / "ckpt")
+    )
+    actions = [h["action"] for h in TX.history(table)]
+    assert actions[0] == "append" and "overwrite" in actions[1:]
+
+    got = SP.cusum_from_rollup(spark, table).collect()
+    want = e_cusum_hourly(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def _py_minhash(text: str, k: int = 3):
+    """Independent pure-Python mirror of norm_tokens → word_shingles →
+    md5-MinHash → bands (the cross-engine md5 constants from
+    operators/dedup.py). ASCII-only corpus by construction, so Python
+    str.lower()/\\s+ semantics coincide with the JVM's."""
+    import hashlib
+    import re
+
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_MINHASHES,
+    )
+
+    toks = re.split(r"\s+", text.lower().strip()) if text.strip() else []
+    if len(toks) >= k:
+        shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    else:
+        shingles = {" ".join(toks)}
+    hashes = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+        for s in sorted(shingles)
+    ]
+    sig = [
+        min((h * a + b) % MINHASH_P for h in hashes)
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+    r = NUM_MINHASHES // LSH_BANDS
+    bands = {
+        "|".join([str(j)] + [str(sig[j * r + i]) for i in range(r)])
+        for j in range(LSH_BANDS)
+    }
+    return shingles, sig, bands
+
+
+def _py_incremental_neardup(files, threshold: float = 0.7):
+    """Greedy replay reference: within-file exact-Jaccard LSH dedup
+    (min-id winner, chain semantics: rejected iff ANY smaller-id verified
+    near-dup, like minhash_lsh_dup_map), then signature-agreement probe
+    of the accumulated index — exactly the handler's two verify tiers."""
+    import math
+
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        NUM_MINHASHES,
+    )
+
+    min_agree = int(math.ceil(threshold * NUM_MINHASHES - 1e-9))
+    index = []  # (sig, bands) of committed survivors
+    survivors = []
+    for docs in files:  # docs: list of (doc_id, text)
+        feats = {i: _py_minhash(t) for i, t in docs}
+        ids = sorted(feats)
+        batch_ok = []
+        for i in ids:
+            sh_i, _, b_i = feats[i]
+            rejected = False
+            for j in ids:
+                if j >= i:
+                    break
+                sh_j, _, b_j = feats[j]
+                if b_i & b_j:
+                    jac = len(sh_i & sh_j) / len(sh_i | sh_j)
+                    if jac >= threshold:
+                        rejected = True
+                        break
+            if not rejected:
+                batch_ok.append(i)
+        committed = []
+        for i in batch_ok:
+            _, sig_i, b_i = feats[i]
+            hit = any(
+                (b_i & b_old)
+                and sum(x == y for x, y in zip(sig_i, s_old)) >= min_agree
+                for s_old, b_old in index
+            )
+            if not hit:
+                committed.append(i)
+        for i in committed:
+            _, sig_i, b_i = feats[i]
+            index.append((sig_i, b_i))
+        survivors.extend(committed)
+    return sorted(survivors)
+
+
+def test_stream_incremental_neardup_matches_python_reference(spark, tmp_path):
+    """Round-6 near-dup CDC composition: 3-file replay through
+    MinHash-LSH incremental dedup → txtable equals an INDEPENDENT pure-
+    Python greedy replay (md5 minhash recomputed from scratch), and the
+    injected duplicate/exact/near-copy docs behave as designed."""
+    import os
+
+    import numpy as np
+
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    rng = np.random.RandomState(7)
+    pool = [f"w{n:03d}" for n in range(200)]
+
+    def mk_text(n_words=25):
+        return " ".join(rng.choice(pool, size=n_words))
+
+    base = [(1000 + i, mk_text()) for i in range(30)]
+    files = [base[:10], base[10:20], base[20:30]]
+    # cross-epoch exact duplicate of an epoch-0 doc (agreement 12/12)
+    files[1] = files[1] + [(2001, base[3][1])]
+    # cross-epoch near-copy: one word changed (estimator decides)
+    w = base[4][1].split()
+    w[10] = "zzchanged"
+    files[1] = files[1] + [(2002, " ".join(w))]
+    # cross-epoch near-copy: one word appended to an epoch-1 doc
+    files[2] = files[2] + [(3001, base[12][1] + " zztail")]
+    # within-batch near pair: 3002 survives, 3003 is its 1-word mutation
+    # (position 4 chosen so the pair provably shares LSH bands on these
+    # md5 constants — at J=0.769 a band match has p≈0.91 per pair, and a
+    # probabilistic test would flake; the parity assert below is the
+    # real check, this pair pins the within-batch reject path)
+    t = mk_text()
+    files[2] = files[2] + [(3002, t)]
+    w = t.split()
+    w[4] = "zzother"
+    files[2] = files[2] + [(3003, " ".join(w))]
+
+    import pandas as pd
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    for i, docs in enumerate(files):
+        p = f"{src}/file-{i}.parquet"
+        pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))  # deterministic order
+
+    # stream each file as its own micro-batch, in mtime order
+    table = str(tmp_path / "tbl")
+    handler = SP.incremental_neardup_batch_handler(table)
+    for i in range(3):
+        handler(spark.read.parquet(f"{src}/file-{i}.parquet"), i)
+    assert [h["action"] for h in TX.history(table)] == ["append"] * 3
+
+    got = sorted(r.doc_id for r in TX.read(spark, table).collect())
+    want = _py_incremental_neardup(files)
+    assert got == want
+
+    # designed behaviors: exact cross-epoch dup rejected; within-batch
+    # 1-word mutation rejected (exact Jaccard 20/26 = 0.769); its
+    # original survives; all 30 base docs are mutually non-near.
+    assert 2001 not in got and 3003 not in got and 3002 in got
+    assert all(i in got for i, _ in base)
+
+    # duplicate epoch (at-least-once retry) is a committed no-op
+    handler(spark.read.parquet(f"{src}/file-1.parquet"), 1)
+    assert len(TX.history(table)) == 3
+    assert sorted(r.doc_id for r in TX.read(spark, table).collect()) == got
+
+    # the streaming runner drives the same handler end-to-end
+    table2 = str(tmp_path / "tbl2")
+    SP.stream_incremental_neardup_to_txtable(
+        SP.read_parquet_stream(spark, src, max_files_per_trigger=1),
+        table2,
+        str(tmp_path / "ckpt2"),
+    )
+    assert sorted(r.doc_id for r in TX.read(spark, table2).collect()) == want

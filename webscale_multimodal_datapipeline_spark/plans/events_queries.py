@@ -1941,3 +1941,84 @@ FROM g
 
 QUERIES["e_cuped"] = e_cuped
 ORACLE["e_cuped"] = E_CUPED_SQL
+
+
+def cusum_over_hourly_totals(hourly: DataFrame) -> DataFrame:
+    """Shared CUSUM-changepoint scorer over an ``(_h, cnt)`` hourly count
+    table (any event-type split is summed away first): the hour
+    maximizing |n·C_t − t·N| — the same pure-BIGINT argmax algebra as
+    ``ts_cusum_changepoint``, factored out so the BATCH query and the
+    STREAMING lift score through literally the same code (the
+    spike/SRM lift pattern — exact parity by construction)."""
+    total = hourly.groupBy("_h").agg(F.sum("cnt").alias("c"))
+    w = Window.orderBy("_h")
+    cum = total.select(
+        "_h",
+        F.row_number().over(w).alias("t"),
+        F.sum("c").over(w).alias("cumc"),
+    )
+    tot = total.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    dev = F.col("n_hours") * F.col("cumc") - F.col("t") * F.col("n_total")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.date_format("_h", "yyyy-MM-dd HH:00").alias("changepoint_hour"),
+            F.col("t").cast("long").alias("hour_idx"),
+            "n_hours",
+            "n_total",
+            F.abs(dev).cast("long").alias("abs_dev"),
+            F.round(
+                F.abs(dev).cast("double")
+                / (F.col("n_hours").cast("double") * F.col("n_total").cast("double")),
+                8,
+            ).alias("cusum_stat"),
+        )
+        .orderBy(F.desc("abs_dev"), F.asc("changepoint_hour"))
+        .limit(1)
+    )
+
+
+def e_cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint over the TOTAL hourly event arrivals — "when
+    did the traffic mix shift?" at stream granularity; the batch anchor
+    for the streaming lift (``streaming/pipeline.py::cusum_from_rollup``
+    scores the live txtable rollup through the same
+    ``cusum_over_hourly_totals``). NULL-ts events excluded by spec
+    (unwindowable — §24)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("_h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return cusum_over_hourly_totals(hourly)
+
+
+E_CUSUM_HOURLY_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT h,
+         ROW_NUMBER() OVER (ORDER BY h) AS t,
+         SUM(c) OVER (ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+  FROM hourly
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM hourly
+)
+SELECT strftime(h, '%Y-%m-%d %H:00') AS changepoint_hour,
+       CAST(t AS BIGINT) AS hour_idx,
+       n_hours, n_total,
+       CAST(abs(n_hours * cumc - t * n_total) AS BIGINT) AS abs_dev,
+       ROUND(CAST(abs(n_hours * cumc - t * n_total) AS DOUBLE)
+             / (CAST(n_hours AS DOUBLE) * CAST(n_total AS DOUBLE)), 8) AS cusum_stat
+FROM cum, tot
+ORDER BY abs_dev DESC, changepoint_hour ASC
+LIMIT 1
+"""
+
+QUERIES["e_cusum_hourly"] = e_cusum_hourly
+ORACLE["e_cusum_hourly"] = E_CUSUM_HOURLY_SQL

@@ -506,3 +506,150 @@ def stream_incremental_dedup_to_txtable(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def incremental_neardup_batch_handler(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    jaccard_threshold: float = 0.7,
+):
+    """foreachBatch handler for continuous-crawl NEAR-dup dedup — the
+    MinHash-LSH analog of ``incremental_dedup_batch_handler`` (exact
+    dedup's CDC composition). Each micro-batch:
+
+    1. **Within-batch** near-dup removal via the batch operator's own
+       shared plan (``minhash_lsh_dup_map``): banded-LSH candidates,
+       EXACT shingle-Jaccard verify (the shingles are in hand), min-id
+       winner — identical semantics to the oracle-checked
+       ``d_minhash_lsh_dedup``.
+    2. **Cross-epoch** probe of the accumulated survivors: the txtable
+       stores each survivor's 12-component MinHash signature and band
+       keys (the table IS the LSH index — 12 bigints + 4 strings per
+       doc, never the shingle sets: the only index shape whose storage
+       survives 100 TB). Candidates = any shared band; verify by
+       SIGNATURE AGREEMENT ĵ = agreeing components / NUM_MINHASHES ≥
+       ``jaccard_threshold`` (Broder's unbiased Jaccard estimator — the
+       same estimator ``d_minhash_est_vs_exact`` audits against exact
+       Jaccard on these constants). The two verify tiers are deliberate:
+       each stage uses the strongest verification its available state
+       affords.
+    3. Survivors + their ``_sig``/``_bands`` columns land in ONE
+       epoch-idempotent append (the anti-join guarantees new docs only,
+       so CDC degenerates to insert-only — no snapshot rewrite), making
+       a re-delivered micro-batch a committed no-op.
+
+    Index traffic is columnar-pruned: the probe projects only
+    (``id_col``, ``_sig``, ``_bands``) from the table, so parquet reads
+    just those pages, never the document bodies. Single-writer per table
+    (standard streaming-sink contract)."""
+    import math
+
+    from webscale_multimodal_datapipeline_spark.functions import text as TXT
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        NUM_MINHASHES,
+        lsh_bands,
+        minhash_lsh_dup_map,
+        minhash_signature,
+        shingle_hashes,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    # ĵ ≥ threshold over 12 components ⇒ at least ceil(threshold·12) agree.
+    min_agree = int(math.ceil(jaccard_threshold * NUM_MINHASHES - 1e-9))
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = f"incneardup-epoch-{epoch_id}"
+        if epoch in TX.committed_epochs(table):
+            return  # re-delivered epoch: skip even the Spark work
+        dup = minhash_lsh_dup_map(batch_df, text_col, id_col, k, jaccard_threshold)
+        surv = batch_df.join(dup.select(id_col), id_col, "left_anti")
+        enriched = (
+            surv.withColumn("_toks", TXT.norm_tokens(text_col))
+            .withColumn(
+                "_shingles", TXT.word_shingles(text_col, k=k, toks=F.col("_toks"))
+            )
+            .withColumn(
+                "_sig",
+                minhash_signature(
+                    text_col, k=k, hashes=shingle_hashes(F.col("_shingles"))
+                ),
+            )
+            .drop("_toks", "_shingles")
+            .withColumn("_bands", lsh_bands(F.col("_sig")))
+        )
+        if TX.latest_version(table) >= 0:
+            idx = TX.read(spark, table).select(
+                F.col(id_col).alias("_old_id"),
+                F.col("_sig").alias("_old_sig"),
+                F.explode("_bands").alias("_band"),
+            )
+            probe = enriched.select(
+                F.col(id_col).alias("_new_id"),
+                F.col("_sig").alias("_new_sig"),
+                F.explode("_bands").alias("_band"),
+            )
+            agree = F.aggregate(
+                F.zip_with(
+                    "_new_sig", "_old_sig", lambda a, b: (a == b).cast("int")
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            rejected = (
+                probe.join(idx, "_band")
+                .dropDuplicates(["_new_id", "_old_id"])
+                .filter(agree >= min_agree)
+                .select(F.col("_new_id").alias(id_col))
+                .distinct()
+            )
+            enriched = enriched.join(rejected, id_col, "left_anti")
+        TX.append(enriched, table, app_epoch=epoch)
+
+    return _commit
+
+
+def stream_incremental_neardup_to_txtable(
+    docs: DataFrame,
+    table: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> None:
+    """Drive a docs stream through incremental NEAR-dup into a
+    transactional table and block until the source drains (replay
+    harness form, mirrors ``stream_incremental_dedup_to_txtable``)."""
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(
+            incremental_neardup_batch_handler(
+                table, text_col, id_col, k, jaccard_threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def cusum_from_rollup(spark: SparkSession, table: str) -> DataFrame:
+    """Third streaming statistics lift (round 6): CUSUM changepoint over
+    the ACCUMULATED hourly rollup snapshot — the SAME pure-BIGINT argmax
+    as the batch ``e_cusum_hourly`` (shared scorer
+    ``cusum_over_hourly_totals``), so streaming and batch changepoints
+    are bit-identical on the same input. Composes the proven pieces:
+    watermarked UPDATE-mode rollup → epoch-idempotent txtable MERGE →
+    snapshot scoring."""
+    from webscale_multimodal_datapipeline_spark.plans.events_queries import (
+        cusum_over_hourly_totals,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    return cusum_over_hourly_totals(TX.read(spark, table).select("_h", "cnt"))
