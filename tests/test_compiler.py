@@ -417,3 +417,22 @@ def test_near_dup_operators_refuse_streaming(spark, sf_dir):
         }
         with pytest.raises(ValueError, match="no streaming semantics"):
             compile_pipeline(cfg).stream(spark, sf_dir, SP.EVENTS_SCHEMA)
+
+
+def test_neardup_pipeline_yaml_end_to_end(spark, sf_dir):
+    """The shipped example config composes the quality gate with the
+    YAML-reachable MinHash near-dup operator; the chained semantics equal
+    filter-then-dedup applied directly."""
+    from webscale_multimodal_datapipeline_spark.operators import dedup as OD
+
+    plan = compile_pipeline("/root/repo/examples/neardup_pipeline.yaml")
+    res = plan.run(spark, sf_dir, observe_metrics=False)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eff = F.coalesce(F.col("n_chars"), F.length("text"), F.lit(0))
+    gated = docs.filter(eff.between(50, 10000))
+    expected = OD.minhash_lsh_dedup(gated, jaccard_threshold=0.7)
+    assert res.output.count() == expected.count()
+    assert {r["_rejection_details"]["operator"] for r in res.rejected.collect()} <= {
+        "text_length_filter",
+        "minhash_lsh_dedup",
+    }

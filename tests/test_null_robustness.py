@@ -277,6 +277,7 @@ _R6_DOC_QUERIES = [
     "m_dup_frame_ratio",
     "d_cluster_modularity",
     "d_minhash_est_vs_exact",
+    "x_kmv_distinct",
 ]
 
 

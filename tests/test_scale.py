@@ -305,14 +305,19 @@ def test_lsh_dedup_shuffles_only_small_columns(spark, sf_dir):
         .optimizedPlan()
         .toString()
     )
-    # the explode of band keys must sit above a projection without `text`
+    # Each band-key explode must sit directly above a projection carrying
+    # only (id, _sig) — neither text NOR the shingle arrays may ride the
+    # band shuffle. (Since the round-6 signature-table materialization the
+    # subtree bottoms out in a LogicalRDD [doc_id, _shingles, _sig], so the
+    # pruning Project above it is what this test pins.)
     import re
 
-    m = re.search(r"Generate explode[^\n]*\n(.*?)Relation", plan, re.S)
-    assert m, plan[:500]
-    assert "text" not in m.group(1).split("Project")[1].split("\n")[0], (
-        "band explode carries text into the shuffle"
-    )
+    projs = re.findall(r"Generate explode[^\n]*\n[^\[]*Project \[([^\]]*)\]", plan)
+    assert projs, plan[:500]
+    for cols in projs:
+        assert "text" not in cols and "_shingles" not in cols, (
+            "band explode carries document content into the shuffle: " + cols
+        )
 
 
 def test_runtime_bloom_filter_injects_on_unbroadcastable_join(spark, sf_dir):

@@ -109,6 +109,7 @@ _ALLOW: dict[tuple[str, str], str] = {
     ("v_binary_quantize_rerank", F_BCAST): "hinted side = the query set (vec_id < N_QUERIES) with its two sign words",
     ("ts_cusum_changepoint", F_SINGLE): "single-partition cumsum input = per-DAY rollup (calendar-bounded, the e_growth_accounting class), then reduced to 1 row",
     ("e_cusum_hourly", F_SINGLE): "single-partition cumsum input = per-HOUR rollup (calendar-bounded, the ts_cusum_changepoint class), then reduced to 1 row",
+    ("x_kmv_distinct", F_SINGLE): "single-partition re-rank input = pooled per-source KMV sketches (n_sources x k hashes, bounded by contract)",
     ("s_bh_fdr", F_SINGLE): "single-partition window input = per-SOURCE rollup (m sources, bounded by contract)",
     ("v_multiprobe_recall", F_BCAST): "hinted sides = the query set (vec_id < N_QUERIES): its ≤37-probe-code expansion, the exact-top-k arm, and the k·|Q| exact-hit flags",
     ("p_dataset_card", F_SINGLE): "single-partition cumsum input = per-LENGTH histogram rollup (bounded value domain, the s_ks_test class), reduced to the 1-row median",

@@ -17,7 +17,7 @@ partial stats; HLL/GK sketches are the principled version of that merge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from webscale_multimodal_datapipeline_spark.catalog import load_table
@@ -206,3 +206,125 @@ ORDER BY l_returnflag
 
 QUERIES["x_distribution_moments"] = x_distribution_moments
 ORACLE["x_distribution_moments"] = X_MOMENTS_SQL
+
+
+# ---------------------------------------------------------------------------
+# KMV (K-minimum-values) distinct-count sketch — Bar-Yossef et al. 2002.
+# Unlike the HLL gate above (estimate checked only by invariant — Spark's
+# DataSketches binary isn't reproducible in DuckDB), KMV built on the shared
+# 60-bit md5 hash is EXACTLY reproducible cross-engine: both engines rank the
+# same hashes, pick the same k-th order statistic, and the estimate
+# (k−1)·2⁶⁰/h₍ₖ₎ is the same IEEE-754 division — so the oracle checks the
+# ESTIMATE by value, not by tolerance.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 16
+# (k−1)·2⁶⁰ as an exact double (4 significant bits — representable):
+_KMV_NUM = float((_KMV_K - 1) * (1 << 60))
+
+
+def x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-content estimate from a k=16 minimum-values
+    sketch over the md5 content fingerprint, gated against the exact
+    distinct count computed alongside — plus a ``__union__`` row whose
+    sketch is re-ranked from the POOLED per-source sketches (k smallest
+    of the union of k-smallest = the union sketch: KMV's mergeability,
+    the property that lets 1000 executors each keep 16 longs and still
+    answer the global cardinality).
+
+    Scale shape: after the distinct, each source contributes at most k
+    hashes to the pool (n_sources × k rows — driver-bounded), and the
+    union re-rank runs on that bounded pool, never the corpus. NULL text
+    is excluded by spec (no content, no fingerprint)."""
+    from webscale_multimodal_datapipeline_spark.functions import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    h = docs.select(
+        "source", TXT.fingerprint("text").alias("_h")
+    ).dropDuplicates(["source", "_h"])
+    w = Window.partitionBy("source").orderBy("_h")
+    sketch = h.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= _KMV_K
+    )
+    per = h.groupBy("source").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    agg = sketch.groupBy("source").agg(
+        F.count(F.lit(1)).alias("sketch_n"),
+        F.max(F.when(F.col("_rn") == _KMV_K, F.col("_h"))).alias("kth_hash"),
+    )
+    pool = sketch.select("_h").distinct()
+    wu = Window.orderBy("_h")
+    upool = pool.withColumn("_rn", F.row_number().over(wu)).filter(
+        F.col("_rn") <= _KMV_K
+    )
+    uagg = (
+        upool.agg(
+            F.count(F.lit(1)).alias("sketch_n"),
+            F.max(F.when(F.col("_rn") == _KMV_K, F.col("_h"))).alias("kth_hash"),
+        )
+        .withColumn("source", F.lit("__union__"))
+    )
+    uexact = (
+        h.select("_h")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+        .withColumn("source", F.lit("__union__"))
+    )
+    rows = per.join(agg, "source").unionByName(uexact.join(uagg, "source"))
+    est_raw = F.when(
+        F.col("sketch_n") < _KMV_K, F.col("exact_distinct").cast("double")
+    ).otherwise(F.lit(_KMV_NUM) / F.col("kth_hash").cast("double"))
+    return rows.select(
+        "source",
+        "exact_distinct",
+        "sketch_n",
+        "kth_hash",
+        F.round(est_raw, 4).alias("kmv_estimate"),
+        F.round(
+            F.abs(est_raw - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+        ).alias("rel_err"),
+    ).orderBy("source")
+
+
+X_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 15)) AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
+), ranked AS (
+  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+), sk AS (SELECT * FROM ranked WHERE rn <= 16),
+per AS (SELECT source, COUNT(*) AS exact_distinct FROM h GROUP BY source),
+agg AS (
+  SELECT source, COUNT(*) AS sketch_n,
+         MAX(CASE WHEN rn = 16 THEN h END) AS kth_hash
+  FROM sk GROUP BY source
+), upool AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM sk)
+), uagg AS (
+  SELECT '__union__' AS source, COUNT(*) AS sketch_n,
+         MAX(CASE WHEN rn = 16 THEN h END) AS kth_hash
+  FROM upool WHERE rn <= 16
+), uexact AS (
+  SELECT '__union__' AS source, COUNT(DISTINCT h) AS exact_distinct FROM h
+), rows_ AS (
+  SELECT p.source, p.exact_distinct, a.sketch_n, a.kth_hash
+  FROM per p JOIN agg a USING (source)
+  UNION ALL
+  SELECT ue.source, ue.exact_distinct, ua.sketch_n, ua.kth_hash
+  FROM uexact ue JOIN uagg ua USING (source)
+)
+SELECT source, exact_distinct, sketch_n, kth_hash,
+       ROUND(CASE WHEN sketch_n < 16 THEN CAST(exact_distinct AS DOUBLE)
+                  ELSE 17293822569102704640.0 / CAST(kth_hash AS DOUBLE) END, 4)
+         AS kmv_estimate,
+       ROUND(ABS(CASE WHEN sketch_n < 16 THEN CAST(exact_distinct AS DOUBLE)
+                      ELSE 17293822569102704640.0 / CAST(kth_hash AS DOUBLE) END
+                 - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM rows_
+ORDER BY source
+"""
+
+QUERIES["x_kmv_distinct"] = x_kmv_distinct
+ORACLE["x_kmv_distinct"] = X_KMV_SQL
