@@ -580,6 +580,13 @@ def incremental_neardup_batch_handler(
             .drop("_toks", "_shingles")
             .withColumn("_bands", lsh_bands(F.col("_sig")))
         )
+        # Materialize the enriched batch ONCE (the signature-table rule,
+        # ARCHITECTURE §26/§27): it feeds the probe join AND the final
+        # anti-join AND the append — left lazy, the 12-way md5-minhash
+        # expression tree re-inlines into each and the probe join's
+        # Catalyst planning alone dominates the epoch (measured 26 rec/s
+        # vs ~20K after; same trap the batch dup_map hit).
+        enriched = enriched.localCheckpoint(eager=True)
         if TX.latest_version(table) >= 0:
             idx = TX.read(spark, table).select(
                 F.col(id_col).alias("_old_id"),
