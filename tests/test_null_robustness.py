@@ -292,7 +292,14 @@ def _assert_parity(got, want, name):
             elif pd.api.types.is_float_dtype(df[c]):
                 df[c] = df[c].astype("float64").round(9)
             else:
-                df[c] = df[c].astype(str)
+                # engines render object-column NULLs differently (Spark
+                # toPandas -> None, DuckDB .df() nullable BOOLEAN -> NaN):
+                # canonicalize NA before stringifying
+                df[c] = df[c].map(
+                    lambda v: "<NULL>"
+                    if (not isinstance(v, (list, tuple)) and pd.isna(v) is True)
+                    else str(v)
+                )
         return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
             drop=True
         )
@@ -370,4 +377,73 @@ def test_round6_orders_queries_null_parity(spark, messy_orders_dir, name):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{messy_orders_dir}/{t}.parquet/*.parquet'"
         )
+    _assert_parity(got, con.sql(ORACLE[name]).df(), name)
+
+
+# ---------------------------------------------------------------------------
+# Vector-family null parity: NULL embedding / NULL element / NULL label /
+# NULL vec_id, plus a zero vector and an exact-duplicate pair — the poison
+# shapes an embeddings delivery actually produces (failed encoder call →
+# NULL row; truncated write → NULL element; unlabeled rows).
+# ---------------------------------------------------------------------------
+
+_VECTOR_NULL_QUERIES = [
+    "v_cosine_topk",
+    "v_cosine_dedup",
+    "v_embedding_norms",
+    "v_quantize_int8",
+    "v_lsh_buckets",
+    "v_lsh_topk",
+    "v_lsh_bucket_purity",
+    "v_knn_classify",
+    "v_mlp_score",
+    "v_embedding_drift",
+    "v_matryoshka_overlap",
+    "v_hard_negatives",
+]
+
+
+@pytest.fixture(scope="module")
+def messy_emb_dir(spark, tmp_path_factory):
+    """Real sf0.001 embeddings (query rows vec_id 0-2 left clean — the
+    query-set contract) + poisoned corpus rows appended."""
+    import numpy as np
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("messy_emb")
+    base = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(base.embedding.iloc[0])
+    poison = pd.DataFrame(
+        {
+            "vec_id": pd.array(
+                [9001, 9002, 9003, 9004, 9005, None], dtype="Int64"
+            ),
+            "embedding": [
+                None,  # failed encode: whole vector NULL
+                np.array([0.0] * dim, dtype="float32"),  # zero vector
+                base.embedding.iloc[5],  # exact duplicate of a corpus row
+                [None if i == 3 else 0.25 for i in range(dim)],  # NULL element
+                base.embedding.iloc[7],  # duplicate with NULL label below
+                base.embedding.iloc[9],  # NULL id
+            ],
+            "label": pd.array([1, 2, 3, 4, None, 6], dtype="Int32"),
+        }
+    )
+    pdf = pd.concat([base, poison], ignore_index=True)
+    (d / "embeddings.parquet").mkdir()
+    pdf.to_parquet(str(d / "embeddings.parquet" / "part-0.parquet"), index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _VECTOR_NULL_QUERIES)
+def test_vector_queries_null_parity(spark, messy_emb_dir, name):
+    import duckdb
+
+    from webscale_multimodal_datapipeline_spark.plans.registry import ORACLE, QUERIES
+
+    got = QUERIES[name](spark, messy_emb_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{messy_emb_dir}/embeddings.parquet/*.parquet'"
+    )
     _assert_parity(got, con.sql(ORACLE[name]).df(), name)

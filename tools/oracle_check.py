@@ -38,7 +38,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif isinstance(df[c].dtype, object.__class__) or df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # canonicalize NA first: Spark toPandas renders object NULLs as
+            # None ('None'), DuckDB nullable BOOLEAN/VARCHAR as NaN ('nan')
+            df[c] = df[c].map(
+                lambda v: "<NULL>"
+                if (not isinstance(v, (list, tuple)) and pd.isna(v) is True)
+                else str(v)
+            )
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 

@@ -36,8 +36,17 @@ def l2_norm(col: Column | str) -> Column:
     return F.sqrt(dot(col, col))
 
 
+def guarded_div(num: Column, den: Column) -> Column:
+    """NULL instead of a divide-by-zero (ANSI mode raises): cosine and its
+    relatives are UNDEFINED on zero-norm vectors — and zero vectors are
+    in-domain (the CLIP zero-vector contract emits them). A NULL den also
+    yields NULL (the ``when`` condition is NULL). Mirrored by
+    ``oracle_fragments.sql_guarded_div``."""
+    return F.when(den != 0, num / den)
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return guarded_div(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def l2_normalize(col: Column | str) -> Column:

@@ -512,8 +512,9 @@ def embedding_cosine_dup_map(
         hyperplane_bucket(emb_col, dim, planes).alias("_bucket"),
     ).localCheckpoint(eager=True)
     l, r = b.alias("l"), b.alias("r")
-    cos = VX.dot(F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}")) / (
-        F.col("l._norm") * F.col("r._norm")
+    cos = VX.guarded_div(
+        VX.dot(F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}")),
+        F.col("l._norm") * F.col("r._norm"),
     )
     return (
         l.join(

@@ -46,7 +46,10 @@ def cosine_topk(
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            (VX.dot(F.col(emb_col), F.col("_q_emb")) / (F.col("_c_norm") * F.col("_q_norm"))).alias("cosine"),
+            VX.guarded_div(
+                VX.dot(F.col(emb_col), F.col("_q_emb")),
+                F.col("_c_norm") * F.col("_q_norm"),
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -148,9 +151,9 @@ def ivf_topk(
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            (
-                VX.dot(F.col(emb_col), F.col("_q_emb"))
-                / (F.col("_c_norm") * F.col("_q_norm"))
+            VX.guarded_div(
+                VX.dot(F.col(emb_col), F.col("_q_emb")),
+                F.col("_c_norm") * F.col("_q_norm"),
             ).alias("cosine"),
         )
     )
@@ -191,7 +194,10 @@ def lsh_topk(
     scored = cb.join(qb, "_bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        (VX.dot(F.col(emb_col), F.col("_q_emb")) / (F.col("_c_norm") * F.col("_q_norm"))).alias("cosine"),
+        VX.guarded_div(
+            VX.dot(F.col(emb_col), F.col("_q_emb")),
+            F.col("_c_norm") * F.col("_q_norm"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()

@@ -156,7 +156,10 @@ def a_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-cluster pairwise cosine (cluster = LSH bucket analog)
     b = clustered.select("vec_id", "embedding", "cluster_id", VX.l2_norm("embedding").alias("_n"))
     l, r = b.alias("l"), b.alias("r")
-    cos = VX.dot(F.col("l.embedding"), F.col("r.embedding")) / (F.col("l._n") * F.col("r._n"))
+    cos = VX.guarded_div(
+        VX.dot(F.col("l.embedding"), F.col("r.embedding")),
+        F.col("l._n") * F.col("r._n"),
+    )
     dupes = (
         l.join(r, (F.col("l.cluster_id") == F.col("r.cluster_id")) & (F.col("l.vec_id") > F.col("r.vec_id")))
         .filter(cos >= 0.9)

@@ -228,8 +228,18 @@ def sql_l2_norm(a: str, dim: int) -> str:
     return f"sqrt({sql_dot(a, a, dim)})"
 
 
+def sql_guarded_div(num: str, den: str) -> str:
+    """CASE-guarded division (functions.vectors.guarded_div): NULL on a
+    zero OR NULL denominator — cosine is undefined on zero-norm vectors,
+    and Spark's ANSI mode would raise where DuckDB's float division would
+    produce inf/nan; the explicit guard makes both engines emit NULL."""
+    return f"(CASE WHEN ({den}) <> 0 THEN ({num}) / ({den}) END)"
+
+
 def sql_cosine(a: str, b: str, dim: int) -> str:
-    return f"({sql_dot(a, b, dim)} / ({sql_l2_norm(a, dim)} * {sql_l2_norm(b, dim)}))"
+    return sql_guarded_div(
+        sql_dot(a, b, dim), f"({sql_l2_norm(a, dim)} * {sql_l2_norm(b, dim)})"
+    )
 
 
 def sql_mlp_score(col: str, weights: list[float], bias: float) -> str:

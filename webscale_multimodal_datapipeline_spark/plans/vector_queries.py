@@ -99,8 +99,13 @@ WITH b AS (
   FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id > r.vec_id
   WHERE {OQ.sql_cosine('l.embedding', 'r.embedding', DIM)} >= {COSINE_DEDUP_THRESHOLD}
 )
-SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM dup)
+SELECT vec_id, label FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.vid = e.vec_id)
 """
+# NOT EXISTS, not NOT IN: a NULL vec_id row makes `vec_id NOT IN (...)`
+# NULL (row silently dropped) while Spark's left_anti keeps it — id-less
+# rows pass through dedup untouched by spec (they can never be ordered
+# against a representative). The ARCHITECTURE §24 anti-join class.
 
 
 def v_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,8 +406,9 @@ def v_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("vec_id") / MAXSIM_GROUP).cast("bigint").alias("gid"),
         "embedding",
     )
-    cos = VX.dot(F.col("embedding"), F.col("qe")) / (
-        VX.l2_norm("embedding") * VX.l2_norm("qe")
+    cos = VX.guarded_div(
+        VX.dot(F.col("embedding"), F.col("qe")),
+        VX.l2_norm("embedding") * VX.l2_norm("qe"),
     )
     per_qvec = (
         c.crossJoin(q)
@@ -483,9 +489,9 @@ def v_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            (
-                VX.dot(F.col("embedding"), F.col("_q_emb"))
-                / (F.col("_c_norm") * F.col("_q_norm"))
+            VX.guarded_div(
+                VX.dot(F.col("embedding"), F.col("_q_emb")),
+                F.col("_c_norm") * F.col("_q_norm"),
             ).alias("cosine"),
         )
     )
@@ -554,13 +560,13 @@ def v_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            (
-                VX.dot(F.col("embedding"), F.col("_q_emb"))
-                / (F.col("_c_norm") * F.col("_q_norm"))
+            VX.guarded_div(
+                VX.dot(F.col("embedding"), F.col("_q_emb")),
+                F.col("_c_norm") * F.col("_q_norm"),
             ).alias("_full"),
-            (
-                VX.dot(F.col("_pre"), F.col("_q_pre"))
-                / (F.col("_c_pren") * F.col("_q_pren"))
+            VX.guarded_div(
+                VX.dot(F.col("_pre"), F.col("_q_pre")),
+                F.col("_c_pren") * F.col("_q_pren"),
             ).alias("_prefix"),
         )
     )
@@ -1063,8 +1069,9 @@ def v_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("na").cast("long").alias("n_ref"),
         F.max("nb").cast("long").alias("n_cur"),
     )
-    cos = F.col("dot").cast("double") / (
-        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    cos = VX.guarded_div(
+        F.col("dot").cast("double"),
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double")),
     )
     return agg.select(
         "label",
@@ -1080,6 +1087,10 @@ WITH codes AS (
   SELECT label, vec_id % 2 AS half, i AS dim,
          CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000) AS BIGINT) AS code
   FROM embeddings, unnest(range(1, 65)) AS t(i)
+  WHERE embedding IS NOT NULL
+  -- posexplode of a NULL array emits ZERO rows; the index cross-join
+  -- would fabricate 64 NULL-code rows per NULL embedding and inflate
+  -- na/nb — NULL embeddings contribute nothing by spec (§24)
 ), per_dim AS (
   SELECT label, dim,
          SUM(CASE WHEN half = 0 THEN code ELSE 0 END) AS sa,
@@ -1097,9 +1108,13 @@ WITH codes AS (
   FROM per_dim GROUP BY label
 )
 SELECT label, n_ref, n_cur,
-       CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))
+       (CASE WHEN (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) <> 0
+             THEN CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) END)
          AS centroid_cosine,
-       (CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))
+       ((CASE WHEN (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) <> 0
+              THEN CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) END)
          < 0.99) AS drift_alarm
 FROM agg ORDER BY label
 """
@@ -1475,6 +1490,10 @@ def v_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         nn.join(
             corpus.select("vec_id", F.col("label").alias("nn_label")), "vec_id"
         )
+        # unlabeled neighbors can't vote (and a NULL label in the
+        # tie-break ORDER BY would diverge: Spark ASC = NULLS FIRST,
+        # DuckDB default = NULLS LAST — §24)
+        .filter(F.col("nn_label").isNotNull())
         .groupBy("query_id", "nn_label")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
@@ -1514,6 +1533,7 @@ WITH nn AS (
 ), votes AS (
   SELECT nn.query_id, c.label AS nn_label, COUNT(*) AS votes
   FROM nn JOIN embeddings c USING (vec_id)
+  WHERE c.label IS NOT NULL
   GROUP BY nn.query_id, c.label
 ), pred AS (
   SELECT query_id, nn_label, votes,
@@ -1591,9 +1611,9 @@ def v_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "_lvl",
-            (
-                VX.dot(F.col("embedding"), F.col("_q_emb"))
-                / (F.col("_c_norm") * F.col("_q_norm"))
+            VX.guarded_div(
+                VX.dot(F.col("embedding"), F.col("_q_emb")),
+                F.col("_c_norm") * F.col("_q_norm"),
             ).alias("_cos"),
         )
         .join(F.broadcast(exact), ["query_id", "vec_id"], "left")
