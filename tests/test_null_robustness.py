@@ -400,6 +400,18 @@ _VECTOR_NULL_QUERIES = [
     "v_embedding_drift",
     "v_matryoshka_overlap",
     "v_hard_negatives",
+    # second wave: the candidate-generation / training-path queries
+    "v_ivf_topk",
+    "v_maxsim_topk",
+    "v_mmr_diverse_topk",
+    "v_recall_at_k",
+    "v_multiprobe_recall",
+    "v_binary_quantize_rerank",
+    "v_pq_adc_topk",
+    "v_pq_rerank_topk",
+    "v_calibration_curve",
+    "v_trained_classifier",
+    "v_cluster_balanced_sample",
 ]
 
 

@@ -36,6 +36,17 @@ def l2_norm(col: Column | str) -> Column:
     return F.sqrt(dot(col, col))
 
 
+def is_valid_vector(col: Column | str) -> Column:
+    """TRUE iff the embedding has content: non-NULL array with no NULL
+    elements. Contentless vectors are excluded from ML ingestion by spec —
+    a NULL array NPEs ``array_to_vector``, a NULL element violates the
+    non-nullable Seq[Double] contract, and a driver-side training sample
+    containing None breaks numpy. SQL mirror:
+    ``col IS NOT NULL AND len(list_filter(col, x -> x IS NULL)) = 0``."""
+    c = _c(col)
+    return c.isNotNull() & ~F.exists(c, lambda x: x.isNull())
+
+
 def guarded_div(num: Column, den: Column) -> Column:
     """NULL instead of a divide-by-zero (ANSI mode raises): cosine and its
     relatives are UNDEFINED on zero-norm vectors — and zero vectors are

@@ -84,7 +84,9 @@ def ivf_assign(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vec = corpus.withColumn(
+    # contentless vectors (NULL array / NULL element) can't be quantized:
+    # they're excluded from the index by spec (array_to_vector NPEs on them)
+    vec = corpus.filter(VX.is_valid_vector(emb_col)).withColumn(
         "_v", array_to_vector(F.col(emb_col).cast("array<double>"))
     )
     model = KMeans(
@@ -256,7 +258,13 @@ def pq_train_encode(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
     sample_cap = 65536
-    ids_emb = corpus.select(id_col, VX.to_double_array(emb_col).alias("_e"))
+    # contentless vectors are excluded from training AND encoding by spec
+    # (None in the driver-side sample breaks numpy; codes are undefined),
+    # and so are NULL-id rows: the id is the sample's deterministic sort
+    # key and the only address a result row can carry
+    ids_emb = corpus.filter(
+        VX.is_valid_vector(emb_col) & F.col(id_col).isNotNull()
+    ).select(id_col, VX.to_double_array(emb_col).alias("_e"))
     n_total = ids_emb.count()
     samp = ids_emb
     if n_total > sample_cap:
@@ -291,7 +299,9 @@ def pq_train_encode(
     # encode: per subspace, argmin over k literal-centroid distances —
     # array_position(first minimum) breaks ties to the lowest code,
     # matching the training argmin
-    enc = corpus.select(id_col, emb_col)
+    enc = corpus.filter(
+        VX.is_valid_vector(emb_col) & F.col(id_col).isNotNull()
+    ).select(id_col, emb_col)
     for j in range(m):
         dists = []
         for c in range(k):

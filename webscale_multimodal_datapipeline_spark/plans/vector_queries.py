@@ -175,7 +175,9 @@ def v_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     K = 10
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        VX.is_valid_vector("embedding")  # contentless vectors can't train
+    )
     vec = e.select(
         "vec_id", array_to_vector(VX.to_double_array("embedding")).alias("features")
     )
@@ -803,7 +805,9 @@ def v_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     K, CAP = 8, 20
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        VX.is_valid_vector("embedding")  # contentless vectors can't train
+    )
     vec = e.select(
         "vec_id", array_to_vector(VX.to_double_array("embedding")).alias("features")
     )
@@ -1151,7 +1155,9 @@ def v_trained_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        VX.is_valid_vector("embedding")  # contentless vectors can't train/score
+    )
     lab = e.select(
         "vec_id",
         array_to_vector(VX.to_double_array("embedding")).alias("features"),
@@ -1180,6 +1186,8 @@ V_TRAINED_CLF_SQL = """
 SELECT CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
        TRUE AS acc_floor_ok, TRUE AS pred_range_ok
 FROM embeddings
+WHERE embedding IS NOT NULL
+  AND len(list_filter(embedding, x -> x IS NULL)) = 0
 """
 
 QUERIES["v_trained_classifier"] = v_trained_classifier
@@ -1222,7 +1230,11 @@ def v_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (VX.mlp_score("embedding", MLP_WEIGHTS, MLP_BIAS) > 0.6)
         .cast("long")
         .alias("pos"),
-    )
+    ).filter(F.col("code").isNotNull())
+    # unscorable rows (NULL/NULL-element embedding -> NULL score) are
+    # excluded from calibration by spec: a NULL code would otherwise sit at
+    # opposite ends of the rank (Spark ASC = NULLS FIRST, DuckDB default =
+    # NULLS LAST) and shift every decile boundary (ARCHITECTURE section 28)
     num_parts = 32
     ranged = coded.repartitionByRange(
         num_parts, F.col("code").asc(), F.col("vec_id").asc()
@@ -1262,11 +1274,13 @@ WITH coded AS (
          CAST(round(CAST({OQ.sql_mlp_score('embedding', MLP_WEIGHTS, MLP_BIAS)} AS DOUBLE) * 1000000) AS BIGINT) AS code,
          CASE WHEN {OQ.sql_mlp_score('embedding', MLP_WEIGHTS, MLP_BIAS)} > 0.6 THEN 1 ELSE 0 END AS pos
   FROM embeddings
+), coded_valid AS (
+  SELECT * FROM coded WHERE code IS NOT NULL
 ), ranked AS (
   SELECT code, pos,
          ROW_NUMBER() OVER (ORDER BY code, vec_id) AS rnk,
          COUNT(*) OVER () AS n
-  FROM coded
+  FROM coded_valid
 )
 SELECT LEAST((rnk - 1) * 10 // n, 9) AS decile,
        COUNT(*) AS n_rows,
