@@ -459,3 +459,96 @@ def test_vector_queries_null_parity(spark, messy_emb_dir, name):
         f"CREATE VIEW embeddings AS SELECT * FROM '{messy_emb_dir}/embeddings.parquet/*.parquet'"
     )
     _assert_parity(got, con.sql(ORACLE[name]).df(), name)
+
+
+# ---------------------------------------------------------------------------
+# Graph-family null parity: NULL node keys (o_custkey / l_suppkey) and NULL
+# order keys through the iterative plans (PageRank, BFS, triangles) — a NULL
+# key makes the derived node label NULL ('C' || NULL) and must mean the same
+# thing to a recursive CTE as to an iterative DataFrame loop.
+# ---------------------------------------------------------------------------
+
+_GRAPH_NULL_QUERIES = [
+    "g_pagerank",
+    "g_bfs_hops",
+    "g_degree_histogram",
+    "g_triangle_count",
+    "g_common_neighbors",
+]
+
+
+@pytest.fixture(scope="module")
+def messy_graph_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("messy_graph")
+    orders = [
+        # (o_orderkey, o_custkey)
+        (1, 10), (2, 10), (3, 20), (4, 30), (5, None),  # NULL customer
+        (None, 40),                                      # NULL orderkey
+        (6, 20), (7, 40),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    lineitem = [
+        # (l_orderkey, l_suppkey)
+        (1, 100), (1, 200), (2, 200), (3, 100), (3, 300),
+        (4, 300), (5, 100),                              # order w/ NULL cust
+        (None, 200),                                     # NULL orderkey
+        (6, None),                                       # NULL supplier
+        (7, 100), (7, 300),
+    ]
+    spark.createDataFrame(
+        lineitem, "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _GRAPH_NULL_QUERIES)
+def test_graph_queries_null_parity(spark, messy_graph_dir, name):
+    import duckdb
+
+    from webscale_multimodal_datapipeline_spark.plans.registry import ORACLE, QUERIES
+
+    got = QUERIES[name](spark, messy_graph_dir).toPandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{messy_graph_dir}/{t}.parquet/*.parquet'"
+        )
+    _assert_parity(got, con.sql(ORACLE[name]).df(), name)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal-family null parity: the m_* queries synthesize binary payloads
+# FROM document rows, so NULL doc_id/text/source flow through the payload
+# synthesis, the pandas-UDF decode tier, and the metadata expressions.
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_NULL_QUERIES = [
+    "m_image_metadata",
+    "m_technical_quality",
+    "m_phash_dedup",
+    "m_phash_near_dup",
+    "m_resize",
+    "m_aspect_bucket",
+    "m_exif_scrub",
+    "m_scene_cuts",
+    "m_frame_sample",
+    "m_dup_frame_ratio",
+    "m_metadata_filter_chain",
+    "m_audio_features",
+]
+
+
+@pytest.mark.parametrize("name", _MULTIMODAL_NULL_QUERIES)
+def test_multimodal_queries_null_parity(spark, messy_dir, name):
+    import duckdb
+
+    from webscale_multimodal_datapipeline_spark.plans.registry import ORACLE, QUERIES
+
+    got = QUERIES[name](spark, messy_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{messy_dir}/documents.parquet/*.parquet'"
+    )
+    _assert_parity(got, con.sql(ORACLE[name]).df(), name)

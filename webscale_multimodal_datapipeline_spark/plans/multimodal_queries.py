@@ -41,14 +41,24 @@ def m_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 M_METADATA_SQL = f"""
 SELECT doc_id,
-       CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 2048 AS INTEGER) AS image_width,
-       CAST(CAST(('0x' || substr(h, 5, 4)) AS INTEGER) % 2048 AS INTEGER) AS image_height,
-       CAST(64 AS BIGINT) AS image_file_size_bytes,
-       CASE CAST(('0x' || substr(h, 9, 2)) AS INTEGER) % 4
-         WHEN 0 THEN 'JPEG' WHEN 1 THEN 'PNG' WHEN 2 THEN 'WEBP' ELSE 'GIF'
+       CASE WHEN h IS NULL THEN 0
+            ELSE CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 2048 AS INTEGER)
+       END AS image_width,
+       CASE WHEN h IS NULL THEN 0
+            ELSE CAST(CAST(('0x' || substr(h, 5, 4)) AS INTEGER) % 2048 AS INTEGER)
+       END AS image_height,
+       CASE WHEN h IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(64 AS BIGINT)
+       END AS image_file_size_bytes,
+       CASE WHEN h IS NULL THEN 'ERROR'
+            ELSE CASE CAST(('0x' || substr(h, 9, 2)) AS INTEGER) % 4
+                   WHEN 0 THEN 'JPEG' WHEN 1 THEN 'PNG' WHEN 2 THEN 'WEBP' ELSE 'GIF'
+                 END
        END AS image_format
 FROM (SELECT doc_id, {_FAKE_HEX} AS h FROM documents)
 """
+# NULL text -> NULL payload: the refiner's undecodable contract is
+# (0, 0, 0, 'ERROR') — the oracle's bare CASE-ELSE otherwise rebadged a
+# NULL header as 'GIF' (ARCHITECTURE section 28)
 
 
 def m_metadata_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,6 +109,7 @@ M_TECH_QUALITY_SQL = f"""
 WITH b AS (
   SELECT doc_id, {_BYTES_LIST} AS b
   FROM (SELECT doc_id, {_FAKE_HEX} AS h FROM documents)
+  WHERE h IS NOT NULL
 ), ent AS (
   SELECT doc_id, -SUM((c / 64.0) * log2(c / 64.0)) AS entropy FROM (
     SELECT doc_id, v, COUNT(*) AS c
@@ -110,12 +121,22 @@ WITH b AS (
     list_sum(list_transform(range(2, 65), i -> abs(b[i] - b[i-1]))) / 63.0 + 1e-9 AS grads
   FROM b
 )
-SELECT e.doc_id,
-       CAST(0.6 * least(jumps / (grads * 2.0), 1.0) + 0.4 * 0.015625 AS FLOAT)
-         AS image_compression_artifacts,
-       CAST(entropy AS FLOAT) AS image_information_entropy
-FROM ent e JOIN blk USING (doc_id)
+SELECT d.doc_id,
+       COALESCE(q.art, CAST(0.0 AS FLOAT)) AS image_compression_artifacts,
+       COALESCE(q.ent, CAST(0.0 AS FLOAT)) AS image_information_entropy
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id,
+         CAST(0.6 * least(jumps / (grads * 2.0), 1.0) + 0.4 * 0.015625 AS FLOAT)
+           AS art,
+         CAST(entropy AS FLOAT) AS ent
+  FROM ent JOIN blk USING (doc_id)
+) q USING (doc_id)
 """
+# undecodable payload -> the quality kernel's (0.0, 0.0) contract; the
+# whole score is computed INSIDE the join subquery because DuckDB's
+# least() skips NULL args — least(NULL, 1.0) = 1.0, which would
+# fabricate a 0.60625 score for the missing row
 
 
 def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,8 +198,9 @@ M_FRAME_SQL = """
 SELECT source,
        CAST(COUNT(*) * 4 AS BIGINT) AS n_frames,
        COUNT(DISTINCT doc_id) AS n_videos
-FROM documents GROUP BY source
+FROM documents WHERE text IS NOT NULL GROUP BY source
 """
+# NULL text -> NULL payload -> the frame expansion emits nothing
 
 
 def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,12 +235,14 @@ def _pooled_hex_sql() -> str:
 
 M_RESIZE_SQL = f"""
 SELECT doc_id,
-       {_pooled_hex_sql()} AS resized_hex,
-       16 AS resized_len,
+       CASE WHEN h IS NULL THEN NULL ELSE {_pooled_hex_sql()} END AS resized_hex,
+       CASE WHEN h IS NULL THEN NULL ELSE 16 END AS resized_len,
        4 AS image_resized_width,
        4 AS image_resized_height
 FROM (SELECT doc_id, {_FAKE_HEX} AS h FROM documents)
 """
+# NULL payload -> NULL resized bytes (the UDF passes NULL through; the
+# output dims are declared constants either way)
 
 
 def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,14 +265,21 @@ def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # zcr = mean(signbit flips) over consecutive samples (signbit(x) <=> byte < 128).
 M_AUDIO_SQL = f"""
 SELECT doc_id,
-  ROUND(len(b) / 16000.0, 6) AS audio_duration_s,
-  ROUND(sqrt(list_sum(list_transform(b, x -> (x - 128.0) * (x - 128.0))) / len(b)), 6)
-    AS audio_rms,
-  ROUND(CAST(len(list_filter(range(2, len(b) + 1), i -> (b[i] < 128) != (b[i-1] < 128)))
-             AS DOUBLE) / (len(b) - 1), 6) AS audio_zcr
-FROM (SELECT doc_id, {_BYTES_LIST} AS b
+  CASE WHEN h IS NULL THEN 0.0 ELSE ROUND(len(b) / 16000.0, 6) END
+    AS audio_duration_s,
+  CASE WHEN h IS NULL THEN 0.0
+       ELSE ROUND(sqrt(list_sum(list_transform(b, x -> (x - 128.0) * (x - 128.0))) / len(b)), 6)
+  END AS audio_rms,
+  CASE WHEN h IS NULL THEN 0.0
+       ELSE ROUND(CAST(len(list_filter(range(2, len(b) + 1), i -> (b[i] < 128) != (b[i-1] < 128)))
+             AS DOUBLE) / (len(b) - 1), 6)
+  END AS audio_zcr
+FROM (SELECT doc_id, h, {_BYTES_LIST} AS b
       FROM (SELECT doc_id, {_FAKE_HEX} AS h FROM documents))
 """
+# NULL payload -> the audio kernel's silent-track contract (0.0 each);
+# guard on h, NOT on b — list_transform over substr(NULL) yields a list
+# of 64 NULLs, which is non-NULL and has len 64
 
 
 def m_clip_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,6 +569,7 @@ def _scene_luma_sql(i: int) -> str:
 M_SCENE_SQL = f"""
 WITH b AS (
   SELECT doc_id, {_FAKE_HEX} AS h FROM documents
+  WHERE text IS NOT NULL  -- NULL payload emits no frames, hence no row
 ), lumas AS (
   SELECT doc_id, {", ".join(f"{_scene_luma_sql(i)} AS l{i}" for i in range(4))}
   FROM b
