@@ -552,3 +552,96 @@ def test_multimodal_queries_null_parity(spark, messy_dir, name):
         f"CREATE VIEW documents AS SELECT * FROM '{messy_dir}/documents.parquet/*.parquet'"
     )
     _assert_parity(got, con.sql(ORACLE[name]).df(), name)
+
+
+# ---------------------------------------------------------------------------
+# Dedup-family null parity: the WHOLE d_* family over the poisoned corpus
+# (NULL/empty/whitespace text, NULL source, exact-dup pair) — near-dup
+# candidate generation, verification, components, and the QA audits must
+# mean the same thing in both engines on degenerate keys.
+# ---------------------------------------------------------------------------
+
+_DEDUP_NULL_QUERIES = [
+    "d_bloom_prefilter",
+    "d_capture_recapture",
+    "d_cluster_size_profile",
+    "d_coarse_dedup",
+    "d_coarse_dedup_rejected",
+    "d_containment_pairs",
+    "d_contamination_score",
+    "d_cross_source_overlap",
+    "d_decontaminate",
+    "d_dedup_components",
+    "d_dedup_components_star",
+    "d_dedup_savings",
+    "d_incremental_dedup",
+    "d_jaccard_pairs",
+    "d_minhash_est_vs_exact",
+    "d_minhash_lsh_dedup",
+    "d_minhash_ml_crosscheck",
+    "d_minhash_signature",
+    "d_ngram_dup_mass",
+    "d_shared_shingle_dedup",
+    "d_simhash_near_pairs",
+    "d_soft_dedup_weight",
+    "d_split_leakage_audit",
+]
+
+
+@pytest.mark.parametrize("name", _DEDUP_NULL_QUERIES)
+def test_dedup_queries_null_parity(spark, messy_dir, name):
+    import duckdb
+
+    from webscale_multimodal_datapipeline_spark.plans.registry import ORACLE, QUERIES
+
+    got = QUERIES[name](spark, messy_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{messy_dir}/documents.parquet/*.parquet'"
+    )
+    _assert_parity(got, con.sql(ORACLE[name]).df(), name)
+
+
+# ---------------------------------------------------------------------------
+# Documents-family OMNIBUS null parity: every remaining documents-only query
+# (text/curation/selection/utility/pipeline/sketch) over the poisoned corpus.
+# Full-catalog closure of the §24 method for the documents table.
+# ---------------------------------------------------------------------------
+
+_DOCS_OMNIBUS_QUERIES = [
+    "a_token_counts", "c_boilerplate", "c_curriculum_export",
+    "c_length_bucket_batching", "c_line_dedup", "c_quantile_filter",
+    "c_score_normalize", "c_sequence_pack", "c_stratified_sample",
+    "c_tokenizer_fertility", "c_vocab_topk", "m_clip_embedding",
+    "m_frame_sample_udtf", "m_phash_blocklist", "m_visual_degradations",
+    "p_compaction_plan", "p_expectations_report", "p_pipeline_metrics",
+    "p_pipeline_output", "p_rejected_by_operator", "p_snapshot_diff",
+    "s_dsir_ess", "s_dsir_importance", "s_kl_per_source", "s_ks_test",
+    "s_mannwhitney_u", "s_perplexity_buckets", "s_shard_jackknife",
+    "s_weighted_sample", "t_bigram_logprob", "t_bigram_pmi", "t_bm25_rank",
+    "t_bpe_merge_candidates", "t_cdc_chunking", "t_char_entropy",
+    "t_chunk_documents", "t_domain_mix", "t_flesch_reading_ease",
+    "t_gopher_rules", "t_heaps_law", "t_inverted_index",
+    "t_label_agreement_kappa", "t_lang_confusion", "t_length_lognormal_fit",
+    "t_pii_redact", "t_quality_classifier", "t_quality_filter",
+    "t_repetition", "t_source_stats", "t_temperature_mix",
+    "t_tfidf_topterms", "t_tokenize_ids", "t_ttr_diversity",
+    "t_unigram_logprob", "t_url_filter", "t_word_score", "t_zipf_fit",
+    "u_blocklist_antijoin", "u_canonical_dedup", "u_crawl_frontier",
+    "u_domain_extract", "u_subdomain_walkup_filter", "u_url_canonicalize",
+    "x_countmin_topk", "x_hash_family", "x_heavy_hitters", "x_nullsafe_join",
+]
+
+
+@pytest.mark.parametrize("name", _DOCS_OMNIBUS_QUERIES)
+def test_docs_omnibus_null_parity(spark, messy_dir, name):
+    import duckdb
+
+    from webscale_multimodal_datapipeline_spark.plans.registry import ORACLE, QUERIES
+
+    got = QUERIES[name](spark, messy_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{messy_dir}/documents.parquet/*.parquet'"
+    )
+    _assert_parity(got, con.sql(ORACLE[name]).df(), name)

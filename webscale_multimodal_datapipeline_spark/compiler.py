@@ -217,23 +217,44 @@ class MetricsCollector:
         self.spark = spark
         self.run_id = run_id
         self.started = time.time()
-        self._obs: list[tuple[str, str, Any]] = []  # (stage, operator, Observation)
+        # (stage, operator, Observation, instrumented checkpoint df)
+        self._obs: list[tuple[str, str, Any, DataFrame]] = []
         self._Observation = Observation
 
     def instrument(self, df: DataFrame, stage: str, operator: str) -> DataFrame:
         obs = self._Observation(f"{stage}.{operator}.{uuid.uuid4().hex[:6]}")
-        self._obs.append((stage, operator, obs))
-        return df.observe(obs, F.count(F.lit(1)).alias("n"))
+        out = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        self._obs.append((stage, operator, obs, out))
+        return out
 
     def harvest(self) -> list[OperatorMetric]:
-        """Call after an action has run on the instrumented DataFrame."""
+        """Call after an action has run on the instrumented DataFrame.
+
+        Observations are read through the JVM row (PySpark's ``obs.get``
+        asserts in ``toPyRow`` on a schemaless empty row). An observation
+        CAN legitimately come back as an empty map: a query stage that
+        runs zero tasks (runtime-pruned to nothing on degenerate input)
+        never updates the CollectMetrics accumulator. That is an artifact
+        of the adaptive physical plan, not a statement about the data —
+        so fall back to counting the instrumented checkpoint directly
+        (one extra bounded action, only on the anomaly path; -1 remains
+        only for a genuinely unrunnable count)."""
         rows: list[OperatorMetric] = []
         counts: list[tuple[str, str, int]] = []
-        for stage, op, obs in self._obs:
+        for stage, op, obs, df in self._obs:
+            n = None
             try:
-                counts.append((stage, op, int(obs.get["n"])))
+                jrow = obs._jo.get()
+                if jrow.size() > 0:
+                    n = int(obs.get["n"])
             except Exception:
-                counts.append((stage, op, -1))
+                n = None
+            if n is None:
+                try:
+                    n = df.count()
+                except Exception:
+                    n = -1
+            counts.append((stage, op, n))
         for i, (stage, op, n_out) in enumerate(counts):
             n_in = counts[i - 1][2] if i > 0 else n_out
             rows.append(

@@ -184,14 +184,16 @@ def _with_messy_url(d: DataFrame) -> DataFrame:
     )
 
 
-_SQL_MESSY = f"""concat(
-  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+# || not concat(): DuckDB concat() ignores NULL args; Spark propagates —
+# a NULL source must yield a NULL messy URL in both engines
+_SQL_MESSY = f"""(
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
   CASE WHEN doc_id % 3 = 0 THEN upper('www.' || source || '.example.com')
-       ELSE 'www.' || source || '.example.com' END,
-  CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
-  '/page/', CAST(doc_id % {_URL_PATH_MOD} AS VARCHAR),
-  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
-  '?utm_source=feed&b=2&ref=abc&a=1',
+       ELSE 'www.' || source || '.example.com' END ||
+  CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+  '/page/' || CAST(doc_id % {_URL_PATH_MOD} AS VARCHAR) ||
+  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+  '?utm_source=feed&b=2&ref=abc&a=1' ||
   CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"""
 
 # DuckDB mirror of functions/urls.py (token-for-token)
@@ -677,11 +679,19 @@ def c_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "tokens_per_100_chars",
-            F.expr("total_tokens * 100 div total_chars"),
+            # zero/NULL-token language groups: ratio undefined -> NULL in
+            # both engines (bare integer div raises under ANSI mode)
+            F.expr(
+                "CASE WHEN total_chars <> 0"
+                " THEN total_tokens * 100 div total_chars END"
+            ),
         )
         .withColumn(
             "chars_per_token_milli",
-            F.expr("total_chars * 1000 div total_tokens"),
+            F.expr(
+                "CASE WHEN total_tokens <> 0"
+                " THEN total_chars * 1000 div total_tokens END"
+            ),
         )
         .orderBy("lang")
     )
@@ -692,10 +702,13 @@ SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM({OQ.sql_token_count('text')}) AS BIGINT) AS total_tokens,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-       CAST(SUM({OQ.sql_token_count('text')}) * 100
-            // SUM(length(text)) AS BIGINT) AS tokens_per_100_chars,
-       CAST(SUM(length(text)) * 1000
-            // SUM({OQ.sql_token_count('text')}) AS BIGINT) AS chars_per_token_milli
+       CAST(CASE WHEN SUM(length(text)) <> 0
+                 THEN SUM({OQ.sql_token_count('text')}) * 100
+                      // SUM(length(text)) END AS BIGINT) AS tokens_per_100_chars,
+       CAST(CASE WHEN SUM({OQ.sql_token_count('text')}) <> 0
+                 THEN SUM(length(text)) * 1000
+                      // SUM({OQ.sql_token_count('text')}) END AS BIGINT)
+         AS chars_per_token_milli
 FROM documents GROUP BY lang ORDER BY lang
 """
 

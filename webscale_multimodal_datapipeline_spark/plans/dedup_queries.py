@@ -623,7 +623,12 @@ def d_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     keyed = d.select(
-        "doc_id", "source", (F.col("source") == "src1").alias("_member"), buckets.alias("_bk")
+        "doc_id",
+        "source",
+        # null-safe: a NULL source is NOT a member (plain == yields NULL,
+        # which poisons the n_members SUM where the oracle's CASE counts 0)
+        F.col("source").eqNullSafe(F.lit("src1")).alias("_member"),
+        buckets.alias("_bk"),
     )
     index = (
         keyed.filter("_member")
@@ -1132,7 +1137,12 @@ def d_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "tok_savings_bps",
-            F.expr("(toks_before - toks_after) * 10000 div toks_before"),
+            # zero-token source: savings undefined -> NULL in both engines
+            # (bare integer div raises DIVIDE_BY_ZERO under ANSI mode)
+            F.when(
+                F.col("toks_before") != 0,
+                F.expr("(toks_before - toks_after) * 10000 div toks_before"),
+            ),
         )
         .orderBy("source")
     )
@@ -1152,8 +1162,9 @@ SELECT source,
        CAST(SUM(keep) AS BIGINT) AS docs_after,
        CAST(SUM(toks) AS BIGINT) AS toks_before,
        CAST(SUM(toks * keep) AS BIGINT) AS toks_after,
-       CAST((SUM(toks) - SUM(toks * keep)) * 10000 // SUM(toks) AS BIGINT)
-         AS tok_savings_bps
+       CAST(CASE WHEN SUM(toks) <> 0
+                 THEN (SUM(toks) - SUM(toks * keep)) * 10000 // SUM(toks)
+            END AS BIGINT) AS tok_savings_bps
 FROM ann GROUP BY source ORDER BY source
 """
 

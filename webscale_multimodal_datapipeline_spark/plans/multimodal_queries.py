@@ -304,8 +304,12 @@ def m_clip_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 M_CLIP_EMB_SQL = """
-SELECT doc_id, 64 AS dim, TRUE AS unit_norm FROM documents
+SELECT doc_id, 64 AS dim,
+       text IS NOT NULL AS unit_norm
+FROM documents
 """
+# NULL payload -> the reference's ZERO-VECTOR contract
+# (image_clip_embedding.py:150-158): right dim, but norm 0, not 1
 
 
 def m_visual_degradations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,8 +326,9 @@ def m_visual_degradations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 M_VD_SQL = """
-SELECT doc_id, TRUE AS scored FROM documents
+SELECT doc_id, text IS NOT NULL AS scored FROM documents
 """
+# NULL payload -> the degradation heads emit NULL scores (unscorable)
 
 
 QUERIES = {

@@ -49,10 +49,16 @@ PIPELINE_CFG = {
 # SQL mirror of the pipeline's row flow. Operator order after filter
 # hoisting: length filter, url filter (both hoistable — predicate over
 # input columns), then the stats refiner, then dedup.
-_LEN_PRED = "(n_chars BETWEEN 100 AND 450)"
+# Both predicates mirror the OPERATORS exactly, NULL-closed: the length
+# filter tests coalesce(n_chars, length(text), 0) (never NULL), and a row
+# whose url predicate can't evaluate (NULL word score) is REJECTED, not
+# silently dropped from both counts (fail-closed, the rejected-sink
+# conservation rule) — bare predicates made the oracle's WHERE NOT lose
+# NULL-pred rows the Spark split() rejects (section 28).
+_LEN_PRED = "(COALESCE(n_chars, length(text), 0) BETWEEN 100 AND 450)"
 _URL_PRED = (
-    f"((source NOT IN ('src1','src7') AND source NOT IN ('src3') "
-    f"AND {OQ.sql_word_score('text')} < 0.5) OR source IS NULL)"
+    f"COALESCE(((source NOT IN ('src1','src7') AND source NOT IN ('src3') "
+    f"AND {OQ.sql_word_score('text')} < 0.5) OR source IS NULL), FALSE)"
 )
 _SURVIVOR_CTE = f"""
 WITH survivors AS (
@@ -109,15 +115,18 @@ SELECT * FROM (
          1.0 AS pass_rate
   UNION ALL
   SELECT 'curate', 'text_length_filter', (SELECT n FROM n_source), (SELECT n FROM n_len),
-         ROUND((SELECT n FROM n_len) / (SELECT n FROM n_source), 6)
+         CASE WHEN (SELECT n FROM n_source) = 0 THEN 1.0
+              ELSE ROUND((SELECT n FROM n_len) / (SELECT n FROM n_source), 6) END
   UNION ALL
   SELECT 'curate', 'url_filter', (SELECT n FROM n_len), (SELECT n FROM n_url),
-         ROUND((SELECT n FROM n_url) / (SELECT n FROM n_len), 6)
+         CASE WHEN (SELECT n FROM n_len) = 0 THEN 1.0
+              ELSE ROUND((SELECT n FROM n_url) / (SELECT n FROM n_len), 6) END
   UNION ALL
   SELECT 'curate', 'text_stats_refiner', (SELECT n FROM n_url), (SELECT n FROM n_url), 1.0
   UNION ALL
   SELECT 'dedup', 'text_exact_dedup', (SELECT n FROM n_url), (SELECT n FROM n_dedup),
-         ROUND((SELECT n FROM n_dedup) / (SELECT n FROM n_url), 6)
+         CASE WHEN (SELECT n FROM n_url) = 0 THEN 1.0
+              ELSE ROUND((SELECT n FROM n_dedup) / (SELECT n FROM n_url), 6) END
 )
 """
 

@@ -349,11 +349,14 @@ def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pii_sql() -> str:
     from webscale_multimodal_datapipeline_spark.functions import pii as PII
 
+    # || not concat(): DuckDB's concat() IGNORES NULL args, so a NULL text
+    # would still carry the synthetic PII while Spark's F.concat nulls the
+    # whole input (ARCHITECTURE section 28)
     inp = (
-        "concat('contact user', CAST(doc_id AS VARCHAR), "
-        "'@mail.example.com or +1 555-', "
-        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), "
-        "' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 :: ', text)"
+        "('contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com or +1 555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 :: ' || text)"
     )
     counts = PII.sql_pii_counts(inp)
     cols = ",\n       ".join(
@@ -443,19 +446,28 @@ WITH m AS (
   SELECT doc_id, {milli} AS milli FROM documents
 ), agg AS (
   SELECT doc_id, len(milli) AS n,
-         CAST(coalesce(list_aggregate(milli, 'sum'), 0) AS BIGINT) AS s
+         CASE WHEN milli IS NULL THEN NULL
+              ELSE CAST(coalesce(list_aggregate(milli, 'sum'), 0) AS BIGINT)
+         END AS s
   FROM m
 ), raw AS (
-  SELECT doc_id, n,
+  SELECT doc_id, n, s,
          CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
               ELSE 0.0 END AS raw
   FROM agg
 )
 SELECT doc_id, CAST(n AS INTEGER) AS n_scored_tokens,
        round(0.5 + 0.5 * raw / (1.0 + abs(raw)), 4) AS clf_score,
-       raw > 0 AS keep
+       s > 0 AS keep
 FROM raw
 """
+# NULL text contract, mirroring the Spark expression exactly: n and keep
+# are NULL (size/sum of a NULL array) but clf_score is 0.5 — the `raw`
+# CASE's ELSE catches the NULL-n row and pins raw to 0.0 in both engines.
+# keep mirrors Spark's `s > 0` (NOT `raw > 0`: equivalent only when n is
+# non-NULL — the raw form turned the NULL-text keep into FALSE). The `s`
+# NULL branch is needed because coalesce(...,0) exists for EMPTY lists
+# (list_aggregate([], 'sum') is NULL) and must not swallow the NULL case
 
 
 T_CLASSIFIER_SQL = _quality_classifier_sql()
@@ -1388,6 +1400,17 @@ def t_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kappa = (n*(n11+n00) - (a1*b1 + a0*b0)) / (n*n - (a1*b1 + a0*b0))
     # with a1 = n11+n10 (A-positive), b1 = n11+n01, a0/b0 complements —
     # all-integer numerator/denominator, one division.
+    # degenerate marginals (chance agreement = 1) make the denominator 0:
+    # kappa is undefined -> NULL in both engines (bare division raises
+    # DIVIDE_BY_ZERO under ANSI mode)
+    den = (
+        "((n11+n10+n01+n00)*(n11+n10+n01+n00)"
+        " - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))"
+    )
+    num = (
+        "((n11+n10+n01+n00) * (n11+n00)"
+        " - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))"
+    )
     return cells.select(
         "n11",
         "n10",
@@ -1395,10 +1418,8 @@ def t_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n00",
         F.round(
             F.expr(
-                "((n11+n10+n01+n00) * (n11+n00)"
-                " - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))"
-                " / CAST((n11+n10+n01+n00)*(n11+n10+n01+n00)"
-                " - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE)"
+                f"CASE WHEN {den} <> 0"
+                f" THEN {num} / CAST({den} AS DOUBLE) END"
             ),
             4,
         ).alias("kappa_4dp"),
@@ -1420,11 +1441,13 @@ WITH cells AS (
 )
 SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
        CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
-       ROUND(((n11+n10+n01+n00) * (n11+n00)
-              - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
-             / CAST((n11+n10+n01+n00)*(n11+n10+n01+n00)
-              - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE),
-             4) AS kappa_4dp
+       ROUND(CASE WHEN (n11+n10+n01+n00)*(n11+n10+n01+n00)
+                       - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) <> 0
+                  THEN ((n11+n10+n01+n00) * (n11+n00)
+                        - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
+                       / CAST((n11+n10+n01+n00)*(n11+n10+n01+n00)
+                        - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE)
+             END, 4) AS kappa_4dp
 FROM cells
 """
 

@@ -17,7 +17,9 @@ from webscale_multimodal_datapipeline_spark.functions import text as TX
 from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ
 
 BLOCKED_DOMAINS = ("src1.example.com", "badsite.org")
-_URL = "concat('https://www.', source, '.example.com/page/', CAST(doc_id AS VARCHAR))"
+# || not concat(): DuckDB's concat() ignores NULL args where Spark's
+# F.concat propagates — a NULL source must mean NULL url in BOTH engines
+_URL = "('https://www.' || source || '.example.com/page/' || CAST(doc_id AS VARCHAR))"
 
 
 def _with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,11 +58,14 @@ def u_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         dom.alias("domain"),
         # last two labels = registrable domain (example.com)
-        F.concat_ws(
-            ".",
-            F.element_at(F.split(dom, r"\."), -2),
-            F.element_at(F.split(dom, r"\."), -1),
-        ).alias("base_domain"),
+        F.when(
+            dom.isNotNull(),
+            F.concat_ws(
+                ".",
+                F.element_at(F.split(dom, r"\."), -2),
+                F.element_at(F.split(dom, r"\."), -1),
+            ),
+        ).alias("base_domain"),  # concat_ws SKIPS null args ('' not NULL)
     )
 
 
@@ -108,8 +113,11 @@ SELECT doc_id, source FROM (
   SELECT doc_id, source, regexp_extract({_URL}, '://([^/]+)', 1) AS domain
   FROM documents
 )
-WHERE domain NOT IN ('www.src1.example.com', 'www.src7.example.com')
+WHERE COALESCE(domain NOT IN ('www.src1.example.com', 'www.src7.example.com'), TRUE)
 """
+# COALESCE(..., TRUE): a NULL domain makes NOT IN evaluate to NULL (row
+# silently dropped) while Spark's left_anti keeps it — URL-less rows pass
+# an anti-join blocklist untouched (the NOT-IN class, section 28)
 
 
 QUERIES = {
