@@ -645,3 +645,144 @@ def test_docs_omnibus_null_parity(spark, messy_dir, name):
         f"CREATE VIEW documents AS SELECT * FROM '{messy_dir}/documents.parquet/*.parquet'"
     )
     _assert_parity(got, con.sql(ORACLE[name]).df(), name)
+
+
+# ---------------------------------------------------------------------------
+# Warehouse OMNIBUS null parity: the full TPC-H relational surface (q1-q22 +
+# the x_ analytics family) plus every remaining ts_/s_/a_/e_/v_ query, over
+# sf0.001 tables with appended poison rows (NULL join keys, NULL measures,
+# NULL dates, NULL JSON) — closes null-parity coverage for the ENTIRE
+# registered catalog.
+# ---------------------------------------------------------------------------
+
+_WAREHOUSE_OMNIBUS = [
+    "a_asof_click_before_purchase", "a_asof_tolerance_join",
+    "a_grouped_agg_pandas", "a_grouped_map_rank", "a_mlp_deep_score",
+    "a_orders_pivot", "a_orders_unpivot", "a_semantic_dedup",
+    "a_value_percentiles", "a_welch_ab_test", "c_epoch_shuffle", "c_upsert",
+    "d_threshold_sweep", "e_attribution_credit", "e_funnel_wilson_ci",
+    "e_json_extract", "e_rfm_segments", "e_scd2_dimension",
+    "e_seasonality_strength", "e_session_funnel_strict", "e_variant_shred",
+    "p_pk_uniqueness", "p_referential_integrity", "q10_returned_items",
+    "q11_important_parts", "q12_shipmode_priority", "q13_order_distribution",
+    "q14_promo_revenue_pct", "q15_top_supplier", "q16_distinct_brands",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_predicates", "q1_pricing_summary", "q20_part_promotion",
+    "q21_supplier_wait", "q22_global_sales", "q2_argmax_min_price",
+    "q2_min_price_supplier", "q3_shipping_priority", "q4_order_priority_count",
+    "q5_region_revenue", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "q_approx_cardinality",
+    "q_customers_without_orders", "q_part_type_stats",
+    "q_running_revenue_by_month", "q_segment_setops", "q_supplier_rollup",
+    "q_top_customers_per_nation", "s_mahalanobis_ood", "s_psi_drift",
+    "s_runs_test", "ts_autocorrelation", "ts_cusum_changepoint", "ts_ewma",
+    "ts_m4_downsample", "ts_range_join", "ts_rollup_ladder",
+    "ts_seasonal_naive", "v_crossmodal_filter", "v_filtered_ann_topk",
+    "v_kmeans_clusters", "x_acctbal_deciles", "x_approx_percentile_sketch",
+    "x_argmax_agg", "x_benford_audit", "x_bucketed_agg", "x_bucketed_join",
+    "x_chi2_cells", "x_column_profile", "x_conditional_agg", "x_correlation",
+    "x_cramers_v", "x_distribution_moments", "x_entity_resolution",
+    "x_grouping_sets", "x_histogram", "x_hll_merge", "x_id_gap_audit",
+    "x_levenshtein_near_names", "x_mad_outliers", "x_market_basket",
+    "x_mode_median", "x_order_cube", "x_pareto_frontier",
+    "x_rank_distributions", "x_revenue_share", "x_salted_skew_join",
+    "x_segment_intersect", "x_skipping_benefit", "x_weighted_median",
+    "x_zorder_key",
+]
+
+
+@pytest.fixture(scope="module")
+def messy_warehouse_dir(spark, tmp_path_factory):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("messy_wh")
+    src = "/root/testdata/sf0.001"
+
+    def emit(name, table):
+        (d / f"{name}.parquet").mkdir()
+        pq.write_table(table, str(d / f"{name}.parquet" / "part-0.parquet"))
+
+    poison = {
+        "region": [{"r_regionkey": None, "r_name": None}],
+        "nation": [{"n_nationkey": None, "n_name": "NULLLAND", "n_regionkey": None}],
+        "customer": [
+            {"c_custkey": 99901, "c_name": None, "c_nationkey": None,
+             "c_acctbal": None, "c_mktsegment": None},
+        ],
+        "supplier": [
+            {"s_suppkey": 99901, "s_name": "s_null", "s_nationkey": None,
+             "s_acctbal": None},
+        ],
+        "part": [
+            {"p_partkey": 99901, "p_name": None, "p_brand": "Brand#NN",
+             "p_type": None, "p_size": None, "p_retailprice": None},
+        ],
+        "orders": [
+            {"o_orderkey": 99901, "o_custkey": None, "o_orderstatus": "O",
+             "o_totalprice": None, "o_orderdate": None,
+             "o_orderpriority": None},
+            {"o_orderkey": None, "o_custkey": 1, "o_orderstatus": "F",
+             "o_totalprice": 100.0, "o_orderdate": pd.Timestamp("1995-06-15"),
+             "o_orderpriority": "1-URGENT"},
+        ],
+        "lineitem": [
+            {"l_orderkey": None, "l_partkey": 1, "l_suppkey": 1,
+             "l_linenumber": 1, "l_quantity": None, "l_extendedprice": None,
+             "l_discount": None, "l_tax": None, "l_returnflag": None,
+             "l_linestatus": "O", "l_shipdate": None},
+            {"l_orderkey": 99901, "l_partkey": None, "l_suppkey": None,
+             "l_linenumber": 1, "l_quantity": 5.0, "l_extendedprice": 100.0,
+             "l_discount": 0.05, "l_tax": 0.02, "l_returnflag": "N",
+             "l_linestatus": "O", "l_shipdate": pd.Timestamp("1995-06-20")},
+        ],
+        "events": [
+            {"event_id": None, "ts": None, "user_id": None,
+             "event_type": None, "value": None, "props": None},
+            {"event_id": 999001, "ts": pd.Timestamp("2024-01-02 03:04:05"),
+             "user_id": 7, "event_type": "click", "value": 1.5,
+             "props": "{not json"},
+        ],
+        "documents": [
+            {"doc_id": 99901, "text": None, "lang": None, "source": None,
+             "n_chars": None},
+        ],
+    }
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents"):
+        base = pq.read_table(f"{src}/{t}.parquet")
+        # append the poison rows THROUGH the original arrow schema: a
+        # pandas round-trip promotes int columns with NULLs to DOUBLE and
+        # rewrites timestamps as TIMESTAMP(NANOS), both of which change
+        # the query-visible schema (Spark 4 refuses NANOS outright)
+        rows = [
+            {k: (v.to_pydatetime() if isinstance(v, pd.Timestamp) else v)
+             for k, v in r.items()}
+            for r in poison[t]
+        ]
+        extra = pa.Table.from_pylist(rows, schema=base.schema)
+        emit(t, pa.concat_tables([base, extra]))
+    emb = pq.read_table(f"{src}/embeddings.parquet")
+    emb_extra = pa.Table.from_pylist(
+        [{"vec_id": 999001, "embedding": None, "label": None}],
+        schema=emb.schema,
+    )
+    emit("embeddings", pa.concat_tables([emb, emb_extra]))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _WAREHOUSE_OMNIBUS)
+def test_warehouse_omnibus_null_parity(spark, messy_warehouse_dir, name):
+    import duckdb
+
+    from webscale_multimodal_datapipeline_spark.plans.registry import ORACLE, QUERIES
+
+    got = QUERIES[name](spark, messy_warehouse_dir).toPandas()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{messy_warehouse_dir}/{t}.parquet/*.parquet'"
+        )
+    _assert_parity(got, con.sql(ORACLE[name]).df(), name)

@@ -149,7 +149,9 @@ def a_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from webscale_multimodal_datapipeline_spark.functions import vectors as VX
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        VX.is_valid_vector("embedding")  # contentless vectors can't cluster
+    )
     vec = e.withColumn("features", array_to_vector(VX.to_double_array("embedding")))
     model = KMeans(k=10, seed=42, maxIter=20).fit(vec.select("features"))
     clustered = model.transform(vec).withColumnRenamed("prediction", "cluster_id")
@@ -187,7 +189,10 @@ A_SEMDEDUP_SQL = """
 SELECT COUNT(*) AS n_input, TRUE AS survivors_subset,
        TRUE AS cluster_coverage, TRUE AS count_ok
 FROM embeddings
+WHERE embedding IS NOT NULL
+  AND len(list_filter(embedding, x -> x IS NULL)) = 0
 """
+# mirrors the engine's is_valid_vector ingestion filter
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +253,12 @@ def a_mlp_deep_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.stack(embs.to_numpy())
         return pd.Series(mlp_forward_py(mat.astype(np.float64)))
 
-    e = load_table(spark, sf_dir, "embeddings")
+    from webscale_multimodal_datapipeline_spark.functions import vectors as VX
+
+    # contentless vectors can't be scored (np.stack raises on None rows)
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        VX.is_valid_vector("embedding")
+    )
     return e.select(
         "vec_id",
         F.round(_score(F.col("embedding")) * 1e5)
@@ -278,6 +288,8 @@ WITH params AS (
 ), x AS (
   SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, v -> v IS NULL)) = 0
 ), h1 AS (
   SELECT vec_id, list_transform(range(1, {d1 + 1}), j ->
            greatest(0.0, b0[j] + list_sum(list_transform(range(1, {d0 + 1}),
@@ -463,20 +475,27 @@ def a_welch_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~is_a, vv).otherwise(F.lit(0).cast("decimal(25,4)"))).cast("double").alias("ssb"),
     )
     na, nb, sa, sb, ssa, ssb = (F.col(c) for c in ("na", "nb", "sa", "sb", "ssa", "ssb"))
+    # degenerate arms (n<2, or zero pooled variance) make t undefined ->
+    # NULL in both engines (bare division raises under ANSI mode; this is
+    # the kappa guard class)
+    diff = F.when((na > 0) & (nb > 0), sa / na - sb / nb)
     var_a = (ssa - sa * sa / na) / (na - 1)
     var_b = (ssb - sb * sb / nb) / (nb - 1)
-    t = (sa / na - sb / nb) / F.sqrt(var_a / na + var_b / nb)
+    den2 = F.when((na > 1) & (nb > 1), var_a / na + var_b / nb)
+    t = F.when(den2 > 0, diff / F.sqrt(den2))
     return sums.select(
         "event_type",
         na.cast("long").alias("n_a"),
         nb.cast("long").alias("n_b"),
-        F.round(sa / na - sb / nb, 6).alias("mean_diff"),
+        F.round(diff, 6).alias("mean_diff"),
         F.round(t, 6).alias("t_stat"),
         (F.abs(t) > 1.96).alias("significant_95"),
     ).orderBy("event_type")
 
 
-_AB_HASH = OQ.sql_md5_long("concat(user_id, '#ab')")
+# || not concat(): a NULL user must land in NEITHER arm in both engines
+# (DuckDB's concat() would hash the bare '#ab' salt and assign one)
+_AB_HASH = OQ.sql_md5_long("(user_id || '#ab')")
 
 A_WELCH_SQL = f"""
 WITH sums AS (
@@ -493,10 +512,21 @@ WITH sums AS (
 SELECT event_type,
        CAST(na AS BIGINT) AS n_a,
        CAST(nb AS BIGINT) AS n_b,
-       ROUND(sa / na - sb / nb, 6) AS mean_diff,
-       ROUND((sa / na - sb / nb) / sqrt(((ssa - sa * sa / na) / (na - 1)) / na + ((ssb - sb * sb / nb) / (nb - 1)) / nb), 6) AS t_stat,
-       abs((sa / na - sb / nb) / sqrt(((ssa - sa * sa / na) / (na - 1)) / na + ((ssb - sb * sb / nb) / (nb - 1)) / nb)) > 1.96 AS significant_95
-FROM sums
+       ROUND(diff, 6) AS mean_diff,
+       ROUND(t, 6) AS t_stat,
+       abs(t) > 1.96 AS significant_95
+FROM (
+  SELECT event_type, na, nb, diff,
+         CASE WHEN den2 > 0 THEN diff / sqrt(den2) END AS t
+  FROM (
+    SELECT event_type, na, nb,
+           CASE WHEN na > 0 AND nb > 0 THEN sa / na - sb / nb END AS diff,
+           CASE WHEN na > 1 AND nb > 1
+                THEN ((ssa - sa * sa / na) / (na - 1)) / na
+                     + ((ssb - sb * sb / nb) / (nb - 1)) / nb END AS den2
+    FROM sums
+  )
+)
 ORDER BY event_type
 """
 
@@ -530,7 +560,11 @@ def a_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cents_sum(v):
         import numpy as np
 
-        return int(np.round(v.to_numpy() * 100).astype(np.int64).sum())
+        arr = v.to_numpy(dtype=np.float64)
+        arr = arr[~np.isnan(arr)]  # SQL SUM semantics: NULLs don't count
+        if arr.size == 0:
+            return None  # all-NULL group: SUM is NULL (NaN->int64 is LONG_MIN)
+        return int(np.round(arr * 100).astype(np.int64).sum())
 
     o = load_table(spark, sf_dir, "orders")
     return (

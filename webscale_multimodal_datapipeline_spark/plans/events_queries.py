@@ -136,8 +136,8 @@ def e_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E_JSON_SQL = """
 SELECT event_type,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
-       COUNT(json_extract_string(props, '$.k')) AS k_present
+       CAST(SUM(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+       COUNT(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k')) AS k_present
 FROM events GROUP BY event_type
 """
 
@@ -361,7 +361,7 @@ def e_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 E_SCD2_SQL = """
 WITH tiers AS (
   SELECT user_id, ts, event_id,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
+         CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT) // 25 AS tier
   FROM events
 ), marked AS (
   SELECT user_id, ts, event_id, tier,
@@ -926,7 +926,10 @@ def e_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's json_extract NULL semantics.
     """
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json, not parse_json: malformed props must shred to NULL
+    # (parse_json raises MALFORMED_RECORD_IN_PARSING mid-query; DuckDB's
+    # json_valid guard is the oracle-side mirror)
+    v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "bigint")
     missing = F.try_variant_get(v, "$.missing", "bigint")
     return (
@@ -944,11 +947,11 @@ def e_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E_VARIANT_SQL = """
 SELECT event_type,
-       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_present,
-       COUNT(CAST(json_extract_string(props, '$.missing') AS BIGINT)) AS missing_present,
-       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct,
-       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+       COUNT(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS k_present,
+       COUNT(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.missing') AS BIGINT)) AS missing_present,
+       COUNT(DISTINCT CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS k_distinct,
+       MIN(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type
 """
 
@@ -1074,7 +1077,9 @@ def e_session_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup and the single-row funnel reduce map-side. Output: session
     counts per funnel stage + conversion in exact basis points (integer
     DIV, bit-identical cross-engine)."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts events are unsessionizable (section 24) — the oracle already
+    # filters them; without the mirror they formed a phantom session here
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap = F.when(

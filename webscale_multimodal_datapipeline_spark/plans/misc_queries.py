@@ -23,7 +23,14 @@ def x_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets (tiny P-row histogram; cumulative sum via a triangular self-join
     so no unpartitioned WindowExec appears anywhere in the plan). The NTILE
     bucket is then a closed-form function of (global rank, n)."""
-    c = load_table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    # a NULL balance is unrankable: Spark's range partitioner puts it
+    # FIRST and DuckDB's NTILE ORDER BY puts it LAST, shifting every
+    # decile boundary (section 28) — excluded by spec in both engines
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_acctbal", "c_custkey")
+        .filter(F.col("c_acctbal").isNotNull())
+    )
     num_parts = 32  # at cluster scale: ≈ the table's shuffle parallelism
     ranged = c.repartitionByRange(
         num_parts, F.col("c_acctbal").asc(), F.col("c_custkey").asc()
@@ -71,7 +78,7 @@ X_DECILES_SQL = """
 SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
 FROM (
   SELECT c_acctbal, NTILE(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
-  FROM customer
+  FROM customer WHERE c_acctbal IS NOT NULL
 )
 GROUP BY decile
 """
@@ -1139,7 +1146,14 @@ def x_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     digit = F.substring(F.regexp_replace(F.col("o_totalprice").cast("string"), r"[^1-9]", ""), 1, 1)
-    counts = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    # rows with no extractable first digit (NULL price) are outside the
+    # audit's domain in BOTH the counts and the denominator
+    counts = (
+        o.select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull() & (F.col("digit") != ""))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     total = counts.agg(F.sum("n").alias("tot"))
     expected = {str(d): round(math.log10(1 + 1 / d), 4) for d in range(1, 10)}
     exp_col = F.element_at(
@@ -1164,9 +1178,11 @@ _BENFORD_MAP = ", ".join(
 
 X_BENFORD_SQL = f"""
 WITH counts AS (
-  SELECT substr(regexp_replace(CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS digit,
-         COUNT(*) AS n
-  FROM orders GROUP BY 1
+  SELECT digit, COUNT(*) AS n FROM (
+    SELECT substr(regexp_replace(CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS digit
+    FROM orders
+  ) WHERE digit IS NOT NULL AND digit <> ''
+  GROUP BY 1
 ), total AS (SELECT SUM(n) AS tot FROM counts),
 exp_map(digit, benford_expected) AS (VALUES {_BENFORD_MAP})
 SELECT c.digit, c.n,
@@ -1285,7 +1301,14 @@ def x_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup. Integer support ranks deterministically; lift in exact
     micros (non-negative integer div)."""
     l = load_table(spark, sf_dir, "lineitem")
-    items = l.select("l_orderkey", "l_partkey").distinct()
+    # keyless lineitems belong to no basket: Spark's .distinct().count()
+    # would count a NULL orderkey that SQL's COUNT(DISTINCT) excludes,
+    # skewing every lift denominator (section 28)
+    items = (
+        l.select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .distinct()
+    )
     n_orders = items.select("l_orderkey").distinct().count()
     a, b = items.alias("a"), items.alias("b")
     pairs = (
@@ -1321,6 +1344,7 @@ def x_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 X_BASKET_SQL = f"""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
 ), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
 pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support

@@ -261,7 +261,12 @@ def q_running_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window running total: monthly order revenue + cumulative sum per
     order-status (funnel/timeline shape from the reference's report layer,
     ``metrics/reporter.py:762-773``)."""
-    o = load_table(spark, sf_dir, "orders")
+    # undated orders are off the revenue timeline by spec: a NULL month
+    # sorts FIRST in Spark's window order and LAST in DuckDB's, putting
+    # the same row at opposite ends of the cumulative sum (section 28)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = (
         o.groupBy(
             F.col("o_orderstatus").alias("status"),
@@ -290,7 +295,7 @@ FROM (
          strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
          SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec,
          COUNT(*) AS n_orders
-  FROM orders GROUP BY 1, 2
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
 )
 """
 

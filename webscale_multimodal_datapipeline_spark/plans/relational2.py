@@ -51,7 +51,13 @@ def q2_argmax_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (three lineitem-sized shuffles) collapse to one partial-agg
     combinable aggregate plus one supplier equi-join that AQE sizes —
     the map-side combine means only |part| rows ever reach the exchange."""
-    l = load_table(spark, sf_dir, "lineitem")
+    # price-less or supplier-less lineitems can't win the argmin: Spark's
+    # struct comparator sorts a NULL price FIRST (min_by would pick it)
+    # while the oracle's ORDER BY sorts it LAST — excluded by spec in
+    # both engines (section 28)
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
     s = load_table(spark, sf_dir, "supplier")
     best = l.groupBy("l_partkey").agg(
         F.min("l_extendedprice").alias("price"),
@@ -71,6 +77,7 @@ FROM (
          ROW_NUMBER() OVER (PARTITION BY l_partkey
                             ORDER BY l_extendedprice, l_suppkey) AS rn
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_suppkey IS NOT NULL
 ) t JOIN supplier ON l_suppkey = s_suppkey
 WHERE rn = 1
 """

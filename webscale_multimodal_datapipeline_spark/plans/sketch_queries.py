@@ -41,7 +41,9 @@ def x_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per day; the raw user_ids never cross the wire a second time. The exact
     branch exists only as the gate; at 100 TB you'd drop it and keep the
     sketch branch unchanged."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts events are unwindowable (section 24): Spark's inner join on
+    # day silently dropped the NULL-day rollup the oracle's GROUP BY kept
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     keyed = ev.select(F.to_date("ts").alias("day"), "event_type", "user_id")
     fine = keyed.groupBy("day", "event_type").agg(
         F.hll_sketch_agg("user_id").alias("_sk")
@@ -71,6 +73,7 @@ SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
        COUNT(DISTINCT user_id) AS exact_users,
        TRUE AS est_within_5pct
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY CAST(ts AS DATE)
 ORDER BY day
 """
@@ -125,12 +128,16 @@ X_PCT_SQL = """
 SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
        ROUND(quantile_cont(value, 0.95), 6) AS exact_p95,
-       TRUE AS p50_in_band,
-       TRUE AS p95_in_band
+       CASE WHEN quantile_cont(value, 0.5) IS NULL THEN NULL ELSE TRUE END
+         AS p50_in_band,
+       CASE WHEN quantile_cont(value, 0.95) IS NULL THEN NULL ELSE TRUE END
+         AS p95_in_band
 FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+# a group with NO values (all-NULL) has no percentile to band: the
+# in-band comparison is NULL in Spark, so the invariant pin is too
 
 QUERIES["x_approx_percentile_sketch"] = x_approx_percentile_sketch
 ORACLE["x_approx_percentile_sketch"] = X_PCT_SQL

@@ -491,7 +491,9 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value-domain-bounded — the allowlisted cumulative-window class),
     1-row output. The fact table crosses the wire once, pre-aggregated.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # undated orders are off the timeline (NULL day sorts FIRST in Spark's
+    # window order, LAST in DuckDB's — section 28)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = o.groupBy("o_orderdate").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy("o_orderdate")
     cum = daily.select(
@@ -525,7 +527,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TS_CUSUM_SQL = """
 WITH daily AS (
-  SELECT o_orderdate, COUNT(*) AS c FROM orders GROUP BY 1
+  SELECT o_orderdate, COUNT(*) AS c FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ), cum AS (
   SELECT o_orderdate,
          ROW_NUMBER() OVER (ORDER BY o_orderdate) AS t,
@@ -574,7 +576,9 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition lag window over ~2.4K days (the allowlisted bounded-domain
     class), a 2-row output (one per lag).
     """
-    o = load_table(spark, sf_dir, "orders")
+    # undated orders are off the timeline (NULL day sorts FIRST in Spark's
+    # window order, LAST in DuckDB's — section 28)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = o.groupBy("o_orderdate").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy("o_orderdate")
     lagged = daily.select(
@@ -621,7 +625,7 @@ SELECT CAST({lag} AS INT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
              6) AS acf
 FROM (SELECT c AS x,
              LAG(c, {lag}) OVER (ORDER BY o_orderdate) AS y
-      FROM (SELECT o_orderdate, COUNT(*) AS c FROM orders GROUP BY 1))
+      FROM (SELECT o_orderdate, COUNT(*) AS c FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1))
 WHERE y IS NOT NULL""")
     return " UNION ALL ".join(arms)
 

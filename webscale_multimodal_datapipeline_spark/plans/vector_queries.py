@@ -214,7 +214,10 @@ V_KMEANS_SQL = """
 SELECT COUNT(*) AS n_rows, TRUE AS k_ok, TRUE AS sizes_sum_ok,
        TRUE AS centroids_in_range
 FROM embeddings
+WHERE embedding IS NOT NULL
+  AND len(list_filter(embedding, x -> x IS NULL)) = 0
 """
+# the invariant pin mirrors the engine's is_valid_vector ingestion filter
 
 
 def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
