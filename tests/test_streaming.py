@@ -746,3 +746,30 @@ def test_stream_incremental_neardup_matches_python_reference(spark, tmp_path):
         str(tmp_path / "ckpt2"),
     )
     assert sorted(r.doc_id for r in TX.read(spark, table2).collect()) == want
+
+
+def test_streaming_cuped_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """Fourth streaming statistics lift: per-user (x, y) rollup → MERGE →
+    shared CUPED scorer == the batch e_cuped EXACTLY (decimal sums +
+    identical float tree, no tolerance). 3-ts-range-file replay so users
+    span epochs and the MERGE accumulation genuinely executes."""
+    from webscale_multimodal_datapipeline_spark.plans.events_queries import e_cuped
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    ev_dir = str(tmp_path / "evparts")
+    load_table(spark, sf_dir, "events").repartitionByRange(3, "ts").write.parquet(
+        ev_dir
+    )
+    _pin_part_mtimes(ev_dir)
+
+    stream = SP.read_parquet_events_stream(spark, ev_dir, max_files_per_trigger=1)
+    table = str(tmp_path / "xy_tbl")
+    SP.stream_user_xy_to_txtable(
+        SP.user_xy(stream), table, str(tmp_path / "ckpt")
+    )
+    actions = [h["action"] for h in TX.history(table)]
+    assert actions[0] == "append" and "overwrite" in actions[1:]
+
+    got = SP.cuped_from_user_xy(spark, table).collect()
+    want = e_cuped(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

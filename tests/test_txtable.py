@@ -323,3 +323,27 @@ def test_file_stats_drop_column_when_any_rowgroup_unusable(tmp_path):
     st = TX._file_stats(path)
     assert st.get("id") == [1, 4]  # fully-usable column keeps full range
     assert "b" not in st  # partially-usable column dropped == never skipped
+
+
+def test_append_with_decimal_columns_skips_unextractable_stats(spark, tmp_path):
+    """A decimal column must not fail the append: pyarrow raises
+    ArrowNotImplementedError extracting parquet min/max for DECIMAL, so
+    the column is dropped from the file stats (conservatively kept by
+    the skipper) while numeric columns still carry ranges."""
+    from pyspark.sql import functions as F
+
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    table = str(tmp_path / "dec_tbl")
+    df = spark.range(10).select(
+        F.col("id"),
+        (F.col("id") * 1.5).cast("decimal(18,2)").alias("amount"),
+    )
+    TX.append(df, table)  # raised ArrowNotImplementedError before the guard
+    assert TX.read(spark, table).count() == 10
+    stats = TX.read_log(table)[-1].stats
+    merged = {}
+    for per_file in stats.values():
+        merged.update(per_file)
+    assert "id" in merged  # int stats still collected
+    assert "amount" not in merged  # decimal: no stats == conservatively kept

@@ -1859,18 +1859,34 @@ def e_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one user-keyed aggregate (the natural shuffle), then a
     single-row conditional aggregate; no UDF, no window."""
-    from webscale_multimodal_datapipeline_spark.functions.text import md5_long
-
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return cuped_over_user_xy(cuped_user_xy(ev))
+
+
+def cuped_user_xy(ev: DataFrame) -> DataFrame:
+    """Per-user covariate/outcome rollup ``(user_id, x, y)`` — exact
+    decimal sums, so the rollup is MERGE-able state: the streaming lift
+    accumulates exactly this table per user in the txtable."""
     v = F.col("value").cast("decimal(12,2)")
-    per_user = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "view", v).otherwise(
             F.lit(0).cast("decimal(12,2)")
         )).cast("decimal(18,2)").alias("x"),
         F.sum(F.when(F.col("event_type") == "purchase", v).otherwise(
             F.lit(0).cast("decimal(12,2)")
         )).cast("decimal(18,2)").alias("y"),
-    ).withColumn(
+    )
+
+
+def cuped_over_user_xy(per_user: DataFrame) -> DataFrame:
+    """Shared CUPED scorer over a per-user ``(user_id, x, y)`` table:
+    derives the md5 arm split and the θ/means float tree — factored out
+    so the BATCH query and the STREAMING lift score through literally
+    the same code (the spike/SRM/CUSUM shared-scorer pattern — exact
+    parity by construction)."""
+    from webscale_multimodal_datapipeline_spark.functions.text import md5_long
+
+    per_user = per_user.withColumn(
         "arm",
         F.pmod(md5_long(F.concat(F.col("user_id").cast("string"), F.lit("#cuped"))), F.lit(2)),
     )

@@ -140,7 +140,15 @@ def _file_stats(path: str) -> dict:
             if st is None or not st.has_min_max:
                 unusable.add(name)
                 continue
-            lo, hi = st.min, st.max
+            try:
+                lo, hi = st.min, st.max
+            except Exception:
+                # pyarrow raises ArrowNotImplementedError extracting stats
+                # for some physical types (e.g. DECIMAL): no stats for the
+                # column == conservatively kept, same as the has_min_max
+                # branch — an append must never fail on a column's TYPE
+                unusable.add(name)
+                continue
             if isinstance(lo, bytes):
                 try:
                     lo, hi = lo.decode(), hi.decode()

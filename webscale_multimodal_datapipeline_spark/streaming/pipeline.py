@@ -660,3 +660,63 @@ def cusum_from_rollup(spark: SparkSession, table: str) -> DataFrame:
     from webscale_multimodal_datapipeline_spark.sources import txtable as TX
 
     return cusum_over_hourly_totals(TX.read(spark, table).select("_h", "cnt"))
+
+
+def user_xy(events: DataFrame) -> DataFrame:
+    """Stage 1 of the STREAMING CUPED lift (``e_cuped`` lifted): the
+    per-user covariate/outcome rollup through the batch query's own
+    ``cuped_user_xy`` (shared code), in UPDATE mode — each trigger
+    re-emits the FULL accumulated (x, y) decimal sums for users the
+    batch touched, so a txtable MERGE keyed on ``user_id`` converges to
+    the exact all-time batch rollup (the arm-counts pattern)."""
+    from webscale_multimodal_datapipeline_spark.plans.events_queries import (
+        cuped_user_xy,
+    )
+
+    return cuped_user_xy(events.filter(F.col("user_id").isNotNull()))
+
+
+def stream_user_xy_to_txtable(xy: DataFrame, table: str, checkpoint: str) -> None:
+    """Drive the UPDATE-mode per-user rollup into a transactional table
+    via epoch-idempotent MERGE (``stream_arm_counts_to_txtable`` shape).
+    UPDATE mode emits one row per changed key per trigger; the
+    struct-max collapse is defensive determinism only."""
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(F.max(F.struct("x", "y")).alias("_s"))
+            .select("user_id", F.col("_s.x").alias("x"), F.col("_s.y").alias("y"))
+        )
+        epoch = f"cuped-epoch-{epoch_id}"
+        if TX.latest_version(table) < 0:
+            TX.append(latest, table, app_epoch=epoch)
+        else:
+            TX.merge(spark, latest, table, "user_id", app_epoch=epoch)
+
+    q = (
+        xy.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def cuped_from_user_xy(spark: SparkSession, table: str) -> DataFrame:
+    """Stage 2 of the streaming CUPED lift: score the accumulated per-user
+    snapshot through the SAME ``cuped_over_user_xy`` float tree as the
+    batch ``e_cuped`` — streaming and batch variance-reduction reports
+    are bit-identical on the same input (fourth statistics lift; the
+    spike/SRM/CUSUM pattern)."""
+    from webscale_multimodal_datapipeline_spark.plans.events_queries import (
+        cuped_over_user_xy,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    return cuped_over_user_xy(TX.read(spark, table).select("user_id", "x", "y"))
