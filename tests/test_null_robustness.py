@@ -278,6 +278,7 @@ _R6_DOC_QUERIES = [
     "d_cluster_modularity",
     "d_minhash_est_vs_exact",
     "x_kmv_distinct",
+    "x_kmv_setops",
 ]
 
 

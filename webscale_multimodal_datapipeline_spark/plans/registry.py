@@ -187,7 +187,7 @@ _ROUND6_NEW: set[str] = {
     "e_cuped", "s_sprt_boundary", "s_g_test", "x_join_cardinality_estimate",
     "d_cluster_modularity", "d_minhash_est_vs_exact", "t_oov_rate",
     "c_pack_efficiency", "m_dup_frame_ratio", "ts_holt_linear",
-    "e_cusum_hourly", "x_kmv_distinct",
+    "e_cusum_hourly", "x_kmv_distinct", "x_kmv_setops",
 }
 
 # Every other query has a green driver row in its latest recorded round

@@ -335,3 +335,143 @@ ORDER BY source
 
 QUERIES["x_kmv_distinct"] = x_kmv_distinct
 ORACLE["x_kmv_distinct"] = X_KMV_SQL
+
+
+def x_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra between two sources: |A∪B| from the pooled sketch
+    (k smallest of the two k-minimums — mergeability), |A∩B| by
+    inclusion–exclusion on the estimates, and the implied Jaccard —
+    gated against the exact contents. The estimator-side set algebra is
+    what lets a 100-TB catalog answer "how much NEW content does source
+    B add" from per-source sketch rows without ever co-shuffling the two
+    corpora. Same exact-parity property as ``x_kmv_distinct``: both
+    engines rank the same md5 hashes, so the ESTIMATES match by value.
+
+    Under-full sketches (distinct < k) degrade to the exact counts, so
+    the algebra stays defined at any fixture scale."""
+    from webscale_multimodal_datapipeline_spark.functions import text as TXT
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isin("src0", "src1"))
+        .select("source", TXT.fingerprint("text").alias("_h"))
+        .dropDuplicates(["source", "_h"])
+    )
+    w = Window.partitionBy("source").orderBy("_h")
+    sk = docs.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= _KMV_K
+    )
+
+    def est(n_col: Column, kth_col: Column, exact_col: Column) -> Column:
+        return F.when(n_col < _KMV_K, exact_col.cast("double")).otherwise(
+            F.lit(_KMV_NUM) / kth_col.cast("double")
+        )
+
+    from pyspark.sql import Column
+
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("exact"))
+    agg = sk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("sn"),
+        F.max(F.when(F.col("_rn") == _KMV_K, F.col("_h"))).alias("kth"),
+    )
+    ab = (
+        per.join(agg, "source")
+        .groupBy()
+        .pivot("source", ["src0", "src1"])
+        .agg(
+            F.first("exact").alias("exact"),
+            F.first("sn").alias("sn"),
+            F.first("kth").alias("kth"),
+        )
+    )
+    upool = (
+        sk.select("_h")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(Window.orderBy("_h")))
+        .filter(F.col("_rn") <= _KMV_K)
+    )
+    uagg = upool.agg(
+        F.count(F.lit(1)).alias("u_sn"),
+        F.max(F.when(F.col("_rn") == _KMV_K, F.col("_h"))).alias("u_kth"),
+    )
+    exact_union = docs.select("_h").distinct().agg(
+        F.count(F.lit(1)).alias("exact_union")
+    )
+    exact_int = (
+        docs.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_ns"))
+        .filter(F.col("_ns") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    row = ab.crossJoin(uagg).crossJoin(exact_union).crossJoin(exact_int)
+    ea = est(F.col("src0_sn"), F.col("src0_kth"), F.col("src0_exact"))
+    eb = est(F.col("src1_sn"), F.col("src1_kth"), F.col("src1_exact"))
+    eu = est(F.col("u_sn"), F.col("u_kth"), F.col("exact_union"))
+    ei = F.greatest(F.lit(0.0), ea + eb - eu)
+    return row.select(
+        F.col("src0_exact").alias("n_a"),
+        F.col("src1_exact").alias("n_b"),
+        "exact_union",
+        "exact_intersection",
+        F.round(eu, 4).alias("est_union"),
+        F.round(ei, 4).alias("est_intersection"),
+        F.round(ei / eu, 4).alias("est_jaccard"),
+    )
+
+
+X_KMV_SETOPS_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 15)) AS BIGINT) AS h
+  FROM documents
+  WHERE text IS NOT NULL AND source IN ('src0', 'src1')
+), sk AS (
+  SELECT source, h, rn FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {_KMV_K}
+), per AS (
+  SELECT
+    MAX(CASE WHEN source = 'src0' THEN exact END) AS a_exact,
+    MAX(CASE WHEN source = 'src1' THEN exact END) AS b_exact,
+    MAX(CASE WHEN source = 'src0' THEN sn END) AS a_sn,
+    MAX(CASE WHEN source = 'src1' THEN sn END) AS b_sn,
+    MAX(CASE WHEN source = 'src0' THEN kth END) AS a_kth,
+    MAX(CASE WHEN source = 'src1' THEN kth END) AS b_kth
+  FROM (
+    SELECT p.source, p.exact, a.sn, a.kth
+    FROM (SELECT source, COUNT(*) AS exact FROM h GROUP BY source) p
+    JOIN (SELECT source, COUNT(*) AS sn,
+                 MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth
+          FROM sk GROUP BY source) a USING (source)
+  )
+), u AS (
+  SELECT COUNT(*) AS u_sn, MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS u_kth
+  FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM sk)
+  ) WHERE rn <= {_KMV_K}
+), ex AS (
+  SELECT (SELECT COUNT(DISTINCT h) FROM h) AS exact_union,
+         (SELECT COUNT(*) FROM (
+            SELECT h FROM h GROUP BY h HAVING COUNT(*) = 2
+          )) AS exact_intersection
+), est AS (
+  SELECT *,
+    CASE WHEN a_sn < {_KMV_K} THEN CAST(a_exact AS DOUBLE)
+         ELSE {_KMV_NUM!r} / CAST(a_kth AS DOUBLE) END AS ea,
+    CASE WHEN b_sn < {_KMV_K} THEN CAST(b_exact AS DOUBLE)
+         ELSE {_KMV_NUM!r} / CAST(b_kth AS DOUBLE) END AS eb,
+    CASE WHEN u_sn < {_KMV_K} THEN CAST(exact_union AS DOUBLE)
+         ELSE {_KMV_NUM!r} / CAST(u_kth AS DOUBLE) END AS eu
+  FROM per, u, ex
+)
+SELECT a_exact AS n_a, b_exact AS n_b, exact_union, exact_intersection,
+       ROUND(eu, 4) AS est_union,
+       ROUND(greatest(0.0, ea + eb - eu), 4) AS est_intersection,
+       ROUND(greatest(0.0, ea + eb - eu) / eu, 4) AS est_jaccard
+FROM est
+"""
+
+QUERIES["x_kmv_setops"] = x_kmv_setops
+ORACLE["x_kmv_setops"] = X_KMV_SETOPS_SQL
