@@ -89,6 +89,14 @@ def main() -> None:
         "winnow_fp": [200, 400, 800],
         "minhash_lsh_dedup": [8, 16, 32],
     }
+    # embedding-cosine near-dup runs over the EMBEDDINGS table (its own
+    # replicator below): hyperplane buckets + within-bucket verify, the
+    # one dedup family member without a measured exponent until round 6.
+    # Capped at 32K rows: the FIXED-plane lane is the documented alpha=3
+    # red flag, and its 64K point costs 8 minutes per timed run (the
+    # measurement lives in ARCHITECTURE section 32; re-run with
+    # emb_scales=[8,16,32,64] to reproduce it).
+    emb_scales = [4, 8, 16]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scaling_probe")
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -128,6 +136,65 @@ def main() -> None:
             )
         if big is not None:
             big.unpersist()
+        cal.append(calibration_ms())
+
+    # embedding-cosine lane: replicate embeddings with a per-replica
+    # PERTURBED coordinate (verbatim copies would form bucket cliques —
+    # the same quadratic probe artifact the text replicator avoids with
+    # suffix tokens): replica vectors land in different buckets at the
+    # background rate, per-row bucket/verify work unchanged.
+    for factor in emb_scales:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        big = (
+            emb.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+            .withColumn("vec_id", F.col("vec_id") * 10_000 + F.col("rep"))
+            .withColumn(
+                "embedding",
+                # strong rep-keyed offsets on the first 16 coordinates:
+                # a single-coordinate nudge left replicas cosine-within-
+                # threshold of their originals IN the same bucket — the
+                # verbatim-replication quadratic artifact in disguise
+                # per-(row, replica, coord) decorrelated noise (the
+                # shader-hash trick): modulo-lattice offsets were
+                # self-correlated across rows and recreated cliques
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(
+                        (i < 16) & (F.col("rep") > 0),
+                        x
+                        + F.sin(
+                            F.col("rep") * 12.9898
+                            + F.col("vec_id") * 78.233
+                            + i.cast("double") * 37.719
+                        ).cast("float")
+                        * F.lit(4.0),
+                    ).otherwise(x),
+                ),
+            )
+            .drop("rep")
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+            .localCheckpoint(eager=True)
+        )
+        n = big.count()
+        wall = timed(OD.embedding_cosine_dedup(big))
+        results.setdefault("embedding_cosine_dedup", []).append((n, wall))
+        print(
+            f"# embedding_cosine_dedup @ {n} rows: {wall:.2f}s"
+            f" ({n / wall / 1000:.0f}K rec/s)",
+            file=sys.stderr,
+        )
+        # the remedy lane: the documented plane SCHEDULE (scaled_planes)
+        # holds bucket occupancy constant as n grows — fixed-plane alpha
+        # measured 3.0; this lane pins the schedule's exponent
+        pl = OD.scaled_planes(n)
+        wall2 = timed(OD.embedding_cosine_dedup(big, planes=pl))
+        results.setdefault("embedding_cosine_dedup_scaled", []).append((n, wall2))
+        print(
+            f"# embedding_cosine_dedup_scaled @ {n} rows (planes={pl}):"
+            f" {wall2:.2f}s ({n / wall2 / 1000:.0f}K rec/s)",
+            file=sys.stderr,
+        )
+        big.unpersist()
         cal.append(calibration_ms())
 
     summary = {}

@@ -442,6 +442,23 @@ def ngram_jaccard_dedup(
 EMB_LSH_PLANES = 8
 
 
+def scaled_planes(n_rows: int, target_bucket_rows: int = 64) -> int:
+    """Hyperplane count that holds the expected LSH bucket size at
+    ``target_bucket_rows`` as the corpus grows: ``max(EMB_LSH_PLANES,
+    ceil(log2(n / target)))``. With a FIXED plane count, bucket
+    occupancy grows linearly in n and the within-bucket verify pairs
+    grow QUADRATICALLY — measured by the round-6 scaling probe as
+    alpha = 3.0 over 16K -> 64K rows (6.9 s -> 453 s); with this
+    schedule the same sweep is linear (ARCHITECTURE section 32). The
+    trade is recall on borderline pairs (each extra plane multiplies a
+    near-pair's bucket-match probability by 1 - theta/pi); the banded
+    OR-construction (the MinHash band pattern) is the recall-restoring
+    extension when a deployment needs both."""
+    import math
+
+    return max(EMB_LSH_PLANES, math.ceil(math.log2(max(n_rows, 1) / target_bucket_rows)))
+
+
 def _plane_coef(p: int, i: int) -> int:
     return ((p * 37 + i * 31 + 17) % 7) - 3
 
