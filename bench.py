@@ -96,6 +96,23 @@ def contention_flag(cal_ms: list[float], threshold: float = 0.60) -> tuple[float
     return round(dev, 2), dev > threshold
 
 
+# Session-ambient load gate (round-7, VERDICT r6 #6): the r6 driver run
+# started at loadavg 5.7 and the per-lane sentinel flagged two lanes whose
+# readings were inside their historical bands — whole-run ambient load is
+# indistinguishable in the record from a genuinely depressed lane. This
+# marker separates them: `ambient=1` means the RUN was loaded (discount the
+# lane flags — they likely reflect session-wide contention), `ambient=0`
+# with lane flags means those specific lanes' readings are suspect.
+# Threshold: an idle 32-core box reads < 1; every recorded contended run
+# (r4: 8.1, r5: 3.3, r6: 5.7) read > 3. 2.0 splits the bands with margin.
+AMBIENT_LOAD_THRESHOLD = 2.0
+
+
+def ambient_flag(load: list[float], threshold: float = AMBIENT_LOAD_THRESHOLD) -> int:
+    """1 iff the 1-min loadavg at run start OR end exceeded the threshold."""
+    return int(bool(load) and max(load) > threshold)
+
+
 def lane_flags(
     tp: dict[str, dict[str, float]], threshold: float = 0.60
 ) -> dict[str, float]:
@@ -177,6 +194,10 @@ def compact_line(
                     (flags or {}).items(), key=lambda kv: -kv[1]
                 )[:8]
             ],
+            # session-ambient marker (r7): 1 = the whole run was loaded
+            # (start/end loadavg over AMBIENT_LOAD_THRESHOLD) — discount
+            # lane_flags as session-wide, not lane-local. See ambient_flag.
+            "ambient": ambient_flag(load),
             "sf": sf,
         },
         separators=(",", ":"),

@@ -52,8 +52,31 @@ def test_compact_line_fits_tail_buffer_at_worst_case():
     assert len(parsed["load"]) == 2
     assert len(parsed["cal_ms"]) == 4
     assert parsed["contended"] in (0, 1)
+    # session-ambient marker present even at worst case (r7, VERDICT r6 #6)
+    assert parsed["ambient"] in (0, 1)
     # rec_k covers every lane under its shortened key.
     assert len(parsed["rec_k"]) == len(bench.LANES)
+
+
+def test_ambient_flag_thresholds():
+    """VERDICT r6 #6: separate 'whole run was loaded' (discount the lane
+    flags) from 'this lane's reading is wrong'. Idle 32-core box reads
+    < 1; every recorded contended run read > 3; gate at 2.0."""
+    assert bench.ambient_flag([0.4, 0.9]) == 0
+    assert bench.ambient_flag([5.7, 3.1]) == 1  # the r6 run's shape
+    assert bench.ambient_flag([0.5, 3.3]) == 1  # load arriving mid-run
+    assert bench.ambient_flag([2.0, 2.0]) == 0  # gate is strict
+    assert bench.ambient_flag([]) == 0  # degenerate input
+    # marker lands in the compact line next to lane_flags
+    line = bench.compact_line(
+        1.0,
+        {"q1_pricing_summary": 1.0},
+        {"url_filter_1m": {"rec_per_sec": 1000.0, "cal_ms": [50.0, 50.0]}},
+        0.1,
+        load=[5.7, 3.1],
+        cal=[50.0, 50.0],
+    )
+    assert json.loads(line)["ambient"] == 1
 
 
 def test_compact_line_overflow_fails_loudly():

@@ -420,6 +420,10 @@ _VECTOR_NULL_QUERIES = [
     # runs, never standalone). The clean sf0.01 gate pins it with a wide
     # margin.
     "v_cluster_balanced_sample",
+    # round 7: the banded-LSH recall audit (explicit validity prefilter,
+    # mirrored; NULL-id / NULL-array / NULL-element / zero-vector rows
+    # must fall out of the true-pair population identically)
+    "v_hyperplane_recall",
 ]
 
 

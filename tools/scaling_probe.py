@@ -90,13 +90,14 @@ def main() -> None:
         "minhash_lsh_dedup": [8, 16, 32],
     }
     # embedding-cosine near-dup runs over the EMBEDDINGS table (its own
-    # replicator below): hyperplane buckets + within-bucket verify, the
-    # one dedup family member without a measured exponent until round 6.
-    # Capped at 32K rows: the FIXED-plane lane is the documented alpha=3
-    # red flag, and its 64K point costs 8 minutes per timed run (the
-    # measurement lives in ARCHITECTURE section 32; re-run with
-    # emb_scales=[8,16,32,64] to reproduce it).
-    emb_scales = [4, 8, 16]
+    # replicator below). Round 7: the DEFAULT lane (corpus-scaled plane
+    # schedule + arrow pair verify, over the full-rank md5 plane family —
+    # the round-6 congruential family was rank-7, so its "schedule" never
+    # split a bucket; ARCHITECTURE §33) runs to 64K rows, the size where
+    # the fixed-plane alpha=3 red flag cost 453 s. The FIXED-8-plane
+    # red-flag lane is retained at bounded sizes for the series.
+    emb_scales = [8, 16, 32]  # × 2,000 rows (sf0.1) = 16K / 32K / 64K
+    emb_fixed_scales = [8, 16]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scaling_probe")
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -176,25 +177,99 @@ def main() -> None:
             .localCheckpoint(eager=True)
         )
         n = big.count()
+        # DEFAULT lane (round 7): planes=None → scaled_planes(n) over the
+        # full-rank family, arrow pair verify. This is what a caller gets.
         wall = timed(OD.embedding_cosine_dedup(big))
         results.setdefault("embedding_cosine_dedup", []).append((n, wall))
         print(
-            f"# embedding_cosine_dedup @ {n} rows: {wall:.2f}s"
+            f"# embedding_cosine_dedup @ {n} rows (planes="
+            f"{OD.scaled_planes(n)}): {wall:.2f}s ({n / wall / 1000:.0f}K rec/s)",
+            file=sys.stderr,
+        )
+        # banded OR-construction (recall-restoring variant): 4 bands of
+        # scheduled planes — pins the recall remedy's own exponent.
+        wall3 = timed(OD.embedding_cosine_dedup(big, bands=4))
+        results.setdefault("embedding_cosine_dedup_banded4", []).append((n, wall3))
+        print(
+            f"# embedding_cosine_dedup_banded4 @ {n} rows: {wall3:.2f}s"
+            f" ({n / wall3 / 1000:.0f}K rec/s)",
+            file=sys.stderr,
+        )
+        # red-flag series: the old FIXED-8-plane default, bounded sizes
+        if factor in emb_fixed_scales:
+            wall2 = timed(OD.embedding_cosine_dedup(big, planes=8))
+            results.setdefault("embedding_cosine_dedup_fixed8", []).append(
+                (n, wall2)
+            )
+            print(
+                f"# embedding_cosine_dedup_fixed8 @ {n} rows: {wall2:.2f}s"
+                f" ({n / wall2 / 1000:.0f}K rec/s)",
+                file=sys.stderr,
+            )
+        big.unpersist()
+        cal.append(calibration_ms())
+
+    # ------------------------------------------------------------------
+    # Graph lanes (round 7, VERDICT r6 #4): the two top iterative walls —
+    # components-star cluster resolution and BFS hop histogram — were the
+    # only expensive family with no measured exponent, and iterative join
+    # algorithms are exactly where hidden quadratics live. Replication
+    # shape: disjoint relabeled copies — component/frontier SIZES stay
+    # constant while their COUNT scales with rows, the continuous-crawl
+    # growth shape (a real corpus's duplicate-cluster and neighborhood
+    # sizes do not grow with corpus size).
+    # ------------------------------------------------------------------
+    from webscale_multimodal_datapipeline_spark.plans.graph_queries import (
+        _edges,
+        bfs_hop_histogram,
+    )
+
+    for factor in [1, 2, 4]:
+        big, n = replicated(spark, sf_dir, factor)
+        pairs = OD.simhash_near_pairs(big, max_hamming=12)
+        wall = timed(
+            OD.connected_components_star(pairs, "id_l", "id_r", edges_distinct=True)
+        )
+        results.setdefault("components_star", []).append((n, wall))
+        print(
+            f"# components_star @ {n} docs: {wall:.2f}s"
             f" ({n / wall / 1000:.0f}K rec/s)",
             file=sys.stderr,
         )
-        # the remedy lane: the documented plane SCHEDULE (scaled_planes)
-        # holds bucket occupancy constant as n grows — fixed-plane alpha
-        # measured 3.0; this lane pins the schedule's exponent
-        pl = OD.scaled_planes(n)
-        wall2 = timed(OD.embedding_cosine_dedup(big, planes=pl))
-        results.setdefault("embedding_cosine_dedup_scaled", []).append((n, wall2))
+        big.unpersist()
+        cal.append(calibration_ms())
+
+    for factor in [1, 2, 4]:
+        e0 = _edges(spark, sf_dir)
+        edges = (
+            e0.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+            .select(
+                F.concat(F.col("src"), F.lit("#"), F.col("rep")).alias("src"),
+                F.concat(F.col("dst"), F.lit("#"), F.col("rep")).alias("dst"),
+            )
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+            .localCheckpoint(eager=True)
+        )
+        n = edges.count()
+        seeds = (
+            edges.select("src")
+            .distinct()
+            .filter(
+                F.col("src").startswith("S")
+                & (
+                    F.split(F.substring("src", 2, 18), "#")[0].cast("long") % 10
+                    == 1
+                )
+            )
+        )
+        wall = timed(bfs_hop_histogram(edges, seeds))
+        results.setdefault("bfs_hops", []).append((n, wall))
         print(
-            f"# embedding_cosine_dedup_scaled @ {n} rows (planes={pl}):"
-            f" {wall2:.2f}s ({n / wall2 / 1000:.0f}K rec/s)",
+            f"# bfs_hops @ {n} edges: {wall:.2f}s"
+            f" ({n / wall / 1000:.0f}K edges/s)",
             file=sys.stderr,
         )
-        big.unpersist()
+        edges.unpersist()
         cal.append(calibration_ms())
 
     summary = {}

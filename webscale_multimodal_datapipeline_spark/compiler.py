@@ -159,6 +159,10 @@ class OperatorMetric:
     input_records: int
     output_records: int
     pass_rate: float
+    # provenance: "observed" (CollectMetrics accumulator), "recount"
+    # (fallback re-execution of the instrumented plan — may diverge from
+    # what actually flowed on non-deterministic sources), "unavailable"
+    count_source: str = "observed"
 
 
 @dataclass
@@ -173,6 +177,20 @@ class PipelineResult:
     # failing rows were dropped from ``output``) — lets the HTML report
     # show the warn/drop outcome per constraint
     enforced_expectations: tuple[str, ...] = ()
+    # the pipeline's operator objects, for release() (ADVICE r6 #3)
+    operators: tuple = ()
+
+    def release(self) -> None:
+        """Unpersist operator-held caches (near-dup maps, signature
+        tables). ``run()`` calls this automatically when its writer
+        config materialized every output; a caller consuming ``output``
+        / ``rejected`` lazily owns the call instead — releasing before
+        materializing is safe but forces a recompute."""
+        for op in self.operators:
+            try:
+                op.release()
+            except Exception:  # noqa: BLE001 — release must never raise
+                pass
 
 
 def _build_expectations(specs: list[dict[str, Any]]):
@@ -240,22 +258,33 @@ class MetricsCollector:
         (one extra bounded action, only on the anomaly path; -1 remains
         only for a genuinely unrunnable count)."""
         rows: list[OperatorMetric] = []
-        counts: list[tuple[str, str, int]] = []
+        counts: list[tuple[str, str, int, str]] = []
         for stage, op, obs, df in self._obs:
             n = None
             try:
-                jrow = obs._jo.get()
-                if jrow.size() > 0:
+                # _jo is the classic-PySpark JVM handle; absent under
+                # Spark Connect (ADVICE r6 #2) — there obs.get is the
+                # only surface, guarded by the same try (it may assert
+                # on a schemaless empty row; that's the anomaly path).
+                jo = getattr(obs, "_jo", None)
+                if jo is None or jo.get().size() > 0:
                     n = int(obs.get["n"])
             except Exception:
                 n = None
+            source = "observed"
             if n is None:
+                # Recount fallback re-executes the instrumented plan — a
+                # non-deterministic or since-mutated source can report a
+                # count that differs from what actually flowed, so the
+                # provenance is recorded on the metric (ADVICE r6 #2).
                 try:
                     n = df.count()
+                    source = "recount"
                 except Exception:
                     n = -1
-            counts.append((stage, op, n))
-        for i, (stage, op, n_out) in enumerate(counts):
+                    source = "unavailable"
+            counts.append((stage, op, n, source))
+        for i, (stage, op, n_out, source) in enumerate(counts):
             n_in = counts[i - 1][2] if i > 0 else n_out
             rows.append(
                 OperatorMetric(
@@ -265,6 +294,7 @@ class MetricsCollector:
                     input_records=n_in,
                     output_records=n_out,
                     pass_rate=(n_out / n_in) if n_in > 0 else 1.0,
+                    count_source=source,
                 )
             )
         return rows
@@ -388,13 +418,22 @@ class Pipeline:
                 .partitionBy("operator")
                 .parquet(wr["rejected_path"])
             )
-        return PipelineResult(
+        result = PipelineResult(
             output=df,
             rejected=rejected,
             metrics=metrics,
             expectations_report=expectations_report,
             enforced_expectations=enforced_names,
+            operators=tuple(
+                op for stage in self.config.stages for op in stage.operators
+            ),
         )
+        # Deterministic cache release (ADVICE r6 #3): when the writer
+        # config materialized every produced output inside this call,
+        # nothing lazy remains that could want the caches back.
+        if wr.get("path") and (rejected is None or wr.get("rejected_path")):
+            result.release()
+        return result
 
 
     def stream(

@@ -67,6 +67,12 @@ class Operator:
         """Default: no rejected stream (Refiners never reject)."""
         return OperatorResult(self.apply(df), None)
 
+    def release(self) -> None:
+        """Release any cached/persisted state the operator accumulated
+        while building plans (no-op for stateless operators). Call after
+        the plans returned by ``apply``/``split`` have been materialized —
+        releasing earlier is safe but forces a recompute."""
+
     def __call__(self, df: DataFrame) -> DataFrame:
         return self.apply(df)
 

@@ -19,11 +19,48 @@ arrival-order nondeterminism (the reference is order-dependent,
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from webscale_multimodal_datapipeline_spark.functions import text as TX
 from webscale_multimodal_datapipeline_spark.operators.base import DedupOperator
+
+
+def _materialize(df: DataFrame, resources: list | None = None) -> DataFrame:
+    """Compute-once barrier for a derived table that multiple join sides
+    read (the signature-table rule, ARCHITECTURE §26: broadcast joins
+    never get a ReusedExchange, so an un-materialized subplan re-runs per
+    reference).
+
+    Default (``resources is None``): eager ``localCheckpoint`` — also
+    truncates lineage; blocks are reclaimed when the driver GCs the RDD.
+    With a ``resources`` list (ADVICE r6 #3): ``persist`` + eager count
+    instead, and the handle is appended so the CALLER releases it
+    deterministically (``df.unpersist()``) — the shape a long-running
+    streaming loop needs, where per-epoch localCheckpoint blocks otherwise
+    accumulate until a driver GC happens to run."""
+    if resources is None:
+        return df.localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    resources.append(df)
+    return df
+
+
+def release_all(resources: list) -> None:
+    """Unpersist every handle collected by ``_materialize`` (best-effort;
+    an already-released handle is a no-op)."""
+    for d in resources:
+        try:
+            d.unpersist(False)
+        except Exception:  # noqa: BLE001 — release must never raise
+            pass
+    resources.clear()
+
 
 # ---------------------------------------------------------------------------
 # D1: TextExactDeduplicator (text_exact_dedup.py:22-114)
@@ -142,12 +179,15 @@ def minhash_lsh_dup_map(
     id_col: str = "doc_id",
     k: int = 3,
     jaccard_threshold: float = 0.7,
+    resources: list | None = None,
 ) -> DataFrame:
     """``(id_col, _rep)`` for every row with a verified near-dup of smaller
     id (``_rep`` = smallest such id — the rejected-rows representative).
     This is the single shared candidate/verify plan: ``minhash_lsh_dedup``
     anti-joins its keys, the YAML operator's ``split()`` also reads
-    ``_rep`` for ``_rejection_details`` (VERDICT r5 #4)."""
+    ``_rep`` for ``_rejection_details`` (VERDICT r5 #4). ``resources``:
+    see ``_materialize`` — pass a list to own the signature table's
+    lifetime (streaming loops)."""
     base = (
         df.withColumn("_toks", TX.norm_tokens(text_col))
         .withColumn("_shingles", TX.word_shingles(text_col, k=k, toks=F.col("_toks")))
@@ -162,7 +202,7 @@ def minhash_lsh_dup_map(
     # ReusedExchange). This is the signature-table materialization every
     # production LSH job does anyway; at 100 TB it would be a persisted
     # table, here a localCheckpoint (one narrow scan, read thereafter).
-    base = base.localCheckpoint(eager=True)
+    base = _materialize(base, resources)
     sh = base.select(F.col(id_col), "_shingles")
     banded = base.select(
         F.col(id_col), F.explode(lsh_bands(F.col("_sig"))).alias("_band")
@@ -278,6 +318,8 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
     chunks: int = 4,
+    bucket_cap: int = 1024,
+    resources: list | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by Hamming distance on SimHash.
 
@@ -289,6 +331,16 @@ def simhash_near_pairs(
     with exact recall guaranteed for hamming < 4. The signature itself is
     computed with the Arrow-vectorized kernel (``simhash_fast_udf``,
     parity-tested equal to the SQL-HOF spec form).
+
+    Skew guard (ADVICE r6 #1): buckets up to ``bucket_cap`` rows pair up
+    via an in-row sorted array (zero extra shuffle, pair array bounded at
+    cap²/2 structs ≈ 17 MB at the default); buckets OVER the cap — a
+    degenerate signature shared by millions of rows, e.g. all-empty docs
+    hashing to 0 — would materialize their whole quadratic pair set in
+    ONE row/task (executor OOM + the 2 GB array limit), so they stream
+    their pairs through a chunk-key equi self-join instead. Identical
+    pair set either way (both enumerate all within-bucket id_l < id_r
+    pairs; ``dropDuplicates`` unions the branches).
     """
     width = bits // chunks
     mask = (1 << width) - 1
@@ -306,8 +358,14 @@ def simhash_near_pairs(
     # the projection (4 Arrow round trips per pairs build, measured in
     # the executedPlan; 2 after this).
     sig = F.coalesce(sig, F.lit(0))
-    sh = df.withColumn("_th", token_hashes(text_col)).select(
-        F.col(id_col), sig.alias("_sh")
+    # Materialized ONCE (the signature-table rule): three consumers below
+    # (bucket sizes, small branch, large branch) would otherwise each
+    # recompute the Arrow UDF pass from a fresh scan.
+    sh = _materialize(
+        df.withColumn("_th", token_hashes(text_col)).select(
+            F.col(id_col), sig.alias("_sh")
+        ),
+        resources,
     )
     chunked = sh.select(
         id_col,
@@ -327,19 +385,28 @@ def simhash_near_pairs(
             )
         ).alias("_chunk"),
     )
-    # Within-bucket pair generation instead of a chunk-key self-join: the
-    # join form computed the signature subtree independently per side
-    # (broadcast joins never get a ReusedExchange), i.e. two full scans +
-    # two Arrow UDF passes. Here the signature table is computed ONCE,
-    # shuffled ONCE (groupBy chunk), and each bucket emits its ordered
-    # i<j pairs JVM-side — the classic LSH bucket-pairing shape, and the
-    # one that scales: at 100 TB the chunk shuffle carries (id, sh) only,
-    # and candidate count is the same Σ b² either way. The bucket array is
-    # id-sorted, so pairs come out id_l < id_r with no extra filter;
-    # verify-then-dedup is value-identical to dedup-then-verify because
-    # ``hamming`` is a function of the pair.
-    buckets = (
+    # Oversized-bucket key list: tiny by construction (≤ n/cap rows), so
+    # AQE turns both routing joins below into broadcasts at runtime — no
+    # forced hint needed, and at extreme scale the shuffle-join fallback
+    # is still correct. The anti/semi joins hash-partition on _chunk, the
+    # same key the small branch's groupBy needs, so routing adds no
+    # second exchange on the heavy path.
+    big_keys = (
         chunked.groupBy("_chunk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > bucket_cap)
+        .select("_chunk")
+    )
+    # Small buckets: within-bucket pair generation instead of a chunk-key
+    # self-join — the signature table is shuffled ONCE (groupBy chunk) and
+    # each bucket emits its ordered i<j pairs JVM-side, the classic LSH
+    # bucket-pairing shape. The bucket array is id-sorted, so pairs come
+    # out id_l < id_r with no extra filter; verify-then-dedup is
+    # value-identical to dedup-then-verify because ``hamming`` is a
+    # function of the pair.
+    small = chunked.join(big_keys, "_chunk", "left_anti")
+    buckets = (
+        small.groupBy("_chunk")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("_sh").alias("s")))
@@ -356,16 +423,31 @@ def simhash_near_pairs(
             )
         ).alias("_p")
     )
-    pairs = (
-        pair.select(
-            F.col("_p.il").alias("id_l"),
-            F.col("_p.ir").alias("id_r"),
-            F.bit_count(F.col("_p.sl").bitwiseXOR(F.col("_p.sr"))).alias("hamming"),
-        )
+    small_pairs = pair.select(
+        F.col("_p.il").alias("id_l"),
+        F.col("_p.ir").alias("id_r"),
+        F.bit_count(F.col("_p.sl").bitwiseXOR(F.col("_p.sr"))).alias("hamming"),
+    )
+    # Oversized buckets: equi self-join on the chunk key streams the pair
+    # set through the shuffle machinery row by row — quadratic CANDIDATE
+    # count is inherent to LSH on a degenerate key, but no single task
+    # ever holds more than a shuffle block of it.
+    lg = chunked.join(big_keys, "_chunk", "left_semi")
+    a, b = lg.alias("a"), lg.alias("b")
+    large_pairs = a.join(
+        b,
+        (F.col("a._chunk") == F.col("b._chunk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_l"),
+        F.col(f"b.{id_col}").alias("id_r"),
+        F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+    )
+    return (
+        small_pairs.unionByName(large_pairs)
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_l", "id_r"])
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -452,18 +534,49 @@ def scaled_planes(n_rows: int, target_bucket_rows: int = 64) -> int:
     schedule the same sweep is linear (ARCHITECTURE section 32). The
     trade is recall on borderline pairs (each extra plane multiplies a
     near-pair's bucket-match probability by 1 - theta/pi); the banded
-    OR-construction (the MinHash band pattern) is the recall-restoring
-    extension when a deployment needs both."""
+    OR-construction (``bands > 1`` on ``embedding_cosine_dup_map``, the
+    MinHash band pattern) is the recall-restoring extension when a
+    deployment needs both.
+
+    This schedule is the DEFAULT since round 7 (``planes=None`` derives
+    it from a ``df.count()``): at the fixture scales (500–2,000 rows) it
+    resolves to exactly ``EMB_LSH_PLANES`` = 8, so every pinned oracle
+    hash is unchanged; past 16K rows it grows with the corpus."""
     import math
 
     return max(EMB_LSH_PLANES, math.ceil(math.log2(max(n_rows, 1) / target_bucket_rows)))
 
 
 def _plane_coef(p: int, i: int) -> int:
-    return ((p * 37 + i * 31 + 17) % 7) - 3
+    """Deterministic hyperplane coefficient in [-3, 3] for plane ``p``,
+    dim ``i`` — md5-keyed (computed in PYTHON at plan-build time; the
+    engines only see integer literals, so Spark and DuckDB share the
+    family by importing this one function).
+
+    History (round 7): the original affine congruence ``((p*37 + i*31 +
+    17) % 7) - 3`` is PERIODIC IN p WITH PERIOD 7 (37 ≡ 2 and 31 ≡ 3
+    mod 7), so the entire family contained only 7 distinct hyperplanes —
+    plane 7 duplicated plane 0, band k duplicated band 0, and
+    ``scaled_planes`` could never split buckets past 2^7 (measured: 8
+    and 12 planes both yield 119 distinct buckets on the sf0.1 fixture).
+    The §32 "remedy" was therefore a no-op on bucket granularity; the
+    hash-keyed family below is full-rank w.h.p. (collision probability
+    7^-64 per plane pair) — the same §32 replicator lesson, applied to
+    the operator's own constants: any algebraic structure eventually
+    aligns with the geometry it is supposed to randomize."""
+    return (_plane_hash(p, i) % 7) - 3
 
 
-def hyperplane_bucket(emb_col: str, dim: int, planes: int = EMB_LSH_PLANES) -> Column:
+@_functools.lru_cache(maxsize=None)
+def _plane_hash(p: int, i: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"plane|{p}|{i}".encode()).hexdigest()[:15], 16)
+
+
+def hyperplane_bucket(
+    emb_col: str, dim: int, planes: int = EMB_LSH_PLANES, offset: int = 0
+) -> Column:
     """Sign-of-projection LSH bucket id in [0, 2^planes).
 
     Built as ONE SQL expression string (single py4j round trip) instead of
@@ -472,15 +585,79 @@ def hyperplane_bucket(emb_col: str, dim: int, planes: int = EMB_LSH_PLANES) -> C
     parses JVM-side in milliseconds. The ``+`` chain is left-associative
     exactly like the previous Python ``sum()`` fold, so bucket values are
     bit-identical (and still mirror the DuckDB oracle's fragment).
+
+    ``offset`` shifts the plane index space — band k of an OR-construction
+    uses planes ``[k*planes, (k+1)*planes)`` so bands are independent
+    hyperplane sets.
     """
     plane_cases = []
     for p in range(planes):
         proj = " + ".join(
-            f"(CAST(element_at(`{emb_col}`, {i + 1}) AS DOUBLE) * ({_plane_coef(p, i)}))"
+            f"(CAST(element_at(`{emb_col}`, {i + 1}) AS DOUBLE) * ({_plane_coef(offset + p, i)}))"
             for i in range(dim)
         )
         plane_cases.append(f"(CASE WHEN ({proj}) > 0 THEN {2 ** p} ELSE 0 END)")
     return F.expr(f"CAST(0 AS BIGINT) + " + " + ".join(plane_cases))
+
+
+def _band_key_expr(emb_col: str, dim: int, planes: int, offset: int, base: int) -> str:
+    """One band key in COMPACT fold form: the coefficient matrix is an
+    array-of-arrays literal and the projection is ``aggregate(zip_with)``
+    — ~planes+dim expression nodes instead of the unrolled
+    ``hyperplane_bucket``'s planes×dim (whose janino codegen OOMs a 1 GB
+    driver past ~2K terms). Value-identical to the unrolled form: same
+    per-plane product order, same left-associative additions (the fold's
+    leading ``0.0 +`` can only flip the sign of a zero total, which the
+    ``> 0`` sign test ignores), exact integer bit weights."""
+    coefs = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(f"CAST({_plane_coef(offset + p, i)} AS DOUBLE)" for i in range(dim))
+            + ")"
+            for p in range(planes)
+        )
+        + ")"
+    )
+    weights = "array(" + ", ".join(f"CAST({1 << p} AS BIGINT)" for p in range(planes)) + ")"
+    proj = (
+        f"transform({coefs}, c -> aggregate(zip_with(`{emb_col}`, c, "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+    )
+    bits = (
+        f"zip_with({proj}, {weights}, "
+        f"(s, w) -> CASE WHEN s > 0 THEN w ELSE CAST(0 AS BIGINT) END)"
+    )
+    return f"aggregate({bits}, CAST({base} AS BIGINT), (a, x) -> a + x)"
+
+
+def hyperplane_band_keys(
+    emb_col: str, dim: int, bands: int, planes: int = EMB_LSH_PLANES
+) -> Column:
+    """array<bigint> of ``bands`` OR-construction keys: element k =
+    ``k * 2^planes + bucket_k`` where bucket_k hashes an independent set of
+    ``planes`` hyperplanes (offset ``k*planes``). Two rows are candidates
+    iff ANY band key matches — candidate probability for a pair at angle θ
+    is ``1 - (1 - (1-θ/π)^planes)^bands`` (the MinHash S-curve shape), so
+    bands restore the recall the plane schedule trades away. The ``k *
+    2^planes`` term disjoints the key spaces, letting one exploded
+    equi-join serve all bands.
+
+    Built in the compact fold form (``_band_key_expr``): bucket values
+    are identical to ``hyperplane_bucket``'s unrolled chain, but the
+    expression stays small enough that bands×planes×dim never blows up
+    whole-stage codegen. One behavioral difference, deliberately kept:
+    ``zip_with`` null-pads a wrong-length array (→ null projection → 0
+    bit) where the unrolled ``element_at`` RAISES under ANSI — the pad
+    semantics match the DuckDB mirror (out-of-range ``e[i]`` is NULL),
+    so the banded path is cross-engine total where the unrolled one is
+    Spark-fail-fast."""
+    return F.array(
+        *[
+            F.expr(_band_key_expr(emb_col, dim, planes, k * planes, k * (1 << planes)))
+            for k in range(bands)
+        ]
+    )
 
 
 def embedding_cosine_dedup(
@@ -489,16 +666,23 @@ def embedding_cosine_dedup(
     id_col: str = "vec_id",
     dim: int = 64,
     threshold: float = 0.98,
-    planes: int = EMB_LSH_PLANES,
+    planes: int | None = None,
+    bands: int = 1,
+    verify: str = "arrow",
+    resources: list | None = None,
 ) -> DataFrame:
     """Semantic near-dup removal: hyperplane-LSH bucket → within-bucket
     cosine verify → drop rows with a near-dup of smaller id.
 
     Highly similar vectors share sign patterns with high probability; the
-    bucket join replaces the O(n²) cross join (at 100 TB the bucket count
-    scales with ``planes`` — 16-24 planes for billions of rows).
+    bucket join replaces the O(n²) cross join. ``planes=None`` (default)
+    derives the plane count from the corpus size (``scaled_planes`` —
+    the round-6 probe measured the old fixed-8 default at alpha=3.0,
+    ARCHITECTURE §32); pass an explicit int to pin it.
     """
-    dupes = embedding_cosine_dup_map(df, emb_col, id_col, dim, threshold, planes)
+    dupes = embedding_cosine_dup_map(
+        df, emb_col, id_col, dim, threshold, planes, bands, verify, resources
+    )
     return df.join(dupes.select(id_col), id_col, "left_anti")
 
 
@@ -508,38 +692,113 @@ def embedding_cosine_dup_map(
     id_col: str = "vec_id",
     dim: int = 64,
     threshold: float = 0.98,
-    planes: int = EMB_LSH_PLANES,
+    planes: int | None = None,
+    bands: int = 1,
+    verify: str = "arrow",
+    resources: list | None = None,
 ) -> DataFrame:
     """``(id_col, _rep)`` for every row with a verified cosine near-dup of
     smaller id (``_rep`` = smallest such id). Shared plan:
     ``embedding_cosine_dedup`` anti-joins its keys; the YAML operator's
-    ``split()`` reads ``_rep`` for ``_rejection_details``."""
+    ``split()`` reads ``_rep`` for ``_rejection_details``.
+
+    ``planes=None`` derives ``scaled_planes(df.count())`` — one cheap
+    count action (parquet-metadata-only on a plain scan) buys the bucket
+    size staying constant as the corpus grows. ``bands > 1`` switches
+    candidate generation to the OR-construction over ``bands``
+    independent plane sets (see ``hyperplane_band_keys``) — more recall,
+    ``bands``× the bucketing work. ``verify`` selects the pair filter:
+
+    * ``"arrow"`` (default) — numpy left-fold dot over Arrow batches of
+      candidate pairs (``pair_dot_udf``), the simhash_fast_udf pattern;
+      the round-6 probe traced the residual alpha≈1.9 to the interpreted
+      ``aggregate(zip_with(...))`` per-pair dot. Decision-identical to
+      the SQL spelling: the fold order is the same IEEE sequence, the
+      division/threshold stay JVM-side, and pairs whose SQL cosine would
+      be NULL-by-structure (null array, null element, length mismatch —
+      indistinguishable from NaN after Arrow transfer) are removed by a
+      JVM-side validity prefilter instead (parity-tested, incl. the
+      poisoned fixtures).
+    * ``"sql"`` — the original HOF spelling, kept as the oracle-mirrored
+      spec form.
+    """
     from webscale_multimodal_datapipeline_spark.functions import vectors as VX
 
+    if planes is None:
+        planes = scaled_planes(df.count())
+    arrow = verify == "arrow"
     # Precompute the L2 norm per row BEFORE the pair join — cosine inside
     # the join is then one dot product + one multiply instead of three
     # folds (identical values: dot/(||a||*||b||) either way). The
-    # projected table is materialized once (localCheckpoint): both join
-    # sides otherwise recompute the `planes × dim`-term bucket projection
-    # from a fresh scan (broadcast join, no ReusedExchange).
-    b = df.select(
-        F.col(id_col),
-        F.col(emb_col),
-        VX.l2_norm(emb_col).alias("_norm"),
-        hyperplane_bucket(emb_col, dim, planes).alias("_bucket"),
-    ).localCheckpoint(eager=True)
-    l, r = b.alias("l"), b.alias("r")
-    cos = VX.guarded_div(
-        VX.dot(F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}")),
-        F.col("l._norm") * F.col("r._norm"),
-    )
-    return (
-        l.join(
+    # projected table is materialized once (both join sides otherwise
+    # recompute the `planes × dim`-term bucket projection from a fresh
+    # scan — broadcast join, no ReusedExchange).
+    cols = [F.col(id_col), F.col(emb_col), VX.l2_norm(emb_col).alias("_norm")]
+    if bands <= 1:
+        cols.append(hyperplane_bucket(emb_col, dim, planes).alias("_bucket"))
+    else:
+        cols.append(hyperplane_band_keys(emb_col, dim, bands, planes).alias("_bk"))
+    if arrow:
+        cols.append(
+            (
+                F.col(emb_col).isNotNull()
+                & ~F.exists(emb_col, lambda x: x.isNull())
+            ).alias("_nn")
+        )
+        cols.append(F.size(emb_col).alias("_len"))
+    b = _materialize(df.select(*cols), resources)
+    if bands <= 1:
+        l, r = b.alias("l"), b.alias("r")
+        cand = l.join(
             r,
             (F.col("l._bucket") == F.col("r._bucket"))
             & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}")),
         )
-        .filter(cos >= threshold)
+    else:
+        # OR-construction: explode band keys — ONE equi-join serves all
+        # bands because the key spaces are disjoint. A pair matching in
+        # several bands enters the verify once per match; no pre-verify
+        # dedup shuffle is needed because the terminal
+        # ``groupBy(id).agg(min(_rep))`` is idempotent over duplicate
+        # pairs (same (l, r) rows can't change a min), and duplicate
+        # verify work is bounded by ``bands``× on only the pairs similar
+        # enough to collide in several independent plane sets.
+        exploded = b.select(
+            F.explode("_bk").alias("_bkey"),
+            *[F.col(c) for c in b.columns if c != "_bk"],
+        )
+        l, r = exploded.alias("l"), exploded.alias("r")
+        cand = l.join(
+            r,
+            (F.col("l._bkey") == F.col("r._bkey"))
+            & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}")),
+        )
+    if arrow:
+        # Validity prefilter = exactly the pairs whose SQL cosine is NULL
+        # by structure (zip_with pads a shorter array with nulls; a null
+        # element nulls the fold; a null array nulls everything). After
+        # it, arrays are same-length and null-free, so the kernel's value
+        # equals the HOF fold bit-for-bit (NaN elements propagate as NaN
+        # in both, and Spark/DuckDB agree NaN >= t). Division + zero-norm
+        # guard stay JVM-side (guarded_div), identical to the SQL path.
+        cand = cand.filter(
+            F.col("l._nn") & F.col("r._nn") & (F.col("l._len") == F.col("r._len"))
+        )
+        # coalesce-to-NaN: the pandas→Arrow serializer converts NaN in a
+        # float Series to NULL on the way back, and the prefilter
+        # guarantees the kernel always emits a real float (NaN included,
+        # never None) — so a NULL here can ONLY be a NaN, and restoring it
+        # keeps the Spark/DuckDB "NaN >= t is TRUE" convention intact
+        # (verified by the poisoned-pair parity test).
+        dot = F.coalesce(
+            pair_dot_udf(F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}")),
+            F.lit(float("nan")),
+        )
+    else:
+        dot = VX.dot(F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}"))
+    cos = VX.guarded_div(dot, F.col("l._norm") * F.col("r._norm"))
+    return (
+        cand.filter(cos >= threshold)
         .groupBy(F.col(f"l.{id_col}").alias(id_col))
         .agg(F.min(F.col(f"r.{id_col}")).alias("_rep"))
     )
@@ -639,6 +898,48 @@ def _simhash_votes_swar_block(h64, starts, seg_lens):
 
 # DataType object, not a DDL string — string return types are parsed via
 # the active session, which fails at import time with no SparkContext.
+@_pandas_udf(_T.DoubleType())
+def pair_dot_udf(a: _pd.Series, b: _pd.Series) -> _pd.Series:
+    """Left-fold dot product per candidate pair, vectorized over the Arrow
+    batch (the ``simhash_fast_udf`` pattern — C loops instead of the
+    interpreted ``aggregate(zip_with(...))`` HOF the round-6 probe traced
+    the embedding-dedup residual alpha≈1.9 to).
+
+    Bit-parity contract with ``functions.vectors.dot``: cast each element
+    to float64 FIRST, multiply pairwise, then accumulate STRICTLY left to
+    right — ``acc = 0.0 + p0; acc += p1; ...`` as 64 vectorized
+    column-adds, the identical IEEE operation sequence per row as the SQL
+    fold, so values (including NaN propagation) are bit-identical.
+    Caller contract (enforced by the JVM-side validity prefilter in
+    ``embedding_cosine_dup_map``): both arrays non-null, equal length, no
+    null elements — Arrow delivers null elements as NaN, indistinguishable
+    from data NaN, so NULL semantics must be (and are) decided JVM-side.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    if n:
+        av, bv = a.to_numpy(), b.to_numpy()
+        lens = np.fromiter((len(x) for x in av), dtype=np.int64, count=n)
+        for L in np.unique(lens):
+            idx = np.flatnonzero(lens == L)
+            if L == 0:
+                continue  # empty fold = init 0.0
+            A = np.empty((len(idx), L), dtype=np.float64)
+            B = np.empty((len(idx), L), dtype=np.float64)
+            for row, i in enumerate(idx):
+                A[row] = av[i]
+                B[row] = bv[i]
+            P = A * B
+            acc = P[:, 0].copy()
+            for j in range(1, L):
+                acc += P[:, j]
+            out[idx] = acc
+    return pd.Series(out)
+
+
 @_pandas_udf(_T.LongType())
 def simhash_fast_udf(hashes: _pd.Series) -> _pd.Series:
     import numpy as np
@@ -1236,14 +1537,22 @@ class NearDupOperator(Operator):
     but without pretending near-dup semantics fit a partition key.
 
     ``kind = "deduplicator"`` so the streaming compiler's fail-loud guard
-    (batch dedup has no watermark semantics) covers these too."""
+    (batch dedup has no watermark semantics) covers these too.
+
+    Lifetime (ADVICE r6 #3): ``split()`` caches the dup map (one
+    candidate/verify pass for both legs) and the dup-map builders persist
+    their signature tables; both handles are collected in
+    ``self._resources`` and released by ``release()`` — call it after
+    both legs are materialized (the compiler does after its sink writes;
+    the streaming handlers per epoch). Unreleased handles are still
+    reclaimed by driver GC, just not deterministically."""
 
     kind = "deduplicator"
 
     def __init__(
         self,
         name: str,
-        dup_map_fn: Callable[[DataFrame], DataFrame],
+        dup_map_fn: Callable[..., DataFrame],
         id_col: str,
         reason: str = "near_duplicate",
     ):
@@ -1251,13 +1560,24 @@ class NearDupOperator(Operator):
         self.dup_map_fn = dup_map_fn
         self.id_col = id_col
         self.reason = reason
+        self._resources: list = []
+
+    def _dup_map(self, df: DataFrame) -> DataFrame:
+        try:
+            return self.dup_map_fn(df, resources=self._resources)
+        except TypeError:  # legacy single-arg dup_map_fn
+            return self.dup_map_fn(df)
+
+    def release(self) -> None:
+        release_all(self._resources)
 
     def apply(self, df: DataFrame) -> DataFrame:
-        dupes = self.dup_map_fn(df)
+        dupes = self._dup_map(df)
         return df.join(dupes.select(self.id_col), self.id_col, "left_anti")
 
     def split(self, df: DataFrame) -> OperatorResult:
-        dupes = self.dup_map_fn(df).cache()  # one candidate/verify pass
+        dupes = self._dup_map(df).cache()  # one candidate/verify pass
+        self._resources.append(dupes)
         passed = df.join(dupes.select(self.id_col), self.id_col, "left_anti")
         rejected = (
             df.join(dupes, self.id_col, "inner")
@@ -1287,7 +1607,9 @@ def minhash_lsh_dedup_op(
     ``d_minhash_lsh_dedup`` query (both call ``minhash_lsh_dup_map``)."""
     return NearDupOperator(
         name,
-        lambda df: minhash_lsh_dup_map(df, text_col, id_col, k, jaccard_threshold),
+        lambda df, resources=None: minhash_lsh_dup_map(
+            df, text_col, id_col, k, jaccard_threshold, resources=resources
+        ),
         id_col,
     )
 
@@ -1297,16 +1619,18 @@ def embedding_cosine_dedup_op(
     id_col: str = "vec_id",
     dim: int = 64,
     threshold: float = 0.98,
-    planes: int = EMB_LSH_PLANES,
+    planes: int | None = None,
+    bands: int = 1,
     name: str = "embedding_cosine_dedup",
 ) -> NearDupOperator:
     """Semantic (embedding-cosine) near-dup removal as a YAML operator
     (``type: embedding_cosine_dedup``). Same plan as the oracle-checked
-    ``v_cosine_dedup`` query (both call ``embedding_cosine_dup_map``)."""
+    ``v_cosine_dedup`` query (both call ``embedding_cosine_dup_map``);
+    ``planes=None`` = the corpus-scaled schedule (round-7 default)."""
     return NearDupOperator(
         name,
-        lambda df: embedding_cosine_dup_map(
-            df, emb_col, id_col, dim, threshold, planes
+        lambda df, resources=None: embedding_cosine_dup_map(
+            df, emb_col, id_col, dim, threshold, planes, bands, resources=resources
         ),
         id_col,
     )

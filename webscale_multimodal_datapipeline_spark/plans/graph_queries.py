@@ -344,12 +344,23 @@ def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.substring("src", 2, 18).cast("long") % 10 == 1)
         )
     )
+    return bfs_hop_histogram(edges, seeds)
+
+
+def bfs_hop_histogram(
+    edges: DataFrame, seeds: DataFrame, depth: int = _BFS_DEPTH
+) -> DataFrame:
+    """Reusable BFS core of ``g_bfs_hops`` (also driven by the scaling
+    probe at replicated sizes): iterative frontier expansion with the
+    bipartite parity pruning and lazy per-round checkpoints documented
+    above. ``seeds`` must expose a ``src`` column; assumes a BIPARTITE
+    edge set (the parity pruning is only sound there)."""
     f0 = (
         seeds.select(F.col("src").alias("node"), F.lit(0).alias("d"))
         .localCheckpoint(eager=False)
     )
     frontiers = [f0]
-    for i in range(1, _BFS_DEPTH + 1):
+    for i in range(1, depth + 1):
         cand = (
             frontiers[-1]
             .join(edges, frontiers[-1].node == edges.src)

@@ -249,15 +249,31 @@ def sql_mlp_score(col: str, weights: list[float], bias: float) -> str:
     return f"({float(bias)!r} + {terms})"
 
 
-def sql_hyperplane_bucket(col: str, dim: int, planes: int = EMB_LSH_PLANES) -> str:
+def sql_hyperplane_bucket(
+    col: str, dim: int, planes: int = EMB_LSH_PLANES, offset: int = 0
+) -> str:
     """Mirror of operators.dedup.hyperplane_bucket."""
     parts = []
     for p in range(planes):
         proj = " + ".join(
-            f"{col}[{i + 1}]::DOUBLE * {_plane_coef(p, i)}" for i in range(dim)
+            f"{col}[{i + 1}]::DOUBLE * {_plane_coef(offset + p, i)}" for i in range(dim)
         )
         parts.append(f"(CASE WHEN ({proj}) > 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END)")
     return "(" + " + ".join(parts) + ")"
+
+
+def sql_hyperplane_band_keys(
+    col: str, dim: int, bands: int, planes: int = EMB_LSH_PLANES
+) -> str:
+    """Mirror of operators.dedup.hyperplane_band_keys: list of ``bands``
+    disjoint-keyspace OR-construction keys (band k = independent plane set
+    at offset k*planes, shifted by k * 2^planes)."""
+    keys = [
+        f"({sql_hyperplane_bucket(col, dim, planes, offset=k * planes)}"
+        f" + CAST({k * (1 << planes)} AS BIGINT))"
+        for k in range(bands)
+    ]
+    return "[" + ", ".join(keys) + "]"
 
 
 def sql_shingle_seq_from_tokens(tok_col: str = "t", k: int = 3) -> str:

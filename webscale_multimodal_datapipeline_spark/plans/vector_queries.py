@@ -1715,3 +1715,156 @@ GROUP BY probe_level, query_id
 
 QUERIES["v_multiprobe_recall"] = v_multiprobe_recall
 ORACLE["v_multiprobe_recall"] = _multiprobe_sql()
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH recall audit (VERDICT r6 #3): measured recall of the
+# banded OR-construction at the near-dup threshold, under the plane
+# schedule. The d_lsh_s_curve house pattern applied to hyperplane LSH.
+# ---------------------------------------------------------------------------
+
+_HP_RECALL_THRESHOLD = 0.98
+_HP_RECALL_BANDS = (1, 2, 4)
+
+
+def _perturbed_embedding() -> "F.Column":
+    """Deterministic ~0.98-cosine twin of ``embedding``: per-coordinate
+    multiplicative noise in ±0.35, md5-keyed by (vec_id, coordinate) — the
+    §32 replicator rule (HASH-random offsets; any algebraic structure in
+    synthetic near-dups eventually aligns with the operator's own
+    geometry). Both engines build the identical array: Spark's transform
+    index is 0-based, DuckDB's 1-based, so the SQL mirror hashes (i-1)."""
+    from webscale_multimodal_datapipeline_spark.functions import text as TXF
+
+    return F.transform(
+        VX.to_double_array("embedding"),
+        lambda v, i: v
+        * (
+            F.lit(1.0)
+            + (
+                TXF.md5_long(
+                    F.concat(
+                        F.col("vec_id").cast("string"),
+                        F.lit("|"),
+                        i.cast("string"),
+                        F.lit("|pert"),
+                    )
+                )
+                % 1001
+                - 500
+            )
+            * F.lit(0.0007)
+        ),
+    )
+
+
+def v_hyperplane_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of hyperplane-LSH candidate generation at the
+    semantic-dedup threshold (0.98), for bands ∈ {1, 2, 4} of 8 planes
+    each (8 = what ``scaled_planes`` resolves to at this corpus size, so
+    the audit measures the shipped default's recall and the banded
+    remedy's). Each vector is paired with a deterministic noisy twin
+    (true cosine computed exactly, pairs kept iff >= 0.98); a pair is
+    CAUGHT by a config iff any of its band keys match. Because band key
+    spaces are disjoint, "any band matches" = any position-wise equality,
+    and bands=k uses the first k entries of the bands=4 key array —
+    recall(k) is monotone in k by construction, the S-curve's OR axis."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        VX.is_valid_vector("embedding")
+        & (F.size("embedding") == DIM)
+        & F.col("vec_id").isNotNull()
+    )
+    kmax = max(_HP_RECALL_BANDS)
+    # localCheckpoint barrier (the word_shingles PERF pitfall): the band
+    # keys below read _p via 2,048 element_at accesses, and CollapseProject
+    # would re-inline the 64-element md5-perturbation tree into EVERY one —
+    # a multi-million-node expression that OOMs a vanilla 1g driver at plan
+    # build. The barrier materializes the two arrays once; values unchanged.
+    base = e.select(
+        "vec_id",
+        VX.to_double_array("embedding").alias("_e"),
+        _perturbed_embedding().alias("_p"),
+    ).localCheckpoint(eager=True)
+    base = base.select(
+        "vec_id",
+        VX.guarded_div(
+            VX.dot("_e", "_p"), VX.l2_norm("_e") * VX.l2_norm("_p")
+        ).alias("_cos"),
+        OD.hyperplane_band_keys("_e", DIM, kmax).alias("_bke"),
+        OD.hyperplane_band_keys("_p", DIM, kmax).alias("_bkp"),
+    )
+    match = [
+        (F.element_at("_bke", j) == F.element_at("_bkp", j)).cast("long")
+        for j in range(1, kmax + 1)
+    ]
+    caught = {
+        k: F.greatest(*match[:k]) if k > 1 else match[0]
+        for k in _HP_RECALL_BANDS
+    }
+    agg = base.filter(F.col("_cos") >= _HP_RECALL_THRESHOLD).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(caught[k]).alias(f"_c{k}") for k in _HP_RECALL_BANDS],
+    )
+    stacked = agg.selectExpr(
+        "stack("
+        + str(len(_HP_RECALL_BANDS))
+        + ", "
+        + ", ".join(f"{k}, _c{k}" for k in _HP_RECALL_BANDS)
+        + ") AS (bands, caught)",
+        "_n AS true_pairs",
+    )
+    return stacked.select(
+        F.col("bands").cast("int").alias("bands"),
+        F.col("true_pairs").cast("long").alias("true_pairs"),
+        F.col("caught").cast("long").alias("caught"),
+        F.when(
+            F.col("true_pairs") > 0, F.col("caught") / F.col("true_pairs")
+        ).alias("recall"),
+    )
+
+
+def _hyperplane_recall_sql() -> str:
+    kmax = max(_HP_RECALL_BANDS)
+    md5l = OQ.sql_md5_long("(vec_id::VARCHAR || '|' || (i - 1)::VARCHAR || '|pert')")
+    pert = (
+        "list_transform(embedding, (v, i) -> "
+        f"v::DOUBLE * (1.0 + ((({md5l} % 1001) - 500) * 0.0007)))"
+    )
+    bke = OQ.sql_hyperplane_band_keys("e", DIM, kmax)
+    bkp = OQ.sql_hyperplane_band_keys("p", DIM, kmax)
+    caught = {
+        k: "(CASE WHEN "
+        + " OR ".join(f"bke[{j}] = bkp[{j}]" for j in range(1, k + 1))
+        + " THEN 1 ELSE 0 END)"
+        for k in _HP_RECALL_BANDS
+    }
+    sums = ", ".join(f"SUM({caught[k]}) AS c{k}" for k in _HP_RECALL_BANDS)
+    tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS bands, n AS true_pairs,"
+        f" CAST(c{k} AS BIGINT) AS caught,"
+        f" CASE WHEN n > 0 THEN c{k} / n END AS recall FROM agg"
+        for k in _HP_RECALL_BANDS
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> v::DOUBLE) AS e,
+         {pert} AS p
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) = {DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), keyed AS (
+  SELECT vec_id, {OQ.sql_cosine('e', 'p', DIM)} AS cos,
+         {bke} AS bke, {bkp} AS bkp
+  FROM base
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums}
+  FROM keyed WHERE cos >= {_HP_RECALL_THRESHOLD}
+)
+{tail}
+"""
+
+
+QUERIES["v_hyperplane_recall"] = v_hyperplane_recall
+ORACLE["v_hyperplane_recall"] = _hyperplane_recall_sql()

@@ -564,7 +564,20 @@ def incremental_neardup_batch_handler(
         epoch = f"incneardup-epoch-{epoch_id}"
         if epoch in TX.committed_epochs(table):
             return  # re-delivered epoch: skip even the Spark work
-        dup = minhash_lsh_dup_map(batch_df, text_col, id_col, k, jaccard_threshold)
+        # Per-epoch materializations go through the resources list so the
+        # handler releases them deterministically at epoch end (ADVICE r6
+        # #3: per-epoch localCheckpoint blocks otherwise accumulate until
+        # a driver GC happens to run — unbounded executor storage growth
+        # in a long-running stream).
+        from webscale_multimodal_datapipeline_spark.operators.dedup import (
+            _materialize,
+            release_all,
+        )
+
+        res: list = []
+        dup = minhash_lsh_dup_map(
+            batch_df, text_col, id_col, k, jaccard_threshold, resources=res
+        )
         surv = batch_df.join(dup.select(id_col), id_col, "left_anti")
         enriched = (
             surv.withColumn("_toks", TXT.norm_tokens(text_col))
@@ -586,7 +599,7 @@ def incremental_neardup_batch_handler(
         # expression tree re-inlines into each and the probe join's
         # Catalyst planning alone dominates the epoch (measured 26 rec/s
         # vs ~20K after; same trap the batch dup_map hit).
-        enriched = enriched.localCheckpoint(eager=True)
+        enriched = _materialize(enriched, res)
         if TX.latest_version(table) >= 0:
             idx = TX.read(spark, table).select(
                 F.col(id_col).alias("_old_id"),
@@ -613,7 +626,10 @@ def incremental_neardup_batch_handler(
                 .distinct()
             )
             enriched = enriched.join(rejected, id_col, "left_anti")
-        TX.append(enriched, table, app_epoch=epoch)
+        try:
+            TX.append(enriched, table, app_epoch=epoch)
+        finally:
+            release_all(res)  # epoch state released whether or not commit won
 
     return _commit
 
