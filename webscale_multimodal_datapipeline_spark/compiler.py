@@ -263,12 +263,22 @@ class MetricsCollector:
             n = None
             try:
                 # _jo is the classic-PySpark JVM handle; absent under
-                # Spark Connect (ADVICE r6 #2) — there obs.get is the
-                # only surface, guarded by the same try (it may assert
-                # on a schemaless empty row; that's the anomaly path).
+                # Spark Connect (ADVICE r6 #2). Read through the JVM's
+                # getRowOrEmpty — the ONLY non-blocking accessor: both
+                # the JVM get()/getRow() and PySpark's obs.get AWAIT the
+                # observation's future (Observation.scala awaitResult),
+                # so calling them on a plan whose action never ran hangs
+                # the harvest forever (verified; a try can't catch a
+                # block). None = not yet completed; Some(empty row) =
+                # completed but the observe stage ran zero tasks
+                # (runtime-pruned input) — both fall through to the
+                # recount. Under Connect there is no non-blocking
+                # surface at all, so the recount path is the read.
                 jo = getattr(obs, "_jo", None)
-                if jo is None or jo.get().size() > 0:
-                    n = int(obs.get["n"])
+                if jo is not None:
+                    opt = jo.getRowOrEmpty()
+                    if opt.isDefined() and opt.get().size() > 0:
+                        n = int(obs.get["n"])  # row available: no await
             except Exception:
                 n = None
             source = "observed"
