@@ -82,8 +82,9 @@ def _poisoned_vectors(spark):
     return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
 
 
+@pytest.mark.parametrize("verify", ["arrow", "gemm"])
 @pytest.mark.parametrize("bands", [1, 2])
-def test_arrow_verify_matches_sql_spelling(spark, bands):
+def test_kernel_verify_matches_sql_spelling(spark, bands, verify):
     df = _poisoned_vectors(spark)
     kw = dict(dim=4, threshold=0.98, planes=4, bands=bands)
     sql_pairs = {
@@ -92,7 +93,7 @@ def test_arrow_verify_matches_sql_spelling(spark, bands):
     }
     arrow_pairs = {
         (r.vec_id, r._rep)
-        for r in OD.embedding_cosine_dup_map(df, verify="arrow", **kw).collect()
+        for r in OD.embedding_cosine_dup_map(df, verify=verify, **kw).collect()
     }
     assert arrow_pairs == sql_pairs
     # non-vacuous: the NaN rows' projections are all NaN > 0 = TRUE, so
@@ -106,12 +107,13 @@ def test_arrow_verify_matches_sql_spelling(spark, bands):
     assert not dropped & {4, 5, 6, 9}
 
 
-def test_arrow_verify_matches_sql_on_fixture(spark, sf_dir):
+@pytest.mark.parametrize("verify", ["arrow", "gemm"])
+def test_kernel_verify_matches_sql_on_fixture(spark, sf_dir, verify):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     a = {
         (r.vec_id, r._rep)
         for r in OD.embedding_cosine_dup_map(
-            e, dim=64, threshold=0.9, verify="arrow"
+            e, dim=64, threshold=0.9, verify=verify
         ).collect()
     }
     b = {
@@ -121,6 +123,27 @@ def test_arrow_verify_matches_sql_on_fixture(spark, sf_dir):
         ).collect()
     }
     assert a == b
+
+
+def test_gemm_boundary_band_reverifies_exactly(spark):
+    """A pair engineered EXACTLY at the threshold must take the fold
+    decision (cos == t → hit, >= is inclusive): identical unit vectors
+    with threshold 1.0 sit on the boundary where GEMM rounding could
+    flip either way without the re-verify."""
+    df = spark.createDataFrame(
+        [(0, [0.6, 0.8]), (1, [0.6, 0.8]), (2, [0.8, -0.6])],
+        "vec_id int, embedding array<double>",
+    )
+    kw = dict(dim=2, threshold=1.0, planes=2)
+    got = {
+        (r.vec_id, r._rep)
+        for r in OD.embedding_cosine_dup_map(df, verify="gemm", **kw).collect()
+    }
+    want = {
+        (r.vec_id, r._rep)
+        for r in OD.embedding_cosine_dup_map(df, verify="sql", **kw).collect()
+    }
+    assert got == want
 
 
 def test_pair_dot_udf_left_fold_bit_parity(spark):
@@ -201,12 +224,22 @@ def test_simhash_near_pairs_skewed_bucket_does_not_array_pair(spark):
 def test_materialize_resources_and_release(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     res: list = []
-    dup = OD.embedding_cosine_dup_map(e, dim=64, threshold=0.9, resources=res)
+    # the join-shaped verifies materialize their two-consumer signature
+    # table; the gemm default has one consumer and (by contract) leaves
+    # `resources` untouched
+    dup = OD.embedding_cosine_dup_map(
+        e, dim=64, threshold=0.9, verify="arrow", resources=res
+    )
     dup.count()
     assert len(res) == 1
     assert res[0].storageLevel.useMemory  # persisted, not checkpointed
     OD.release_all(res)
     assert res == []
+    res2: list = []
+    OD.embedding_cosine_dup_map(
+        e, dim=64, threshold=0.9, verify="gemm", resources=res2
+    ).count()
+    assert res2 == []
 
 
 def test_neardup_operator_release_unpersists(spark, sf_dir):

@@ -151,24 +151,33 @@ def main() -> None:
             .withColumn("vec_id", F.col("vec_id") * 10_000 + F.col("rep"))
             .withColumn(
                 "embedding",
-                # strong rep-keyed offsets on the first 16 coordinates:
-                # a single-coordinate nudge left replicas cosine-within-
-                # threshold of their originals IN the same bucket — the
-                # verbatim-replication quadratic artifact in disguise
-                # per-(row, replica, coord) decorrelated noise (the
-                # shader-hash trick): modulo-lattice offsets were
-                # self-correlated across rows and recreated cliques
+                # Per-(row, replica, coordinate) HASH-random offsets on the
+                # first 16 coordinates — xxhash64-keyed, truly decorrelated.
+                # Round 7 root-caused the previous shader-sin noise as the
+                # §32 structured-noise trap in a FOURTH disguise: its
+                # coordinate stride 37.719 ≈ 6·2π, so the phase moved only
+                # ~0.02 rad per coordinate and every replica got a nearly
+                # CONSTANT ±4 offset along (1,1,...,1) — replicas collapsed
+                # into two mega-clusters (one bucket held 36% of all rows;
+                # the raw fixture's max bucket is 25 of 2,000), and the lane
+                # measured the replicator's geometry (alpha 1.9+), not the
+                # operator's. Hash-random noise preserves the fixture's
+                # balanced bucket profile at every scale.
                 F.transform(
                     "embedding",
                     lambda x, i: F.when(
                         (i < 16) & (F.col("rep") > 0),
                         x
-                        + F.sin(
-                            F.col("rep") * 12.9898
-                            + F.col("vec_id") * 78.233
-                            + i.cast("double") * 37.719
-                        ).cast("float")
-                        * F.lit(4.0),
+                        + (
+                            (
+                                F.pmod(
+                                    F.xxhash64(F.col("vec_id"), F.col("rep"), i),
+                                    F.lit(2001),
+                                )
+                                - 1000
+                            )
+                            / F.lit(250.0)
+                        ).cast("float"),
                     ).otherwise(x),
                 ),
             )
