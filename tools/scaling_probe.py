@@ -76,6 +76,23 @@ def timed(df, runs: int = 3) -> float:
     return ts[len(ts) // 2]
 
 
+def timed_build(mk, runs: int = 3) -> float:
+    """Median wall of BUILD + EXECUTE, rebuilding the plan each run via
+    the ``mk`` thunk. Required for the ITERATIVE lanes (components-star,
+    BFS): their loops run eager/lazy localCheckpoint actions at plan-BUILD
+    time, so timing a prebuilt DataFrame only re-reads the final
+    checkpoint (measured 0.1 s where the true end-to-end cost is ~50x
+    that) — the classic iterative-plan measurement trap."""
+    mk().count()  # warm (codegen + python workers)
+    ts = []
+    for _ in range(runs):
+        t0 = time.time()
+        mk().count()
+        ts.append(time.time() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
 def main() -> None:
     # Per-lane replication factors: cheap map/shuffle lanes run at
     # 1M/2M/4M rows; the full MinHash+LSH+verify pipeline is ~200x
@@ -137,6 +154,18 @@ def main() -> None:
             )
         if big is not None:
             big.unpersist()
+        # Drain session state between factor groups (the bench.py rule):
+        # the round-7 run measured the 4M simhash point at 13.1 s in-probe
+        # vs 5.8 s standalone — GC/allocator pressure from earlier lanes'
+        # checkpoints, not operator cost (ARCHITECTURE §34).
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — JVM GC nudge is best-effort
+            pass
         cal.append(calibration_ms())
 
     # embedding-cosine lane: replicate embeddings with a per-replica
@@ -235,9 +264,13 @@ def main() -> None:
 
     for factor in [1, 2, 4]:
         big, n = replicated(spark, sf_dir, factor)
-        pairs = OD.simhash_near_pairs(big, max_hamming=12)
-        wall = timed(
-            OD.connected_components_star(pairs, "id_l", "id_r", edges_distinct=True)
+        wall = timed_build(
+            lambda: OD.connected_components_star(
+                OD.simhash_near_pairs(big, max_hamming=12),
+                "id_l",
+                "id_r",
+                edges_distinct=True,
+            )
         )
         results.setdefault("components_star", []).append((n, wall))
         print(
@@ -271,7 +304,10 @@ def main() -> None:
                 )
             )
         )
-        wall = timed(bfs_hop_histogram(edges, seeds))
+        # edge table stays pre-checkpointed (the query does the same);
+        # the BFS loop itself rebuilds per run (its per-round lazy
+        # checkpoints otherwise cache the frontiers after run 1)
+        wall = timed_build(lambda: bfs_hop_histogram(edges, seeds))
         results.setdefault("bfs_hops", []).append((n, wall))
         print(
             f"# bfs_hops @ {n} edges: {wall:.2f}s"
