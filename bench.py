@@ -109,8 +109,13 @@ AMBIENT_LOAD_THRESHOLD = 2.0
 
 
 def ambient_flag(load: list[float], threshold: float = AMBIENT_LOAD_THRESHOLD) -> int:
-    """1 iff the 1-min loadavg at run start OR end exceeded the threshold."""
-    return int(bool(load) and max(load) > threshold)
+    """1 iff the 1-min loadavg at RUN START exceeded the threshold.
+
+    Start only, by design: the END reading always carries the bench's own
+    32-thread self-load (every recorded run ends at 15-24 regardless of
+    ambient state — r5 [3.32, 24.11], r6 [5.7, 19.36], an idle r7 run
+    [0.36, 15.73]), so including it would trip the flag on every run."""
+    return int(bool(load) and load[0] > threshold)
 
 
 def lane_flags(

@@ -61,10 +61,12 @@ def test_compact_line_fits_tail_buffer_at_worst_case():
 def test_ambient_flag_thresholds():
     """VERDICT r6 #6: separate 'whole run was loaded' (discount the lane
     flags) from 'this lane's reading is wrong'. Idle 32-core box reads
-    < 1; every recorded contended run read > 3; gate at 2.0."""
+    < 1 at start; every recorded contended run started > 3; gate at 2.0.
+    START reading only — the end reading always carries the bench's own
+    self-load (r5 ended at 24.11, an idle r7 run at 15.73)."""
     assert bench.ambient_flag([0.4, 0.9]) == 0
-    assert bench.ambient_flag([5.7, 3.1]) == 1  # the r6 run's shape
-    assert bench.ambient_flag([0.5, 3.3]) == 1  # load arriving mid-run
+    assert bench.ambient_flag([5.7, 19.36]) == 1  # the r6 run's shape
+    assert bench.ambient_flag([0.36, 15.73]) == 0  # idle start, self-loaded end
     assert bench.ambient_flag([2.0, 2.0]) == 0  # gate is strict
     assert bench.ambient_flag([]) == 0  # degenerate input
     # marker lands in the compact line next to lane_flags
