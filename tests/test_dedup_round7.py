@@ -301,3 +301,109 @@ def test_harvest_marks_recount_fallback(spark):
     rows2 = mc2.harvest()
     assert rows2[0].output_records == 7
     assert rows2[0].count_source == "recount"
+
+
+# ---------------------------------------------------------------------------
+# mean-centered hyperplane LSH (ARCHITECTURE §33's recorded escalation)
+# ---------------------------------------------------------------------------
+
+
+def _cone_corpus(spark, n=120, dim=8, shift=12.0):
+    """CLIP-cone-shaped corpus: every vector = a large constant offset +
+    small deterministic per-row variation, plus planted near-dup twins.
+    Raw sign buckets collapse (every plane agrees on the cone direction);
+    centered buckets must not."""
+    import hashlib
+
+    def dev(i, j):  # hash-random deviation — the §32 replicator rule:
+        # modular patterns yield only ~11 distinct deviation vectors,
+        # which caps the centered bucket count at the pattern period
+        h = int(hashlib.md5(f"cone|{i}|{j}".encode()).hexdigest()[:8], 16)
+        return (h % 11 - 5) * 0.3
+
+    rows = []
+    for i in range(n):
+        base = [shift + dev(i, j) for j in range(dim)]
+        rows.append((i, base))
+    # planted twins of rows 0..4 (cosine ~ 1)
+    for i in range(5):
+        twin = [x * 1.000001 for x in rows[i][1]]
+        rows.append((1000 + i, twin))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_centered_buckets_split_the_cone(spark):
+    df = _cone_corpus(spark)
+    dim, planes = 8, 6
+    raw = (
+        df.select(OD.hyperplane_bucket("embedding", dim, planes).alias("b"))
+        .distinct()
+        .count()
+    )
+    stats = OD.hyperplane_bias_stats(df, "embedding", dim, planes)
+    centered = (
+        df.crossJoin(F.broadcast(stats))
+        .select(OD.centered_hyperplane_bucket("embedding", dim, planes).alias("b"))
+        .distinct()
+        .count()
+    )
+    # the cone collapses raw sign buckets to a handful; centering restores
+    # a spread comparable to the plane count's capacity
+    assert raw <= 4
+    assert centered >= 8 * raw
+
+
+@pytest.mark.parametrize("verify", ["sql", "arrow", "gemm"])
+def test_centered_dedup_finds_planted_twins(spark, verify):
+    df = _cone_corpus(spark)
+    dup = {
+        r.vec_id
+        for r in OD.embedding_cosine_dup_map(
+            df, dim=8, threshold=0.98, planes=6, verify=verify, center=True
+        ).collect()
+    }
+    assert {1000 + i for i in range(5)} <= dup
+
+
+@pytest.mark.parametrize("verify", ["arrow", "gemm"])
+@pytest.mark.parametrize("center", [False, True])
+def test_centered_verify_matches_sql_spelling(spark, center, verify):
+    """The poisoned-vector parity contract holds under centering too: the
+    candidate buckets change, but all three verify paths must agree on the
+    SAME centered buckets."""
+    df = _poisoned_vectors(spark)
+    kw = dict(dim=4, threshold=0.98, planes=4, center=center)
+    sql_pairs = {
+        (r.vec_id, r._rep)
+        for r in OD.embedding_cosine_dup_map(df, verify="sql", **kw).collect()
+    }
+    other = {
+        (r.vec_id, r._rep)
+        for r in OD.embedding_cosine_dup_map(df, verify=verify, **kw).collect()
+    }
+    assert other == sql_pairs
+
+
+def test_center_with_bands_raises(spark):
+    df = _poisoned_vectors(spark)
+    with pytest.raises(ValueError):
+        OD.embedding_cosine_dup_map(df, dim=4, planes=4, bands=2, center=True)
+
+
+def test_bias_stats_ignore_dirty_rows(spark):
+    """NaN/inf/huge/null rows are excluded from the BIAS BASIS (they cannot
+    round-trip the exact decimal sum) but still flow through dedup."""
+    clean = [(i, [float(i % 3 - 1)] * 4) for i in range(10)]
+    dirty = [
+        (100, None),
+        (101, [1.0, None, 0.0, 0.0]),
+        (102, [float("nan"), 1.0, 0.0, 0.0]),
+        (103, [1e20, 1.0, 0.0, 0.0]),
+        (104, [1.0, 2.0, 3.0]),  # short: excluded from stats, raises later
+    ]
+    df = spark.createDataFrame(clean + dirty, "vec_id int, embedding array<double>")
+    row = OD.hyperplane_bias_stats(df, "embedding", 4, 2).collect()[0]
+    clean_only = spark.createDataFrame(clean, "vec_id int, embedding array<double>")
+    row2 = OD.hyperplane_bias_stats(clean_only, "embedding", 4, 2).collect()[0]
+    assert row["_cn"] == 10 == row2["_cn"]
+    assert row["_cb0"] == row2["_cb0"] and row["_cb1"] == row2["_cb1"]

@@ -173,7 +173,7 @@ def main() -> None:
     # the same quadratic probe artifact the text replicator avoids with
     # suffix tokens): replica vectors land in different buckets at the
     # background rate, per-row bucket/verify work unchanged.
-    for factor in emb_scales:
+    def emb_replicated(factor: int, cone: float = 0.0):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         big = (
             emb.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
@@ -211,10 +211,30 @@ def main() -> None:
                 ),
             )
             .drop("rep")
-            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-            .localCheckpoint(eager=True)
         )
-        n = big.count()
+        if cone:
+            # CLIP-cone concentration: one large constant offset on the
+            # first 32 coordinates of EVERY row — all vectors share a
+            # dominant direction, so raw sign-of-projection buckets
+            # collapse (every plane mostly agrees with sign(c·μ)). This
+            # is the §33 residual caveat made measurable: the skew is in
+            # the DATA's geometry, deliberately, not a replicator bug.
+            big = big.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(
+                        i < 32, x + F.lit(cone).cast("float")
+                    ).otherwise(x),
+                ),
+            )
+        big = big.repartition(
+            int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        ).localCheckpoint(eager=True)
+        return big, big.count()
+
+    for factor in emb_scales:
+        big, n = emb_replicated(factor)
         # DEFAULT lane (round 7): planes=None → scaled_planes(n) over the
         # full-rank family, arrow pair verify. This is what a caller gets.
         wall = timed(OD.embedding_cosine_dedup(big))
@@ -241,6 +261,37 @@ def main() -> None:
             )
             print(
                 f"# embedding_cosine_dedup_fixed8 @ {n} rows: {wall2:.2f}s"
+                f" ({n / wall2 / 1000:.0f}K rec/s)",
+                file=sys.stderr,
+            )
+        big.unpersist()
+        cal.append(calibration_ms())
+
+    # ------------------------------------------------------------------
+    # Cone-skew lanes (round 7 session 2): the §33 residual caveat,
+    # measured. A CLIP-cone-concentrated corpus collapses RAW sign
+    # buckets (bucket count stays ~constant as n grows → within-bucket
+    # pairs grow quadratically — the same α≈2+ failure the fixed-plane
+    # default had, but caused by the DATA, not the plane count).
+    # ``center=True`` (mean-centered projections over exact-decimal bias
+    # stats, operators/dedup.py::hyperplane_bias_stats) must restore the
+    # balanced profile and the ~linear exponent. Uncentered cone runs
+    # BOUNDED sizes only (it is the red-flag series).
+    # ------------------------------------------------------------------
+    for factor in emb_scales:
+        big, n = emb_replicated(factor, cone=8.0)
+        wall = timed(OD.embedding_cosine_dedup(big, center=True))
+        results.setdefault("embedding_cone_centered", []).append((n, wall))
+        print(
+            f"# embedding_cone_centered @ {n} rows: {wall:.2f}s"
+            f" ({n / wall / 1000:.0f}K rec/s)",
+            file=sys.stderr,
+        )
+        if factor in emb_fixed_scales:
+            wall2 = timed(OD.embedding_cosine_dedup(big))
+            results.setdefault("embedding_cone_raw", []).append((n, wall2))
+            print(
+                f"# embedding_cone_raw @ {n} rows: {wall2:.2f}s"
                 f" ({n / wall2 / 1000:.0f}K rec/s)",
                 file=sys.stderr,
             )

@@ -660,6 +660,97 @@ def hyperplane_band_keys(
     )
 
 
+# |x| bound for a coordinate to enter the centering statistics: NaN/inf
+# and absurd magnitudes cannot round-trip the exact DECIMAL sum (ANSI cast
+# raises), so rows carrying them are excluded from the BIAS BASIS (they
+# are still bucketed and verified normally). 1e14 keeps 3 integer digits
+# of headroom inside DECIMAL(27,10)'s 17.
+EMB_CENTER_ABS_MAX = 1e14
+
+
+def _center_clean_pred(emb_col: str, dim: int) -> Column:
+    """Rows eligible for the centering statistics — the predicate a
+    DuckDB oracle can mirror term-for-term (``sql_center_clean_pred``)."""
+    return (
+        F.col(emb_col).isNotNull()
+        & (F.size(emb_col) == dim)
+        & ~F.exists(
+            emb_col,
+            lambda x: x.isNull() | F.isnan(x) | (F.abs(x) > F.lit(EMB_CENTER_ABS_MAX)),
+        )
+    )
+
+
+def hyperplane_bias_stats(
+    df: DataFrame, emb_col: str, dim: int, planes: int, offset: int = 0
+) -> DataFrame:
+    """ONE-row stats table for mean-centered hyperplane LSH: ``_cn`` (clean
+    row count) and ``_cb{p}`` = the plane-p bias ``Σ_i c_{p,i}·S_i`` as a
+    DOUBLE, where ``S_i`` is the EXACT ``DECIMAL(27,10)`` sum of coordinate
+    ``i`` over the clean rows.
+
+    Why this shape: mean-centering a linear projection needs only a scalar
+    per plane — ``sign((x-μ)·c) = sign(n·(x·c) - (Σx)·c)`` for ``n > 0`` —
+    so the corpus mean never materializes per row, and the bucket stays one
+    broadcast-joined comparison. Determinism across engines: decimal sums
+    are EXACT (order-independent, unlike float sums, which would make the
+    bias depend on partitioning), each ``S_i`` is cast to double once, and
+    the bias combines the 64 terms in a FIXED left-to-right order that the
+    DuckDB mirror (``sql_hyperplane_bias``) spells identically — bit-equal
+    biases, bit-equal buckets. The decimal sums stay per-coordinate (never
+    per-plane) because chained decimal arithmetic crosses the precision-38
+    cap where Spark and DuckDB apply DIFFERENT loss rules.
+
+    Cost at scale: one extra pass over the corpus (a ``dim``-column partial
+    aggregate, map-side combinable, one 1-row exchange) — O(rows) like the
+    bucketing itself, vs the quadratic blow-up a cone-concentrated corpus
+    inflicts on uncentered buckets (ARCHITECTURE §33's residual caveat).
+    """
+    clean = df.filter(_center_clean_pred(emb_col, dim))
+    aggs = [F.count(F.lit(1)).alias("_cn")]
+    for i in range(dim):
+        aggs.append(
+            F.sum(
+                F.element_at(F.col(emb_col), i + 1).cast("decimal(27,10)")
+            ).alias(f"_s{i}")
+        )
+    sums = clean.agg(*aggs)
+    bias_cols = [F.col("_cn")]
+    for p in range(planes):
+        terms = " + ".join(
+            f"(CAST(`_s{i}` AS DOUBLE) * ({_plane_coef(offset + p, i)}))"
+            for i in range(dim)
+        )
+        bias_cols.append(F.expr(f"CAST(0.0 AS DOUBLE) + {terms}").alias(f"_cb{p}"))
+    return sums.select(*bias_cols)
+
+
+def centered_hyperplane_bucket(
+    emb_col: str, dim: int, planes: int, offset: int = 0
+) -> Column:
+    """Mean-centered sign-of-projection bucket id in [0, 2^planes) —
+    evaluate AFTER a broadcast cross-join with ``hyperplane_bias_stats``
+    (reads ``_cn`` / ``_cb{p}``). Bit p is ``n·(x·c_p) > Σ(x)·c_p``, i.e.
+    the sign of the projection of the MEAN-CENTERED vector; the projection
+    itself is the same unrolled left-associative double chain as
+    ``hyperplane_bucket``, so the DuckDB mirror is term-identical — and it
+    inherits that form's length contract exactly: NULL array → NULL
+    projection → comparison NULL → bit 0 (the mirror's out-of-range
+    ``e[i]`` → NULL), shorter-than-dim array → ANSI raise (Spark
+    fail-fast, the pre-existing contract)."""
+    plane_cases = []
+    for p in range(planes):
+        proj = " + ".join(
+            f"(CAST(element_at(`{emb_col}`, {i + 1}) AS DOUBLE) * ({_plane_coef(offset + p, i)}))"
+            for i in range(dim)
+        )
+        plane_cases.append(
+            f"(CASE WHEN (CAST(`_cn` AS DOUBLE) * ({proj})) > `_cb{p}`"
+            f" THEN {2 ** p} ELSE 0 END)"
+        )
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(plane_cases))
+
+
 def embedding_cosine_dedup(
     df: DataFrame,
     emb_col: str = "embedding",
@@ -670,6 +761,7 @@ def embedding_cosine_dedup(
     bands: int = 1,
     verify: str = "arrow",
     resources: list | None = None,
+    center: bool = False,
 ) -> DataFrame:
     """Semantic near-dup removal: hyperplane-LSH bucket → within-bucket
     cosine verify → drop rows with a near-dup of smaller id.
@@ -681,7 +773,8 @@ def embedding_cosine_dedup(
     ARCHITECTURE §32); pass an explicit int to pin it.
     """
     dupes = embedding_cosine_dup_map(
-        df, emb_col, id_col, dim, threshold, planes, bands, verify, resources
+        df, emb_col, id_col, dim, threshold, planes, bands, verify, resources,
+        center=center,
     )
     return df.join(dupes.select(id_col), id_col, "left_anti")
 
@@ -696,6 +789,7 @@ def embedding_cosine_dup_map(
     bands: int = 1,
     verify: str = "gemm",
     resources: list | None = None,
+    center: bool = False,
 ) -> DataFrame:
     """``(id_col, _rep)`` for every row with a verified cosine near-dup of
     smaller id (``_rep`` = smallest such id). Shared plan:
@@ -726,14 +820,27 @@ def embedding_cosine_dup_map(
       vs GEMM's 11 s at 16K rows).
     * ``"sql"`` — the original HOF spelling, the oracle-mirrored spec
       form (24 s on the same measurement).
+
+    ``center=True`` switches the bucket key to MEAN-CENTERED projections
+    (``centered_hyperplane_bucket`` over a broadcast
+    ``hyperplane_bias_stats`` row) — the ARCHITECTURE §33 escalation for
+    cone-concentrated corpora (CLIP-style embeddings), where raw sign
+    buckets collapse into a handful of mega-buckets because every plane
+    agrees on the cone direction. Verify semantics are untouched (cosine
+    on the ORIGINAL vectors); only candidate generation changes.
+    Currently ``bands == 1`` only (the banded centered form needs the
+    compact fold expression; no caller wants both yet).
     """
     from webscale_multimodal_datapipeline_spark.functions import vectors as VX
 
+    if center and bands > 1:
+        raise ValueError("center=True supports bands=1 only")
     if planes is None:
         planes = scaled_planes(df.count())
     if verify == "gemm":
         return _embedding_cosine_dup_map_gemm(
-            df, emb_col, id_col, dim, threshold, planes, bands, resources
+            df, emb_col, id_col, dim, threshold, planes, bands, resources,
+            center=center,
         )
     arrow = verify == "arrow"
     # Precompute the L2 norm per row BEFORE the pair join — cosine inside
@@ -742,8 +849,14 @@ def embedding_cosine_dup_map(
     # projected table is materialized once (both join sides otherwise
     # recompute the `planes × dim`-term bucket projection from a fresh
     # scan — broadcast join, no ReusedExchange).
+    if center:
+        df = df.crossJoin(
+            F.broadcast(hyperplane_bias_stats(df, emb_col, dim, planes))
+        )
     cols = [F.col(id_col), F.col(emb_col), VX.l2_norm(emb_col).alias("_norm")]
-    if bands <= 1:
+    if center:
+        cols.append(centered_hyperplane_bucket(emb_col, dim, planes).alias("_bucket"))
+    elif bands <= 1:
         cols.append(hyperplane_bucket(emb_col, dim, planes).alias("_bucket"))
     else:
         cols.append(hyperplane_band_keys(emb_col, dim, bands, planes).alias("_bk"))
@@ -907,6 +1020,7 @@ def _embedding_cosine_dup_map_gemm(
     planes: int,
     bands: int,
     resources: list | None = None,
+    center: bool = False,
 ) -> DataFrame:
     """Bucket-grouped verify plan: ONE scan, ONE shuffle of (id, emb, key)
     on the bucket key, pair dots computed in-bucket by BLAS, then a small
@@ -924,7 +1038,19 @@ def _embedding_cosine_dup_map_gemm(
         & F.col(emb_col).isNotNull()
         & ~F.exists(emb_col, lambda x: x.isNull())
     )
-    if bands <= 1:
+    if center:
+        # bias stats from the FULL table (clean-row basis is its own
+        # predicate), broadcast onto the valid rows for the bucket key
+        keyed = (
+            df.filter(valid)
+            .crossJoin(F.broadcast(hyperplane_bias_stats(df, emb_col, dim, planes)))
+            .select(
+                F.col(id_col),
+                F.col(emb_col),
+                centered_hyperplane_bucket(emb_col, dim, planes).alias("_bkey"),
+            )
+        )
+    elif bands <= 1:
         keyed = df.filter(valid).select(
             F.col(id_col),
             F.col(emb_col),

@@ -262,6 +262,70 @@ def sql_hyperplane_bucket(
     return "(" + " + ".join(parts) + ")"
 
 
+def sql_center_clean_pred(col: str, dim: int) -> str:
+    """Mirror of operators.dedup._center_clean_pred: rows eligible for the
+    centering statistics (non-null, exact length, every element non-null /
+    non-NaN / |x| <= EMB_CENTER_ABS_MAX — NaN/inf can't round-trip the
+    exact DECIMAL sum)."""
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        EMB_CENTER_ABS_MAX,
+    )
+
+    return (
+        f"({col} IS NOT NULL AND len({col}) = {dim} AND "
+        f"len(list_filter({col}, x -> x IS NULL OR isnan(x) "
+        f"OR abs(x) > {EMB_CENTER_ABS_MAX!r})) = 0)"
+    )
+
+
+def sql_hyperplane_bias_select(
+    col: str, dim: int, planes: int, source: str, offset: int = 0
+) -> str:
+    """Mirror of operators.dedup.hyperplane_bias_stats: ONE-row SELECT of
+    ``cn`` + per-plane biases ``cb{p}`` (DOUBLE). Two-level to match the
+    Spark plan exactly: inner = exact DECIMAL(27,10) per-coordinate sums
+    over the clean rows (order-independent, so partitioning can't move the
+    bias), outer = each bias as a FIXED left-to-right double chain — the
+    identical term order the Spark expression spells, so biases are
+    bit-equal."""
+    sums = ", ".join(
+        f"SUM(CAST({col}[{i + 1}] AS DECIMAL(27,10))) AS s{i}" for i in range(dim)
+    )
+    biases = ", ".join(
+        "(CAST(0.0 AS DOUBLE) + "
+        + " + ".join(
+            f"(CAST(s{i} AS DOUBLE) * ({_plane_coef(offset + p, i)}))"
+            for i in range(dim)
+        )
+        + f") AS cb{p}"
+        for p in range(planes)
+    )
+    return (
+        f"SELECT cn, {biases} FROM (SELECT COUNT(*) AS cn, {sums} "
+        f"FROM {source} WHERE {sql_center_clean_pred(col, dim)})"
+    )
+
+
+def sql_centered_hyperplane_bucket(
+    col: str, dim: int, planes: int, offset: int = 0
+) -> str:
+    """Mirror of operators.dedup.centered_hyperplane_bucket — evaluate in a
+    query cross-joined with the ``sql_hyperplane_bias_select`` row (reads
+    ``cn`` / ``cb{p}``). Bit p is ``n·(x·c_p) > Σ(x)·c_p``; the projection
+    chain is term-identical to the Spark expression."""
+    parts = []
+    for p in range(planes):
+        proj = " + ".join(
+            f"(CAST({col}[{i + 1}] AS DOUBLE) * ({_plane_coef(offset + p, i)}))"
+            for i in range(dim)
+        )
+        parts.append(
+            f"(CASE WHEN (CAST(cn AS DOUBLE) * ({proj})) > cb{p}"
+            f" THEN CAST({2 ** p} AS BIGINT) ELSE 0 END)"
+        )
+    return "(CAST(0 AS BIGINT) + " + " + ".join(parts) + ")"
+
+
 def sql_hyperplane_band_keys(
     col: str, dim: int, bands: int, planes: int = EMB_LSH_PLANES
 ) -> str:

@@ -1868,3 +1868,78 @@ WITH base AS (
 
 QUERIES["v_hyperplane_recall"] = v_hyperplane_recall
 ORACLE["v_hyperplane_recall"] = _hyperplane_recall_sql()
+
+
+# ---------------------------------------------------------------------------
+# Mean-centered hyperplane LSH (ARCHITECTURE §33's recorded escalation for
+# cone-concentrated corpora): the bias statistics are exact decimal sums,
+# so both the bucket histogram and the centered dedup are value-checked
+# cross-engine, not just shape-checked.
+# ---------------------------------------------------------------------------
+
+
+def v_centered_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket histogram under MEAN-CENTERED projections
+    (``operators/dedup.py::centered_hyperplane_bucket``). On a
+    cone-concentrated corpus (CLIP-style embeddings, §33) raw sign buckets
+    collapse — every plane agrees on the cone direction — while centered
+    buckets keep the fixture's balanced profile; this query pins the
+    centered bucket VALUES cross-engine (exact-decimal bias, bit-equal
+    double chains), so the escalation path is oracle-checked before a
+    deployment ever needs it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    stats = OD.hyperplane_bias_stats(e, "embedding", DIM, OD.EMB_LSH_PLANES)
+    return (
+        e.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bucket", OD.centered_hyperplane_bucket("embedding", DIM, OD.EMB_LSH_PLANES)
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+V_CENTERED_BUCKETS_SQL = f"""
+WITH st AS (
+  {OQ.sql_hyperplane_bias_select('embedding', DIM, OD.EMB_LSH_PLANES, 'embeddings')}
+)
+SELECT {OQ.sql_centered_hyperplane_bucket('embedding', DIM, OD.EMB_LSH_PLANES)} AS bucket,
+       COUNT(*) AS n
+FROM embeddings, st GROUP BY 1
+"""
+
+
+def v_centered_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal with MEAN-CENTERED LSH candidate
+    generation (``embedding_cosine_dedup(center=True)``): same verified
+    contract as ``v_cosine_dedup`` (cosine >= 0.9 on ORIGINAL vectors,
+    drop higher id), different candidate buckets — the §33 escalation a
+    cone-concentrated corpus needs, value-checked end to end."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return OD.embedding_cosine_dedup(
+        e, dim=DIM, threshold=COSINE_DEDUP_THRESHOLD, center=True
+    ).select("vec_id", "label")
+
+
+V_CENTERED_COSINE_DEDUP_SQL = f"""
+WITH st AS (
+  {OQ.sql_hyperplane_bias_select('embedding', DIM, OD.EMB_LSH_PLANES, 'embeddings')}
+), b AS (
+  SELECT vec_id, embedding,
+         {OQ.sql_centered_hyperplane_bucket('embedding', DIM, OD.EMB_LSH_PLANES)} AS bucket
+  FROM embeddings, st
+), dup AS (
+  SELECT DISTINCT l.vec_id AS vid
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id > r.vec_id
+  WHERE {OQ.sql_cosine('l.embedding', 'r.embedding', DIM)} >= {COSINE_DEDUP_THRESHOLD}
+)
+SELECT vec_id, label FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.vid = e.vec_id)
+"""
+# NOT EXISTS (not NOT IN): the ARCHITECTURE §24 anti-join class — id-less
+# rows pass through dedup untouched, same as v_cosine_dedup.
+
+QUERIES["v_centered_lsh_buckets"] = v_centered_lsh_buckets
+ORACLE["v_centered_lsh_buckets"] = V_CENTERED_BUCKETS_SQL
+QUERIES["v_centered_cosine_dedup"] = v_centered_cosine_dedup
+ORACLE["v_centered_cosine_dedup"] = V_CENTERED_COSINE_DEDUP_SQL
