@@ -287,7 +287,11 @@ def main() -> None:
             f" ({n / wall / 1000:.0f}K rec/s)",
             file=sys.stderr,
         )
-        if factor in emb_fixed_scales:
+        if factor == emb_scales[0]:
+            # red-flag series, SMALLEST size only: the one-shot 32K
+            # reading is ~190-212 s (α≈3.6 vs centered's ~0.3 — §35);
+            # re-measuring it every round would cost the probe ~10 min
+            # for a number the architecture note already pins.
             wall2 = timed(OD.embedding_cosine_dedup(big))
             results.setdefault("embedding_cone_raw", []).append((n, wall2))
             print(
@@ -370,22 +374,31 @@ def main() -> None:
 
     summary = {}
     for name, pts in results.items():
-        # log-log least-squares slope
-        xs = [math.log(n) for n, _ in pts]
-        ys = [math.log(w) for _, w in pts]
-        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
-            (x - mx) ** 2 for x in xs
-        )
+        # log-log least-squares slope; single-point lanes (bounded
+        # red-flag series like cone_raw) carry no fit — alpha None
+        if len(pts) >= 2:
+            xs = [math.log(n) for n, _ in pts]
+            ys = [math.log(w) for _, w in pts]
+            mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+            alpha = round(
+                sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+                / sum((x - mx) ** 2 for x in xs),
+                3,
+            )
+        else:
+            alpha = None
         summary[name] = {
-            "alpha": round(alpha, 3),
+            "alpha": alpha,
             "points": [
                 {"rows": n, "wall_s": round(w, 2), "rec_k": round(n / w / 1000)}
                 for n, w in pts
             ],
         }
         print(json.dumps({"lane": name, **summary[name]}))
-    worst = max(summary.items(), key=lambda kv: kv[1]["alpha"])
+    worst = max(
+        (kv for kv in summary.items() if kv[1]["alpha"] is not None),
+        key=lambda kv: kv[1]["alpha"],
+    )
     dev, contended = contention_flag(cal)
     print(
         json.dumps(
