@@ -407,3 +407,41 @@ def test_bias_stats_ignore_dirty_rows(spark):
     row2 = OD.hyperplane_bias_stats(clean_only, "embedding", 4, 2).collect()[0]
     assert row["_cn"] == 10 == row2["_cn"]
     assert row["_cb0"] == row2["_cb0"] and row["_cb1"] == row2["_cb1"]
+
+
+# ---------------------------------------------------------------------------
+# partition-local union-find contraction (components-star pre-pass)
+# ---------------------------------------------------------------------------
+
+
+def test_local_contract_preserves_components(spark):
+    # chain 1-2-3-4, clique 10-11-12, pair (20, 21), spread over partitions
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    e = spark.createDataFrame(edges, "src long, dst long").repartition(4)
+    c = OD._local_contract(e)
+    star = {
+        (r.id, r.comp)
+        for r in OD.connected_components_star(e, "src", "dst",
+                                              edges_distinct=True).collect()
+    }
+    # contraction is wired INSIDE the loop; also check its raw output
+    # connects exactly the same node set
+    nodes_in = {x for t in edges for x in t}
+    nodes_out = {x for r in c.collect() for x in (r.src, r.dst)}
+    assert nodes_out <= nodes_in
+    expected = {(1, 1), (2, 1), (3, 1), (4, 1),
+                (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+    assert star == expected
+
+
+def test_local_contract_passthrough_on_strings_and_nulls(spark):
+    # string ids: contraction must be a NO-OP (collation-dependent min)
+    es = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert OD._local_contract(es) is es
+    # null endpoints pass through uncontracted
+    en = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None)], "src long, dst long"
+    )
+    out = {(r.src, r.dst) for r in OD._local_contract(en).collect()}
+    assert (None, 3) in out and (4, None) in out
+    assert (2, 1) in out or (1, 2) in out

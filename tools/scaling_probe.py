@@ -303,6 +303,46 @@ def main() -> None:
         cal.append(calibration_ms())
 
     # ------------------------------------------------------------------
+    # ANN lanes (round 7 session 2): similarity search had no measured
+    # exponent. Query set held CONSTANT (16 fixture vectors, the
+    # by-contract broadcast side) while the corpus scales — the serving
+    # shape. Brute-force top-k must be α≈1 (one scan, windowed top-k);
+    # IVF includes its own KMeans train (bounded sample) per build, so
+    # it is thunk-timed like the iterative lanes.
+    # ------------------------------------------------------------------
+    from webscale_multimodal_datapipeline_spark.operators import (  # noqa: E402
+        similarity as OS,
+    )
+
+    q16 = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    q16.count()
+    for factor in emb_scales:
+        big, n = emb_replicated(factor)
+        wall = timed(OS.cosine_topk(big, q16, k=10))
+        results.setdefault("ann_brute_topk", []).append((n, wall))
+        print(
+            f"# ann_brute_topk @ {n} rows: {wall:.2f}s"
+            f" ({n / wall / 1000:.0f}K rec/s)",
+            file=sys.stderr,
+        )
+        wall2 = timed_build(
+            lambda: OS.ivf_topk(big, q16, k=10, n_clusters=16, n_probe=2)
+        )
+        results.setdefault("ann_ivf_topk", []).append((n, wall2))
+        print(
+            f"# ann_ivf_topk @ {n} rows: {wall2:.2f}s"
+            f" ({n / wall2 / 1000:.0f}K rec/s)",
+            file=sys.stderr,
+        )
+        big.unpersist()
+        cal.append(calibration_ms())
+
+    # ------------------------------------------------------------------
     # Graph lanes (round 7, VERDICT r6 #4): the two top iterative walls —
     # components-star cluster resolution and BFS hop histogram — were the
     # only expensive family with no measured exponent, and iterative join
