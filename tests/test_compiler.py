@@ -436,3 +436,26 @@ def test_neardup_pipeline_yaml_end_to_end(spark, sf_dir):
         "text_length_filter",
         "minhash_lsh_dedup",
     }
+
+
+def test_semantic_neardup_centered_yaml_end_to_end(spark, sf_dir):
+    """The shipped centered-semantic-dedup example config reaches the
+    center=True plan through YAML params, and its survivors equal the
+    operator called directly (the oracle-checked v_centered_cosine_dedup
+    plan)."""
+    from webscale_multimodal_datapipeline_spark.operators import dedup as OD
+
+    plan = compile_pipeline("/root/repo/examples/semantic_neardup_centered.yaml")
+    res = plan.run(spark, sf_dir, observe_metrics=False)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    expected = {
+        r.vec_id
+        for r in OD.embedding_cosine_dedup(
+            emb, threshold=0.9, center=True
+        ).collect()
+    }
+    got = {r.vec_id for r in res.output.collect()}
+    assert got == expected
+    assert {r["_rejection_details"]["operator"] for r in res.rejected.collect()} <= {
+        "embedding_cosine_dedup",
+    }

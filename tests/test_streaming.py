@@ -773,3 +773,67 @@ def test_streaming_cuped_pipeline_matches_batch(spark, sf_dir, tmp_path):
     got = SP.cuped_from_user_xy(spark, table).collect()
     want = e_cuped(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_streaming_kmv_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """Round-7 fifth streaming statistics lift: per-source KMV k-min pool
+    accumulated through epoch-idempotent txtable MERGE == the batch
+    x_kmv_distinct estimator, EXACTLY (shared constants + float
+    spelling). Min-k over a union is associative/commutative/idempotent,
+    so any replay order converges to the batch pool."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from webscale_multimodal_datapipeline_spark.plans.sketch_queries import (
+        x_kmv_distinct,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+    from webscale_multimodal_datapipeline_spark.streaming import pipeline as SP2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    chunks = [c.copy() for c in np.array_split(pdf, 3)]
+    for i, chunk in enumerate(chunks):
+        p = f"{src}/file-{i}.parquet"
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    table = str(tmp_path / "kmv_tbl")
+    ckpt = str(tmp_path / "kmv_ckpt")
+    SP2.stream_kmv_to_txtable(
+        SP2.read_parquet_stream(spark, src, max_files_per_trigger=1),
+        table,
+        ckpt,
+    )
+
+    got = {
+        (r.source, r.sketch_n, r.kth_hash, r.kmv_estimate)
+        for r in SP2.kmv_from_pool(spark, table).collect()
+    }
+    want = {
+        (r.source, r.sketch_n, r.kth_hash, r.kmv_estimate)
+        for r in x_kmv_distinct(spark, sf_dir).collect()
+    }
+    assert got == want  # bit-exact, no tolerance
+
+    # re-delivered epoch: committed no-op
+    n_commits = len(TX.history(table))
+    handler = SP2.kmv_batch_handler(table)
+    handler(spark.read.parquet(f"{src}/file-0.parquet"), 0)
+    assert len(TX.history(table)) == n_commits
+    still = {
+        (r.source, r.sketch_n, r.kth_hash, r.kmv_estimate)
+        for r in SP2.kmv_from_pool(spark, table).collect()
+    }
+    assert still == want
+
+    # a NEW epoch re-carrying seen content cannot move the pool
+    handler(spark.read.parquet(f"{src}/file-1.parquet"), 99)
+    assert {
+        (r.source, r.sketch_n, r.kth_hash, r.kmv_estimate)
+        for r in SP2.kmv_from_pool(spark, table).collect()
+    } == want

@@ -347,3 +347,34 @@ def test_append_with_decimal_columns_skips_unextractable_stats(spark, tmp_path):
         merged.update(per_file)
     assert "id" in merged  # int stats still collected
     assert "amount" not in merged  # decimal: no stats == conservatively kept
+
+
+def test_compact_cluster_by_prunes_both_columns(spark, tmp_path):
+    """OPTIMIZE-ZORDER analog: after a clustered compaction, file-level
+    stats prune narrow ranges on EITHER clustered column; contents are
+    unchanged. An ingest-order table of the same data prunes neither."""
+    t = str(tmp_path / "ztbl")
+    # 4K rows over a 64x64 grid of (a, b), appended in ingest order so
+    # every pre-compaction file spans the full range of both columns
+    rows = [(i, (i * 7) % 64, (i * 13) % 64) for i in range(4096)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    TX.append(df.repartition(4), t)
+    total_before = len(TX.snapshot_files(t))
+    # ingest order: a narrow range on either column hits ~every file
+    assert len(TX.pruned_files(t, "a", 0, 3)) == total_before
+    v = TX.compact(spark, t, target_files=16, cluster_by=["a", "b"])
+    files = TX.snapshot_files(t)
+    assert len(files) > 1  # range partitioner actually split the key space
+    # both-column skipping: narrow ranges read a strict subset of files
+    hit_a = TX.pruned_files(t, "a", 0, 3)
+    hit_b = TX.pruned_files(t, "b", 0, 3)
+    assert len(hit_a) < len(files) and len(hit_b) < len(files)
+    # contents identical (multiset), filtered reads exact
+    assert sorted(r.id for r in TX.read(spark, t).collect()) == list(range(4096))
+    got = sorted(
+        r.id for r in TX.read(spark, t, between=("a", 0, 3)).collect()
+    )
+    want = sorted(i for i, a, b in rows if 0 <= a <= 3)
+    assert got == want
+    # still a transaction: pre-compaction version time-travels
+    assert TX.read(spark, t, version=v - 1).count() == 4096

@@ -1982,16 +1982,20 @@ def embedding_cosine_dedup_op(
     threshold: float = 0.98,
     planes: int | None = None,
     bands: int = 1,
+    center: bool = False,
     name: str = "embedding_cosine_dedup",
 ) -> NearDupOperator:
     """Semantic (embedding-cosine) near-dup removal as a YAML operator
     (``type: embedding_cosine_dedup``). Same plan as the oracle-checked
     ``v_cosine_dedup`` query (both call ``embedding_cosine_dup_map``);
-    ``planes=None`` = the corpus-scaled schedule (round-7 default)."""
+    ``planes=None`` = the corpus-scaled schedule (round-7 default);
+    ``center: true`` = mean-centered buckets for cone-concentrated
+    corpora (§35; the oracle-checked ``v_centered_cosine_dedup`` plan)."""
     return NearDupOperator(
         name,
         lambda df, resources=None: embedding_cosine_dup_map(
-            df, emb_col, id_col, dim, threshold, planes, bands, resources=resources
+            df, emb_col, id_col, dim, threshold, planes, bands,
+            resources=resources, center=center,
         ),
         id_col,
     )

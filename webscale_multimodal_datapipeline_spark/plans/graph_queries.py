@@ -34,13 +34,17 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     The distinct is a map-side-combinable shuffle on the pair key."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # distinct on the INT pair, node names concatenated after: the
+    # dedup shuffle carries two longs per row instead of two strings
+    # (same edge set — concat of equal ints is the equal string)
     pairs = (
         l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("C"), F.col("o_custkey")).alias("c"),
             F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"),
         )
-        .distinct()
     )
     fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))

@@ -301,18 +301,44 @@ def overwrite(df: DataFrame, table: str) -> int:
     return version
 
 
-def compact(spark: SparkSession, table: str, target_files: int = 1) -> int:
+def compact(
+    spark: SparkSession,
+    table: str,
+    target_files: int = 1,
+    cluster_by: list[str] | None = None,
+    zorder_bits: int = 8,
+) -> int:
     """Small-file compaction as a transaction: rewrite the CURRENT
     snapshot into ``target_files`` files and commit as an overwrite
     pinned to the snapshot it read (a concurrent commit in between
     raises instead of being clobbered — rerun on a quiet table). Data is
     bit-identical; history keeps every pre-compaction version readable.
     This is the executable form of ``p_compaction_plan``'s advice and
-    the data-file answer to the log-structured small-file problem."""
+    the data-file answer to the log-structured small-file problem.
+
+    ``cluster_by`` turns the rewrite into the OPTIMIZE-ZORDER analog
+    (Delta OPTIMIZE ZORDER BY / Iceberg sort orders): rows are
+    range-partitioned + locally sorted on the Morton interleave of the
+    given integer columns (``operators/scale.py::zorder_layout``), so
+    each rewritten file covers a compact hyper-rectangle of the key
+    space and the committed per-file min/max stats prune ``read(...,
+    between=...)`` on ANY of the clustered columns at once — the
+    measured x_skipping_benefit effect, made executable. Same
+    transaction contract; row contents identical, order changed."""
     read_version = latest_version(table)
     if read_version < 0:
         raise FileNotFoundError(f"no committed table at {table}")
-    snap = read(spark, table, version=read_version).coalesce(target_files)
+    snap = read(spark, table, version=read_version)
+    if cluster_by:
+        from webscale_multimodal_datapipeline_spark.operators.scale import (
+            zorder_layout,
+        )
+
+        snap = zorder_layout(snap, cluster_by, target_files, zorder_bits).drop(
+            "_zkey"
+        )
+    else:
+        snap = snap.coalesce(target_files)
     files, schema_json, stats = _write_data(snap, table)
     target = read_version + 1
     if not _try_commit(

@@ -17,7 +17,7 @@ point of declaring semantics rather than scheduling actors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -736,3 +736,126 @@ def cuped_from_user_xy(spark: SparkSession, table: str) -> DataFrame:
     from webscale_multimodal_datapipeline_spark.sources import txtable as TX
 
     return cuped_over_user_xy(TX.read(spark, table).select("user_id", "x", "y"))
+
+
+# ---------------------------------------------------------------------------
+# Fifth statistics lift: incremental KMV distinct-count (x_kmv_distinct
+# lifted). The txtable stores the per-source k-minimum content-hash POOL —
+# k rows per source keyed by (source, rank), so the table IS the sketch:
+# bounded state regardless of corpus size, and MERGE on the fixed rank
+# keyset needs no row deletion (the k-min pool only ever improves).
+# ---------------------------------------------------------------------------
+
+
+def kmv_batch_handler(table: str):
+    """foreachBatch handler for streaming KMV cardinality: each micro-batch
+    contributes its distinct per-source content hashes, the union with the
+    stored pool is re-ranked to the k smallest per source, and the k rows
+    land via epoch-idempotent MERGE keyed on ``source#rank``.
+
+    Exactness by construction: min-k over a union is associative,
+    commutative, and idempotent, so after any replay order the stored pool
+    equals the batch k-min over everything seen — the streaming estimate is
+    then BIT-IDENTICAL to ``x_kmv_distinct``'s (shared constants + float
+    spelling, ``kmv_from_pool``). Re-delivered epochs are committed no-ops
+    (``app_epoch``).
+
+    Scale shape: the stored side is n_sources × k rows (driver-bounded);
+    only the batch's distinct hashes shuffle. The MERGE keyset is FIXED
+    (ranks 1..k per source), so no deletion path is ever needed — a rank's
+    hash can only decrease."""
+    from webscale_multimodal_datapipeline_spark.functions import text as TXT
+    from webscale_multimodal_datapipeline_spark.plans.sketch_queries import _KMV_K
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = f"kmv-epoch-{epoch_id}"
+        if epoch in TX.committed_epochs(table):
+            return
+        h = (
+            batch_df.filter(F.col("text").isNotNull())
+            .select("source", TXT.fingerprint("text").alias("_h"))
+            .dropDuplicates(["source", "_h"])
+        )
+        fresh = TX.latest_version(table) < 0
+        if not fresh:
+            stored = TX.read(spark, table).select("source", "_h")
+            h = h.unionByName(stored).dropDuplicates(["source", "_h"])
+        w = Window.partitionBy("source").orderBy("_h")
+        topk = (
+            h.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= _KMV_K)
+            .select(
+                F.concat_ws("#", F.col("source"), F.col("_rn")).alias("_key"),
+                "source",
+                "_rn",
+                "_h",
+            )
+        )
+        if fresh:
+            TX.append(topk, table, app_epoch=epoch)
+        else:
+            TX.merge(spark, topk, table, "_key", app_epoch=epoch)
+
+    return _commit
+
+
+def stream_kmv_to_txtable(docs: DataFrame, table: str, checkpoint: str) -> None:
+    """Drive a docs stream through the KMV sketch into a transactional
+    table and block until the source drains (replay harness form)."""
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(kmv_batch_handler(table))
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def kmv_from_pool(spark: SparkSession, table: str) -> DataFrame:
+    """Stage 2 of the streaming KMV lift: the per-source + ``__union__``
+    cardinality estimates from the accumulated pool, through the SAME
+    estimator spelling as the batch ``x_kmv_distinct`` (shared ``_KMV_K``
+    / ``_KMV_NUM`` constants, same when/otherwise float tree) — so the
+    streaming snapshot's (source, sketch_n, kth_hash, kmv_estimate)
+    columns are bit-identical to the batch query's on the same corpus.
+
+    The under-full branch needs no side channel: a source with fewer than
+    k distinct hashes has its ENTIRE hash set in the pool, so
+    ``sketch_n`` IS the exact distinct count there."""
+    from webscale_multimodal_datapipeline_spark.plans.sketch_queries import (
+        _KMV_K,
+        _KMV_NUM,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    pool = TX.read(spark, table).select("source", "_rn", "_h")
+    per = pool.groupBy("source").agg(
+        F.count(F.lit(1)).alias("sketch_n"),
+        F.max(F.when(F.col("_rn") == _KMV_K, F.col("_h"))).alias("kth_hash"),
+    )
+    wu = Window.orderBy("_h")
+    upool = (
+        pool.select("_h")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(wu))
+        .filter(F.col("_rn") <= _KMV_K)
+    )
+    uagg = upool.agg(
+        F.count(F.lit(1)).alias("sketch_n"),
+        F.max(F.when(F.col("_rn") == _KMV_K, F.col("_h"))).alias("kth_hash"),
+    ).withColumn("source", F.lit("__union__"))
+    rows = per.unionByName(uagg.select("source", "sketch_n", "kth_hash"))
+    est_raw = F.when(
+        F.col("sketch_n") < _KMV_K, F.col("sketch_n").cast("double")
+    ).otherwise(F.lit(_KMV_NUM) / F.col("kth_hash").cast("double"))
+    return rows.select(
+        "source",
+        "sketch_n",
+        "kth_hash",
+        F.round(est_raw, 4).alias("kmv_estimate"),
+    ).orderBy("source")
