@@ -384,10 +384,42 @@ def test_centered_verify_matches_sql_spelling(spark, center, verify):
     assert other == sql_pairs
 
 
-def test_center_with_bands_raises(spark):
+@pytest.mark.parametrize("verify", ["arrow", "gemm"])
+def test_centered_banded_matches_sql_spelling(spark, verify):
+    """center=True composes with bands>1: all three verify paths agree on
+    the centered band keys (poisoned vectors included)."""
     df = _poisoned_vectors(spark)
-    with pytest.raises(ValueError):
-        OD.embedding_cosine_dup_map(df, dim=4, planes=4, bands=2, center=True)
+    kw = dict(dim=4, threshold=0.98, planes=4, bands=2, center=True)
+    sql_pairs = {
+        (r.vec_id, r._rep)
+        for r in OD.embedding_cosine_dup_map(df, verify="sql", **kw).collect()
+    }
+    other = {
+        (r.vec_id, r._rep)
+        for r in OD.embedding_cosine_dup_map(df, verify=verify, **kw).collect()
+    }
+    assert other == sql_pairs
+
+
+def test_centered_banded_superset_on_cone(spark):
+    """On the cone corpus, centered bands can only ADD verified pairs over
+    the single centered band (band 0 of the banded key set IS the single
+    bucket's plane set), and the planted twins stay caught."""
+    df = _cone_corpus(spark)
+    one = {
+        r.vec_id
+        for r in OD.embedding_cosine_dup_map(
+            df, dim=8, threshold=0.98, planes=6, center=True
+        ).collect()
+    }
+    four = {
+        r.vec_id
+        for r in OD.embedding_cosine_dup_map(
+            df, dim=8, threshold=0.98, planes=6, bands=4, center=True
+        ).collect()
+    }
+    assert one <= four
+    assert {1000 + i for i in range(5)} <= four
 
 
 def test_bias_stats_ignore_dirty_rows(spark):

@@ -660,6 +660,60 @@ def hyperplane_band_keys(
     )
 
 
+def _centered_band_key_expr(
+    emb_col: str, dim: int, planes: int, offset: int, base: int
+) -> str:
+    """One CENTERED band key in the compact fold form (``_band_key_expr``
+    with a per-plane bias comparison): bit p is ``n·(x·c_p) > bias_p``,
+    reading ``_cn`` and ``_cb{offset+p}`` from the broadcast
+    ``hyperplane_bias_stats`` row. Same value contract as the uncentered
+    fold (left-assoc projection; a null/short array null-pads → bit 0)."""
+    coefs = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(f"CAST({_plane_coef(offset + p, i)} AS DOUBLE)" for i in range(dim))
+            + ")"
+            for p in range(planes)
+        )
+        + ")"
+    )
+    weights = "array(" + ", ".join(f"CAST({1 << p} AS BIGINT)" for p in range(planes)) + ")"
+    biases = "array(" + ", ".join(f"`_cb{offset + p}`" for p in range(planes)) + ")"
+    proj = (
+        f"transform({coefs}, c -> aggregate(zip_with(`{emb_col}`, c, "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+    )
+    hits = (
+        f"zip_with({proj}, {biases}, "
+        f"(s, bb) -> CASE WHEN (CAST(`_cn` AS DOUBLE) * s) > bb"
+        f" THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    )
+    bits = f"zip_with({hits}, {weights}, (h, w) -> h * w)"
+    return f"aggregate({bits}, CAST({base} AS BIGINT), (a, x) -> a + x)"
+
+
+def centered_hyperplane_band_keys(
+    emb_col: str, dim: int, bands: int, planes: int = 8
+) -> Column:
+    """Centered OR-construction keys: element k = ``k * 2^planes +
+    centered_bucket_k`` over the independent plane set at offset
+    ``k*planes`` — the recall-restoring band construction AND the
+    cone-surviving centered buckets at once. Evaluate after a broadcast
+    cross-join with ``hyperplane_bias_stats(..., planes=bands*planes)``
+    (biases for ALL bands' planes, offset 0)."""
+    return F.array(
+        *[
+            F.expr(
+                _centered_band_key_expr(
+                    emb_col, dim, planes, k * planes, k * (1 << planes)
+                )
+            )
+            for k in range(bands)
+        ]
+    )
+
+
 # |x| bound for a coordinate to enter the centering statistics: NaN/inf
 # and absurd magnitudes cannot round-trip the exact DECIMAL sum (ANSI cast
 # raises), so rows carrying them are excluded from the BIAS BASIS (they
@@ -828,13 +882,12 @@ def embedding_cosine_dup_map(
     buckets collapse into a handful of mega-buckets because every plane
     agrees on the cone direction. Verify semantics are untouched (cosine
     on the ORIGINAL vectors); only candidate generation changes.
-    Currently ``bands == 1`` only (the banded centered form needs the
-    compact fold expression; no caller wants both yet).
+    Composes with ``bands > 1`` (``centered_hyperplane_band_keys``):
+    recall restoration and cone survival at once, biases computed for
+    all ``bands × planes`` planes in the same one-row aggregate.
     """
     from webscale_multimodal_datapipeline_spark.functions import vectors as VX
 
-    if center and bands > 1:
-        raise ValueError("center=True supports bands=1 only")
     if planes is None:
         planes = scaled_planes(df.count())
     if verify == "gemm":
@@ -851,11 +904,15 @@ def embedding_cosine_dup_map(
     # scan — broadcast join, no ReusedExchange).
     if center:
         df = df.crossJoin(
-            F.broadcast(hyperplane_bias_stats(df, emb_col, dim, planes))
+            F.broadcast(hyperplane_bias_stats(df, emb_col, dim, planes * bands))
         )
     cols = [F.col(id_col), F.col(emb_col), VX.l2_norm(emb_col).alias("_norm")]
-    if center:
+    if center and bands <= 1:
         cols.append(centered_hyperplane_bucket(emb_col, dim, planes).alias("_bucket"))
+    elif center:
+        cols.append(
+            centered_hyperplane_band_keys(emb_col, dim, bands, planes).alias("_bk")
+        )
     elif bands <= 1:
         cols.append(hyperplane_bucket(emb_col, dim, planes).alias("_bucket"))
     else:
@@ -1041,14 +1098,21 @@ def _embedding_cosine_dup_map_gemm(
     if center:
         # bias stats from the FULL table (clean-row basis is its own
         # predicate), broadcast onto the valid rows for the bucket key
+        key_col = (
+            centered_hyperplane_bucket(emb_col, dim, planes)
+            if bands <= 1
+            else F.explode(
+                centered_hyperplane_band_keys(emb_col, dim, bands, planes)
+            )
+        )
         keyed = (
             df.filter(valid)
-            .crossJoin(F.broadcast(hyperplane_bias_stats(df, emb_col, dim, planes)))
-            .select(
-                F.col(id_col),
-                F.col(emb_col),
-                centered_hyperplane_bucket(emb_col, dim, planes).alias("_bkey"),
+            .crossJoin(
+                F.broadcast(
+                    hyperplane_bias_stats(df, emb_col, dim, planes * bands)
+                )
             )
+            .select(F.col(id_col), F.col(emb_col), key_col.alias("_bkey"))
         )
     elif bands <= 1:
         keyed = df.filter(valid).select(
