@@ -1943,3 +1943,73 @@ QUERIES["v_centered_lsh_buckets"] = v_centered_lsh_buckets
 ORACLE["v_centered_lsh_buckets"] = V_CENTERED_BUCKETS_SQL
 QUERIES["v_centered_cosine_dedup"] = v_centered_cosine_dedup
 ORACLE["v_centered_cosine_dedup"] = V_CENTERED_COSINE_DEDUP_SQL
+
+
+def v_lsh_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cone DETECTOR (ARCHITECTURE §35): per bucketing scheme (raw
+    sign-of-projection vs mean-centered), the bucket count, the largest
+    bucket, and its corpus share. A cone-concentrated corpus shows the
+    raw arm with a pinned-small bucket count and a dominant max bucket
+    (the §35 probe read 8 buckets / 63% share under a +8.0 cone) while
+    the centered arm keeps the balanced profile — the one-query check an
+    operator runs BEFORE paying for a near-dup pass, to decide
+    ``center=True``. Exact integers + one guarded rounded ratio."""
+    e = load_table(spark, sf_dir, "embeddings")
+    stats = OD.hyperplane_bias_stats(e, "embedding", DIM, OD.EMB_LSH_PLANES)
+    raw = e.select(
+        OD.hyperplane_bucket("embedding", DIM, OD.EMB_LSH_PLANES).alias("b")
+    )
+    cen = e.crossJoin(F.broadcast(stats)).select(
+        OD.centered_hyperplane_bucket("embedding", DIM, OD.EMB_LSH_PLANES).alias("b")
+    )
+    arms = []
+    for scheme, src in (("raw", raw), ("centered", cen)):
+        per = src.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+        arms.append(
+            per.agg(
+                F.lit(scheme).alias("scheme"),
+                F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                F.max("n").cast("long").alias("max_bucket_n"),
+                F.sum("n").cast("long").alias("n_rows"),
+            ).select(
+                "scheme",
+                "n_buckets",
+                "max_bucket_n",
+                F.when(
+                    F.col("n_rows") > 0,
+                    F.round(
+                        F.col("max_bucket_n").cast("double")
+                        / F.col("n_rows").cast("double"),
+                        4,
+                    ),
+                ).alias("max_share"),
+            )
+        )
+    return arms[0].unionByName(arms[1])
+
+
+def _lsh_skew_audit_sql() -> str:
+    bias = OQ.sql_hyperplane_bias_select(
+        "embedding", DIM, OD.EMB_LSH_PLANES, "embeddings"
+    )
+    raw_b = OQ.sql_hyperplane_bucket("embedding", DIM, OD.EMB_LSH_PLANES)
+    cen_b = OQ.sql_centered_hyperplane_bucket("embedding", DIM, OD.EMB_LSH_PLANES)
+    def arm(scheme, inner):
+        return f"""
+SELECT '{scheme}' AS scheme,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(n) AS BIGINT) AS max_bucket_n,
+       CASE WHEN SUM(n) > 0
+            THEN ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 4)
+       END AS max_share
+FROM (SELECT b, COUNT(*) AS n FROM ({inner}) GROUP BY b)"""
+    return f"""
+WITH st AS ({bias})
+{arm('raw', f'SELECT {raw_b} AS b FROM embeddings')}
+UNION ALL
+{arm('centered', f'SELECT {cen_b} AS b FROM embeddings, st')}
+"""
+
+
+QUERIES["v_lsh_skew_audit"] = v_lsh_skew_audit
+ORACLE["v_lsh_skew_audit"] = _lsh_skew_audit_sql()
