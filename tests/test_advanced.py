@@ -331,3 +331,57 @@ def test_lsh_s_curve_floor_and_theory(spark, sf_dir):
     assert all(b >= a for a, b in zip(ps, ps[1:]))
     if rows[-1].sig_match_k == 12:
         assert rows[-1].p_collide_theory == 1.0
+
+
+# ---------------------------------------------------------------------------
+# stored IVF index (round 7: the serving-shape scale path)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_store_prunes_and_serves(spark, sf_dir, tmp_path):
+    """The stored IVF index reads only probed clusters' files, and its
+    answers match an independent numpy IVF replay over the SAME stored
+    assignment (ids/ranks exact, cosine to 1e-9)."""
+    import numpy as np
+
+    from webscale_multimodal_datapipeline_spark.operators import similarity as OS
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    table = str(tmp_path / "ivf")
+    cents = OS.ivf_store(e, table, n_clusters=8)
+    files = TX.snapshot_files(table)
+    assert len(files) >= 2
+    # per-cluster probe lists a strict subset of files
+    assert len(TX.pruned_files(table, "_cluster", 0, 0)) < len(files)
+
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = OS.ivf_topk_stored(spark, table, q, cents, k=5, n_probe=2)
+    rows = got.collect()
+
+    # independent replay: numpy IVF over the stored assignment
+    stored = TX.read(spark, table).select("vec_id", "embedding", "_cluster").collect()
+    C = np.asarray(cents)
+    want = {}
+    for qr in q.collect():
+        x = np.asarray(qr.embedding, dtype=np.float64)
+        d2 = ((C - x) ** 2).sum(axis=1)
+        probe = set(np.argsort(d2, kind="stable")[:2].tolist())
+        cand = []
+        for sr in stored:
+            if sr._cluster not in probe:
+                continue
+            v = np.asarray(sr.embedding, dtype=np.float64)
+            den = np.linalg.norm(v) * np.linalg.norm(x)
+            if den == 0:
+                continue
+            cand.append((float(v @ x / den), sr.vec_id))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        want[qr.query_id] = cand[:5]
+    assert {r.query_id for r in rows} == set(want)
+    for r in rows:
+        cos, vid = want[r.query_id][r.rank - 1]
+        assert r.vec_id == vid
+        assert abs(r.cosine - cos) < 1e-9

@@ -425,3 +425,107 @@ def l2_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "l2_sq", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored IVF index: the serving-shape scale path. The in-memory ivf_topk
+# re-scans (and re-assigns) the corpus per call; at 100 TB the index is a
+# TABLE — assignment happens once at build time, rows are laid out by
+# cluster so per-file min/max stats make every probe a file-pruned read
+# (only the probed clusters' files are even listed).
+# ---------------------------------------------------------------------------
+
+
+def ivf_store(
+    corpus: DataFrame,
+    table: str,
+    n_clusters: int = 8,
+    seed: int = 42,
+    emb_col: str = "embedding",
+) -> list:
+    """Build the stored IVF index: fit + assign (``ivf_assign``), lay rows
+    out by ``_cluster`` (range-partition + local sort → one file per
+    cluster at these sizes, each with EXACT ``_cluster`` min/max stats),
+    and commit to a transactional table in one atomic append. Returns the
+    centroid list (n_clusters × dim, the tiny driver-side probe map — a
+    deployment persists it beside the table)."""
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    assigned, centroids = ivf_assign(corpus, n_clusters, seed, emb_col)
+    laid = assigned.repartitionByRange(n_clusters, "_cluster").sortWithinPartitions(
+        "_cluster"
+    )
+    TX.append(laid, table)
+    return centroids
+
+
+def ivf_topk_stored(
+    spark,
+    table: str,
+    queries: DataFrame,
+    centroids: list,
+    k: int = 5,
+    n_probe: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k over the STORED IVF index, reading only the
+    probed clusters' files (txtable stats pruning — the I/O shape that
+    matters at 100 TB: a 2-probe query against a 1000-cluster index
+    lists 0.2% of the files).
+
+    Probe selection runs driver-side over the by-contract-bounded query
+    set and tiny centroid table (the ``pq_adc_topk`` allowed-collect
+    class), with ``ivf_topk``'s exact tie rule (squared-L2 asc, cluster
+    id asc). Queries with NULL/invalid embeddings are excluded — they
+    cannot be quantized (the ``ivf_assign`` index-side spec, applied to
+    the probe side). Scoring is the shared cosine + window top-k tail."""
+    import numpy as np
+
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    C = np.asarray(centroids, dtype=np.float64)
+    probe_rows = []
+    for r in queries.select(query_id_col, emb_col).collect():
+        emb = r[emb_col]
+        if emb is None or any(x is None for x in emb) or len(emb) != C.shape[1]:
+            continue
+        x = np.asarray([float(v) for v in emb], dtype=np.float64)
+        d2 = ((C - x) ** 2).sum(axis=1)
+        order = np.argsort(d2, kind="stable")[:n_probe]
+        for c in order:
+            probe_rows.append((r[query_id_col], int(c), [float(v) for v in emb]))
+    if not probe_rows:
+        schema = f"{query_id_col} long, {id_col} long, cosine double, rank int"
+        return spark.createDataFrame([], schema)
+    clusters = sorted({c for _, c, _ in probe_rows})
+    corpus = None
+    for c in clusters:
+        part = TX.read(spark, table, between=("_cluster", c, c))
+        corpus = part if corpus is None else corpus.unionByName(part)
+    probes = F.broadcast(
+        spark.createDataFrame(
+            probe_rows, f"{query_id_col} long, _cluster int, _q_emb array<double>"
+        )
+    )
+    scored = (
+        corpus.withColumn("_c_norm", VX.l2_norm(emb_col))
+        .join(probes, "_cluster")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            VX.guarded_div(
+                VX.dot(F.col(emb_col), F.col("_q_emb")),
+                F.col("_c_norm") * VX.l2_norm("_q_emb"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
