@@ -424,6 +424,12 @@ _VECTOR_NULL_QUERIES = [
     # mirrored; NULL-id / NULL-array / NULL-element / zero-vector rows
     # must fall out of the true-pair population identically)
     "v_hyperplane_recall",
+    # round 7 session 2: the centered-LSH family — the BIAS BASIS excludes
+    # dirty rows by a mirrored predicate, and the dirty rows themselves
+    # still bucket/dedup under the usual NULL semantics
+    "v_centered_lsh_buckets",
+    "v_centered_cosine_dedup",
+    "v_lsh_skew_audit",
 ]
 
 
