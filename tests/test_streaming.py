@@ -837,3 +837,96 @@ def test_streaming_kmv_pipeline_matches_batch(spark, sf_dir, tmp_path):
         (r.source, r.sketch_n, r.kth_hash, r.kmv_estimate)
         for r in SP2.kmv_from_pool(spark, table).collect()
     } == want
+
+
+def test_stream_incremental_embdedup_matches_numpy_reference(
+    spark, sf_dir, tmp_path
+):
+    """Embedding-cosine CDC == an independent numpy greedy replay of the
+    same semantics (within-batch: drop vs ANY smaller-id same-bucket row
+    at cosine >= t; cross-epoch: drop vs any STORED same-bucket row),
+    over a 3-file arrival with injected cross-batch recrawls."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from webscale_multimodal_datapipeline_spark.operators import dedup as OD
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+    from webscale_multimodal_datapipeline_spark.streaming import pipeline as SP2
+
+    dim, planes, thr = 64, 8, 0.9
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    chunks = [c.copy() for c in np.array_split(pdf, 3)]
+    for i in (1, 2):
+        recrawl = chunks[0].head(10).copy()
+        recrawl["vec_id"] = recrawl["vec_id"] + 100_000 * i
+        chunks[i] = pd.concat([chunks[i], recrawl], ignore_index=True)
+    for i, chunk in enumerate(chunks):
+        p = f"{src}/file-{i}.parquet"
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    table = str(tmp_path / "embtbl")
+    SP2.stream_incremental_embdedup_to_txtable(
+        SP2.read_parquet_stream(spark, src, max_files_per_trigger=1),
+        table,
+        str(tmp_path / "ckpt"),
+        dim=dim,
+        threshold=thr,
+        planes=planes,
+    )
+    got = sorted(r.vec_id for r in TX.read(spark, table).collect())
+
+    # independent numpy replay
+    C = np.array(
+        [[OD._plane_coef(p, i) for i in range(dim)] for p in range(planes)],
+        dtype=np.float64,
+    )
+
+    def bucket(x):
+        return int(sum(1 << p for p in range(planes) if C[p] @ x > 0))
+
+    def cos(a, b):
+        den = np.linalg.norm(a) * np.linalg.norm(b)
+        return (a @ b / den) if den else None
+
+    stored = []  # (bucket, vec)
+    accepted = []
+    for chunk in chunks:
+        rows = sorted(
+            ((int(r.vec_id), np.asarray(r.embedding, dtype=np.float64))
+             for r in chunk.itertuples()),
+            key=lambda t: t[0],
+        )
+        survivors = []
+        for vid, v in rows:
+            b = bucket(v)
+            hit = any(
+                b == bucket(u) and (c := cos(v, u)) is not None and c >= thr
+                for uid, u in rows
+                if uid < vid
+            )
+            if not hit:
+                survivors.append((vid, v, b))
+        for vid, v, b in survivors:
+            if any(b == sb and (c := cos(v, u)) is not None and c >= thr
+                   for sb, u in stored):
+                continue
+            stored.append((b, v))
+            accepted.append(vid)
+    assert got == sorted(accepted)
+    # the injected recrawls never make it past the snapshot probe
+    assert not any(v >= 100_000 for v in got)
+
+    # re-delivered epoch: committed no-op
+    n = len(TX.history(table))
+    handler = SP2.incremental_embdedup_batch_handler(
+        table, dim=dim, threshold=thr, planes=planes
+    )
+    handler(spark.read.parquet(f"{src}/file-0.parquet"), 0)
+    assert len(TX.history(table)) == n
+    assert sorted(r.vec_id for r in TX.read(spark, table).collect()) == got

@@ -859,3 +859,118 @@ def kmv_from_pool(spark: SparkSession, table: str) -> DataFrame:
         "kth_hash",
         F.round(est_raw, 4).alias("kmv_estimate"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup CDC (round 7 session 2): the third dedup
+# family's continuous-crawl composition, completing exact (hash index)
+# and MinHash (signature index) — here the stored EMBEDDING is the full
+# verification state, so the cross-epoch verify is the exact cosine, the
+# same tier as the within-batch stage.
+# ---------------------------------------------------------------------------
+
+
+def incremental_embdedup_batch_handler(
+    table: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.9,
+    planes: int = 8,
+):
+    """foreachBatch handler for continuous-crawl SEMANTIC dedup. Each
+    micro-batch: (1) within-batch removal via the batch operator's shared
+    plan (``embedding_cosine_dup_map`` — hyperplane buckets, GEMM verify,
+    min-id winner, the oracle-checked ``v_cosine_dedup`` semantics);
+    (2) cross-epoch probe of the accumulated survivors: bucket equi-join
+    against the stored index, EXACT cosine verify (both sides carry their
+    embeddings); (3) survivors + their ``_bucket`` key land in ONE
+    epoch-idempotent insert-only append.
+
+    Plane count is an EXPLICIT pin, never the corpus-scaled schedule, and
+    centering is deliberately unavailable here: bucket definitions must
+    be STABLE across epochs (a centered bias drifts with the corpus mean,
+    silently re-keying every stored bucket; the scaled schedule re-keys
+    on growth). A deployment that outgrows its pinned planes rebuilds the
+    index offline — the same contract every LSH-indexed store has.
+
+    Scale shape: the probe joins on ``_bucket`` and fetches embeddings
+    for BUCKET-MATCHING rows only; periodically running
+    ``txtable.compact(table, cluster_by=["_bucket"])`` (the z-order
+    rewrite) keeps that read file-pruned, so probe I/O tracks candidate
+    count, not corpus size. Single-writer per table."""
+    from webscale_multimodal_datapipeline_spark.functions import vectors as VX
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        _materialize,
+        embedding_cosine_dup_map,
+        hyperplane_bucket,
+        release_all,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = f"incembdedup-epoch-{epoch_id}"
+        if epoch in TX.committed_epochs(table):
+            return
+        res: list = []
+        dup = embedding_cosine_dup_map(
+            batch_df, emb_col, id_col, dim, threshold, planes=planes,
+            resources=res,
+        )
+        surv = batch_df.join(dup.select(id_col), id_col, "left_anti")
+        enriched = _materialize(
+            surv.withColumn("_bucket", hyperplane_bucket(emb_col, dim, planes)),
+            res,
+        )
+        if TX.latest_version(table) >= 0:
+            idx = TX.read(spark, table).select(
+                F.col("_bucket"), F.col(emb_col).alias("_old_emb")
+            )
+            cos = VX.guarded_div(
+                VX.dot(F.col(emb_col), F.col("_old_emb")),
+                VX.l2_norm(emb_col) * VX.l2_norm("_old_emb"),
+            )
+            rejected = (
+                enriched.select(id_col, emb_col, "_bucket")
+                .join(idx, "_bucket")
+                .filter((cos >= threshold) | F.isnan(cos))
+                .select(id_col)
+                .distinct()
+            )
+            enriched = enriched.join(rejected, id_col, "left_anti")
+        try:
+            TX.append(enriched, table, app_epoch=epoch)
+        finally:
+            release_all(res)
+
+    return _commit
+
+
+def stream_incremental_embdedup_to_txtable(
+    vecs: DataFrame,
+    table: str,
+    checkpoint: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.9,
+    planes: int = 8,
+) -> None:
+    """Drive an embeddings stream through incremental semantic dedup into
+    a transactional table and block until the source drains (replay
+    harness form, mirrors the exact/MinHash CDC drivers)."""
+    q = (
+        vecs.writeStream.outputMode("append")
+        .foreachBatch(
+            incremental_embdedup_batch_handler(
+                table, emb_col, id_col, dim, threshold, planes
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
