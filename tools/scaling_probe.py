@@ -280,19 +280,25 @@ def main() -> None:
     # ------------------------------------------------------------------
     for factor in emb_scales:
         big, n = emb_replicated(factor, cone=8.0)
-        wall = timed(OD.embedding_cosine_dedup(big, center=True))
-        results.setdefault("embedding_cone_centered", []).append((n, wall))
+        # DEFAULT-FLAGS cone lane (round 8, VERDICT r7 #1's done-condition):
+        # center="auto" must detect the collapsed profile and land on the
+        # centered plan — this lane IS what a caller gets on CLIP-shaped
+        # data out of the box, and its exponent must stay ≤ ~1.
+        wall = timed(OD.embedding_cosine_dedup(big))
+        results.setdefault("embedding_cone_auto", []).append((n, wall))
         print(
-            f"# embedding_cone_centered @ {n} rows: {wall:.2f}s"
-            f" ({n / wall / 1000:.0f}K rec/s)",
+            f"# embedding_cone_auto @ {n} rows (gate="
+            f"{OD.cone_gate(big, 'embedding', 64, OD.scaled_planes(n))}):"
+            f" {wall:.2f}s ({n / wall / 1000:.0f}K rec/s)",
             file=sys.stderr,
         )
         if factor == emb_scales[0]:
-            # red-flag series, SMALLEST size only: the one-shot 32K
-            # reading is ~190-212 s (α≈3.6 vs centered's ~0.3 — §35);
-            # re-measuring it every round would cost the probe ~10 min
-            # for a number the architecture note already pins.
-            wall2 = timed(OD.embedding_cosine_dedup(big))
+            # red-flag series, SMALLEST size only, now an EXPLICIT
+            # center=False pin (the default escaped it in round 8): the
+            # one-shot 32K reading was ~190-212 s (α≈3.6 vs centered's
+            # ~0.3 — §35); re-measuring it every round would cost the
+            # probe ~10 min for a number the architecture note pins.
+            wall2 = timed(OD.embedding_cosine_dedup(big, center=False))
             results.setdefault("embedding_cone_raw", []).append((n, wall2))
             print(
                 f"# embedding_cone_raw @ {n} rows: {wall2:.2f}s"
@@ -454,6 +460,19 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
+    # Round-8 close ritual (VERDICT r7 #6): a round-close probe must be
+    # sentinel-clean — a contended session measures the machine, not the
+    # operators (the §34 rule). Exit nonzero so a contended run can't be
+    # recorded as a band by accident; set SPARK_GRAFT_PROBE_ALLOW_CONTENDED=1
+    # to keep the (flagged) numbers anyway.
+    if contended and not os.environ.get("SPARK_GRAFT_PROBE_ALLOW_CONTENDED"):
+        print(
+            "# CONTENDED probe run (cal_dev "
+            f"{dev}): numbers are session-load artifacts — rerun on an idle "
+            "session or set SPARK_GRAFT_PROBE_ALLOW_CONTENDED=1",
+            file=sys.stderr,
+        )
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -312,7 +312,9 @@ def sql_centered_hyperplane_bucket(
     """Mirror of operators.dedup.centered_hyperplane_bucket — evaluate in a
     query cross-joined with the ``sql_hyperplane_bias_select`` row (reads
     ``cn`` / ``cb{p}``). Bit p is ``n·(x·c_p) > Σ(x)·c_p``; the projection
-    chain is term-identical to the Spark expression."""
+    chain is term-identical to the Spark expression, including the round-8
+    ``cn = 0`` structural fallback (GREATEST/COALESCE → plain raw sign
+    test on a fully-dirty bias basis — no-ops whenever ``cn > 0``)."""
     parts = []
     for p in range(planes):
         proj = " + ".join(
@@ -320,10 +322,35 @@ def sql_centered_hyperplane_bucket(
             for i in range(dim)
         )
         parts.append(
-            f"(CASE WHEN (CAST(cn AS DOUBLE) * ({proj})) > cb{p}"
+            f"(CASE WHEN (CAST(GREATEST(cn, 1) AS DOUBLE) * ({proj}))"
+            f" > COALESCE(cb{p}, CAST(0.0 AS DOUBLE))"
             f" THEN CAST({2 ** p} AS BIGINT) ELSE 0 END)"
         )
     return "(CAST(0 AS BIGINT) + " + " + ".join(parts) + ")"
+
+
+def sql_cone_gate(
+    col: str, dim: int, planes: int = EMB_LSH_PLANES, source: str = "embeddings"
+) -> str:
+    """Mirror of operators.dedup.cone_gate: scalar BOOLEAN subquery
+    replaying the ``center="auto"`` decision on the same rows — the raw
+    sign-bucket histogram profiled by the two EXACT INTEGER comparisons
+    (``n_buckets·4 < 2^planes AND max_bucket·4 > rows``; constants =
+    CONE_GATE_BUCKET_DEN / CONE_GATE_SHARE_DEN). COALESCE pins the empty
+    relation to FALSE (MAX over zero rows is NULL) exactly like the Spark
+    side's ``n_rows > 0`` guard."""
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        CONE_GATE_BUCKET_DEN,
+        CONE_GATE_SHARE_DEN,
+    )
+
+    b = sql_hyperplane_bucket(col, dim, planes)
+    return (
+        f"COALESCE((SELECT COUNT(*) * {CONE_GATE_BUCKET_DEN} < {1 << planes}"
+        f" AND MAX(n) * {CONE_GATE_SHARE_DEN} > SUM(n)"
+        f" FROM (SELECT {b} AS b, COUNT(*) AS n FROM {source} GROUP BY 1)),"
+        f" FALSE)"
+    )
 
 
 def sql_hyperplane_band_keys(

@@ -83,17 +83,34 @@ FROM embeddings GROUP BY 1
 
 def v_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup removal (LSH bucket → cosine >= 0.9 →
-    drop higher id); survivors."""
+    drop higher id); survivors. DEFAULT flags — i.e. ``center="auto"``:
+    the round-8 cone auto-gate runs inside the operator and the oracle
+    below replays its integer decision, so this row now value-checks the
+    gate + both candidate arms, not just the raw one."""
     e = load_table(spark, sf_dir, "embeddings")
     return OD.embedding_cosine_dedup(
         e, dim=DIM, threshold=COSINE_DEDUP_THRESHOLD
     ).select("vec_id", "label")
 
 
+# The oracle replays center="auto" structurally: g = the exact-integer
+# cone gate (sql_cone_gate, bit-identical to cone_gate_decision), and the
+# bucketed relation b is the raw arm when NOT gated, the mean-centered
+# arm when gated — the fixtures sit far on the balanced side (119 buckets
+# / 1.25 % max share at sf0.1 vs the <64 / >25 % trip line), so the
+# pinned hashes are unchanged; the gated arm is exercised by
+# v_autogate_cone_dedup below, whose data trips the gate.
 V_COSINE_DEDUP_SQL = f"""
-WITH b AS (
+WITH g AS (SELECT {OQ.sql_cone_gate('embedding', DIM)} AS gated),
+st AS (
+  {OQ.sql_hyperplane_bias_select('embedding', DIM, OD.EMB_LSH_PLANES, 'embeddings')}
+), b AS (
   SELECT vec_id, embedding, {OQ.sql_hyperplane_bucket('embedding', DIM)} AS bucket
-  FROM embeddings
+  FROM embeddings WHERE NOT (SELECT gated FROM g)
+  UNION ALL
+  SELECT vec_id, embedding,
+         {OQ.sql_centered_hyperplane_bucket('embedding', DIM, OD.EMB_LSH_PLANES)} AS bucket
+  FROM embeddings, st WHERE (SELECT gated FROM g)
 ), dup AS (
   SELECT DISTINCT l.vec_id AS vid
   FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id > r.vec_id
@@ -2013,3 +2030,95 @@ UNION ALL
 
 QUERIES["v_lsh_skew_audit"] = v_lsh_skew_audit
 ORACLE["v_lsh_skew_audit"] = _lsh_skew_audit_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the cone AUTO-GATE, value-checked end to end on data that TRIPS it
+# (VERDICT r7 #1 "done =" condition). The corpus is the fixture embeddings
+# pushed onto a CLIP-style cone (a +8.0 float32 shift on the first 32
+# coordinates — the §35 probe's geometry, expressed as a deterministic
+# transform both engines spell identically), then deduped at DEFAULT flags.
+# ---------------------------------------------------------------------------
+
+CONE_SHIFT = 8.0
+CONE_SHIFT_COORDS = 32
+
+
+def _cone_embeddings(e: DataFrame) -> DataFrame:
+    """Fixture embeddings concentrated onto a cone: float32 ``+8.0`` on the
+    first 32 coordinates. Rows whose array is NULL or not exactly DIM long
+    pass through UNCHANGED (the SQL mirror's list constructor would
+    otherwise null-pad / truncate where Spark's transform preserves
+    length)."""
+    shifted = F.transform(
+        "embedding",
+        lambda x, i: F.when(
+            i < CONE_SHIFT_COORDS, x + F.lit(CONE_SHIFT).cast("float")
+        ).otherwise(x),
+    )
+    return e.withColumn(
+        "embedding",
+        F.when(
+            F.col("embedding").isNull() | (F.size("embedding") != DIM),
+            F.col("embedding"),
+        ).otherwise(shifted),
+    )
+
+
+def _sql_cone_embedding(col: str = "embedding") -> str:
+    """DuckDB mirror of ``_cone_embeddings``'s per-row transform: an
+    explicit DIM-element list constructor (float32 adds, term-identical to
+    Spark's float arithmetic), guarded so NULL / wrong-length arrays pass
+    through unchanged."""
+    items = ", ".join(
+        f"{col}[{i + 1}] + CAST({CONE_SHIFT!r} AS FLOAT)"
+        if i < CONE_SHIFT_COORDS
+        else f"{col}[{i + 1}]"
+        for i in range(DIM)
+    )
+    return (
+        f"CASE WHEN {col} IS NULL OR len({col}) <> {DIM} THEN {col}"
+        f" ELSE [{items}] END"
+    )
+
+
+def v_autogate_cone_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal at DEFAULT flags on a
+    cone-concentrated corpus: ``center="auto"`` must detect the collapsed
+    raw bucket profile (the gate's integer tell) and escalate to
+    mean-centered candidate generation — the oracle replays the gate AND
+    the centered arm on the same rows, so a gate that fails to fire (or
+    fires with different bucket keys) hash-mismatches."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return OD.embedding_cosine_dedup(
+        _cone_embeddings(e), dim=DIM, threshold=COSINE_DEDUP_THRESHOLD
+    ).select("vec_id", "label")
+
+
+def _autogate_cone_dedup_sql() -> str:
+    cone = _sql_cone_embedding()
+    return f"""
+WITH c AS (
+  SELECT vec_id, label, {cone} AS embedding FROM embeddings
+), g AS (SELECT {OQ.sql_cone_gate('embedding', DIM, OD.EMB_LSH_PLANES, 'c')} AS gated),
+st AS (
+  {OQ.sql_hyperplane_bias_select('embedding', DIM, OD.EMB_LSH_PLANES, 'c')}
+), b AS (
+  SELECT vec_id, embedding, {OQ.sql_hyperplane_bucket('embedding', DIM)} AS bucket
+  FROM c WHERE NOT (SELECT gated FROM g)
+  UNION ALL
+  SELECT vec_id, embedding,
+         {OQ.sql_centered_hyperplane_bucket('embedding', DIM, OD.EMB_LSH_PLANES)} AS bucket
+  FROM c, st WHERE (SELECT gated FROM g)
+), dup AS (
+  SELECT DISTINCT l.vec_id AS vid
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id > r.vec_id
+  WHERE {OQ.sql_cosine('l.embedding', 'r.embedding', DIM)} >= {COSINE_DEDUP_THRESHOLD}
+)
+SELECT vec_id, label FROM c e
+WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.vid = e.vec_id)
+"""
+
+
+QUERIES["v_autogate_cone_dedup"] = v_autogate_cone_dedup
+ORACLE["v_autogate_cone_dedup"] = _autogate_cone_dedup_sql()

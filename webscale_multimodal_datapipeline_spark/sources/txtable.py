@@ -249,8 +249,61 @@ def _try_commit(table: str, commit: Commit) -> bool:
 
 
 def _schema_compatible(table: str, schema_json: str) -> bool:
+    """Append gate: same field names/order/types. Nullability is compared
+    as a WIDENING, not an equality: writing non-nullable data into a
+    nullable table slot is always safe, and the asymmetry is load-bearing —
+    an expression-derived column (e.g. the CDC handlers' ``_bucket``,
+    non-nullable by construction) must stay appendable after ``compact``
+    re-reads the table from parquet, where every column comes back
+    nullable (round 8, found by ``rebuild_embdedup_index``'s
+    post-rebuild-continue test). Nullable data into a non-nullable slot
+    still refuses."""
     log = read_log(table)
-    return not log or log[-1].schema_json == schema_json
+    if not log:
+        return True
+    if log[-1].schema_json == schema_json:
+        return True
+    import json
+
+    def _type_fits(slot, data) -> bool:
+        """data type writable into slot type (equal modulo nullability
+        widening, recursively through array/map/struct)."""
+        if isinstance(slot, dict) != isinstance(data, dict):
+            return False
+        if not isinstance(slot, dict):
+            return slot == data
+        if slot.get("type") != data.get("type"):
+            return False
+        t = slot.get("type")
+        if t == "array":
+            if data.get("containsNull") and not slot.get("containsNull"):
+                return False
+            return _type_fits(slot.get("elementType"), data.get("elementType"))
+        if t == "map":
+            if data.get("valueContainsNull") and not slot.get("valueContainsNull"):
+                return False
+            return _type_fits(slot.get("keyType"), data.get("keyType")) and \
+                _type_fits(slot.get("valueType"), data.get("valueType"))
+        if t == "struct":
+            return _fields_fit(slot.get("fields", []), data.get("fields", []))
+        return slot == data
+
+    def _fields_fit(slot_fields, data_fields) -> bool:
+        if len(slot_fields) != len(data_fields):
+            return False
+        for s, d in zip(slot_fields, data_fields):
+            if s["name"] != d["name"]:
+                return False
+            if d.get("nullable") and not s.get("nullable"):
+                return False  # nullable data into a non-nullable slot
+            if not _type_fits(s["type"], d["type"]):
+                return False
+        return True
+
+    return _fields_fit(
+        json.loads(log[-1].schema_json)["fields"],
+        json.loads(schema_json)["fields"],
+    )
 
 
 def committed_epochs(table: str) -> set[str]:
