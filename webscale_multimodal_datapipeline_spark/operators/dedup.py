@@ -1677,8 +1677,9 @@ def connected_components(
     lazy checkpoint also returns the convergence signature ``(count,
     bit_xor(xxhash64(id, comp)))``, the same order-independent set
     signature the star variant uses (ids are unique per row, so the
-    multiset IS a set; a false stop needs a 64-bit xor collision between
-    different label maps). This replaced a per-round label-diff JOIN plus
+    multiset IS a set; a false stop needs simultaneous collisions in two
+    independently-seeded hash streams — ~2^-128, see ``_star_round``'s
+    caller). This replaced a per-round label-diff JOIN plus
     a second action (`limit(1).count()`), which was the dominant cost of
     the loop at small scale and pure overhead at large. Labels shuffle on
     id each round — at 100 TB, pre-partition the edge list by src so the
@@ -1706,9 +1707,10 @@ def connected_components(
         row = new.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(id, comp))").alias("sig"),
+            F.expr("bit_xor(xxhash64(id, comp, 9591))").alias("sig2"),
         ).first()
         labels = new
-        sig = (row["n"], row["sig"])
+        sig = (row["n"], row["sig"], row["sig2"])
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -1766,8 +1768,12 @@ def _local_contract(e: DataFrame) -> DataFrame:
     Applied only to INTEGRAL id types: Python's ``min`` must agree with
     Spark's ordering for the min-root invariant, which is guaranteed for
     ints but collation-dependent for strings. NULL-endpoint rows pass
-    through uncontracted (the global loop's join/groupBy semantics keep
-    owning them)."""
+    through uncontracted — split off JVM-SIDE and unioned back after the
+    map (ADVICE r7 #1: if a null ever reached an Arrow batch, pandas
+    would coerce the whole int64 column to float64 and silently round ids
+    above 2^53 — corrupting both the passthrough rows and the contracted
+    stars; keeping nulls out of the batch makes the coercion impossible
+    instead of guarded)."""
     import pandas as pd
 
     fields = e.schema.fields
@@ -1778,17 +1784,21 @@ def _local_contract(e: DataFrame) -> DataFrame:
     sname, dname = fields[0].name, fields[1].name
     _np = {"long": "int64", "integer": "int32", "short": "int16", "byte": "int8"}
     np_s, np_d = (_np[f.dataType.typeName()] for f in fields)
+    null_pred = F.col(sname).isNull() | F.col(dname).isNull()
 
     def gen(batches):
         for pdf in batches:
-            null_mask = pdf[sname].isna() | pdf[dname].isna()
-            if null_mask.any():
-                yield pdf[null_mask]
-            rows = pdf[~null_mask]
+            rows = pdf
             if not len(rows):
                 continue
-            # pandas silently floats an int column that carried nulls;
-            # restore the declared integral dtype on the non-null rows
+            # the JVM-side split guarantees null-free batches; a null here
+            # means the contract was violated upstream — fail loud, the
+            # column would already have been floated
+            if rows[sname].isna().any() or rows[dname].isna().any():
+                raise ValueError(
+                    "_local_contract received a null endpoint past the "
+                    "JVM-side split"
+                )
             rows = rows.astype({sname: np_s, dname: np_d})
             parent: dict = {}
 
@@ -1822,7 +1832,9 @@ def _local_contract(e: DataFrame) -> DataFrame:
                     }
                 )
 
-    return e.mapInPandas(gen, ddl)
+    return e.filter(~null_pred).mapInPandas(gen, ddl).unionByName(
+        e.filter(null_pred)
+    )
 
 
 def connected_components_star(
@@ -1852,9 +1864,12 @@ def connected_components_star(
     ``(count, bit_xor(xxhash64(src, dst)))`` — an order-independent set
     signature over the distinct edge set, replacing r3's separate
     two-`exceptAll` probe job. Equal consecutive signatures stop the
-    loop; a false stop needs a 64-bit xor collision between DIFFERENT
-    edge sets (~2^-64 per probe — and the oracle parity tests would
-    surface it deterministically on the test corpora).
+    loop; a false stop needs SIMULTANEOUS xor collisions in two
+    independently-seeded 64-bit hash streams (ADVICE r7 #4: the second
+    ``xxhash64(..., 9591)`` fold rides the same aggregate — no extra job
+    — and pushes the collision odds from ~2^-64 to ~2^-128 per probe;
+    the oracle parity tests would surface one deterministically on the
+    test corpora).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src") != F.col("dst")
@@ -1884,9 +1899,10 @@ def connected_components_star(
         row = nxt.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(src, dst))").alias("sig"),
+            F.expr("bit_xor(xxhash64(src, dst, 9591))").alias("sig2"),
         ).first()
         cur = nxt
-        sig = (row["n"], row["sig"])
+        sig = (row["n"], row["sig"], row["sig2"])
         if sig == prev_sig:
             break
         prev_sig = sig

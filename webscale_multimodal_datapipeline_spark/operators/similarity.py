@@ -483,8 +483,24 @@ def ivf_topk_stored(
     the probe side). Scoring is the shared cosine + window top-k tail."""
     import numpy as np
 
+    from pyspark.sql import types as ST
+
     from webscale_multimodal_datapipeline_spark.sources import txtable as TX
 
+    # id/query-id field types come from the ACTUAL schemas (ADVICE r7 #3:
+    # the former literal `long` broke string/int id corpora on the probe
+    # createDataFrame, and made the empty-result schema diverge from the
+    # non-empty path's)
+    qid_type = queries.schema[query_id_col].dataType
+    id_type = TX.read(spark, table).schema[id_col].dataType
+    out_schema = ST.StructType(
+        [
+            ST.StructField(query_id_col, qid_type),
+            ST.StructField(id_col, id_type),
+            ST.StructField("cosine", ST.DoubleType()),
+            ST.StructField("rank", ST.IntegerType()),
+        ]
+    )
     C = np.asarray(centroids, dtype=np.float64)
     probe_rows = []
     for r in queries.select(query_id_col, emb_col).collect():
@@ -497,8 +513,7 @@ def ivf_topk_stored(
         for c in order:
             probe_rows.append((r[query_id_col], int(c), [float(v) for v in emb]))
     if not probe_rows:
-        schema = f"{query_id_col} long, {id_col} long, cosine double, rank int"
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], out_schema)
     clusters = sorted({c for _, c, _ in probe_rows})
     corpus = None
     for c in clusters:
@@ -506,7 +521,16 @@ def ivf_topk_stored(
         corpus = part if corpus is None else corpus.unionByName(part)
     probes = F.broadcast(
         spark.createDataFrame(
-            probe_rows, f"{query_id_col} long, _cluster int, _q_emb array<double>"
+            probe_rows,
+            ST.StructType(
+                [
+                    ST.StructField(query_id_col, qid_type),
+                    ST.StructField("_cluster", ST.IntegerType()),
+                    ST.StructField(
+                        "_q_emb", ST.ArrayType(ST.DoubleType())
+                    ),
+                ]
+            ),
         )
     )
     scored = (
