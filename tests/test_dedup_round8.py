@@ -272,3 +272,18 @@ def test_rebuild_neardup_index_same_k_is_bit_identical(spark, sf_dir, tmp_path):
     handler2(spark.createDataFrame(recrawl), 9)
     ids_now = {r.doc_id for r in TX.read(spark, table).select("doc_id").collect()}
     assert not any(v >= 700_000 for v in ids_now)
+
+
+def test_components_star_double_contraction_cross_partition_chain(spark):
+    """Round-8 double-contraction pre-pass: a long chain deliberately
+    scattered across partitions (the shape the connectivity-oblivious
+    first pass leaves as root chains) still resolves to one component
+    with the exact min label."""
+    n = 400
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_l long, id_r long"
+    ).repartition(16)  # round-robin: consecutive edges land apart
+    comp = OD.connected_components_star(edges, "id_l", "id_r")
+    rows = comp.collect()
+    assert len(rows) == n + 1
+    assert {r.comp for r in rows} == {0}
