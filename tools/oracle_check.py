@@ -81,11 +81,50 @@ def main() -> int:
     only = set(argv[1:])
     spark = get_spark("oracle_check")
     con = duckdb.connect()
+    # Resource guards for large-SF runs (round 8): the sf1 sweep found one
+    # wedge-heavy graph oracle spilling 55 GB of DuckDB temp and filling
+    # the disk. With ORACLE_DUCK_MEM set (e.g. "48GB"), a runaway oracle
+    # errors out as a clean FAIL record instead of taking the box down —
+    # the failure is then a documented ORACLE resource limit, not an
+    # engine divergence.
+    import os
+
+    duck_mem = os.environ.get("ORACLE_DUCK_MEM")
+    # per-oracle wall cap (seconds; 0 = off): a runaway oracle is
+    # interrupted and recorded as a FAIL with the interrupt error
+    duck_timeout = float(os.environ.get("ORACLE_DUCK_TIMEOUT", "0"))
+    if duck_mem:
+        con.sql(f"SET memory_limit='{duck_mem}'")
+        con.sql(
+            "SET max_temp_directory_size='"
+            + os.environ.get("ORACLE_DUCK_TEMP", "30GB")
+            + "'"
+        )
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, oracles = queries(), oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     records: dict[str, dict] = {}
+
+    def _flush() -> None:
+        # incremental artifact write: a multi-hour large-SF sweep must not
+        # lose every record to a crash at query N (round-8 sf1 lesson)
+        if json_out:
+            import json as _json
+
+            with open(json_out, "w") as fh:
+                _json.dump(
+                    {
+                        "sf_dir": sf_dir,
+                        "n_pass": n_pass,
+                        "n_fail": n_fail,
+                        "n_rows_only": n_rows_only,
+                        "queries": records,
+                    },
+                    fh,
+                    indent=1,
+                )
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -100,6 +139,7 @@ def main() -> int:
                 "err": f"spark {type(e).__name__}: {e}"[:300],
             }
             n_fail += 1
+            _flush()
             continue
         t_spark = time.time() - t0
         if name not in oracles:
@@ -110,8 +150,15 @@ def main() -> int:
                 "no_oracle": True,
             }
             n_rows_only += 1
+            _flush()
             continue
         t0 = time.time()
+        timer = None
+        if duck_timeout:
+            import threading
+
+            timer = threading.Timer(duck_timeout, con.interrupt)
+            timer.start()
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:
@@ -122,7 +169,11 @@ def main() -> int:
                 "err": f"duckdb {type(e).__name__}: {e}"[:300],
             }
             n_fail += 1
+            _flush()
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         t_duck = time.time() - t0
         ok, msg = compare(name, sdf, ddf)
         status = "PASS" if ok else "FAIL"
@@ -137,6 +188,7 @@ def main() -> int:
         }
         n_pass += ok
         n_fail += not ok
+        _flush()
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     if json_out:
         import json
