@@ -488,7 +488,16 @@ def e_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").asc(),
         F.col("d").asc(),
         F.col("event_id").asc(),
-    ).withColumn("_pid", F.spark_partition_id())
+    ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    # Materialized ONCE (round 8, found by the sf1 sweep): the range
+    # exchange's boundary sampling is not guaranteed identical across
+    # the plan's branches, so hist/offsets and the window could see
+    # DIFFERENT _pid assignments — global ranks then collide/gap and
+    # the buckets go uneven. Freezing the ranged frame makes every
+    # branch read the same partition assignment (and saves the second
+    # corpus shuffle the window branch otherwise re-runs).
     hist = ranged.groupBy("_pid", "event_type").agg(F.sum("d").alias("_s"))
     offs = (
         hist.alias("l")

@@ -34,7 +34,16 @@ def x_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     num_parts = 32  # at cluster scale: ≈ the table's shuffle parallelism
     ranged = c.repartitionByRange(
         num_parts, F.col("c_acctbal").asc(), F.col("c_custkey").asc()
-    ).withColumn("_pid", F.spark_partition_id())
+    ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    # Materialized ONCE (round 8, found by the sf1 sweep): the range
+    # exchange's boundary sampling is not guaranteed identical across
+    # the plan's branches, so hist/offsets and the window could see
+    # DIFFERENT _pid assignments — global ranks then collide/gap and
+    # the buckets go uneven. Freezing the ranged frame makes every
+    # branch read the same partition assignment (and saves the second
+    # corpus shuffle the window branch otherwise re-runs).
     hist = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # exclusive prefix-sum over the P-row histogram (P ≤ num_parts rows —
     # the triangular join is broadcast and trivially small at any scale)

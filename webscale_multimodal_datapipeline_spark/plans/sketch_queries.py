@@ -173,40 +173,51 @@ def x_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, qx, px, qp, qq, pp = (F.col(c) for c in ("n", "qx", "px", "qp", "qq", "pp"))
     cov_num = qp - qx * px / n
     slope = (n * qp - qx * px) / (n * qq - qx * qx)
+    # NO terminal ROUND (round 8): the moments are bit-identical by
+    # construction (identical float trees over identical correctly-rounded
+    # doubles), and rounding DERIVED DOUBLES is itself a cross-engine trap
+    # — DuckDB's ROUND(x, 6) scales by 10^6 in float and can cross a .5
+    # boundary the exact HALF_UP (Spark's BigDecimal round) does not
+    # (found by the sf1 sweep: var_price .988516 vs .988517 on the SAME
+    # double). Un-rounded doubles compare exactly at any scale.
     return sums.select(
         "l_returnflag",
-        F.round(F.sqrt((qq - qx * qx / n) / (n - 1)), 6).alias("sd_qty"),
-        F.round((pp - px * px / n) / (n - 1), 6).alias("var_price"),
-        F.round(
+        F.sqrt((qq - qx * qx / n) / (n - 1)).alias("sd_qty"),
+        ((pp - px * px / n) / (n - 1)).alias("var_price"),
+        (
             (n * qp - qx * px)
-            / (F.sqrt(n * qq - qx * qx) * F.sqrt(n * pp - px * px)),
-            6,
+            / (F.sqrt(n * qq - qx * qx) * F.sqrt(n * pp - px * px))
         ).alias("corr_qty_price"),
-        F.round(cov_num / (n - 1), 6).alias("covar_qty_price"),
-        F.round(slope, 6).alias("ols_slope"),
-        F.round((px - slope * qx) / n, 6).alias("ols_intercept"),
+        (cov_num / (n - 1)).alias("covar_qty_price"),
+        slope.alias("ols_slope"),
+        ((px - slope * qx) / n).alias("ols_intercept"),
     ).orderBy("l_returnflag")
 
 
 X_MOMENTS_SQL = """
 WITH sums AS (
+  -- decimal -> double goes THROUGH VARCHAR: DuckDB's direct decimal cast
+  -- is not correctly rounded once the scaled integer passes 2^53 (found
+  -- by the round-8 sf1 sweep: pp for group A is x.487 ulps and the direct
+  -- cast rounds UP; string -> double is correctly rounded in both engines,
+  -- and Spark's decimal cast already is)
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS qx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS px,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS qp,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS qq,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS pp
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS qx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS px,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS qp,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS qq,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS pp
   FROM lineitem
   GROUP BY l_returnflag
 )
 SELECT l_returnflag,
-       ROUND(sqrt((qq - qx * qx / n) / (n - 1)), 6) AS sd_qty,
-       ROUND((pp - px * px / n) / (n - 1), 6) AS var_price,
-       ROUND((n * qp - qx * px) / (sqrt(n * qq - qx * qx) * sqrt(n * pp - px * px)), 6) AS corr_qty_price,
-       ROUND((qp - qx * px / n) / (n - 1), 6) AS covar_qty_price,
-       ROUND((n * qp - qx * px) / (n * qq - qx * qx), 6) AS ols_slope,
-       ROUND((px - ((n * qp - qx * px) / (n * qq - qx * qx)) * qx) / n, 6) AS ols_intercept
+       sqrt((qq - qx * qx / n) / (n - 1)) AS sd_qty,
+       (pp - px * px / n) / (n - 1) AS var_price,
+       (n * qp - qx * px) / (sqrt(n * qq - qx * qx) * sqrt(n * pp - px * px)) AS corr_qty_price,
+       (qp - qx * px / n) / (n - 1) AS covar_qty_price,
+       (n * qp - qx * px) / (n * qq - qx * qx) AS ols_slope,
+       (px - ((n * qp - qx * px) / (n * qq - qx * qx)) * qx) / n AS ols_intercept
 FROM sums
 ORDER BY l_returnflag
 """

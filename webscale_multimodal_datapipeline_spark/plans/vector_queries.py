@@ -1258,7 +1258,16 @@ def v_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     num_parts = 32
     ranged = coded.repartitionByRange(
         num_parts, F.col("code").asc(), F.col("vec_id").asc()
-    ).withColumn("_pid", F.spark_partition_id())
+    ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    # Materialized ONCE (round 8, found by the sf1 sweep): the range
+    # exchange's boundary sampling is not guaranteed identical across
+    # the plan's branches, so hist/offsets and the window could see
+    # DIFFERENT _pid assignments — global ranks then collide/gap and
+    # the buckets go uneven. Freezing the ranged frame makes every
+    # branch read the same partition assignment (and saves the second
+    # corpus shuffle the window branch otherwise re-runs).
     hist = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     offs = (
         hist.alias("l")
