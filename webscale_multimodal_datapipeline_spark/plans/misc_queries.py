@@ -201,63 +201,71 @@ WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
 
 
 def x_levenshtein_near_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs over part names — levenshtein as the
+    """Edit-distance near-dup NAME pairs over parts — levenshtein as the
     string-similarity primitive (fuzzy-dedup building block).
 
-    Scale shape: levenshtein is evaluated on DISTINCT name pairs first
-    (blocked by (2-char prefix, length//4) so distinct-side candidates stay
-    sub-quadratic), then expanded back to key pairs with two equi-joins.
-    On repeated-value columns (the common web-scale case — titles, URLs,
-    product names) this cuts the O(candidate²) edit-distance work by the
-    square of the repetition factor; only the unavoidable output expansion
-    touches full-table rows. The block predicate is part of the query's
-    semantics and is mirrored in the oracle."""
+    Output shape (round 8, redefined by the sf1 sweep): one row per
+    near-name pair ``(name_l, name_r, dist, n_key_pairs)`` where
+    ``n_key_pairs`` is the EXACT count of part-key pairs the name pair
+    covers (``cnt_l·cnt_r`` across names, ``C(cnt,2)`` within a name).
+    The previous spelling expanded the full key-pair cross product —
+    10.4M rows at sf0.1 and ~1B at sf1 (64 distinct names over 200K
+    parts), i.e. output QUADRATIC in the duplication factor, which is
+    the one shape a 100-TB engine must never emit. The aggregated form
+    carries the same information (a consumer needing raw key pairs joins
+    part back on the two name columns — linear work against a tiny pair
+    table) and is bounded by distinct-name pairs at any scale.
+
+    Scale shape: levenshtein runs on DISTINCT name pairs only (blocked by
+    (2-char prefix, length//4) so candidates stay sub-quadratic); key
+    multiplicities come from one groupBy — no row-level cross join
+    anywhere. The block predicate is part of the query's semantics and is
+    mirrored in the oracle."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    d = p.select("p_name").distinct()
-    dl, dr = d.alias("dl"), d.alias("dr")
-    # directed distinct-name pairs (incl. self-pairs, dist 0) so the key
-    # expansion below needs no name-ordering case split
-    name_pairs = (
+    counts = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    same = counts.filter(F.col("cnt") >= 2).select(
+        F.col("p_name").alias("name_l"),
+        F.col("p_name").alias("name_r"),
+        F.lit(0).cast("int").alias("dist"),
+        F.expr("(cnt * (cnt - 1)) div 2").alias("n_key_pairs"),
+    )
+    dl, dr = counts.alias("dl"), counts.alias("dr")
+    cross = (
         dl.join(
             dr,
             (F.substring(F.col("dl.p_name"), 1, 2) == F.substring(F.col("dr.p_name"), 1, 2))
-            & (F.floor(F.length("dl.p_name") / 4) == F.floor(F.length("dr.p_name") / 4)),
+            & (F.floor(F.length("dl.p_name") / 4) == F.floor(F.length("dr.p_name") / 4))
+            & (F.col("dl.p_name") < F.col("dr.p_name")),
         )
         .select(
-            F.col("dl.p_name").alias("_name_l"),
-            F.col("dr.p_name").alias("_name_r"),
+            F.col("dl.p_name").alias("name_l"),
+            F.col("dr.p_name").alias("name_r"),
             F.levenshtein(F.col("dl.p_name"), F.col("dr.p_name")).alias("dist"),
+            (F.col("dl.cnt") * F.col("dr.cnt")).alias("n_key_pairs"),
         )
         .filter(F.col("dist") <= 4)
     )
-    l, r = p.alias("l"), p.alias("r")
-    return (
-        # name_pairs derives from DISTINCT part names — scales with part
-        # (200K×SF), so no broadcast hint; AQE decides from runtime size.
-        l.join(name_pairs, F.col("l.p_name") == F.col("_name_l"))
-        .join(
-            r,
-            (F.col("r.p_name") == F.col("_name_r"))
-            & (F.col("l.p_partkey") < F.col("r.p_partkey")),
-        )
-        .select(
-            F.col("l.p_partkey").alias("key_l"),
-            F.col("r.p_partkey").alias("key_r"),
-            "dist",
-        )
-    )
+    return same.unionByName(cross)
 
 
 X_LEV_SQL = """
-SELECT l.p_partkey AS key_l, r.p_partkey AS key_r,
-       CAST(levenshtein(l.p_name, r.p_name) AS INTEGER) AS dist
-FROM part l JOIN part r
+WITH counts AS (
+  SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY p_name
+)
+SELECT p_name AS name_l, p_name AS name_r,
+       CAST(0 AS INTEGER) AS dist,
+       (cnt * (cnt - 1)) // 2 AS n_key_pairs
+FROM counts WHERE cnt >= 2
+UNION ALL
+SELECT l.p_name AS name_l, r.p_name AS name_r,
+       CAST(levenshtein(l.p_name, r.p_name) AS INTEGER) AS dist,
+       l.cnt * r.cnt AS n_key_pairs
+FROM counts l JOIN counts r
   ON substring(l.p_name, 1, 2) = substring(r.p_name, 1, 2)
  AND CAST(floor(length(l.p_name) / 4) AS BIGINT) = CAST(floor(length(r.p_name) / 4) AS BIGINT)
- AND l.p_partkey < r.p_partkey
+ AND l.p_name < r.p_name
 WHERE levenshtein(l.p_name, r.p_name) <= 4
 """
-
 
 QUERIES = {
     "x_acctbal_deciles": x_acctbal_deciles,

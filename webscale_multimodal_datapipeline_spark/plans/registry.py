@@ -247,7 +247,11 @@ _RECORDED |= _RECORDED_R7
 # Changed-oracle queries that must RE-record under the new oracle even
 # though an older green row exists (latest record wins in the judge's
 # union): round 8 rewired v_cosine_dedup's oracle to replay the auto-gate.
-_RERECORD = {"v_cosine_dedup"}
+_RERECORD = {
+    "v_cosine_dedup",
+    # round-8 sf1-sweep redefinitions/fixes whose hashes changed:
+    "x_levenshtein_near_names", "x_distribution_moments",
+}
 
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _RECORDED or k in _RERECORD},
