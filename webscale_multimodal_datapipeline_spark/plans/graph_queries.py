@@ -297,8 +297,15 @@ WITH edges AS (
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
        CAST(COUNT(*) AS BIGINT) AS n_triangles
-FROM (SELECT DISTINCT w.a, w.b, w.c FROM wedges w JOIN closing x ON w.b = x.b AND w.c = x.c)
+FROM (SELECT w.a, w.b, w.c FROM wedges w JOIN closing x ON w.b = x.b AND w.c = x.c)
 """
+# No DISTINCT on the closing join (round 8): wedges are unique triples by
+# construction (oriented is a set; (b, c) ordered per a) and exactly ONE
+# closing row can match a wedge (the orientation is a strict order, so
+# oriented never holds both b->c and c->b — the symmetric-union table has
+# one row with b in the b-slot). Multiplicity is provably 1, and dropping
+# the DISTINCT turns a multi-GB triple materialization (55 GB DuckDB spill
+# at sf1) into a streaming join + count with the identical value.
 
 QUERIES["g_triangle_count"] = g_triangle_count
 ORACLE["g_triangle_count"] = G_TRIANGLE_SQL
