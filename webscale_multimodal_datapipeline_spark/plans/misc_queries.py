@@ -1393,40 +1393,55 @@ ORACLE["x_market_basket"] = X_BASKET_SQL
 def x_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution over part names — the three-stage ER
     pipeline (Fellegi-Sunter shape) composed from the engine's own
-    parts: (1) BLOCKING by (first token, name length) so candidate pairs
-    are bounded per block, never corpus-quadratic; (2) MATCH with
+    parts: (1) BLOCKING by (first token, name length); (2) MATCH with
     ``levenshtein ≤ 2`` inside blocks; (3) CLUSTER via transitive
-    closure (min-label propagation, ``operators/dedup.py`` — the DuckDB
-    oracle runs a genuine recursive reachability fixed point). Output:
-    the cluster-size histogram + entity/cluster totals, the dedup-rate
-    readout an MDM pipeline reports.
+    closure. Output: the cluster-size histogram + entity/cluster totals,
+    the dedup-rate readout an MDM pipeline reports.
 
-    Scale shape: the self-join runs on the block key (fanout bounded per
-    block); the closure's rounds shuffle (id, label) pairs only."""
+    Round 8 (sf1 sweep): matching and closure run at the DISTINCT-NAME
+    level, with per-name entity counts expanded only into the final
+    cluster sizes. Value-IDENTICAL to the entity-level formulation —
+    identical names always match (same block, distance 0), so an entity
+    cluster is exactly the union of its name cluster's entities — but
+    the pair set and the closure graph are bounded by distinct names,
+    not rows: the entity-level spelling built 312M pairs at sf1 (64
+    names over 200K parts; quadratic in the duplication factor) where
+    this builds at most 64·63/2.
+
+    Scale shape: one groupBy for name multiplicities; the self-join and
+    the closure touch the distinct-name relation only."""
     from webscale_multimodal_datapipeline_spark.operators.dedup import (
         connected_components,
     )
 
     p = load_table(spark, sf_dir, "part")
-    ents = p.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
-    blocked = ents.withColumn(
-        "blk",
-        F.concat_ws("|", F.split("name", " ")[0], F.length("name").cast("string")),
+    ncnt = (
+        p.groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    blocked = ncnt.select(
+        "name",
+        F.concat_ws(
+            "|", F.split("name", " ")[0], F.length("name").cast("string")
+        ).alias("blk"),
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.name") < F.col("b.name")),
         )
         .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2)
-        .select(F.col("a.id").alias("id_l"), F.col("b.id").alias("id_r"))
+        .select(F.col("a.name").alias("id_l"), F.col("b.name").alias("id_r"))
     )
     comp = connected_components(pairs)
-    labeled = ents.join(comp, "id", "left").select(
-        F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+    labeled = ncnt.join(comp, ncnt["name"] == comp["id"], "left").select(
+        F.coalesce(F.col("comp"), F.col("name")).alias("comp"), "cnt"
     )
-    sizes = labeled.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    sizes = labeled.groupBy("comp").agg(
+        F.sum("cnt").cast("long").alias("cluster_size")
+    )
     return (
         sizes.groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
@@ -1435,15 +1450,15 @@ def x_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 X_ER_SQL = """
-WITH RECURSIVE ents AS (
-  SELECT p_partkey AS id, p_name AS name FROM part
+WITH RECURSIVE ncnt AS (
+  SELECT p_name AS name, COUNT(*) AS cnt FROM part GROUP BY p_name
 ), blocked AS (
-  SELECT id, name,
+  SELECT name,
          concat_ws('|', string_split(name, ' ')[1], CAST(length(name) AS VARCHAR)) AS blk
-  FROM ents
+  FROM ncnt
 ), npairs AS (
-  SELECT a.id AS id_l, b.id AS id_r
-  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+  SELECT a.name AS id_l, b.name AS id_r
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
   WHERE levenshtein(a.name, b.name) <= 2
 ), edges AS (
   SELECT id_l AS src, id_r AS dst FROM npairs
@@ -1457,15 +1472,14 @@ reach AS (
 ), comp AS (
   SELECT id, MIN(r) AS comp FROM reach GROUP BY id
 ), labeled AS (
-  SELECT COALESCE(c.comp, e.id) AS comp
-  FROM ents e LEFT JOIN comp c ON e.id = c.id
+  SELECT COALESCE(c.comp, n.name) AS comp, n.cnt
+  FROM ncnt n LEFT JOIN comp c ON n.name = c.id
 ), sizes AS (
-  SELECT comp, COUNT(*) AS cluster_size FROM labeled GROUP BY comp
+  SELECT comp, CAST(SUM(cnt) AS BIGINT) AS cluster_size FROM labeled GROUP BY comp
 )
 SELECT cluster_size, COUNT(*) AS n_clusters
 FROM sizes GROUP BY cluster_size ORDER BY cluster_size
 """
-
 QUERIES["x_entity_resolution"] = x_entity_resolution
 ORACLE["x_entity_resolution"] = X_ER_SQL
 
