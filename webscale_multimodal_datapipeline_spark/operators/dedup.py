@@ -979,44 +979,83 @@ def embedding_cosine_dup_map(
 
     if planes is None:
         planes = scaled_planes(df.count())
-    if center == "auto":
+    auto = center == "auto"
+    if auto and verify == "gemm":
+        # the GEMM path doesn't materialize its keyed frame, so the gate
+        # runs as its own (cheap, one-row) aggregate pass there
         center = cone_gate(df, emb_col, dim, planes)
+        auto = False
     if verify == "gemm":
         return _embedding_cosine_dup_map_gemm(
             df, emb_col, id_col, dim, threshold, planes, bands, resources,
             center=center,
         )
     arrow = verify == "arrow"
+
     # Precompute the L2 norm per row BEFORE the pair join — cosine inside
     # the join is then one dot product + one multiply instead of three
     # folds (identical values: dot/(||a||*||b||) either way). The
     # projected table is materialized once (both join sides otherwise
     # recompute the `planes × dim`-term bucket projection from a fresh
     # scan — broadcast join, no ReusedExchange).
-    if center:
-        df = df.crossJoin(
-            F.broadcast(hyperplane_bias_stats(df, emb_col, dim, planes * bands))
+    def _projected(centered: bool) -> DataFrame:
+        src = df
+        if centered:
+            src = src.crossJoin(
+                F.broadcast(
+                    hyperplane_bias_stats(df, emb_col, dim, planes * bands)
+                )
+            )
+        cols = [F.col(id_col), F.col(emb_col), VX.l2_norm(emb_col).alias("_norm")]
+        if centered and bands <= 1:
+            cols.append(
+                centered_hyperplane_bucket(emb_col, dim, planes).alias("_bucket")
+            )
+        elif centered:
+            cols.append(
+                centered_hyperplane_band_keys(emb_col, dim, bands, planes).alias(
+                    "_bk"
+                )
+            )
+        elif bands <= 1:
+            cols.append(hyperplane_bucket(emb_col, dim, planes).alias("_bucket"))
+        else:
+            cols.append(hyperplane_band_keys(emb_col, dim, bands, planes).alias("_bk"))
+        if arrow:
+            cols.append(
+                (
+                    F.col(emb_col).isNotNull()
+                    & ~F.exists(emb_col, lambda x: x.isNull())
+                ).alias("_nn")
+            )
+            cols.append(F.size(emb_col).alias("_len"))
+        return _materialize(src.select(*cols), resources)
+
+    if auto:
+        # The auto-gate RIDES the materialized projection instead of
+        # paying its own bucketing pass (round-8 bench: a separate
+        # profile job cost ~0.85 s warm at sf0.1 — pure duplicate work):
+        # build the RAW projection, profile its already-computed bucket
+        # column (band 0's key IS the raw bucket — offset 0, base 0),
+        # and only a tripped gate pays a second (centered) projection.
+        b = _projected(False)
+        key = (
+            F.col("_bucket") if bands <= 1 else F.element_at(F.col("_bk"), 1)
         )
-    cols = [F.col(id_col), F.col(emb_col), VX.l2_norm(emb_col).alias("_norm")]
-    if center and bands <= 1:
-        cols.append(centered_hyperplane_bucket(emb_col, dim, planes).alias("_bucket"))
-    elif center:
-        cols.append(
-            centered_hyperplane_band_keys(emb_col, dim, bands, planes).alias("_bk")
+        row = (
+            b.select(key.alias("_b"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.count(F.lit(1)), F.max("n"), F.sum("n"))
+            .first()
         )
-    elif bands <= 1:
-        cols.append(hyperplane_bucket(emb_col, dim, planes).alias("_bucket"))
+        center = cone_gate_decision(
+            row[0] or 0, row[1] or 0, row[2] or 0, planes
+        )
+        if center:
+            b = _projected(True)
     else:
-        cols.append(hyperplane_band_keys(emb_col, dim, bands, planes).alias("_bk"))
-    if arrow:
-        cols.append(
-            (
-                F.col(emb_col).isNotNull()
-                & ~F.exists(emb_col, lambda x: x.isNull())
-            ).alias("_nn")
-        )
-        cols.append(F.size(emb_col).alias("_len"))
-    b = _materialize(df.select(*cols), resources)
+        b = _projected(bool(center))
     if bands <= 1:
         l, r = b.alias("l"), b.alias("r")
         cand = l.join(
