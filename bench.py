@@ -118,6 +118,24 @@ def ambient_flag(load: list[float], threshold: float = AMBIENT_LOAD_THRESHOLD) -
     return int(bool(load) and load[0] > threshold)
 
 
+def should_refuse_contended(
+    cal: list[float], load: list[float], env: dict | None = None
+) -> bool:
+    """Round-9 refuse-to-record decision (VERDICT r8 #3): True iff the run
+    tripped the global contention sentinel (``contention_flag``) or started
+    on an already-loaded session (``ambient_flag``) and no explicit
+    override is set. ``main`` exits 3 when this is True, after printing
+    the flagged numbers — mirroring ``tools/scaling_probe.py``'s ritual."""
+    e = os.environ if env is None else env
+    _, contended = contention_flag(cal)
+    if not (contended or ambient_flag(load)):
+        return False
+    return not (
+        e.get("SPARK_GRAFT_BENCH_ALLOW_CONTENDED")
+        or e.get("SPARK_GRAFT_PROBE_ALLOW_CONTENDED")
+    )
+
+
 def lane_flags(
     tp: dict[str, dict[str, float]], threshold: float = 0.60
 ) -> dict[str, float]:
@@ -656,6 +674,25 @@ def main() -> None:
     # full row/sec detail live in the verbose line above (r5 budget fix —
     # the r4 line outgrew the 2,000-char tail and recorded `parsed: null`).
     print(compact_line(total, per_query, tp, sf, load, cal, flags))
+    sys.stdout.flush()
+
+    # Round-9 close ritual (VERDICT r8 #3): same refuse-to-record behavior
+    # as tools/scaling_probe.py — a contended session measures the machine,
+    # not the queries (the r8 driver bench read 62.5 s contended vs 52.0 s
+    # clean on identical code). The numbers above are still printed (a
+    # flagged artifact beats no artifact), but the process exits nonzero so
+    # a contended run can't be recorded as a clean band by accident. Set
+    # SPARK_GRAFT_BENCH_ALLOW_CONTENDED=1 (or the probe's
+    # SPARK_GRAFT_PROBE_ALLOW_CONTENDED) to keep the flagged numbers.
+    if should_refuse_contended(cal, load):
+        dev, _ = contention_flag(cal)
+        print(
+            f"# CONTENDED bench run (cal_dev {dev}, load_start {load[0]:.2f}):"
+            " numbers are session-load artifacts — rerun on an idle session"
+            " or set SPARK_GRAFT_BENCH_ALLOW_CONTENDED=1",
+            file=sys.stderr,
+        )
+        sys.exit(3)
 
 
 if __name__ == "__main__":

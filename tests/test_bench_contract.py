@@ -221,3 +221,23 @@ def test_calibration_kernel_flags_synthetic_load():
             p.join()
     _, flagged = bench.contention_flag([idle, loaded])
     assert flagged, f"idle {idle:.1f}ms vs loaded {loaded:.1f}ms did not trip the gate"
+
+
+def test_should_refuse_contended_ritual():
+    """VERDICT r8 #3: a contended bench exits nonzero unless overridden —
+    decision pinned here (main() wires it to sys.exit(3))."""
+    clean_cal = [40.0, 41.0, 42.0, 40.5]       # dev ~0.05 — idle
+    loaded_cal = [40.0, 140.0, 42.0, 40.5]     # dev 2.5 — contended
+    idle_load = [0.3, 18.0]                    # end reading is self-load
+    hot_load = [26.5, 30.0]                    # r8 driver-run shape
+
+    assert not bench.should_refuse_contended(clean_cal, idle_load, env={})
+    assert bench.should_refuse_contended(loaded_cal, idle_load, env={})
+    assert bench.should_refuse_contended(clean_cal, hot_load, env={})
+    # both override spellings (bench-local and the probe's) are honored
+    assert not bench.should_refuse_contended(
+        loaded_cal, hot_load, env={"SPARK_GRAFT_BENCH_ALLOW_CONTENDED": "1"}
+    )
+    assert not bench.should_refuse_contended(
+        loaded_cal, hot_load, env={"SPARK_GRAFT_PROBE_ALLOW_CONTENDED": "1"}
+    )

@@ -81,6 +81,34 @@ def test_append_schema_mismatch_rejected(spark, tmp_path):
         TX.append(other, t)
 
 
+def test_widening_append_keeps_declared_slot_schema(spark, tmp_path):
+    """A non-nullable append into a nullable table must not narrow the
+    DECLARED table schema (round 9, ADVICE): the gate records the wider
+    existing slot schema, so a later append of the table's original
+    nullable shape still passes — the gate is order-independent across
+    writers."""
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "tbl")
+    nullable = _df(spark, range(2))  # createDataFrame → all nullable
+    TX.append(nullable, t)
+    # Expression-derived column: non-nullable by construction.
+    nonnull = nullable.select(
+        F.coalesce("id", F.lit(0)).alias("id"),
+        F.coalesce("v", F.lit("")).alias("v"),
+    )
+    assert not nonnull.schema["id"].nullable  # premise of the test
+    TX.append(nonnull, t)
+    # Declared schema stayed the wide (nullable) one...
+    import json as _json
+
+    latest = _json.loads(TX.read_log(t)[-1].schema_json)
+    assert all(f["nullable"] for f in latest["fields"])
+    # ...so the original nullable shape is still appendable.
+    TX.append(_df(spark, range(5, 7)), t)
+    assert TX.read(spark, t).count() == 6
+
+
 def test_read_missing_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         TX.read(spark, str(tmp_path / "nope"))

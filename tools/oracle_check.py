@@ -71,6 +71,26 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple
     return True, "ok"
 
 
+def is_resource_err(e: Exception) -> bool:
+    """True iff a DuckDB oracle failure is a RESOURCE interrupt (memory
+    limit / temp-dir limit / wall-cap ``con.interrupt()``), not a value
+    divergence. Split out so artifacts are machine-distinguishable
+    (VERDICT r8 #4: the sf1 sweep's four interrupt rows were recorded as
+    plain fails, leaving only the ``err`` string to tell a harness limit
+    from a red row)."""
+    tname = type(e).__name__
+    if "OutOfMemory" in tname or "Interrupt" in tname:
+        return True
+    msg = str(e).lower()
+    return (
+        "memory limit" in msg
+        or "out of memory" in msg
+        or "temp_directory" in msg
+        or "temporary directory" in msg
+        or "interrupt" in msg
+    )
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
@@ -103,7 +123,7 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, oracles = queries(), oracle_sql()
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_rows_only = n_resource = 0
     records: dict[str, dict] = {}
 
     def _flush() -> None:
@@ -118,6 +138,11 @@ def main() -> int:
                         "sf_dir": sf_dir,
                         "n_pass": n_pass,
                         "n_fail": n_fail,
+                        # n_fail split (VERDICT r8 #4): resource = the
+                        # ORACLE hit its memory/temp/wall guard (harness
+                        # limit); divergence = a real red row.
+                        "n_fail_resource": n_resource,
+                        "n_fail_divergence": n_fail - n_resource,
                         "n_rows_only": n_rows_only,
                         "queries": records,
                     },
@@ -162,13 +187,17 @@ def main() -> int:
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            resource = is_resource_err(e)
+            kind = "oracle-resource" if resource else "duckdb error"
+            print(f"FAIL  {name}: {kind}: {type(e).__name__}: {e}")
             records[name] = {
                 "rows_match": False, "schema_match": False, "hash_match": False,
                 "spark_rows": len(sdf), "oracle_rows": None,
                 "err": f"duckdb {type(e).__name__}: {e}"[:300],
+                "oracle_resource_fail": resource,
             }
             n_fail += 1
+            n_resource += resource
             _flush()
             continue
         finally:
@@ -189,7 +218,11 @@ def main() -> int:
         n_pass += ok
         n_fail += not ok
         _flush()
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    print(
+        f"\n{n_pass} pass, {n_fail} fail"
+        f" ({n_fail - n_resource} divergence, {n_resource} oracle-resource),"
+        f" {n_rows_only} rows-only"
+    )
     if json_out:
         import json
 
@@ -199,6 +232,8 @@ def main() -> int:
                     "sf_dir": sf_dir,
                     "n_pass": n_pass,
                     "n_fail": n_fail,
+                    "n_fail_resource": n_resource,
+                    "n_fail_divergence": n_fail - n_resource,
                     "n_rows_only": n_rows_only,
                     "queries": records,
                 },

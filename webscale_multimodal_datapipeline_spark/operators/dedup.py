@@ -982,8 +982,19 @@ def embedding_cosine_dup_map(
     auto = center == "auto"
     if auto and verify == "gemm":
         # the GEMM path doesn't materialize its keyed frame, so the gate
-        # runs as its own (cheap, one-row) aggregate pass there
-        center = cone_gate(df, emb_col, dim, planes)
+        # runs as its own (cheap, one-row) aggregate pass there — over the
+        # SAME valid-row basis the GEMM plan buckets (round 9, ADVICE r8:
+        # NULL/invalid-embedding rows all land in raw bucket 0 but never
+        # enter GEMM bucketing; profiling them could trip the gate on rows
+        # the candidate path never sees). The arrow/sql gate below keeps
+        # the unfiltered basis because THERE invalid rows genuinely join
+        # through bucket 0 — each gate profiles its own plan's rows.
+        gemm_valid = (
+            F.col(id_col).isNotNull()
+            & F.col(emb_col).isNotNull()
+            & ~F.exists(emb_col, lambda x: x.isNull())
+        )
+        center = cone_gate(df.filter(gemm_valid), emb_col, dim, planes)
         auto = False
     if verify == "gemm":
         return _embedding_cosine_dup_map_gemm(
@@ -1038,6 +1049,7 @@ def embedding_cosine_dup_map(
         # build the RAW projection, profile its already-computed bucket
         # column (band 0's key IS the raw bucket — offset 0, base 0),
         # and only a tripped gate pays a second (centered) projection.
+        n_res = len(resources) if resources is not None else 0
         b = _projected(False)
         key = (
             F.col("_bucket") if bands <= 1 else F.element_at(F.col("_bk"), 1)
@@ -1053,6 +1065,20 @@ def embedding_cosine_dup_map(
             row[0] or 0, row[1] or 0, row[2] or 0, planes
         )
         if center:
+            # Release the raw projection's storage NOW — the centered plan
+            # never reads it, and a tripped gate otherwise doubles peak
+            # storage on exactly the cone corpora it targets (round 9,
+            # ADVICE r8). With a `resources` list (the long-running shape)
+            # release is deterministic; on the localCheckpoint default the
+            # handle is dropped by the rebind below and its blocks free on
+            # driver GC — the documented batch-mode contract.
+            if resources is not None:
+                for h in resources[n_res:]:
+                    try:
+                        h.unpersist(False)
+                    except Exception:  # noqa: BLE001 — release must never raise
+                        pass
+                del resources[n_res:]
             b = _projected(True)
     else:
         b = _projected(bool(center))
@@ -1716,9 +1742,13 @@ def connected_components(
     lazy checkpoint also returns the convergence signature ``(count,
     bit_xor(xxhash64(id, comp)))``, the same order-independent set
     signature the star variant uses (ids are unique per row, so the
-    multiset IS a set; a false stop needs simultaneous collisions in two
-    independently-seeded hash streams — ~2^-128, see ``_star_round``'s
-    caller). This replaced a per-round label-diff JOIN plus
+    multiset IS a set; a false stop needs SIMULTANEOUS collisions in two
+    distinct 64-bit hash functions — ``xxhash64(id, comp)`` and the
+    arity-3 ``xxhash64(id, comp, 9591)``; Spark's xxhash64 has no seed
+    parameter, so these are not provably independent streams, but a pair
+    of xor-folded states colliding together across a round boundary is
+    negligible in practice — see ``_star_round``'s caller, ADVICE r8 #4).
+    This replaced a per-round label-diff JOIN plus
     a second action (`limit(1).count()`), which was the dominant cost of
     the loop at small scale and pure overhead at large. Labels shuffle on
     id each round — at 100 TB, pre-partition the edge list by src so the
@@ -1904,11 +1934,13 @@ def connected_components_star(
     signature over the distinct edge set, replacing r3's separate
     two-`exceptAll` probe job. Equal consecutive signatures stop the
     loop; a false stop needs SIMULTANEOUS xor collisions in two
-    independently-seeded 64-bit hash streams (ADVICE r7 #4: the second
-    ``xxhash64(..., 9591)`` fold rides the same aggregate — no extra job
-    — and pushes the collision odds from ~2^-64 to ~2^-128 per probe;
-    the oracle parity tests would surface one deterministically on the
-    test corpora).
+    distinct 64-bit hash functions (ADVICE r7 #4: the second, arity-3
+    ``xxhash64(..., 9591)`` fold rides the same aggregate — no extra
+    job. Spark's xxhash64 has no seed parameter, so the pair is "same
+    hash, one extra constant column", not provably independent streams
+    — ADVICE r8 #4 — but a joint collision of both xor-folded states
+    across one round is negligible in practice, and the oracle parity
+    tests would surface one deterministically on the test corpora).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src") != F.col("dst")

@@ -248,21 +248,30 @@ def _try_commit(table: str, commit: Commit) -> bool:
     return True
 
 
-def _schema_compatible(table: str, schema_json: str) -> bool:
-    """Append gate: same field names/order/types. Nullability is compared
-    as a WIDENING, not an equality: writing non-nullable data into a
-    nullable table slot is always safe, and the asymmetry is load-bearing —
-    an expression-derived column (e.g. the CDC handlers' ``_bucket``,
-    non-nullable by construction) must stay appendable after ``compact``
-    re-reads the table from parquet, where every column comes back
-    nullable (round 8, found by ``rebuild_embdedup_index``'s
-    post-rebuild-continue test). Nullable data into a non-nullable slot
-    still refuses."""
+def _commit_schema(table: str, schema_json: str) -> str | None:
+    """Append gate: returns the schema_json the commit should RECORD, or
+    None if the append is incompatible. Same field names/order/types are
+    required; nullability is compared as a WIDENING, not an equality:
+    writing non-nullable data into a nullable table slot is always safe,
+    and the asymmetry is load-bearing — an expression-derived column
+    (e.g. the CDC handlers' ``_bucket``, non-nullable by construction)
+    must stay appendable after ``compact`` re-reads the table from
+    parquet, where every column comes back nullable (round 8, found by
+    ``rebuild_embdedup_index``'s post-rebuild-continue test). Nullable
+    data into a non-nullable slot still refuses.
+
+    On a widening-compatible (but unequal) append, the EXISTING slot
+    schema is recorded, not the incoming data's — the slot schema is the
+    wider of the two by construction, and recording the narrower one
+    would make the gate order-dependent across writers: a non-nullable
+    append would silently narrow the declared table schema, refusing a
+    subsequent append of the table's original nullable shape until a
+    compact rewrote it (round 9, ADVICE)."""
     log = read_log(table)
     if not log:
-        return True
+        return schema_json
     if log[-1].schema_json == schema_json:
-        return True
+        return schema_json
     import json
 
     def _type_fits(slot, data) -> bool:
@@ -300,10 +309,11 @@ def _schema_compatible(table: str, schema_json: str) -> bool:
                 return False
         return True
 
-    return _fields_fit(
+    fits = _fields_fit(
         json.loads(log[-1].schema_json)["fields"],
         json.loads(schema_json)["fields"],
     )
+    return log[-1].schema_json if fits else None
 
 
 def committed_epochs(table: str) -> set[str]:
@@ -322,7 +332,9 @@ def append(
         return latest_version(table)
     files, schema_json, stats = _write_data(df, table)
     for _ in range(max_retries):
-        if not _schema_compatible(table, schema_json):
+        # Re-resolved per retry: the latest slot schema may have advanced.
+        commit_schema = _commit_schema(table, schema_json)
+        if commit_schema is None:
             _discard_staged(table, files)
             raise ValueError(
                 f"append schema does not match table schema at {table}"
@@ -333,7 +345,7 @@ def append(
         version = latest_version(table) + 1
         if _try_commit(
             table,
-            Commit(version, "append", tuple(files), schema_json, stats, app_epoch),
+            Commit(version, "append", tuple(files), commit_schema, stats, app_epoch),
         ):
             return version
     _discard_staged(table, files)
