@@ -104,3 +104,21 @@ def test_silent_auto_gate_keeps_single_handle(spark):
         (r.vec_id, r._rep) for r in raw.collect()
     }
     OD.release_all(resources)
+
+
+def test_banded_auto_gate_fires_and_matches_pinned_center(spark):
+    """VERDICT r8 #6: with bands>1 the gate profiles band 0's key
+    (element_at(_bk, 1)); on a cone corpus the auto path must produce
+    exactly the pinned center=True banded plan's pairs."""
+    df = _cone_corpus(spark)
+    auto = OD.embedding_cosine_dup_map(
+        df, dim=8, threshold=0.98, planes=6, bands=3,
+        verify="arrow", center="auto",
+    )
+    pinned = OD.embedding_cosine_dup_map(
+        df, dim=8, threshold=0.98, planes=6, bands=3,
+        verify="arrow", center=True,
+    )
+    assert {(r.vec_id, r._rep) for r in auto.collect()} == {
+        (r.vec_id, r._rep) for r in pinned.collect()
+    }

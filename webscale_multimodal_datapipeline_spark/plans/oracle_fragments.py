@@ -314,7 +314,13 @@ def sql_centered_hyperplane_bucket(
     ``cn`` / ``cb{p}``). Bit p is ``n·(x·c_p) > Σ(x)·c_p``; the projection
     chain is term-identical to the Spark expression, including the round-8
     ``cn = 0`` structural fallback (GREATEST/COALESCE → plain raw sign
-    test on a fully-dirty bias basis — no-ops whenever ``cn > 0``)."""
+    test on a fully-dirty bias basis — no-ops whenever ``cn > 0``).
+
+    ``offset`` addresses band k of an OR-construction: coefficients AND
+    biases both shift by it (bias ``cb{offset+p}`` — the bias select is
+    emitted once for all ``bands*planes`` planes at offset 0, exactly like
+    Spark's ``hyperplane_bias_stats(..., planes*bands)`` row that
+    ``_centered_band_key_expr`` reads ``_cb{offset+p}`` from)."""
     parts = []
     for p in range(planes):
         proj = " + ".join(
@@ -323,7 +329,7 @@ def sql_centered_hyperplane_bucket(
         )
         parts.append(
             f"(CASE WHEN (CAST(GREATEST(cn, 1) AS DOUBLE) * ({proj}))"
-            f" > COALESCE(cb{p}, CAST(0.0 AS DOUBLE))"
+            f" > COALESCE(cb{offset + p}, CAST(0.0 AS DOUBLE))"
             f" THEN CAST({2 ** p} AS BIGINT) ELSE 0 END)"
         )
     return "(CAST(0 AS BIGINT) + " + " + ".join(parts) + ")"
@@ -361,6 +367,22 @@ def sql_hyperplane_band_keys(
     at offset k*planes, shifted by k * 2^planes)."""
     keys = [
         f"({sql_hyperplane_bucket(col, dim, planes, offset=k * planes)}"
+        f" + CAST({k * (1 << planes)} AS BIGINT))"
+        for k in range(bands)
+    ]
+    return "[" + ", ".join(keys) + "]"
+
+
+def sql_centered_hyperplane_band_keys(
+    col: str, dim: int, bands: int, planes: int = EMB_LSH_PLANES
+) -> str:
+    """Mirror of operators.dedup.centered_hyperplane_band_keys: ``bands``
+    disjoint-keyspace keys over MEAN-CENTERED buckets — band k = centered
+    bucket at plane/bias offset ``k*planes``, shifted by ``k * 2^planes``.
+    Evaluate in a query cross-joined with a ``sql_hyperplane_bias_select``
+    row emitted for ALL ``bands*planes`` planes at offset 0."""
+    keys = [
+        f"({sql_centered_hyperplane_bucket(col, dim, planes, offset=k * planes)}"
         f" + CAST({k * (1 << planes)} AS BIGINT))"
         for k in range(bands)
     ]

@@ -2131,3 +2131,48 @@ WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.vid = e.vec_id)
 
 QUERIES["v_autogate_cone_dedup"] = v_autogate_cone_dedup
 ORACLE["v_autogate_cone_dedup"] = _autogate_cone_dedup_sql()
+
+
+def v_autogate_cone_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cone auto-gate on the BANDED OR-construction path (VERDICT r8 #6):
+    with ``bands=4`` the gate profiles band 0's key off the materialized
+    projection (``element_at(_bk, 1)`` — raw 8-plane bucket, offset 0,
+    base 0) and a trip escalates ALL four bands to mean-centered keys.
+    The oracle replays the gate AND both banded arms, so this row
+    hash-verifies the gate's banded key-extraction path, not just the
+    single-bucket arm ``v_autogate_cone_dedup`` covers."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return OD.embedding_cosine_dedup(
+        _cone_embeddings(e), dim=DIM, threshold=COSINE_DEDUP_THRESHOLD, bands=4
+    ).select("vec_id", "label")
+
+
+def _autogate_cone_banded_sql(bands: int = 4) -> str:
+    cone = _sql_cone_embedding()
+    planes = OD.EMB_LSH_PLANES
+    raw_keys = OQ.sql_hyperplane_band_keys("embedding", DIM, bands, planes)
+    cen_keys = OQ.sql_centered_hyperplane_band_keys("embedding", DIM, bands, planes)
+    return f"""
+WITH c AS (
+  SELECT vec_id, label, {cone} AS embedding FROM embeddings
+), g AS (SELECT {OQ.sql_cone_gate('embedding', DIM, planes, 'c')} AS gated),
+st AS (
+  {OQ.sql_hyperplane_bias_select('embedding', DIM, planes * bands, 'c')}
+), b AS (
+  SELECT vec_id, embedding, UNNEST({raw_keys}) AS bucket
+  FROM c WHERE NOT (SELECT gated FROM g)
+  UNION ALL
+  SELECT vec_id, embedding, UNNEST({cen_keys}) AS bucket
+  FROM c, st WHERE (SELECT gated FROM g)
+), dup AS (
+  SELECT DISTINCT l.vec_id AS vid
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id > r.vec_id
+  WHERE {OQ.sql_cosine('l.embedding', 'r.embedding', DIM)} >= {COSINE_DEDUP_THRESHOLD}
+)
+SELECT vec_id, label FROM c e
+WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.vid = e.vec_id)
+"""
+
+
+QUERIES["v_autogate_cone_banded"] = v_autogate_cone_banded
+ORACLE["v_autogate_cone_banded"] = _autogate_cone_banded_sql()
