@@ -1,0 +1,91 @@
+"""Sequence packing operators (round 9): GPT-style concat-and-chunk and
+Next-Fit-Decreasing shard packing. Cross-engine hashes are pinned by the
+t_sequence_pack / t_pack_summary / t_nextfit_pack oracle rows; these
+tests pin the edge semantics (zero-token docs, oversize docs,
+boundary-span math) against hand-computed layouts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.operators import packing as OPK
+
+
+def _docs(spark, rows):
+    """rows = [(doc_id, text)]"""
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_concat_chunk_layout_exact(spark):
+    # bpe-ish counts: "a b c" -> 3, "" -> 0, "x" * anything one word -> 1
+    rows = [
+        (1, "a b c d"),      # 4 tokens, excl 0  -> pack 0, off 0
+        (2, ""),             # 0 tokens, excl 4  -> pack 0, off 4, no span
+        (3, "e f g h i j"),  # 6 tokens, excl 4  -> pack 0, off 4, spans (4+6-1=9 -> pack 1)
+        (4, "k l"),          # 2 tokens, excl 10 -> pack 1, off 2
+    ]
+    out = {
+        r.doc_id: r
+        for r in OPK.concat_chunk_pack(
+            _docs(spark, rows), budget=8, num_parts=2
+        ).collect()
+    }
+    assert (out[1].pack_id, out[1].pack_offset, out[1].spans_boundary) == (0, 0, False)
+    assert (out[2].n_tokens, out[2].pack_id, out[2].pack_offset, out[2].spans_boundary) == (0, 0, 4, False)
+    assert (out[3].pack_id, out[3].pack_offset, out[3].spans_boundary) == (0, 4, True)
+    assert (out[4].pack_id, out[4].pack_offset, out[4].spans_boundary) == (1, 2, False)
+
+
+def test_concat_chunk_matches_single_partition_plan(spark):
+    """The range-repartition + broadcast-offset cumsum must equal the
+    naive single-window layout on a bigger frame (the x_acctbal_deciles
+    pattern's exactness claim, replayed for token cumsums)."""
+    rows = [(i, "w " * (i % 17)) for i in range(1, 301)]
+    df = _docs(spark, rows)
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset, r.spans_boundary)
+        for r in OPK.concat_chunk_pack(df, budget=64, num_parts=8).collect()
+    }
+    # naive reference: python fold in doc_id order
+    toks = {i: (i % 17) for i in range(1, 301)}
+    excl = 0
+    for i in range(1, 301):
+        t = toks[i]
+        want = (excl // 64, excl % 64, (excl + max(t, 1) - 1) // 64 > excl // 64)
+        assert got[i] == want, (i, got[i], want)
+        excl += t
+
+
+def test_nextfit_oversize_doc_gets_own_pack(spark):
+    rows = [
+        (1, "w " * 20),  # 20 tokens — oversize for budget 8
+        (2, "a b c"),    # 3
+        (3, "d e"),      # 2
+    ]
+    # one shard so the fold sees all three: order by tokens desc -> 20, 3, 2
+    out = sorted(
+        OPK.nextfit_pack(_docs(spark, rows), budget=8, n_shards=1).collect(),
+        key=lambda r: r.doc_id,
+    )
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].pack_id == 0            # oversize alone in pack 0
+    assert by_id[2].pack_id == 1            # next opens pack 1 (fill 3)
+    assert by_id[3].pack_id == 1            # 3 + 2 <= 8 stays
+    assert all(r.shard == 0 for r in out)
+
+
+def test_nextfit_no_pack_overflows_except_oversize(spark):
+    rows = [(i, "w " * (i % 13)) for i in range(1, 201)]
+    out = OPK.nextfit_pack(_docs(spark, rows), budget=16, n_shards=4)
+    sums = (
+        out.groupBy("shard", "pack_id")
+        .agg(F.sum("n_tokens").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in sums:
+        # a pack over budget must be a single oversize doc
+        assert r.s <= 16 or r.n == 1, r
+    # every doc packed exactly once
+    assert out.count() == 200
+    assert out.select("doc_id").distinct().count() == 200

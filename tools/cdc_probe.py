@@ -80,8 +80,15 @@ def main() -> None:
     # index-size schedule in INGESTED batches; warmup + timed epochs also
     # append (their rows are unique), so the recorded x-axis is the ACTUAL
     # stored row count read back per point — the schedule just spaces the
-    # points roughly geometrically (~2× apart)
-    sizes = [1, 3, 7]
+    # points roughly geometrically (~2× apart). Round 9 (VERDICT r8 #5):
+    # extended to 15/31 batches (~170K doc rows / ~70K vectors, 35+ txlog
+    # commits) so the accumulated index crosses enough FILES that the
+    # bucket-pruned probe's per-epoch file-listing cost becomes visible if
+    # it exists; each point also records the snapshot's file count.
+    sizes = [
+        int(s)
+        for s in os.environ.get("CDC_PROBE_SIZES", "1,3,7,15,31").split(",")
+    ]
     spark = get_spark("cdc_probe")
     docs_base = (
         spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
@@ -133,15 +140,16 @@ def main() -> None:
             # index size = the ACTUAL stored row count (warmup and timed
             # epochs append too — all batch rows are unique by design)
             index_rows = TX.read(spark, table).count()
+            index_files = len(TX.snapshot_files(table))
             bdf = spark.createDataFrame(mk_batch(base, epoch))
             t0 = time.time()
             handler(bdf, epoch)
             epoch += 1
             wall = time.time() - t0
-            results.setdefault(lane, []).append((index_rows, wall))
+            results.setdefault(lane, []).append((index_rows, index_files, wall))
             print(
-                f"# {lane} @ index {index_rows} rows: {wall:.2f}s epoch "
-                f"({len(base) / wall / 1000:.1f}K rec/s)",
+                f"# {lane} @ index {index_rows} rows / {index_files} files: "
+                f"{wall:.2f}s epoch ({len(base) / wall / 1000:.1f}K rec/s)",
                 file=sys.stderr,
             )
         spark.catalog.clearCache()
@@ -152,18 +160,26 @@ def main() -> None:
 
     summary = {}
     for name, pts in results.items():
-        xs = [math.log(n) for n, _ in pts]
-        ys = [math.log(w) for _, w in pts]
+        xs = [math.log(n) for n, _, _ in pts]
+        ys = [math.log(w) for _, _, w in pts]
         mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-        alpha = round(
-            sum((x - mx) * (y - my) for x, y in zip(xs, ys))
-            / sum((x - mx) ** 2 for x in xs),
-            3,
+        den = sum((x - mx) ** 2 for x in xs)
+        alpha = (
+            round(
+                sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / den, 3
+            )
+            if den > 0
+            else None  # <2 distinct points (short smoke schedules)
         )
         summary[name] = {
             "alpha_vs_index": alpha,
             "points": [
-                {"index_rows": n, "epoch_wall_s": round(w, 2)} for n, w in pts
+                {
+                    "index_rows": n,
+                    "index_files": nf,
+                    "epoch_wall_s": round(w, 2),
+                }
+                for n, nf, w in pts
             ],
         }
         print(json.dumps({"lane": name, **summary[name]}))

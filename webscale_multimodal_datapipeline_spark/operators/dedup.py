@@ -1912,6 +1912,7 @@ def connected_components_star(
     dst: str = "id_r",
     max_iter: int = 20,
     edges_distinct: bool = False,
+    second_contract: bool | None = None,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al. 2014,
     "Connected Components in MapReduce and Beyond") — same (id, comp)
@@ -1961,7 +1962,7 @@ def connected_components_star(
     # edges at sf0.1; the loop's own first round had been 2.1 s of the
     # ~4.4 s wall).
     cur = _local_contract(e)
-    if cur is not e:
+    if cur is not e and second_contract is not False:
         # Second, connectivity-ALIGNED contraction pass (round 8): hash
         # the contracted star edges by their source node so every
         # multi-root node's edges co-locate, and union-find merges its
@@ -1974,6 +1975,9 @@ def connected_components_star(
         # (The r5 candidate — seeding from the exact-dedup key index —
         # was measured pointless on this corpus: 8 of 5,000 sf0.1 docs
         # have an exact twin, so the seed map is the identity; §41.)
+        # ``second_contract`` (round 9, VERDICT r8 #2): None = default
+        # policy, True forces, False skips — the explicit knob exists so
+        # the with/without trade is measurable on identical code.
         cur = _local_contract(cur.repartition("src"))
         cur = cur.localCheckpoint(eager=True)
     prev_sig = None

@@ -1,0 +1,188 @@
+"""Sequence packing — the step between tokenizer-encode and the trainer.
+
+A pretraining pipeline does not feed documents to the model; it feeds
+fixed-size token WINDOWS. Two published packing disciplines are
+implemented, both deterministic and both oracle-checkable:
+
+* :func:`concat_chunk_pack` — GPT-style concatenate-then-chunk: documents
+  are laid out end-to-end in a stable global order and the stream is cut
+  every ``budget`` tokens. Every window is exactly full; documents may
+  span window boundaries. The assignment is a pure function of the
+  exclusive global token cumsum, so it is expressible as window algebra
+  in ANSI SQL (the DuckDB oracle hash-verifies it end-to-end).
+
+* :func:`nextfit_pack` — boundary-free packing (T5/examples-pack style):
+  documents are never split; within deterministic hash shards they are
+  laid out in Next-Fit-Decreasing order (sort by token count descending,
+  open a new pack whenever the current one cannot take the next doc).
+  The fold is sequential per shard, which SQL can replay with a
+  recursive CTE — the oracle still hash-verifies exact assignments.
+
+The reference pipeline stops at per-record refinement and has no packing
+stage (its training-side consumers do this out-of-band); these operators
+extend SURVEY §2's training-data coverage past the reference, like the
+dedup/ANN families.
+
+Scale notes: the concat-chunk cumsum is the classic global-window trap —
+``SUM() OVER (ORDER BY …)`` with no partition key puts the whole corpus
+in ONE task. It is built instead on the range-repartition +
+broadcast-offset pattern (``plans/misc_queries.py::x_acctbal_deciles``,
+ARCHITECTURE §43): range-partition on the order key, cumsum locally,
+add tiny per-partition token offsets (P-row triangular broadcast join),
+and freeze the ranged frame once so every branch sees the same partition
+assignment. Next-fit shards are hash-distributed (`md5_long % shards`) so
+the per-shard Python fold is O(rows/shard) with bounded memory and no
+global state; at cluster scale ``n_shards`` rises with the corpus and
+the fold never sees more than one shard per Arrow batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from webscale_multimodal_datapipeline_spark.functions.text import (
+    bpe_ish_token_count,
+    md5_long,
+)
+
+PACK_BUDGET = 2048  # tokens per training window (catalog default)
+PACK_SHARDS = 32
+
+
+def _with_token_counts(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, n_tokens) with the BPE-ish deterministic tokenizer proxy —
+    the same counter ``a_token_counts`` value-checks cross-engine."""
+    return docs.select(
+        F.col(id_col),
+        bpe_ish_token_count(text_col).cast("bigint").alias("n_tokens"),
+    )
+
+
+def concat_chunk_pack(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int = 32,
+) -> DataFrame:
+    """Concatenate-then-chunk window assignment per document.
+
+    Returns ``(id_col, n_tokens, pack_id, pack_offset, spans_boundary)``:
+    the document's tokens begin at ``pack_offset`` inside window
+    ``pack_id``; ``spans_boundary`` marks documents whose tokens cross at
+    least one window cut. Zero-token documents are kept (width-0 at the
+    current cursor, never spanning).
+
+    The global exclusive cumsum runs on the ``x_acctbal_deciles``
+    range-repartition pattern instead of an unpartitioned window — at
+    100 TB an ``ORDER BY`` window with no partition key is a single-task
+    plan; this one is ``num_parts``-parallel with a P-row broadcast."""
+    t = _with_token_counts(docs, id_col, text_col)
+    ranged = (
+        t.repartitionByRange(num_parts, F.col(id_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        # Materialized ONCE: range-exchange boundary sampling is not
+        # guaranteed identical across plan branches (§43) — the offsets
+        # branch and the window branch must see the SAME _pid map.
+        .localCheckpoint(eager=True)
+    )
+    hist = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptok"))
+    offs = (
+        hist.alias("l")
+        .join(hist.alias("r"), F.col("r._pid") < F.col("l._pid"), "left")
+        .groupBy(F.col("l._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("r._ptok"), F.lit(0)).alias("_off"))
+    )
+    wl = Window.partitionBy("_pid").orderBy(F.col(id_col).asc())
+    excl = (
+        F.coalesce(
+            F.sum("n_tokens").over(
+                wl.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        + F.col("_off")
+    )
+    # Integer division (DIV), not floor(double /): a double quotient is
+    # exact only below 2^53 and the cumsum is a corpus-total token count.
+    b = int(budget)
+    out = (
+        ranged.join(F.broadcast(offs), "_pid")
+        .withColumn("_excl", excl)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.expr(f"CAST(_excl DIV {b} AS BIGINT)").alias("pack_id"),
+            F.expr(f"CAST(_excl % {b} AS BIGINT)").alias("pack_offset"),
+            F.expr(
+                f"((_excl + GREATEST(n_tokens, 1) - 1) DIV {b})"
+                f" > (_excl DIV {b})"
+            ).alias("spans_boundary"),
+        )
+    )
+    return out
+
+
+def nextfit_pack(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = PACK_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Next-Fit-Decreasing packing within deterministic hash shards —
+    documents never split across windows.
+
+    Shard = ``md5_long(id) % n_shards`` (the cross-engine hash idiom).
+    Within a shard, documents are laid out in (n_tokens DESC, id ASC)
+    order; a document that no longer fits the open pack closes it and
+    opens the next (oversize documents get a pack of their own). Returns
+    ``(shard, id_col, n_tokens, pack_id)`` with pack ids local to the
+    shard — globally unique as ``(shard, pack_id)``.
+
+    The per-shard fold runs in one ``applyInPandas`` pass (sequential by
+    construction — exactly the recursive-CTE replay the oracle runs);
+    everything before it is hash-shuffle + sort, so the plan is
+    shard-parallel and the Python loop is O(rows/shard)."""
+    t = _with_token_counts(docs, id_col, text_col).withColumn(
+        "shard",
+        F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards)).cast(
+            "int"
+        ),
+    )
+    b = int(budget)
+    id_type = t.schema[id_col].dataType.simpleString()
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
+        )
+        pack_ids = []
+        pack, fill = 0, 0
+        first = True
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            if first:
+                fill = tok
+                first = False
+            elif fill + tok <= b:
+                fill += tok
+            else:
+                pack += 1
+                fill = tok
+            pack_ids.append(pack)
+        out = pdf[["shard", id_col, "n_tokens"]].copy()
+        out["pack_id"] = pd.array(pack_ids, dtype="int64")
+        return out
+
+    return t.groupBy("shard").applyInPandas(
+        fold,
+        schema=(
+            f"shard int, {id_col} {id_type}, n_tokens bigint, pack_id bigint"
+        ),
+    )

@@ -41,6 +41,15 @@ def sql_token_count(col: str = "text") -> str:
     return f"len({sql_tokens(col)})"
 
 
+def sql_bpe_token_count(col: str = "text") -> str:
+    """BPE-ish token count (functions.text.bpe_ish_token_count): maximal
+    alphanumeric runs + individual punctuation marks, RE2-safe."""
+    return (
+        f"(len(regexp_extract_all({col}, '[A-Za-z0-9]+'))"
+        f" + len(regexp_extract_all({col}, '[^A-Za-z0-9\\s]')))"
+    )
+
+
 def sql_md5_long(expr: str) -> str:
     """60-bit integer md5 hash (functions.text.md5_long)."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"

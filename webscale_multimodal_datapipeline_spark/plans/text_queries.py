@@ -2121,3 +2121,132 @@ GROUP BY t.source ORDER BY t.source
 
 QUERIES["t_oov_rate"] = t_oov_rate
 ORACLE["t_oov_rate"] = T_OOV_SQL
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (round 9) — the step between tokenizer-encode and the
+# trainer. No reference counterpart (the reference stops at per-record
+# refinement); extends SURVEY §2's training-data coverage like dedup/ANN.
+# ---------------------------------------------------------------------------
+
+from webscale_multimodal_datapipeline_spark.operators import packing as OPK  # noqa: E402
+
+
+def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-then-chunk window assignment: documents laid
+    end-to-end in doc_id order, the token stream cut every PACK_BUDGET
+    tokens (``operators/packing.py::concat_chunk_pack``). Per-doc output
+    (start pack, offset, boundary-span flag) is a pure function of the
+    exclusive global token cumsum — computed on the range-repartition +
+    broadcast-offset pattern, never an unpartitioned window — and the
+    oracle replays it as ANSI window algebra, hash-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return OPK.concat_chunk_pack(d, budget=OPK.PACK_BUDGET)
+
+
+_B = OPK.PACK_BUDGET
+
+_T_PACK_CUMSUM_CTE = f"""
+t AS (
+  SELECT doc_id, CAST({OQ.sql_bpe_token_count('text')} AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS excl
+  FROM t
+)"""
+
+T_SEQUENCE_PACK_SQL = f"""
+WITH {_T_PACK_CUMSUM_CTE}
+SELECT doc_id, n_tokens,
+       CAST(excl // {_B} AS BIGINT) AS pack_id,
+       CAST(excl % {_B} AS BIGINT) AS pack_offset,
+       ((excl + GREATEST(n_tokens, 1) - 1) // {_B}) > (excl // {_B})
+         AS spans_boundary
+FROM c
+"""
+
+
+def t_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing efficiency audit over the concat-chunk layout: corpus
+    totals, full-window count, boundary-spanning docs, and the tail
+    window's fill — the numbers a data-loading team reads before a run."""
+    p = OPK.concat_chunk_pack(
+        load_table(spark, sf_dir, "documents"), budget=OPK.PACK_BUDGET
+    )
+    b = F.lit(OPK.PACK_BUDGET).cast("bigint")
+    return p.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr(f"CAST(SUM(n_tokens) DIV {OPK.PACK_BUDGET} AS BIGINT)").alias(
+            "n_full_packs"
+        ),
+        F.expr(f"CAST(SUM(n_tokens) % {OPK.PACK_BUDGET} AS BIGINT)").alias(
+            "tail_fill"
+        ),
+        F.sum(F.col("spans_boundary").cast("bigint")).alias("n_spanning"),
+    )
+
+
+T_PACK_SUMMARY_SQL = f"""
+WITH {_T_PACK_CUMSUM_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) // {_B} AS BIGINT) AS n_full_packs,
+       CAST(SUM(n_tokens) % {_B} AS BIGINT) AS tail_fill,
+       CAST(SUM(CASE WHEN ((excl + GREATEST(n_tokens, 1) - 1) // {_B})
+                          > (excl // {_B}) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_spanning
+FROM c
+"""
+
+
+def t_nextfit_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-free Next-Fit-Decreasing packing within deterministic
+    hash shards (``operators/packing.py::nextfit_pack``): docs never
+    split; per shard, (n_tokens DESC, doc_id) order, a doc that no longer
+    fits the open pack opens the next. The per-shard fold is sequential,
+    so the oracle replays it with a recursive CTE — exact assignment
+    hashes, not just invariants."""
+    d = load_table(spark, sf_dir, "documents")
+    return OPK.nextfit_pack(
+        d, budget=OPK.PACK_BUDGET, n_shards=OPK.PACK_SHARDS
+    )
+
+
+T_NEXTFIT_PACK_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST({OQ.sql_bpe_token_count('text')} AS BIGINT) AS n_tokens,
+         CAST({OQ.sql_md5_long("CAST(doc_id AS VARCHAR)")} % {OPK.PACK_SHARDS}
+              AS INT) AS shard
+  FROM documents
+), s AS (
+  SELECT shard, doc_id, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY shard ORDER BY n_tokens DESC, doc_id ASC
+         ) AS rn
+  FROM t
+), rec AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+         CASE WHEN rec.fill + s.n_tokens <= {_B}
+              THEN rec.pack_id ELSE rec.pack_id + 1 END,
+         CASE WHEN rec.fill + s.n_tokens <= {_B}
+              THEN rec.fill + s.n_tokens ELSE s.n_tokens END
+  FROM s JOIN rec ON s.shard = rec.shard AND s.rn = rec.rn + 1
+)
+SELECT shard, doc_id, n_tokens, pack_id FROM rec
+"""
+
+QUERIES["t_sequence_pack"] = t_sequence_pack
+ORACLE["t_sequence_pack"] = T_SEQUENCE_PACK_SQL
+QUERIES["t_pack_summary"] = t_pack_summary
+ORACLE["t_pack_summary"] = T_PACK_SUMMARY_SQL
+QUERIES["t_nextfit_pack"] = t_nextfit_pack
+ORACLE["t_nextfit_pack"] = T_NEXTFIT_PACK_SQL
