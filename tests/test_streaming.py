@@ -930,3 +930,43 @@ def test_stream_incremental_embdedup_matches_numpy_reference(
     handler(spark.read.parquet(f"{src}/file-0.parquet"), 0)
     assert len(TX.history(table)) == n
     assert sorted(r.vec_id for r in TX.read(spark, table).collect()) == got
+
+
+def test_cdc_compaction_cadence_keeps_data_and_epochs(spark, tmp_path):
+    """Round 9: the handlers' built-in index maintenance. compact_every=2
+    must bound the snapshot file count, keep data bit-identical, and keep
+    epoch idempotency working ACROSS the compaction commit (the r8
+    nullability-widening gate made post-compaction appends legal; this
+    pins the cadence composition end to end)."""
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    table = str(tmp_path / "idx")
+    handler = SP.incremental_dedup_batch_handler(table, compact_every=2)
+
+    def batch(e):
+        return spark.createDataFrame(
+            [(100 * e + i, f"doc {e} token{i} body") for i in range(8)],
+            "doc_id long, text string",
+        ).repartition(4)  # several files per append: growth is real
+
+    for e in range(5):
+        handler(batch(e), e)
+    actions = [h["action"] for h in TX.history(table)]
+    # appends for epochs 0-4 plus overwrites from the epoch-2/4 compactions
+    assert actions.count("append") == 5
+    assert actions.count("overwrite") == 2
+    # last cadence fired at epoch 4: the snapshot is one compacted
+    # rewrite (5 files here) — far fewer than 5 epochs x 4-file appends
+    assert len(TX.snapshot_files(table)) <= 8
+    got = sorted(r.doc_id for r in TX.read(spark, table).collect())
+    assert got == sorted(100 * e + i for e in range(5) for i in range(8))
+
+    # re-delivered epoch AFTER compaction: still a committed no-op
+    n_hist = len(TX.history(table))
+    handler(batch(1), 1)
+    assert len(TX.history(table)) == n_hist
+    assert sorted(r.doc_id for r in TX.read(spark, table).collect()) == got
+
+    # fresh epoch appends fine against the compacted (re-read) schema
+    handler(batch(7), 7)
+    assert TX.read(spark, table).count() == 48

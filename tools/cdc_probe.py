@@ -98,25 +98,40 @@ def main() -> None:
     cal = [calibration_ms()]
     results: dict[str, list[tuple[int, float]]] = {}
 
+    # CDC_PROBE_COMPACT_EVERY=N exercises the handlers' built-in
+    # index-maintenance cadence (round 9) — the lane then measures the
+    # steady-state a maintained deployment sees instead of unbounded
+    # file growth. CDC_PROBE_LANES=cdc_minhash,... filters lanes.
+    compact_every = int(os.environ.get("CDC_PROBE_COMPACT_EVERY", "0")) or None
     lanes = {
         "cdc_exact": (
             docs_base,
             _doc_batch,
-            lambda table: SP.incremental_dedup_batch_handler(table),
+            lambda table: SP.incremental_dedup_batch_handler(
+                table, compact_every=compact_every
+            ),
         ),
         "cdc_minhash": (
             docs_base,
             _doc_batch_shuffled,
-            lambda table: SP.incremental_neardup_batch_handler(table),
+            lambda table: SP.incremental_neardup_batch_handler(
+                table, compact_every=compact_every
+            ),
         ),
         "cdc_embedding": (
             emb_base,
             _emb_batch,
             lambda table: SP.incremental_embdedup_batch_handler(
-                table, dim=64, threshold=0.9, planes=8
+                table, dim=64, threshold=0.9, planes=8,
+                compact_every=compact_every,
             ),
         ),
     }
+    only_lanes = {
+        s for s in os.environ.get("CDC_PROBE_LANES", "").split(",") if s
+    }
+    if only_lanes:
+        lanes = {k: v for k, v in lanes.items() if k in only_lanes}
     from webscale_multimodal_datapipeline_spark.sources import txtable as TX
 
     for lane, (base, mk_batch, mk_handler) in lanes.items():

@@ -439,8 +439,43 @@ def read_parquet_stream(
     )
 
 
+def _maybe_compact_index(
+    spark,
+    table: str,
+    epoch_id: int,
+    compact_every: int | None,
+    cluster_by: list[str] | None = None,
+    target_files: int = 32,
+) -> None:
+    """Built-in index-maintenance cadence for the CDC handlers (round 9):
+    every ``compact_every`` committed epochs, rewrite the accumulated
+    index snapshot into ``target_files`` files (optionally z-order
+    clustered). Insert-only CDC grows the table by >=1 file per epoch;
+    the extended cdc_probe measured the scan fanning out to one task per
+    file (608 tasks at 608 files), so an uncompacted index eventually
+    turns the keys-only probe scheduling-bound even though its WALL is
+    still flat at probe scales. The rewrite is bit-identical data
+    (txtable.compact pins the snapshot it read), and a re-delivered epoch
+    re-running the cadence is a harmless re-rewrite — CommitConflict
+    (a commit raced the quiet-table assumption) is swallowed; the next
+    cadence catches up."""
+    if not compact_every or epoch_id <= 0 or epoch_id % compact_every:
+        return
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    if TX.latest_version(table) < 0:
+        return
+    try:
+        TX.compact(spark, table, target_files=target_files, cluster_by=cluster_by)
+    except TX.CommitConflict:
+        pass
+
+
 def incremental_dedup_batch_handler(
-    table: str, text_col: str = "text", id_col: str = "doc_id"
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    compact_every: int | None = None,
 ):
     """foreachBatch handler for continuous-crawl incremental dedup: each
     micro-batch is anti-joined against the accumulated corpus's key set,
@@ -461,7 +496,8 @@ def incremental_dedup_batch_handler(
     snapshot probe projects just ``key``, and parquet's columnar layout
     means only that column's pages are read. Single-writer per table
     (the standard streaming-sink contract; concurrent appenders would
-    race the key probe)."""
+    race the key probe). ``compact_every=N`` runs the built-in
+    file-count maintenance every N epochs (``_maybe_compact_index``)."""
     from webscale_multimodal_datapipeline_spark.operators.dedup import (
         incremental_text_dedup,
     )
@@ -483,6 +519,7 @@ def incremental_dedup_batch_handler(
             "key_hash", F.xxhash64("key")
         )
         TX.append(enriched, table, app_epoch=epoch)
+        _maybe_compact_index(spark, table, epoch_id, compact_every)
 
     return _commit
 
@@ -543,6 +580,7 @@ def incremental_neardup_batch_handler(
     id_col: str = "doc_id",
     k: int = 3,
     jaccard_threshold: float = 0.7,
+    compact_every: int | None = None,
 ):
     """foreachBatch handler for continuous-crawl NEAR-dup dedup — the
     MinHash-LSH analog of ``incremental_dedup_batch_handler`` (exact
@@ -642,6 +680,7 @@ def incremental_neardup_batch_handler(
             TX.append(enriched, table, app_epoch=epoch)
         finally:
             release_all(res)  # epoch state released whether or not commit won
+        _maybe_compact_index(spark, table, epoch_id, compact_every)
 
     return _commit
 
@@ -889,6 +928,7 @@ def incremental_embdedup_batch_handler(
     dim: int = 64,
     threshold: float = 0.9,
     planes: int = 8,
+    compact_every: int | None = None,
 ):
     """foreachBatch handler for continuous-crawl SEMANTIC dedup. Each
     micro-batch: (1) within-batch removal via the batch operator's shared
@@ -957,6 +997,9 @@ def incremental_embdedup_batch_handler(
             TX.append(enriched, table, app_epoch=epoch)
         finally:
             release_all(res)
+        _maybe_compact_index(
+            spark, table, epoch_id, compact_every, cluster_by=["_bucket"]
+        )
 
     return _commit
 
