@@ -23,6 +23,19 @@ stage (its training-side consumers do this out-of-band); these operators
 extend SURVEY §2's training-data coverage past the reference, like the
 dedup/ANN families.
 
+Relationship to ``operators/curation.py::sequence_pack``
+(``c_sequence_pack``): that operator is the BUCKETED-STREAMS variant —
+hash documents into independent packing streams and chunk within each,
+emitting only a coarse ``(bucket, seq_id)``. It trades global layout
+for embarrassing parallelism. :func:`concat_chunk_pack` is the
+single-global-stream layout a GPT-style loader actually materializes
+(one deterministic corpus order, byte-accurate ``pack_offset`` and
+boundary-span flags — enough to SEEK into a window), and it shows the
+global cumsum is still shuffle-parallel via range partitioning, so the
+bucketed trade is optional, not forced. :func:`nextfit_pack` covers the
+third discipline (no document ever splits). Three disciplines, three
+operators; each oracle-verified.
+
 Scale notes: the concat-chunk cumsum is the classic global-window trap —
 ``SUM() OVER (ORDER BY …)`` with no partition key puts the whole corpus
 in ONE task. It is built instead on the range-repartition +

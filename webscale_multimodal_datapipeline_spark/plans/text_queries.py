@@ -2139,7 +2139,12 @@ def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (start pack, offset, boundary-span flag) is a pure function of the
     exclusive global token cumsum — computed on the range-repartition +
     broadcast-offset pattern, never an unpartitioned window — and the
-    oracle replays it as ANSI window algebra, hash-exact."""
+    oracle replays it as ANSI window algebra, hash-exact.
+
+    Distinct from ``c_sequence_pack`` (the bucketed-streams variant:
+    independent hash streams, coarse (bucket, seq_id) only): this is the
+    SINGLE global stream with seek-accurate offsets — see the packing
+    module docstring for the three-discipline map."""
     d = load_table(spark, sf_dir, "documents")
     return OPK.concat_chunk_pack(d, budget=OPK.PACK_BUDGET)
 
