@@ -2158,7 +2158,11 @@ WITH c AS (
 ), g AS (SELECT {OQ.sql_cone_gate('embedding', DIM, planes, 'c')} AS gated),
 st AS (
   {OQ.sql_hyperplane_bias_select('embedding', DIM, planes * bands, 'c')}
-), b AS (
+), b AS MATERIALIZED (
+  -- MATERIALIZED: the bucket-key arrays are bands*planes*dim-term
+  -- expressions; the self-join below reads b twice, and an inlined CTE
+  -- re-evaluates the keys per probe side (observed: the sf1 oracle ran
+  -- past a 600 s interrupt; materialized it finishes in minutes)
   SELECT vec_id, embedding, UNNEST({raw_keys}) AS bucket
   FROM c WHERE NOT (SELECT gated FROM g)
   UNION ALL
