@@ -89,3 +89,44 @@ def test_nextfit_no_pack_overflows_except_oversize(spark):
     # every doc packed exactly once
     assert out.count() == 200
     assert out.select("doc_id").distinct().count() == 200
+
+
+def test_incremental_pack_matches_batch_layout(spark, tmp_path):
+    """Round 9 streaming composition: N id-ordered micro-batches through
+    incremental_pack_batch_handler == concat_chunk_pack on the
+    concatenation, exactly — and the cursor recovers metadata-only
+    across epochs, compaction, and epoch re-delivery."""
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+    from webscale_multimodal_datapipeline_spark.streaming import pipeline as SP
+
+    rows = [(i, "w " * (i % 23)) for i in range(1, 241)]
+    all_docs = _docs(spark, rows)
+    want = {
+        r.doc_id: (r.pack_id, r.pack_offset, r.spans_boundary)
+        for r in OPK.concat_chunk_pack(all_docs, budget=64).collect()
+    }
+
+    table = str(tmp_path / "packs")
+    handler = SP.incremental_pack_batch_handler(table, budget=64, compact_every=2)
+    for e, lo in enumerate(range(1, 241, 80)):  # 3 id-ordered batches
+        handler(_docs(spark, rows[lo - 1 : lo + 79]), e)
+
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset, r.spans_boundary)
+        for r in TX.read(spark, table).collect()
+    }
+    assert got == want
+
+    # re-delivered epoch: committed no-op, layout unchanged
+    n_hist = len(TX.history(table))
+    handler(_docs(spark, rows[80:160]), 1)
+    assert len(TX.history(table)) == n_hist
+    assert {
+        r.doc_id: (r.pack_id, r.pack_offset, r.spans_boundary)
+        for r in TX.read(spark, table).collect()
+    } == want
+
+    # _tok_end is the exact global cursor: max == total token count
+    total = sum(i % 23 for i in range(1, 241))
+    mx = TX.read(spark, table).agg({"_tok_end": "max"}).first()[0]
+    assert mx == total

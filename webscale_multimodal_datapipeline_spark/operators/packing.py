@@ -80,6 +80,7 @@ def concat_chunk_pack(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_parts: int = 32,
+    base: int = 0,
 ) -> DataFrame:
     """Concatenate-then-chunk window assignment per document.
 
@@ -88,6 +89,12 @@ def concat_chunk_pack(
     ``pack_id``; ``spans_boundary`` marks documents whose tokens cross at
     least one window cut. Zero-token documents are kept (width-0 at the
     current cursor, never spanning).
+
+    ``base`` shifts the layout cursor: the first document's tokens start
+    at global offset ``base`` instead of 0 — the streaming composition's
+    hook (``incremental_pack_batch_handler`` lays each micro-batch out at
+    the stored corpus cursor, so the multi-epoch assignment equals this
+    operator on the concatenation).
 
     The global exclusive cumsum runs on the ``x_acctbal_deciles``
     range-repartition pattern instead of an unpartitioned window — at
@@ -118,6 +125,7 @@ def concat_chunk_pack(
             F.lit(0),
         )
         + F.col("_off")
+        + F.lit(int(base))
     )
     # Integer division (DIV), not floor(double /): a double quotient is
     # exact only below 2^53 and the cumsum is a corpus-total token count.

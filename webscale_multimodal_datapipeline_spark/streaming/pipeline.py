@@ -1104,3 +1104,75 @@ def rebuild_neardup_index(
     stored = TX.read(spark, table).drop("_sig", "_bands")
     rekeyed = _neardup_signature_cols(stored, text_col, k)
     return TX.overwrite(rekeyed, table)
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence packing (round 9): the packing analog of the CDC
+# dedup handlers — the corpus layout cursor continues across epochs.
+# ---------------------------------------------------------------------------
+
+
+def incremental_pack_batch_handler(
+    table: str,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int | None = None,
+):
+    """foreachBatch handler for STREAMING concat-and-chunk sequence
+    packing: each micro-batch is laid out in ``id_col`` order starting at
+    the stored corpus CURSOR, so the assignment over N micro-batches is
+    identical to ``operators/packing.py::concat_chunk_pack`` on their
+    concatenation whenever batches arrive in layout order (the
+    crawl-replay shape; parity-tested). Epoch-idempotent append — a
+    re-delivered micro-batch is a committed no-op.
+
+    Cursor recovery is METADATA-ONLY at any scale: every stored row
+    carries ``_tok_end`` (= its global token end offset, an exact BIGINT
+    ``pack_id*budget + pack_offset + n_tokens``), and the cursor is the
+    max committed file-stat for that column — read from the txlog,
+    O(snapshot files) driver-side, no parquet footer and no data pages.
+    A file without usable stats falls back to one columnar MAX scan.
+
+    Same contracts as the dedup handlers: single writer per table, the
+    ``budget`` is pinned for the table's lifetime (a mid-stream budget
+    change re-keys every stored window — rebuild offline instead), and
+    ``compact_every`` runs the built-in file-count maintenance."""
+    from webscale_multimodal_datapipeline_spark.operators.packing import (
+        concat_chunk_pack,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = f"incpack-epoch-{epoch_id}"
+        if epoch in TX.committed_epochs(table):
+            return
+        cursor = 0
+        if TX.latest_version(table) >= 0:
+            stats = TX.snapshot_file_stats(table)
+            ends = [
+                st["_tok_end"][1] for st in stats.values() if "_tok_end" in st
+            ]
+            if stats and len(ends) == len(stats):
+                cursor = int(max(ends))
+            else:
+                row = TX.read(spark, table).agg(
+                    F.max("_tok_end").alias("m")
+                ).first()
+                cursor = int(row["m"] or 0)
+        assigned = concat_chunk_pack(
+            batch_df, budget=budget, id_col=id_col, text_col=text_col,
+            base=cursor,
+        ).withColumn(
+            "_tok_end",
+            (
+                F.col("pack_id") * F.lit(int(budget))
+                + F.col("pack_offset")
+                + F.col("n_tokens")
+            ).cast("bigint"),
+        )
+        TX.append(assigned, table, app_epoch=epoch)
+        _maybe_compact_index(spark, table, epoch_id, compact_every)
+
+    return _commit
