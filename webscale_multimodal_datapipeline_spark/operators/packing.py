@@ -61,6 +61,23 @@ from webscale_multimodal_datapipeline_spark.functions.text import (
 
 PACK_BUDGET = 2048  # tokens per training window (catalog default)
 PACK_SHARDS = 32
+# Next-fit shard sizing target: the per-shard fold materializes ONE shard
+# per Arrow group, so shard row count is the operator's memory bound.
+PACK_SHARD_TARGET_ROWS = 100_000
+
+
+def scaled_pack_shards(n_rows: int, target: int = PACK_SHARD_TARGET_ROWS) -> int:
+    """Shard count that holds the per-shard Arrow group at ~``target``
+    rows as the corpus grows — the ``scaled_planes`` lesson applied to
+    packing: a FIXED shard count means shard size grows linearly with the
+    corpus and the ``applyInPandas`` fold eventually cannot hold one
+    group in executor memory. Deployments that need a reproducible layout
+    across runs of DIFFERENT corpus sizes pin ``n_shards`` explicitly
+    (the layout is a function of the shard count, like the CDC handlers'
+    pinned plane schedule)."""
+    import math
+
+    return max(PACK_SHARDS, math.ceil(max(n_rows, 1) / target))
 
 
 def _with_token_counts(
@@ -150,7 +167,7 @@ def concat_chunk_pack(
 def nextfit_pack(
     docs: DataFrame,
     budget: int = PACK_BUDGET,
-    n_shards: int = PACK_SHARDS,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -167,7 +184,13 @@ def nextfit_pack(
     The per-shard fold runs in one ``applyInPandas`` pass (sequential by
     construction — exactly the recursive-CTE replay the oracle runs);
     everything before it is hash-shuffle + sort, so the plan is
-    shard-parallel and the Python loop is O(rows/shard)."""
+    shard-parallel and the Python loop is O(rows/shard).
+    ``n_shards=None`` derives ``scaled_pack_shards(df.count())`` — one
+    cheap metadata count holds the per-shard Arrow group bounded as the
+    corpus grows; pin it explicitly for a size-independent layout (the
+    catalog row pins ``PACK_SHARDS`` so the oracle hash is stable)."""
+    if n_shards is None:
+        n_shards = scaled_pack_shards(docs.count())
     t = _with_token_counts(docs, id_col, text_col).withColumn(
         "shard",
         F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards)).cast(
