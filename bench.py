@@ -118,21 +118,29 @@ def ambient_flag(load: list[float], threshold: float = AMBIENT_LOAD_THRESHOLD) -
     return int(bool(load) and load[0] > threshold)
 
 
+def _env_truthy(v: str | None) -> bool:
+    """Env-flag truthiness: '0'/''/'false'/'no' mean UNSET (code review
+    r9: a bare ``e.get(...)`` treats ALLOW_CONTENDED=0 — someone saying
+    'do NOT allow' — as allow)."""
+    return bool(v) and v.strip().lower() not in ("0", "false", "no")
+
+
 def should_refuse_contended(
-    cal: list[float], load: list[float], env: dict | None = None
+    cal: list[float], load: list[float] | None = None, env: dict | None = None
 ) -> bool:
     """Round-9 refuse-to-record decision (VERDICT r8 #3): True iff the run
     tripped the global contention sentinel (``contention_flag``) or started
     on an already-loaded session (``ambient_flag``) and no explicit
     override is set. ``main`` exits 3 when this is True, after printing
-    the flagged numbers — mirroring ``tools/scaling_probe.py``'s ritual."""
+    the flagged numbers; the probe tools call this too (one ritual, one
+    spelling — both env overrides honored everywhere)."""
     e = os.environ if env is None else env
     _, contended = contention_flag(cal)
-    if not (contended or ambient_flag(load)):
+    if not (contended or ambient_flag(load or [])):
         return False
     return not (
-        e.get("SPARK_GRAFT_BENCH_ALLOW_CONTENDED")
-        or e.get("SPARK_GRAFT_PROBE_ALLOW_CONTENDED")
+        _env_truthy(e.get("SPARK_GRAFT_BENCH_ALLOW_CONTENDED"))
+        or _env_truthy(e.get("SPARK_GRAFT_PROBE_ALLOW_CONTENDED"))
     )
 
 

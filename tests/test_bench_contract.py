@@ -241,3 +241,18 @@ def test_should_refuse_contended_ritual():
     assert not bench.should_refuse_contended(
         loaded_cal, hot_load, env={"SPARK_GRAFT_PROBE_ALLOW_CONTENDED": "1"}
     )
+
+
+def test_allow_contended_zero_means_no():
+    """Code review r9: ALLOW_CONTENDED=0 must KEEP the gate, not drop it."""
+    loaded_cal = [40.0, 140.0, 42.0, 40.5]
+    hot_load = [26.5, 30.0]
+    assert bench.should_refuse_contended(
+        loaded_cal, hot_load, env={"SPARK_GRAFT_BENCH_ALLOW_CONTENDED": "0"}
+    )
+    assert bench.should_refuse_contended(
+        loaded_cal, hot_load, env={"SPARK_GRAFT_PROBE_ALLOW_CONTENDED": "false"}
+    )
+    assert not bench.should_refuse_contended(
+        loaded_cal, hot_load, env={"SPARK_GRAFT_PROBE_ALLOW_CONTENDED": "yes"}
+    )

@@ -30,8 +30,12 @@ def test_oracle_sql_references_only_known_tables():
     # every FROM/JOIN <identifier> must be a registered view or a CTE name
     ident = re.compile(r"\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)", re.I)
     for name, sql in ORACLE.items():
-        # SQL comments are prose, not references ("-- the self-join below"
-        # would otherwise scan as JOIN below; round 9)
+        # Neutralize single-quoted string literals FIRST (a literal
+        # containing '--' would otherwise make the comment-strip eat the
+        # rest of its line, hiding real FROM/JOIN refs from the scan),
+        # THEN strip comments — prose, not references ("-- the self-join
+        # below" scanned as JOIN below; round 9).
+        sql = re.sub(r"'(?:[^']|'')*'", "''", sql)
         sql = re.sub(r"--[^\n]*", "", sql)
         # `x IS NOT DISTINCT FROM y` is an operator, not a relation ref
         sql = re.sub(r"IS\s+NOT\s+DISTINCT\s+FROM", "IS_NOT_DISTINCT_OP", sql, flags=re.I)

@@ -36,7 +36,7 @@ import pandas as pd  # noqa: E402
 from webscale_multimodal_datapipeline_spark.session import get_spark  # noqa: E402
 from webscale_multimodal_datapipeline_spark.streaming import pipeline as SP  # noqa: E402
 
-from bench import calibration_ms, contention_flag  # noqa: E402
+from bench import calibration_ms, contention_flag, should_refuse_contended  # noqa: E402
 
 
 def _doc_batch(base: pd.DataFrame, b: int) -> pd.DataFrame:
@@ -88,6 +88,7 @@ def main() -> None:
     sizes = [
         int(s)
         for s in os.environ.get("CDC_PROBE_SIZES", "1,3,7,15,31").split(",")
+        if s.strip()
     ]
     spark = get_spark("cdc_probe")
     docs_base = (
@@ -216,7 +217,7 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    if contended and not os.environ.get("SPARK_GRAFT_PROBE_ALLOW_CONTENDED"):
+    if should_refuse_contended(cal):  # one ritual, one spelling (bench)
         print("# CONTENDED cdc_probe run — rerun idle", file=sys.stderr)
         sys.exit(3)
 

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from webscale_multimodal_datapipeline_spark.operators import dedup as OD  # noqa: E402
 from webscale_multimodal_datapipeline_spark.session import get_spark  # noqa: E402
 
-from bench import calibration_ms, contention_flag  # noqa: E402
+from bench import calibration_ms, contention_flag, should_refuse_contended  # noqa: E402
 from tools.scaling_probe import replicated  # noqa: E402
 
 
@@ -73,8 +73,11 @@ def run_shape(name: str, docs, reps: int, results: dict) -> None:
 def main() -> None:
     json_out = None
     argv = sys.argv[1:]
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            raise SystemExit("--json requires an output path")
+        json_out = argv[i + 1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("pass2_experiment")
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -105,7 +108,8 @@ def main() -> None:
     if json_out:
         with open(json_out, "w") as fh:
             json.dump(line, fh, indent=1)
-    if contended and not os.environ.get("SPARK_GRAFT_PROBE_ALLOW_CONTENDED"):
+    # one ritual, one spelling (bench.should_refuse_contended)
+    if should_refuse_contended(cal):
         print(
             f"# CONTENDED experiment run (cal_dev {dev}) — rerun idle",
             file=sys.stderr,

@@ -134,7 +134,7 @@ def main() -> None:
             )
         return minhash_lsh_dedup(big)
 
-    from bench import calibration_ms, contention_flag  # the bench sentinel
+    from bench import calibration_ms, contention_flag, should_refuse_contended  # the bench sentinel
 
     results: dict[str, list[tuple[int, float]]] = {}
     cal = [calibration_ms()]
@@ -465,7 +465,7 @@ def main() -> None:
     # operators (the §34 rule). Exit nonzero so a contended run can't be
     # recorded as a band by accident; set SPARK_GRAFT_PROBE_ALLOW_CONTENDED=1
     # to keep the (flagged) numbers anyway.
-    if contended and not os.environ.get("SPARK_GRAFT_PROBE_ALLOW_CONTENDED"):
+    if should_refuse_contended(cal):  # one ritual, one spelling (bench)
         print(
             "# CONTENDED probe run (cal_dev "
             f"{dev}): numbers are session-load artifacts — rerun on an idle "

@@ -1976,8 +1976,11 @@ def connected_components_star(
         # was measured pointless on this corpus: 8 of 5,000 sf0.1 docs
         # have an exact twin, so the seed map is the identity; §41.)
         # ``second_contract`` (round 9, VERDICT r8 #2): None = default
-        # policy, True forces, False skips — the explicit knob exists so
-        # the with/without trade is measurable on identical code.
+        # policy (on), False skips, True is identical to None — the knob
+        # exists so the with/without trade is measurable on identical
+        # code. NOTE the pass can only apply where pass 1 applied
+        # (integral id types; ``_local_contract`` is a no-op otherwise,
+        # and so would this pass be — there is nothing to force).
         cur = _local_contract(cur.repartition("src"))
         cur = cur.localCheckpoint(eager=True)
     prev_sig = None

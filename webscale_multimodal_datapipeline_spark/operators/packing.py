@@ -98,6 +98,7 @@ def concat_chunk_pack(
     text_col: str = "text",
     num_parts: int = 32,
     base: int = 0,
+    resources: list | None = None,
 ) -> DataFrame:
     """Concatenate-then-chunk window assignment per document.
 
@@ -117,14 +118,22 @@ def concat_chunk_pack(
     range-repartition pattern instead of an unpartitioned window — at
     100 TB an ``ORDER BY`` window with no partition key is a single-task
     plan; this one is ``num_parts``-parallel with a P-row broadcast."""
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        _materialize,
+    )
+
     t = _with_token_counts(docs, id_col, text_col)
-    ranged = (
-        t.repartitionByRange(num_parts, F.col(id_col).asc())
-        .withColumn("_pid", F.spark_partition_id())
-        # Materialized ONCE: range-exchange boundary sampling is not
-        # guaranteed identical across plan branches (§43) — the offsets
-        # branch and the window branch must see the SAME _pid map.
-        .localCheckpoint(eager=True)
+    # Materialized ONCE: range-exchange boundary sampling is not
+    # guaranteed identical across plan branches (§43) — the offsets
+    # branch and the window branch must see the SAME _pid map. With a
+    # `resources` list (the streaming-handler shape, ADVICE r6 #3) the
+    # handle is persist-based and released by the CALLER at epoch end;
+    # the localCheckpoint default frees on driver GC (batch contract).
+    ranged = _materialize(
+        t.repartitionByRange(num_parts, F.col(id_col).asc()).withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        resources,
     )
     hist = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptok"))
     offs = (

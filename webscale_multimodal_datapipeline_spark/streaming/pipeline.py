@@ -1114,7 +1114,7 @@ def rebuild_neardup_index(
 
 def incremental_pack_batch_handler(
     table: str,
-    budget: int = 2048,
+    budget: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_every: int | None = None,
@@ -1138,10 +1138,19 @@ def incremental_pack_batch_handler(
     ``budget`` is pinned for the table's lifetime (a mid-stream budget
     change re-keys every stored window — rebuild offline instead), and
     ``compact_every`` runs the built-in file-count maintenance."""
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        release_all,
+    )
     from webscale_multimodal_datapipeline_spark.operators.packing import (
+        PACK_BUDGET,
         concat_chunk_pack,
     )
     from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    # ONE catalog default (code review r9: a hardcoded 2048 here would
+    # silently diverge from the batch operator's if PACK_BUDGET is retuned,
+    # breaking the parity this handler promises)
+    b = PACK_BUDGET if budget is None else int(budget)
 
     def _commit(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1161,18 +1170,26 @@ def incremental_pack_batch_handler(
                     F.max("_tok_end").alias("m")
                 ).first()
                 cursor = int(row["m"] or 0)
+        # per-epoch materialization goes through `res` so the handler
+        # releases it deterministically at epoch end (ADVICE r6 #3 — the
+        # same rule the dedup handlers follow; code review r9 caught this
+        # one leaking a localCheckpoint per epoch)
+        res: list = []
         assigned = concat_chunk_pack(
-            batch_df, budget=budget, id_col=id_col, text_col=text_col,
-            base=cursor,
+            batch_df, budget=b, id_col=id_col, text_col=text_col,
+            base=cursor, resources=res,
         ).withColumn(
             "_tok_end",
             (
-                F.col("pack_id") * F.lit(int(budget))
+                F.col("pack_id") * F.lit(b)
                 + F.col("pack_offset")
                 + F.col("n_tokens")
             ).cast("bigint"),
         )
-        TX.append(assigned, table, app_epoch=epoch)
+        try:
+            TX.append(assigned, table, app_epoch=epoch)
+        finally:
+            release_all(res)
         _maybe_compact_index(spark, table, epoch_id, compact_every)
 
     return _commit
