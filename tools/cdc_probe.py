@@ -127,6 +127,16 @@ def main() -> None:
                 compact_every=compact_every,
             ),
         ),
+        # round 9: streaming sequence packing — the epoch cost must be
+        # flat against the accumulated table because cursor recovery is
+        # metadata-only (txlog file stats, no data pages)
+        "cdc_pack": (
+            docs_base,
+            _doc_batch,
+            lambda table: SP.incremental_pack_batch_handler(
+                table, compact_every=compact_every
+            ),
+        ),
     }
     only_lanes = {
         s for s in os.environ.get("CDC_PROBE_LANES", "").split(",") if s
@@ -205,9 +215,7 @@ def main() -> None:
             {
                 "metric": "cdc_epoch_scaling",
                 "batch_rows": {
-                    "cdc_exact": len(docs_base),
-                    "cdc_minhash": len(docs_base),
-                    "cdc_embedding": len(emb_base),
+                    k: len(lanes[k][0]) for k in results
                 },
                 "alphas": {k: v["alpha_vs_index"] for k, v in summary.items()},
                 "cal_ms": [int(round(c)) for c in cal],
