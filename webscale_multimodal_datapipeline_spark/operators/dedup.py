@@ -2263,3 +2263,173 @@ def embedding_cosine_dedup_op(
         ),
         id_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring SPAN removal (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr variant).
+#
+# The reference pipeline (and our d_* family above) dedups whole RECORDS;
+# Lee et al. show the bigger corpus-quality win comes from excising the
+# duplicated SUBSTRINGS themselves: any token run that also occurs
+# elsewhere in the corpus is cut out of every document containing it,
+# leaving the unique remainder. Their implementation is a single-node
+# suffix array; the k-gram formulation below is the shuffle-native
+# equivalent (duplicated region = union of duplicated k-grams), exact for
+# run length >= k and embarrassingly parallel:
+#
+#   1. positional k-gram hashes  (narrow explode; 64-bit keys, never the
+#      gram strings — the d_shared_shingle_dedup shuffle lesson),
+#   2. global occurrence count per hash  (one map-side-combinable
+#      aggregate; a gram occurring >1 time anywhere is duplicated text —
+#      this covers both cross-doc copies and within-doc self-repetition),
+#   3. join back (hash-keyed) and per-doc interval merge of the covered
+#      [pos, pos+k) windows into maximal spans — window algebra over
+#      positions, bounded per doc, no pair joins anywhere.
+#
+# At 100 TB: stage 2's distinct-gram table is the only global state and it
+# shrinks under combining; stage 3 shuffles by doc_id exactly once. No
+# suffix array, no global sort, no broadcast of anything corpus-sized.
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 3  # k-gram width; Lee et al. use 50 tokens at web scale — the
+#                 synthetic corpus' docs are short, so tests pin k=3.
+
+
+def _positional_gram_hashes(toks: Column, k: int) -> Column:
+    """array<bigint>: 60-bit md5 hash of the k-gram starting at each
+    0-based token position (empty for docs shorter than k tokens).
+
+    Raw ``md5_long`` (no ``% MINHASH_P`` reduction — this key gates text
+    REMOVAL, so keep all 60 bits; same collision stance as exact dedup's
+    guarded xxhash64)."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: TX.md5_long(
+            F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j) + 1) for j in range(k)])
+        ),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<bigint>"))
+
+
+def dup_span_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DUP_SPAN_K,
+) -> DataFrame:
+    """(id, pos) of every k-gram occurrence whose gram occurs >1 time in
+    the corpus — the raw covered positions, pre-merge."""
+    inst = (
+        df.withColumn("_toks", TX.norm_tokens(text_col))
+        .select(
+            id_col,
+            F.posexplode(_positional_gram_hashes(F.col("_toks"), k)).alias(
+                "pos", "_h"
+            ),
+        )
+    )
+    dup = (
+        inst.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_h")
+    )
+    return inst.join(dup, "_h").select(id_col, "pos")
+
+
+def dup_span_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DUP_SPAN_K,
+) -> DataFrame:
+    """Maximal duplicated spans per doc: (id, span_id, start_tok,
+    end_tok, span_tokens), ``end_tok`` exclusive, ``span_id`` 1-based in
+    position order.
+
+    Interval merge of the fixed-width [pos, pos+k) windows: because every
+    window has width k and positions are scanned ascending, two windows
+    overlap-or-touch iff the gap between their starts is <= k — so the
+    island break is a single ``lag`` compare, and the span is the island's
+    [min(pos), max(pos)+k)."""
+    pos = dup_span_positions(df, text_col, id_col, k)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") > F.coalesce(F.lag("pos").over(w) + k, F.lit(-1)), F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = pos.withColumn("_brk", brk).withColumn(
+        "span_id",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_tok"),
+            (F.max("pos") + k).cast("bigint").alias("end_tok"),
+        )
+        .withColumn("span_tokens", F.col("end_tok") - F.col("start_tok"))
+        .withColumn("span_id", F.col("span_id").cast("bigint"))
+    )
+
+
+def dup_span_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DUP_SPAN_K,
+) -> DataFrame:
+    """Cut every duplicated span out of every document (the actual
+    Lee et al. removal step): (id, n_tokens, n_kept, n_removed,
+    clean_text) for EVERY input doc — fully-duplicated docs come back
+    with ``clean_text = ''``, sub-k docs unchanged.
+
+    ``clean_text`` is the space-join of the surviving NORMALIZED tokens
+    (dedup is defined over normalized text, so the scrub output is too —
+    same stance as exact dedup's normalize-then-hash). The kept-token
+    anti-join is per-doc bounded (doc_id equi-key + position range); the
+    rebuild is one sorted-struct aggregation, shuffled by doc_id."""
+    spans = dup_span_spans(df, text_col, id_col, k)
+    toks = df.withColumn("_toks", TX.norm_tokens(text_col)).select(
+        id_col, F.posexplode("_toks").alias("pos", "tok")
+    )
+    # Explicit aliases: spans and toks share df's lineage, and an
+    # attribute-based condition would trip AMBIGUOUS_SELF_JOIN.
+    t, s = toks.alias("_dst"), spans.alias("_dss")
+    kept = t.join(
+        s,
+        on=(
+            (F.col(f"_dst.{id_col}") == F.col(f"_dss.{id_col}"))
+            & (F.col("_dst.pos") >= F.col("_dss.start_tok"))
+            & (F.col("_dst.pos") < F.col("_dss.end_tok"))
+        ),
+        how="left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = df.withColumn(
+        "n_tokens", F.coalesce(F.size(TX.norm_tokens(text_col)), F.lit(0)).cast("bigint")
+    ).select(id_col, "n_tokens")
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+            (
+                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -2017,3 +2017,170 @@ ORDER BY id_l, id_r
 
 QUERIES["d_minhash_est_vs_exact"] = d_minhash_est_vs_exact
 ORACLE["d_minhash_est_vs_exact"] = D_MH_EST_SQL
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring span removal (round 9) — Lee et al. 2021 ExactSubstr,
+# k-gram formulation (operators/dedup.py::dup_span_spans / dup_span_scrub).
+# The whole-record d_* family above decides KEEP/DROP per doc; this family
+# excises the duplicated token runs themselves and keeps the remainder —
+# the dedup mode Lee et al. report the larger LM-quality win for. The
+# oracle replays positional gram hashing, the global >1-occurrence test,
+# the interval merge, and the text rebuild — hash-exact end to end.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = OD.DUP_SPAN_K
+
+_D_SPAN_CTE = f"""
+toks AS (
+  SELECT doc_id, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t FROM documents
+), inst AS (
+  SELECT doc_id, CAST(unnest(range(0, len(t) - {_SPAN_K - 1})) AS BIGINT) AS pos, t
+  FROM toks WHERE len(t) >= {_SPAN_K}
+), hashed AS (
+  SELECT doc_id, pos,
+         {OQ.sql_md5_long(" || ' ' || ".join(f"t[pos + {j + 1}]" for j in range(_SPAN_K)))} AS h
+  FROM inst
+), dup AS (
+  SELECT h FROM hashed GROUP BY h HAVING COUNT(*) > 1
+), cov AS (
+  SELECT doc_id, pos FROM hashed JOIN dup USING (h)
+), mrk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(
+                  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_SPAN_K}, -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM cov
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM mrk
+), spans AS (
+  SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+         CAST(MIN(pos) AS BIGINT) AS start_tok,
+         CAST(MAX(pos) + {_SPAN_K} AS BIGINT) AS end_tok
+  FROM isl GROUP BY doc_id, span_id
+)"""
+
+
+def d_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans per document (Lee et al. 2021
+    ExactSubstr, k-gram formulation, k=3 to match the corpus' doc
+    lengths): every token run covered by a k-gram that occurs more than
+    once anywhere in the corpus, merged into maximal [start, end) spans.
+
+    Plan shape (the scale story): one narrow explode to 64-bit positional
+    gram hashes, one map-side-combinable occurrence count, one hash-keyed
+    join back, one per-doc window pass for the interval merge. No pair
+    join, no suffix array, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return OD.dup_span_spans(d, "text", "doc_id", k=_SPAN_K).orderBy(
+        "doc_id", "span_id"
+    )
+
+
+D_DUP_SPAN_DETECT_SQL = f"""
+WITH {_D_SPAN_CTE}
+SELECT doc_id, span_id, start_tok, end_tok,
+       end_tok - start_tok AS span_tokens
+FROM spans ORDER BY doc_id, span_id
+"""
+
+
+def d_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal step: cut every duplicated span out of every document
+    and rebuild the surviving text (normalized-token join, '' when the
+    whole doc was duplicated mass). Every input doc appears exactly once
+    — this is the operator a user points at a corpus, so the contract is
+    total."""
+    d = load_table(spark, sf_dir, "documents")
+    return OD.dup_span_scrub(d, "text", "doc_id", k=_SPAN_K).orderBy("doc_id")
+
+
+D_DUP_SPAN_SCRUB_SQL = f"""
+WITH {_D_SPAN_CTE}
+, tk AS (
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) + 1),
+                                 i -> {{'pos': i - 1, 'tok': t[i]}})) AS u
+    FROM toks
+  )
+), kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM tk LEFT JOIN spans s
+    ON tk.doc_id = s.doc_id AND tk.pos >= s.start_tok AND tk.pos < s.end_tok
+  WHERE s.doc_id IS NULL
+), reb AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(len(t.t), 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(len(t.t), 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM documents d
+JOIN toks t ON d.doc_id = t.doc_id
+LEFT JOIN reb r ON d.doc_id = r.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def d_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health rollup of the span scrub per source: docs touched,
+    token mass removed, and the removal percentage — the number Lee et
+    al. headline ("% of tokens in duplicated 50-grams") computed from the
+    ACTUAL merged spans rather than instance counts (cf. d_ngram_dup_mass,
+    which reports instance mass without merging overlaps)."""
+    d = load_table(spark, sf_dir, "documents")
+    scrub = OD.dup_span_scrub(d, "text", "doc_id", k=_SPAN_K)
+    return (
+        d.select("doc_id", "source")
+        .join(scrub, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_removed") > 0).cast("bigint")).alias("docs_affected"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_removed").cast("bigint").alias("removed_tokens"),
+            F.round(
+                F.sum("n_removed") * 100.0
+                / F.greatest(F.sum("n_tokens"), F.lit(1)),
+                4,
+            ).alias("removed_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+D_DUP_SPAN_STATS_SQL = f"""
+WITH {_D_SPAN_CTE}
+, per_doc AS (
+  SELECT t.doc_id,
+         COALESCE(len(t.t), 0) AS n_tokens,
+         COALESCE(s.rm, 0) AS n_removed
+  FROM toks t LEFT JOIN (
+    SELECT doc_id, SUM(end_tok - start_tok) AS rm FROM spans GROUP BY doc_id
+  ) s ON t.doc_id = s.doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p.n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(p.n_removed) AS BIGINT) AS removed_tokens,
+       ROUND(SUM(p.n_removed) * 100.0 / GREATEST(SUM(p.n_tokens), 1), 4)
+         AS removed_pct
+FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+QUERIES["d_dup_span_detect"] = d_dup_span_detect
+ORACLE["d_dup_span_detect"] = D_DUP_SPAN_DETECT_SQL
+QUERIES["d_dup_span_scrub"] = d_dup_span_scrub
+ORACLE["d_dup_span_scrub"] = D_DUP_SPAN_SCRUB_SQL
+QUERIES["d_dup_span_stats"] = d_dup_span_stats
+ORACLE["d_dup_span_stats"] = D_DUP_SPAN_STATS_SQL
