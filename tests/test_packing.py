@@ -130,3 +130,80 @@ def test_incremental_pack_matches_batch_layout(spark, tmp_path):
     total = sum(i % 23 for i in range(1, 241))
     mx = TX.read(spark, table).agg({"_tok_end": "max"}).first()[0]
     assert mx == total
+
+
+# ---------------------------------------------------------------------------
+# Interleaved multimodal packing (round 9, session 2)
+# ---------------------------------------------------------------------------
+
+
+def _items(spark, rows):
+    """rows = [(doc_id, item_idx, item_type, token_cost)]"""
+    return spark.createDataFrame(
+        rows, "doc_id long, item_idx int, item_type string, token_cost long"
+    )
+
+
+def test_interleave_pack_exact_layout_single_shard(spark):
+    # One shard -> the fold IS the whole layout; budget 10.
+    rows = [
+        (1, 0, "text", 6),
+        (1, 1, "image", 3),   # fits: fill 6 -> off 6, fill 9
+        (1, 2, "image", 3),   # 9+3>10 -> pack 1, off 0
+        (2, 0, "text", 5),    # 3+5<=10 -> pack 1, off 3
+        (2, 1, "image", 3),   # 8+3>10 -> pack 2, off 0
+    ]
+    out = OPK.interleave_pack(_items(spark, rows), budget=10, n_shards=1)
+    got = {
+        (r.doc_id, r.item_idx): (r.pack_id, r.pack_offset)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (0, 0),
+        (1, 1): (0, 6),
+        (1, 2): (1, 0),
+        (2, 0): (1, 3),
+        (2, 1): (2, 0),
+    }
+
+
+def test_interleave_items_are_atomic_and_ordered(spark):
+    import hashlib
+
+    rows = []
+    for d in range(1, 40):
+        rows.append((d, 0, "text", (d * 7) % 23 + 1))
+        for i in range(1, d % 4):
+            rows.append((d, i, "image", 8))
+    budget = 32
+    out = OPK.interleave_pack(
+        _items(spark, rows), budget=budget, n_shards=4
+    ).collect()
+    # No non-oversize item crosses the budget; offsets are in-window.
+    for r in out:
+        if r.token_cost <= budget:
+            assert r.pack_offset + r.token_cost <= budget
+        else:
+            assert r.pack_offset == 0  # oversize item alone at window start
+    # Within a shard, (pack_id, pack_offset) is monotone in (doc, idx)
+    # order — the stream never goes backwards.
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id, r.item_idx)):
+        prev = by_shard.get(r.shard)
+        if prev is not None:
+            assert (r.pack_id, r.pack_offset) >= prev
+        by_shard[r.shard] = (r.pack_id, r.pack_offset)
+    # Whole docs co-shard (shard is a doc_id hash).
+    doc_shards = {}
+    for r in out:
+        assert doc_shards.setdefault(r.doc_id, r.shard) == r.shard
+
+
+def test_interleave_zero_cost_text_keeps_cursor(spark):
+    rows = [(1, 0, "text", 0), (1, 1, "image", 4), (2, 0, "text", 0)]
+    out = OPK.interleave_pack(_items(spark, rows), budget=8, n_shards=1)
+    got = {
+        (r.doc_id, r.item_idx): (r.pack_id, r.pack_offset)
+        for r in out.collect()
+    }
+    assert got == {(1, 0): (0, 0), (1, 1): (0, 0), (2, 0): (0, 4)}

@@ -239,3 +239,95 @@ def nextfit_pack(
             f"shard int, {id_col} {id_type}, n_tokens bigint, pack_id bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved MULTIMODAL packing (round 9, session 2) — the VLM-training
+# counterpart of the three text disciplines above. An interleaved
+# image-text corpus (OBELICS/MMC4 style) trains on windows whose items
+# are text runs AND images; an image is ATOMIC (a fixed block of vision
+# tokens — a ViT patch grid never splits across windows) while document
+# order must be preserved so the text stays aligned with the images it
+# references. The discipline is therefore atomic-item NEXT-FIT in
+# arrival order: items stream in (doc, item_idx) order; an item that no
+# longer fits the open window closes it and opens the next.
+#
+# Same scale shape as nextfit_pack: deterministic hash shards, one
+# sequential applyInPandas fold per shard (the fold IS the discipline —
+# its recursive-CTE replay is the oracle), everything before it
+# hash-shuffle + sort. Cost model: text item = BPE-ish token count,
+# image item = INTERLEAVE_IMG_TOKENS vision tokens.
+# ---------------------------------------------------------------------------
+
+INTERLEAVE_IMG_TOKENS = 64  # vision tokens per image; production towers
+#                             use 256-576 (e.g. a 24x24 ViT grid) — the
+#                             synthetic corpus' short docs pin a small grid.
+
+
+def interleave_pack(
+    items: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = PACK_SHARDS,
+    doc_col: str = "doc_id",
+    idx_col: str = "item_idx",
+    type_col: str = "item_type",
+    cost_col: str = "token_cost",
+) -> DataFrame:
+    """Atomic-item next-fit packing of an interleaved multimodal item
+    stream.
+
+    ``items`` = one row per item: ``(doc_col, idx_col, type_col,
+    cost_col)`` — a document's text run plus each of its images, with
+    ``idx_col`` giving the within-doc order. Shard =
+    ``md5_long(doc)`` % ``n_shards`` (whole docs co-shard, so a doc's
+    items stay consecutive); within a shard items are laid out in
+    (doc, item_idx) order, each item atomic: if the open window cannot
+    take it, the window closes and the item starts the next (oversize
+    items get a window of their own). Returns the item rows plus
+    ``(shard, pack_id, pack_offset)`` — pack ids local to the shard,
+    offset = fill before the item.
+    """
+    t = items.withColumn(
+        "shard",
+        F.pmod(md5_long(F.col(doc_col).cast("string")), F.lit(n_shards)).cast(
+            "int"
+        ),
+    )
+    b = int(budget)
+    doc_type = t.schema[doc_col].dataType.simpleString()
+    idx_type = t.schema[idx_col].dataType.simpleString()
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([doc_col, idx_col], kind="mergesort")
+        pack_ids, offsets = [], []
+        pack, fill = 0, 0
+        first = True
+        for cost in pdf[cost_col]:
+            cost = int(cost)
+            if first:
+                offsets.append(0)
+                fill = cost
+                first = False
+            elif fill + cost <= b:
+                offsets.append(fill)
+                fill += cost
+            else:
+                pack += 1
+                offsets.append(0)
+                fill = cost
+            pack_ids.append(pack)
+        out = pdf[["shard", doc_col, idx_col, type_col, cost_col]].copy()
+        out["pack_id"] = pd.array(pack_ids, dtype="int64")
+        out["pack_offset"] = pd.array(offsets, dtype="int64")
+        return out
+
+    return t.groupBy("shard").applyInPandas(
+        fold,
+        schema=(
+            f"shard int, {doc_col} {doc_type}, {idx_col} {idx_type}, "
+            f"{type_col} string, {cost_col} bigint, "
+            "pack_id bigint, pack_offset bigint"
+        ),
+    )

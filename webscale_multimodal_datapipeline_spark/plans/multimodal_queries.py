@@ -865,3 +865,181 @@ FROM per_video GROUP BY source ORDER BY source
 
 QUERIES["m_dup_frame_ratio"] = m_dup_frame_ratio
 ORACLE["m_dup_frame_ratio"] = M_DUP_FRAME_SQL
+
+
+# ---------------------------------------------------------------------------
+# Interleaved multimodal packing (round 9, session 2) — the VLM-training
+# window layout: text runs + atomic image blocks, packed next-fit in
+# document order (operators/packing.py::interleave_pack; see the module
+# docstring's discipline map). The oracle replays the per-shard fold with
+# a recursive CTE, so item->window assignment AND offsets are hash-exact.
+# ---------------------------------------------------------------------------
+
+from webscale_multimodal_datapipeline_spark.operators import packing as OPK  # noqa: E402
+from webscale_multimodal_datapipeline_spark.plans import oracle_fragments as OQ  # noqa: E402
+from webscale_multimodal_datapipeline_spark.functions.text import (  # noqa: E402
+    bpe_ish_token_count,
+)
+
+_IVT = OPK.INTERLEAVE_IMG_TOKENS
+_IVB = OPK.PACK_BUDGET
+_IVS = OPK.PACK_SHARDS
+
+
+def _interleave_items(d: DataFrame) -> DataFrame:
+    """Synthetic interleaved corpus: every doc contributes its text run
+    (item 0, BPE-ish token cost) followed by ``doc_id % 3`` images
+    (atomic INTERLEAVE_IMG_TOKENS blocks) — the deterministic stand-in
+    for an MMC4-style doc->images mapping."""
+    text_items = d.select(
+        "doc_id",
+        F.lit(0).alias("item_idx"),
+        F.lit("text").alias("item_type"),
+        bpe_ish_token_count("text").cast("bigint").alias("token_cost"),
+    )
+    n_img = (F.col("doc_id") % 3).cast("int")
+    img_items = (
+        d.filter(n_img >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), n_img)).alias("item_idx"),
+        )
+        .select(
+            "doc_id",
+            "item_idx",
+            F.lit("image").alias("item_type"),
+            F.lit(_IVT).cast("bigint").alias("token_cost"),
+        )
+    )
+    return text_items.unionByName(img_items)
+
+
+def m_interleave_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved image-text window assignment: per item (text run or
+    image) its shard, window, and offset inside the window. Whole docs
+    co-shard so text stays adjacent to its images; images are atomic."""
+    d = load_table(spark, sf_dir, "documents")
+    return OPK.interleave_pack(
+        _interleave_items(d), budget=_IVB, n_shards=_IVS
+    ).orderBy("shard", "doc_id", "item_idx")
+
+
+M_INTERLEAVE_PACK_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, 0 AS item_idx, 'text' AS item_type,
+         CAST({OQ.sql_bpe_token_count('text')} AS BIGINT) AS token_cost
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(i AS INT) AS item_idx, 'image' AS item_type,
+         CAST({_IVT} AS BIGINT) AS token_cost
+  FROM (SELECT doc_id, unnest(range(1, doc_id % 3 + 1)) AS i FROM documents)
+), sh AS (
+  SELECT *, CAST({OQ.sql_md5_long("CAST(doc_id AS VARCHAR)")} % {_IVS} AS INT)
+         AS shard
+  FROM base
+), s AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY shard ORDER BY doc_id, item_idx
+         ) AS rn
+  FROM sh
+), rec AS (
+  SELECT shard, rn, doc_id, item_idx, item_type, token_cost,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+         token_cost AS fill
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.item_idx, s.item_type, s.token_cost,
+         CASE WHEN rec.fill + s.token_cost <= {_IVB}
+              THEN rec.pack_id ELSE rec.pack_id + 1 END,
+         CASE WHEN rec.fill + s.token_cost <= {_IVB}
+              THEN rec.fill ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN rec.fill + s.token_cost <= {_IVB}
+              THEN rec.fill + s.token_cost ELSE s.token_cost END
+  FROM s JOIN rec ON s.shard = rec.shard AND s.rn = rec.rn + 1
+)
+SELECT shard, doc_id, item_idx, item_type, token_cost, pack_id, pack_offset
+FROM rec ORDER BY shard, doc_id, item_idx
+"""
+
+
+def m_interleave_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window modality mix over the interleaved layout: items, text
+    vs vision token mass, fill fraction — the loader-side audit that
+    image-heavy windows are not starving text (and vice versa)."""
+    d = load_table(spark, sf_dir, "documents")
+    p = OPK.interleave_pack(_interleave_items(d), budget=_IVB, n_shards=_IVS)
+    return (
+        p.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.when(F.col("item_type") == "image", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_images"),
+            F.sum(
+                F.when(
+                    F.col("item_type") == "text", F.col("token_cost")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("text_tokens"),
+            F.sum(
+                F.when(
+                    F.col("item_type") == "image", F.col("token_cost")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("vision_tokens"),
+            F.round(
+                F.sum("token_cost") * 1.0 / F.lit(_IVB), 6
+            ).alias("fill_frac"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+M_INTERLEAVE_DENSITY_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, 0 AS item_idx,  'text' AS item_type,
+         CAST({OQ.sql_bpe_token_count('text')} AS BIGINT) AS token_cost
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(i AS INT), 'image',
+         CAST({_IVT} AS BIGINT)
+  FROM (SELECT doc_id, unnest(range(1, doc_id % 3 + 1)) AS i FROM documents)
+), sh AS (
+  SELECT *, CAST({OQ.sql_md5_long("CAST(doc_id AS VARCHAR)")} % {_IVS} AS INT)
+         AS shard
+  FROM base
+), s AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY shard ORDER BY doc_id, item_idx
+         ) AS rn
+  FROM sh
+), rec AS (
+  SELECT shard, rn, item_type, token_cost,
+         CAST(0 AS BIGINT) AS pack_id, token_cost AS fill
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.item_type, s.token_cost,
+         CASE WHEN rec.fill + s.token_cost <= {_IVB}
+              THEN rec.pack_id ELSE rec.pack_id + 1 END,
+         CASE WHEN rec.fill + s.token_cost <= {_IVB}
+              THEN rec.fill + s.token_cost ELSE s.token_cost END
+  FROM s JOIN rec ON s.shard = rec.shard AND s.rn = rec.rn + 1
+)
+SELECT shard, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN item_type = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_images,
+       CAST(SUM(CASE WHEN item_type = 'text' THEN token_cost ELSE 0 END)
+            AS BIGINT) AS text_tokens,
+       CAST(SUM(CASE WHEN item_type = 'image' THEN token_cost ELSE 0 END)
+            AS BIGINT) AS vision_tokens,
+       ROUND(SUM(token_cost) * 1.0 / {_IVB}, 6) AS fill_frac
+FROM rec GROUP BY shard, pack_id ORDER BY shard, pack_id
+"""
+
+QUERIES["m_interleave_pack"] = m_interleave_pack
+ORACLE["m_interleave_pack"] = M_INTERLEAVE_PACK_SQL
+QUERIES["m_interleave_density"] = m_interleave_density
+ORACLE["m_interleave_density"] = M_INTERLEAVE_DENSITY_SQL
