@@ -385,3 +385,84 @@ def test_ivf_store_prunes_and_serves(spark, sf_dir, tmp_path):
         cos, vid = want[r.query_id][r.rank - 1]
         assert r.vec_id == vid
         assert abs(r.cosine - cos) < 1e-9
+
+
+def test_spherical_kmeans_matches_numpy_reference(spark):
+    """Independent numpy recomputation of the deterministic spherical
+    Lloyd's (first-k init, max-dot assignment with smallest-cluster
+    ties, normalized-mean update) — assignment-exact, sim to 1e-9."""
+    import numpy as np
+
+    from webscale_multimodal_datapipeline_spark.operators import (
+        similarity as OS,
+    )
+
+    rng_vals = [
+        [((i * 31 + j * 17) % 97 - 48) / 23.0 for j in range(8)]
+        for i in range(60)
+    ]
+    rows = [(i, v) for i, v in enumerate(rng_vals)]
+    rows.append((1000, None))            # invalid: null vector
+    rows.append((1001, [0.0] * 8))       # invalid: zero norm
+    rows.append((1002, [1.0] * 4))       # invalid: wrong dim
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {
+        r.vec_id: (r.cluster, r.sim)
+        for r in OS.spherical_kmeans_assign(
+            df, dim=8, k=4, iters=2
+        ).collect()
+    }
+    assert set(out) == set(range(60))  # invalid rows excluded
+
+    # numpy replay
+    X = np.array(rng_vals, dtype=np.float64)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = U[:4].copy()
+    for t in range(2):
+        sims = U @ C.T
+        assign = sims.argmax(axis=1)  # argmax takes first max = smallest id
+        best = sims[np.arange(len(U)), assign]
+        if t == 0:
+            C = np.stack(
+                [
+                    U[assign == j].mean(axis=0)
+                    if (assign == j).any()
+                    else C[j]
+                    for j in range(4)
+                ]
+            )
+            keep = np.linalg.norm(C, axis=1) > 0
+            C = C / np.where(
+                keep, np.linalg.norm(C, axis=1), 1.0
+            )[:, None]
+    for i in range(60):
+        cl, sim = out[i]
+        assert cl == assign[i], f"vec {i}: {cl} != {assign[i]}"
+        assert abs(sim - best[i]) < 1e-9
+
+
+def test_spherical_kmeans_clusters_unit_sphere_structure(spark):
+    """Four orthogonal directions with noise -> 4 clean clusters and
+    within-cluster sim near 1 (cosine geometry, not Euclidean: vectors
+    of very different MAGNITUDE but same direction co-cluster)."""
+    from webscale_multimodal_datapipeline_spark.operators import (
+        similarity as OS,
+    )
+
+    rows = []
+    for i in range(40):
+        d = i % 4
+        base = [0.0] * 8
+        base[d] = 1.0 + (i % 7) * 10.0  # wildly varying magnitude
+        base[(d + 4) % 8] = 0.01 * (i % 3)  # small noise
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = OS.spherical_kmeans_assign(df, dim=8, k=4, iters=2).collect()
+    by_dir = {}
+    for r in out:
+        by_dir.setdefault(r.vec_id % 4, set()).add(r.cluster)
+        assert r.sim > 0.99
+    # each direction maps to exactly one cluster, all four distinct
+    assert all(len(s) == 1 for s in by_dir.values())
+    assert len({next(iter(s)) for s in by_dir.values()}) == 4

@@ -553,3 +553,149 @@ def ivf_topk_stored(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spherical k-means (round 9, session 2) — Lloyd's iteration under COSINE
+# geometry: centroids live on the unit sphere, assignment is max dot
+# product, and the update step L2-normalizes the member mean. This is the
+# clustering primitive SemDeDup (Abbas et al. 2023) builds semantic dedup
+# on (cluster, then prune within-cluster by cosine), complementing
+# ``pyspark.ml`` KMeans (``v_kmeans_clusters``, Euclidean, invariant-
+# oracled): the unrolled deterministic iteration below is HASH-exact
+# against the DuckDB oracle — init, both assignment passes, and the
+# decimal-exact centroid update are all replayed cross-engine.
+#
+# Scale shape per iteration: assignment = one broadcast of K*D doubles +
+# a map-side-combinable max_by aggregate (N rows shuffle once, keyed by
+# id); update = K groups x D decimal-sum aggregate columns (partial
+# aggregation, order-independent exact sums — the hyperplane-bias
+# pattern, so partitioning can never move a centroid). No N x K window
+# shuffle, no driver-side loop over rows; plan depth grows linearly with
+# ``iters`` (pin small; hand many-iteration jobs to pyspark.ml).
+# ---------------------------------------------------------------------------
+
+SPHERICAL_K = 8
+SPHERICAL_ITERS = 2
+
+
+def _assign_to_centroids(
+    u: DataFrame, cents: DataFrame, id_col: str
+) -> DataFrame:
+    """(id, u, cluster, sim): nearest centroid by dot product, ties to the
+    smallest cluster id. ``cents`` = (cluster, c) with unit-norm arrays;
+    broadcast (K rows). The argmax is ``max(struct(sim, -cluster))`` — a
+    map-side-combinable aggregate, not a row_number window over N*K."""
+    scored = u.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", VX.dot("u", "c")
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_sim").alias("s"),
+                    (-F.col("cluster")).alias("nc"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            id_col,
+            (-F.col("_b.nc")).cast("bigint").alias("cluster"),
+            F.col("_b.s").alias("sim"),
+        )
+    )
+    return u.join(best, id_col)
+
+
+def _update_centroids(assigned: DataFrame, dim: int) -> DataFrame:
+    """Spherical update: per-cluster member mean via exact DECIMAL(27,10)
+    per-coordinate sums (order-independent — partitioning can't move the
+    centroid), divided in double, then L2-normalized with the fixed
+    left-fold chain. Empty clusters drop (standard Lloyd's)."""
+    sums = [
+        F.sum(F.col("u")[i].cast("decimal(27,10)")).alias(f"_s{i}")
+        for i in range(dim)
+    ]
+    cent = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("_n"), *sums
+    )
+    m = F.array(
+        *[
+            (F.col(f"_s{i}").cast("double") / F.col("_n"))
+            for i in range(dim)
+        ]
+    )
+    withm = cent.select("cluster", m.alias("_m"))
+    nrm = F.sqrt(VX.dot("_m", "_m"))
+    return withm.select(
+        "cluster",
+        F.when(
+            nrm > 0, F.transform(F.col("_m"), lambda x: x / nrm)
+        ).otherwise(F.col("_m")).alias("c"),
+    )
+
+
+def spherical_kmeans_assign(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    k: int = SPHERICAL_K,
+    iters: int = SPHERICAL_ITERS,
+    resources: list | None = None,
+) -> DataFrame:
+    """Deterministic spherical k-means: (id, cluster, sim) after
+    ``iters`` Lloyd passes under cosine geometry.
+
+    Init = the first ``k`` valid vectors in id order, L2-normalized
+    (deterministic, oracle-replayable — the seed-free analogue of
+    kmeans++ for a verifiable catalog row). Valid = non-null, exact
+    ``dim``, positive norm; everything runs on unit vectors so dot IS
+    cosine. Every float op is order-pinned (left-fold dots, decimal
+    centroid sums), so engines replaying the same recipe agree bitwise.
+    """
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        _materialize,
+    )
+
+    e = df.filter(
+        VX.is_valid_vector(emb_col) & (F.size(emb_col) == dim)
+    ).withColumn("_nrm", VX.l2_norm(emb_col))
+    # Materialized once: every pass reads u twice (assignment + update),
+    # so 2*iters lazy re-reads of the source otherwise. `resources`
+    # (caller-released persist) for long-lived pipelines, localCheckpoint
+    # default for the batch contract — the concat_chunk_pack convention.
+    u = _materialize(
+        e.filter(F.col("_nrm") > 0).select(
+            id_col,
+            F.transform(
+                VX.to_double_array(emb_col), lambda x: x / F.col("_nrm")
+            ).alias("u"),
+        ),
+        resources,
+    )
+    w = Window.orderBy(id_col)
+    cents = (
+        u.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("cluster"),
+            F.col("u").alias("c"),
+        )
+    )
+    assigned = None
+    for t in range(iters):
+        # Materialize the K-row centroid table each pass (K*D doubles —
+        # metadata-sized): every lazy reference to ``cents`` would
+        # otherwise re-execute the whole prior iteration's subtree, and
+        # the plan re-expands multiplicatively with ``iters``. This is
+        # the iterative-frontier discipline from connected_components
+        # (truncate lineage at each round), at trivial size.
+        cents = cents.localCheckpoint(eager=True)
+        assigned = _assign_to_centroids(u, cents, id_col)
+        if t + 1 < iters:
+            cents = _update_centroids(assigned, dim)
+        # Final output keeps the LAST assignment (classic Lloyd's
+        # reports assignment, then update).
+    return assigned.select(id_col, "cluster", "sim")

@@ -2180,3 +2180,127 @@ WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.vid = e.vec_id)
 
 QUERIES["v_autogate_cone_banded"] = v_autogate_cone_banded
 ORACLE["v_autogate_cone_banded"] = _autogate_cone_banded_sql()
+
+
+# ---------------------------------------------------------------------------
+# Spherical k-means (round 9, session 2) — deterministic unrolled Lloyd's
+# under cosine geometry (operators/similarity.py::spherical_kmeans_assign).
+# Unlike v_kmeans_clusters (pyspark.ml, Euclidean, invariant-oracled),
+# every pass here is replayed by the oracle: init, both assignments, and
+# the decimal-exact spherical centroid update — so the hash check covers
+# the ITERATION, not just invariants. Floats stay unrounded end-to-end
+# (§43 rule: identical float trees compare exactly; ROUND on derived
+# doubles subtracts parity).
+# ---------------------------------------------------------------------------
+
+_SKM_K = OS.SPHERICAL_K
+_SKM_ITERS = OS.SPHERICAL_ITERS
+
+
+def _skm_cte(dim: int = DIM, k: int = _SKM_K, iters: int = _SKM_ITERS) -> str:
+    """CTE chain ending in ``a{iters}`` = (vec_id, u, cluster, sim)."""
+    valid = (
+        "embedding IS NOT NULL AND len(embedding) = %d AND "
+        "len(list_filter(embedding, x -> x IS NULL)) = 0" % dim
+    )
+    sums = ", ".join(
+        f"SUM(CAST(u[{i + 1}] AS DECIMAL(27,10))) AS s{i}" for i in range(dim)
+    )
+    means = ", ".join(f"CAST(s{i} AS DOUBLE) / n" for i in range(dim))
+    parts = [
+        f"""nv AS (
+  SELECT vec_id, {OQ.sql_l2_norm('embedding', dim)} AS nrm, embedding AS v
+  FROM embeddings WHERE {valid}
+), u AS (
+  SELECT vec_id, list_transform(v, x -> CAST(x AS DOUBLE) / nrm) AS u
+  FROM nv WHERE nrm > 0
+), c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         u AS c
+  FROM (SELECT vec_id, u FROM u ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, u, cluster, sim FROM (
+    SELECT vec_id, u, cluster, sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rk
+    FROM (
+      SELECT x.vec_id, x.u, y.cluster, {OQ.sql_dot('x.u', 'y.c', dim)} AS sim
+      FROM u x CROSS JOIN c{t - 1} y
+    )
+  ) WHERE rk = 1
+)"""
+        )
+        if t < iters:
+            parts.append(
+                f"""s{t} AS (
+  SELECT cluster, COUNT(*) AS n, {sums} FROM a{t} GROUP BY cluster
+), m{t} AS (
+  SELECT cluster, [{means}] AS m FROM s{t}
+), c{t} AS (
+  SELECT cluster,
+         CASE WHEN {OQ.sql_l2_norm('m', dim)} > 0
+              THEN list_transform(m, x -> x / {OQ.sql_l2_norm('m', dim)})
+              ELSE m END AS c
+  FROM m{t}
+)"""
+            )
+    return ",\n".join(parts)
+
+
+def v_spherical_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cluster assignment + cosine-to-centroid after the
+    deterministic 2-pass spherical Lloyd's (first-k-by-id init). The
+    SemDeDup front half: cluster on the unit sphere, then prune
+    within-cluster (a_semantic_dedup does the pruning)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return OS.spherical_kmeans_assign(
+        e, "embedding", "vec_id", dim=DIM, k=_SKM_K, iters=_SKM_ITERS
+    ).orderBy("vec_id")
+
+
+V_SPHERICAL_KMEANS_SQL = f"""
+WITH {_skm_cte()}
+SELECT vec_id, cluster, sim FROM a{_SKM_ITERS} ORDER BY vec_id
+"""
+
+
+def v_spherical_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster cohesion profile after the final pass: size and exact-sum
+    mean/min cosine-to-centroid — the per-cluster signal SemDeDup
+    thresholds. Mean = decimal-exact sim sum over the cluster divided in
+    double (order-independent; partitioning can't move it)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = OS.spherical_kmeans_assign(
+        e, "embedding", "vec_id", dim=DIM, k=_SKM_K, iters=_SKM_ITERS
+    )
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            (
+                F.sum(F.col("sim").cast("decimal(27,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_sim"),
+            F.min("sim").alias("min_sim"),
+        )
+        .orderBy("cluster")
+    )
+
+
+V_SPHERICAL_KMEANS_PROFILE_SQL = f"""
+WITH {_skm_cte()}
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CAST(sim AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mean_sim,
+       MIN(sim) AS min_sim
+FROM a{_SKM_ITERS} GROUP BY cluster ORDER BY cluster
+"""
+
+QUERIES["v_spherical_kmeans"] = v_spherical_kmeans
+ORACLE["v_spherical_kmeans"] = V_SPHERICAL_KMEANS_SQL
+QUERIES["v_spherical_kmeans_profile"] = v_spherical_kmeans_profile
+ORACLE["v_spherical_kmeans_profile"] = V_SPHERICAL_KMEANS_PROFILE_SQL
