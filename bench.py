@@ -294,6 +294,11 @@ BENCH_QUERIES = (
     "d_dedup_savings",
     "g_bfs_hops",
     "v_binary_quantize_rerank",
+    # round 9 session-2 additions (new names only — continuity rule):
+    # span-level dedup, interleaved multimodal packing, spherical k-means
+    "d_dup_span_stats",
+    "m_interleave_pack",
+    "v_spherical_kmeans",
 )
 
 

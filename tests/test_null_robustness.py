@@ -804,3 +804,32 @@ def test_warehouse_omnibus_null_parity(spark, messy_warehouse_dir, name):
             f"CREATE VIEW {t} AS SELECT * FROM '{messy_warehouse_dir}/{t}.parquet/*.parquet'"
         )
     _assert_parity(got, con.sql(ORACLE[name]).df(), name)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 session-2 null parity: substring-span dedup over poisoned text
+# (NULL / empty / whitespace-only docs must mean the same thing in both
+# engines — no spans, total scrub contract intact) and the spherical
+# k-means pair over poisoned embeddings (NULL vectors / zero norms
+# excluded identically).
+# ---------------------------------------------------------------------------
+
+_R9S2_DOC_QUERIES = [
+    "d_dup_span_detect",
+    "d_dup_span_scrub",
+    "d_dup_span_stats",
+]
+
+
+@pytest.mark.parametrize("name", _R9S2_DOC_QUERIES)
+def test_span_dedup_null_parity(spark, messy_dir, name):
+    import duckdb
+
+    from webscale_multimodal_datapipeline_spark.plans.registry import ORACLE, QUERIES
+
+    got = QUERIES[name](spark, messy_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{messy_dir}/documents.parquet/*.parquet'"
+    )
+    _assert_parity(got, con.sql(ORACLE[name]).df(), name)

@@ -499,3 +499,17 @@ def test_bloom_prefilter_no_false_negatives_property(spark):
     for src, r in out.items():
         assert r.no_false_negatives, src
         assert r.n_candidates >= r.n_members
+
+
+def test_registry_dup_span_scrub_refiner_shape(spark):
+    """YAML-reachable span scrub: rows survive with text REPLACED by the
+    scrubbed remainder and a span_tokens_removed accounting column."""
+    op = REG.create("dup_span_scrub")
+    df = spark.createDataFrame(
+        [(1, "a b x y z c", "s0"), (2, "p x y z q r", "s1")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in op.apply(df).collect()}
+    assert out[1].text == "a b c" and out[1].span_tokens_removed == 3
+    assert out[2].text == "p q r" and out[2].span_tokens_removed == 3
+    assert out[1].source == "s0"  # other columns carried through

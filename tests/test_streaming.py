@@ -970,3 +970,91 @@ def test_cdc_compaction_cadence_keeps_data_and_epochs(spark, tmp_path):
     # fresh epoch appends fine against the compacted (re-read) schema
     handler(batch(7), 7)
     assert TX.read(spark, table).count() == 48
+
+
+def test_stream_incremental_spandedup_matches_batch_and_blocks_recrawl(
+    spark, tmp_path
+):
+    """CDC span dedup (round 9 session 2): a single epoch equals the
+    batch scrub exactly; across epochs, text already seen in ANY earlier
+    epoch is cut from later docs (earlier-wins online ExactSubstr) even
+    when the earlier in-batch copies were themselves scrubbed; epoch
+    re-delivery is a committed no-op."""
+    import os
+
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        dup_span_scrub,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    e0 = [
+        (1, "alpha beta gamma delta unique0"),
+        (2, "p q alpha beta gamma r"),          # shares a 3-run with doc 1
+        (3, "solo text nothing shared here"),
+    ]
+    e1 = [
+        (10, "x y alpha beta gamma z"),          # recrawl of e0's run
+        (11, "p q r s t u"),                     # novel
+        (12, "solo text nothing shared here"),   # full recrawl of doc 3
+    ]
+    import pandas as pd
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    for i, rows in enumerate([e0, e1]):
+        p = f"{src}/file-{i}.parquet"
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+            {"doc_id": "int64"}
+        ).to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    SP.stream_incremental_spandedup_to_txtable(
+        SP.read_parquet_stream(spark, src, max_files_per_trigger=1),
+        table,
+        ckpt,
+    )
+    assert [h["action"] for h in TX.history(table)] == ["append"] * 2
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in TX.read(spark, table).collect()
+    }
+
+    # Epoch 0 == the batch scrub of e0 (single-epoch parity).
+    batch0 = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in dup_span_scrub(
+            spark.createDataFrame(e0, "doc_id long, text string")
+        ).collect()
+    }
+    for d in (1, 2, 3):
+        assert got[d] == batch0[d]
+    assert got[1] == ("delta unique0", 3)
+    assert got[2] == ("p q r", 3)
+    assert got[3] == ("solo text nothing shared here", 0)
+
+    # Epoch 1: the recrawled run is cut (index probe), novel text kept,
+    # the FULL recrawl of doc 3 scrubs to empty.
+    assert got[10] == ("x y z", 3)
+    assert got[11] == ("p q r s t u", 0)
+    assert got[12] == ("", 5)
+
+    # A third epoch repeating a run whose epoch-0 copies were BOTH
+    # scrubbed (doc 1/2's "alpha beta gamma" never survived) must still
+    # be blocked: the index carries ORIGINAL grams, not survivors.
+    handler = SP.incremental_spandedup_batch_handler(table)
+    e2 = spark.createDataFrame(
+        [(20, "now alpha beta gamma again")], "doc_id long, text string"
+    )
+    handler(e2, 7)
+    got2 = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in TX.read(spark, table).collect()
+    }
+    assert got2[20] == ("now again", 3)
+
+    # Re-delivered epoch: nothing commits.
+    n_hist = len(TX.history(table))
+    handler(e2, 7)
+    assert len(TX.history(table)) == n_hist

@@ -137,6 +137,21 @@ def main() -> None:
                 table, compact_every=compact_every
             ),
         ),
+        # round 9 session 2: substring-span dedup CDC. Shuffled batches
+        # (the minhash lane's rule) keep batch grams genuinely novel, so
+        # the timed path is the index PROBE + scrub + append. Expected
+        # shape: the exact gram semi-join explodes the accumulated
+        # `_grams` column every epoch — token-scale index traffic, so
+        # this lane's α is the honest cost of exact substring CDC (see
+        # the handler docstring); the lane exists to measure it, not to
+        # prove it flat.
+        "cdc_span": (
+            docs_base,
+            _doc_batch_shuffled,
+            lambda table: SP.incremental_spandedup_batch_handler(
+                table, compact_every=compact_every
+            ),
+        ),
     }
     only_lanes = {
         s for s in os.environ.get("CDC_PROBE_LANES", "").split(",") if s

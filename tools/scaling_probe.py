@@ -48,6 +48,20 @@ from webscale_multimodal_datapipeline_spark.operators.dedup import (  # noqa: E4
 from webscale_multimodal_datapipeline_spark.session import get_spark  # noqa: E402
 
 
+# Optional lane subset (round 9 session 2): SPARK_GRAFT_PROBE_LANES=a,b
+# runs only the groups containing those lanes — new-operator lanes can be
+# probed without paying the full ~15-min sweep. Empty = all lanes.
+_LANE_FILTER = {
+    s.strip()
+    for s in os.environ.get("SPARK_GRAFT_PROBE_LANES", "").split(",")
+    if s.strip()
+}
+
+
+def lane_on(*names: str) -> bool:
+    return not _LANE_FILTER or any(n in _LANE_FILTER for n in names)
+
+
 def replicated(spark, sf_dir: str, factor: int):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -142,7 +156,7 @@ def main() -> None:
     for factor in all_factors:
         big = None
         for name, fs in lane_scales.items():
-            if factor not in fs:
+            if factor not in fs or not lane_on(name):
                 continue
             if big is None:
                 big, n = replicated(spark, sf_dir, factor)
@@ -234,6 +248,12 @@ def main() -> None:
         return big, big.count()
 
     for factor in emb_scales:
+        if not lane_on(
+            "embedding_cosine_dedup",
+            "embedding_cosine_dedup_banded4",
+            "embedding_cosine_dedup_fixed8",
+        ):
+            break
         big, n = emb_replicated(factor)
         # DEFAULT lane (round 7): planes=None → scaled_planes(n) over the
         # full-rank family, arrow pair verify. This is what a caller gets.
@@ -279,6 +299,8 @@ def main() -> None:
     # BOUNDED sizes only (it is the red-flag series).
     # ------------------------------------------------------------------
     for factor in emb_scales:
+        if not lane_on("embedding_cone_auto", "embedding_cone_raw"):
+            break
         big, n = emb_replicated(factor, cone=8.0)
         # DEFAULT-FLAGS cone lane (round 8, VERDICT r7 #1's done-condition):
         # center="auto" must detect the collapsed profile and land on the
@@ -320,14 +342,17 @@ def main() -> None:
         similarity as OS,
     )
 
-    q16 = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .filter(F.col("vec_id") < 16)
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-        .localCheckpoint(eager=True)
-    )
-    q16.count()
+    if lane_on("ann_brute_topk", "ann_ivf_topk"):
+        q16 = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") < 16)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+            .localCheckpoint(eager=True)
+        )
+        q16.count()
     for factor in emb_scales:
+        if not lane_on("ann_brute_topk", "ann_ivf_topk"):
+            break
         big, n = emb_replicated(factor)
         wall = timed(OS.cosine_topk(big, q16, k=10))
         results.setdefault("ann_brute_topk", []).append((n, wall))
@@ -364,6 +389,8 @@ def main() -> None:
     )
 
     for factor in [1, 2, 4]:
+        if not lane_on("components_star"):
+            break
         big, n = replicated(spark, sf_dir, factor)
         wall = timed_build(
             lambda: OD.connected_components_star(
@@ -383,6 +410,8 @@ def main() -> None:
         cal.append(calibration_ms())
 
     for factor in [1, 2, 4]:
+        if not lane_on("bfs_hops"):
+            break
         e0 = _edges(spark, sf_dir)
         edges = (
             e0.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
@@ -418,6 +447,66 @@ def main() -> None:
         edges.unpersist()
         cal.append(calibration_ms())
 
+    # ------------------------------------------------------------------
+    # Round-9 session-2 lanes: substring-span dedup (positional-gram
+    # explode + global gram count + interval merge), interleaved
+    # multimodal packing (per-shard sequential fold), and spherical
+    # k-means (iterative — thunk-timed like components/BFS: its per-pass
+    # centroid checkpoints run at plan-BUILD time). Replication shapes
+    # reuse the house replicators: suffix-perturbed documents (span
+    # work per row constant; cross-replica gram collisions at the REAL
+    # rate — replicated docs share all but their last k-1 grams, so the
+    # dup-gram table is dense, the worst realistic case), hash-perturbed
+    # embeddings for the k-means lane.
+    # ------------------------------------------------------------------
+    if lane_on("dup_span_detect", "interleave_pack"):
+        from webscale_multimodal_datapipeline_spark.operators import (  # noqa: E402
+            packing as OPK,
+        )
+        from webscale_multimodal_datapipeline_spark.plans.multimodal_queries import (  # noqa: E402
+            _interleave_items,
+        )
+
+        for factor in [100, 200, 400]:
+            big, n = replicated(spark, sf_dir, factor)
+            if lane_on("dup_span_detect"):
+                wall = timed(OD.dup_span_spans(big))
+                results.setdefault("dup_span_detect", []).append((n, wall))
+                print(
+                    f"# dup_span_detect @ {n} rows: {wall:.2f}s"
+                    f" ({n / wall / 1000:.0f}K rec/s)",
+                    file=sys.stderr,
+                )
+            if lane_on("interleave_pack"):
+                wall = timed(
+                    OPK.interleave_pack(
+                        _interleave_items(big),
+                        n_shards=OPK.scaled_pack_shards(n),
+                    )
+                )
+                results.setdefault("interleave_pack", []).append((n, wall))
+                print(
+                    f"# interleave_pack @ {n} rows: {wall:.2f}s"
+                    f" ({n / wall / 1000:.0f}K rec/s)",
+                    file=sys.stderr,
+                )
+            big.unpersist()
+            cal.append(calibration_ms())
+
+    for factor in emb_scales:
+        if not lane_on("spherical_kmeans"):
+            break
+        big, n = emb_replicated(factor)
+        wall = timed_build(lambda: OS.spherical_kmeans_assign(big))
+        results.setdefault("spherical_kmeans", []).append((n, wall))
+        print(
+            f"# spherical_kmeans @ {n} rows: {wall:.2f}s"
+            f" ({n / wall / 1000:.0f}K rec/s)",
+            file=sys.stderr,
+        )
+        big.unpersist()
+        cal.append(calibration_ms())
+
     summary = {}
     for name, pts in results.items():
         # log-log least-squares slope; single-point lanes (bounded
@@ -444,6 +533,7 @@ def main() -> None:
     worst = max(
         (kv for kv in summary.items() if kv[1]["alpha"] is not None),
         key=lambda kv: kv[1]["alpha"],
+        default=("none", {"alpha": None}),
     )
     dev, contended = contention_flag(cal)
     print(

@@ -2355,6 +2355,16 @@ def dup_span_spans(
     island break is a single ``lag`` compare, and the span is the island's
     [min(pos), max(pos)+k)."""
     pos = dup_span_positions(df, text_col, id_col, k)
+    return merge_covered_positions(pos, id_col, k)
+
+
+def merge_covered_positions(
+    pos: DataFrame, id_col: str = "doc_id", k: int = DUP_SPAN_K
+) -> DataFrame:
+    """Interval-merge a (id, pos) covered-position set into maximal
+    [start_tok, end_tok) spans — the shared back half of
+    ``dup_span_spans`` (batch: positions from the global gram count) and
+    the CDC handler (positions from batch-count ∪ index-probe)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.col("pos") > F.coalesce(F.lag("pos").over(w) + k, F.lit(-1)), F.lit(1)
@@ -2393,6 +2403,18 @@ def dup_span_scrub(
     anti-join is per-doc bounded (doc_id equi-key + position range); the
     rebuild is one sorted-struct aggregation, shuffled by doc_id."""
     spans = dup_span_spans(df, text_col, id_col, k)
+    return scrub_with_spans(df, spans, text_col, id_col)
+
+
+def scrub_with_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a (id, start_tok, end_tok) span table to every doc — the
+    shared scrub/rebuild half of ``dup_span_scrub``, also driven by the
+    CDC handler with its own incremental span set."""
     toks = df.withColumn("_toks", TX.norm_tokens(text_col)).select(
         id_col, F.posexplode("_toks").alias("pos", "tok")
     )
@@ -2433,3 +2455,32 @@ def dup_span_scrub(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def dup_span_scrub_op(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DUP_SPAN_K,
+    name: str = "dup_span_scrub",
+):
+    """Span scrub as a YAML operator (``type: dup_span_scrub``): every
+    row survives with ``text_col`` REPLACED by the scrubbed normalized
+    remainder plus a ``span_tokens_removed`` accounting column — the
+    refiner shape (text in, text out), unlike the record-dedup family's
+    keep/drop. Same plan as the oracle-checked ``d_dup_span_scrub``."""
+    from webscale_multimodal_datapipeline_spark.operators.base import (
+        LambdaOperator,
+    )
+
+    def _fn(df: DataFrame) -> DataFrame:
+        s = dup_span_scrub(df, text_col, id_col, k).select(
+            id_col, "clean_text", "n_removed"
+        )
+        return (
+            df.join(s, id_col)
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text")
+            .withColumnRenamed("n_removed", "span_tokens_removed")
+        )
+
+    return LambdaOperator(name, _fn, "refiner")

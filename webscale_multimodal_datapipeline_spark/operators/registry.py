@@ -179,3 +179,7 @@ def _phash_blocklist_filter(**kw):
 
 register("phash_blocklist_filter", _phash_blocklist_filter)
 register("jpeg_scrub_refiner", _mm.jpeg_scrub_refiner)
+
+# Substring-span dedup (round 9 session 2): the Lee et al. ExactSubstr
+# scrub as a refiner-shaped pipeline op (text in, scrubbed text out).
+register("dup_span_scrub", _dedup.dup_span_scrub_op)

@@ -1193,3 +1193,127 @@ def incremental_pack_batch_handler(
         _maybe_compact_index(spark, table, epoch_id, compact_every)
 
     return _commit
+
+
+def incremental_spandedup_batch_handler(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int | None = None,
+    compact_every: int | None = None,
+):
+    """foreachBatch handler for continuous-crawl SUBSTRING-SPAN dedup —
+    the online (earlier-wins) form of ``operators/dedup.py::
+    dup_span_scrub`` (Lee et al. ExactSubstr), completing the CDC story
+    across all four dedup families (exact / minhash / embedding / span).
+
+    Per micro-batch, a k-gram occurrence is duplicated text iff its gram
+    (a) occurs >1 time WITHIN the batch (the batch operator's symmetric
+    rule — a single epoch through this handler equals the batch scrub,
+    parity-tested), or (b) was EVER seen in a prior epoch (the index
+    probe — an earlier doc already carries that text, so the new copy is
+    cut; asymmetric by design: text that survived into the corpus once
+    never enters it again). Covered positions from (a) ∪ (b) go through
+    the shared interval merge + rebuild (``merge_covered_positions`` /
+    ``scrub_with_spans``), and every batch doc commits exactly once —
+    scrubbed, possibly to ``''`` — in ONE epoch-idempotent append.
+
+    The table IS the gram index (the exact-dedup handler's one-commit
+    rule): each committed row carries ``_grams`` — the positional gram
+    hashes of its ORIGINAL text (not the scrubbed remainder: a gram
+    whose every in-batch copy was cut must still block a third copy
+    next epoch). The probe explodes only that column (columnar-pruned;
+    document bodies never read). This index is TOKEN-scale — ~1 bigint
+    per token, the inherent price of substring-level dedup (Lee et
+    al.'s suffix array is token-scale too); the probe is a semi-join on
+    the 64-bit hash, linear per epoch, measured in the cdc_probe span
+    lane. Single writer per table; ``compact_every`` runs the built-in
+    file-count cadence."""
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        DUP_SPAN_K,
+        _materialize,
+        _positional_gram_hashes,
+        merge_covered_positions,
+        release_all,
+        scrub_with_spans,
+    )
+    from webscale_multimodal_datapipeline_spark.functions import text as TXT
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    kk = DUP_SPAN_K if k is None else int(k)
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = f"incspan-epoch-{epoch_id}"
+        if epoch in TX.committed_epochs(table):
+            return  # re-delivered epoch: skip even the Spark work
+        res: list = []
+        try:
+            base = _materialize(
+                batch_df.withColumn(
+                    "_grams",
+                    _positional_gram_hashes(TXT.norm_tokens(text_col), kk),
+                ),
+                res,
+            )
+            inst = _materialize(
+                base.select(
+                    id_col, F.posexplode("_grams").alias("pos", "_h")
+                ),
+                res,
+            )
+            bdup = (
+                inst.groupBy("_h")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .select("_h")
+            )
+            covered = inst.join(bdup, "_h", "leftsemi").select(id_col, "pos")
+            if TX.latest_version(table) >= 0:
+                idx_h = TX.read(spark, table).select(
+                    F.explode("_grams").alias("_h")
+                )
+                covered = (
+                    covered.unionByName(
+                        inst.join(idx_h, "_h", "leftsemi").select(
+                            id_col, "pos"
+                        )
+                    )
+                    .distinct()
+                )
+            spans = merge_covered_positions(covered, id_col, kk)
+            scrubbed = scrub_with_spans(base, spans, text_col, id_col)
+            out = scrubbed.join(
+                base.select(id_col, "_grams"), id_col
+            )
+            TX.append(out, table, app_epoch=epoch)
+        finally:
+            release_all(res)
+        _maybe_compact_index(spark, table, epoch_id, compact_every)
+
+    return _commit
+
+
+def stream_incremental_spandedup_to_txtable(
+    docs: DataFrame,
+    table: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int | None = None,
+) -> None:
+    """Drive a docs stream through incremental span dedup into a
+    transactional table and block until the source drains (replay
+    harness form, mirrors the other CDC wrappers)."""
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(
+            incremental_spandedup_batch_handler(table, text_col, id_col, k)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
