@@ -1058,3 +1058,67 @@ def test_stream_incremental_spandedup_matches_batch_and_blocks_recrawl(
     n_hist = len(TX.history(table))
     handler(e2, 7)
     assert len(TX.history(table)) == n_hist
+
+
+def test_sketch_spandedup_parity_and_generation_growth(spark, tmp_path, monkeypatch):
+    """Scale-path span CDC == inline span CDC on the same replay (same
+    scrub for every doc), the bloom candidates verify EXACTLY (no false
+    scrubs), and the generation ritual writes a 'full' row when the
+    epoch-row bound trips — with dedup semantics intact afterwards."""
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    epochs = [
+        [
+            (1, "alpha beta gamma delta unique0"),
+            (2, "p q alpha beta gamma r"),
+            (3, "solo text nothing shared here"),
+        ],
+        [
+            (10, "x y alpha beta gamma z"),
+            (11, "p q r s t u"),
+            (12, "solo text nothing shared here"),
+        ],
+        [
+            (20, "now alpha beta gamma again"),
+            (21, "fresh words only in here"),
+        ],
+    ]
+    # epoch-row bound of 1 forces a 'full' rebuild ritual mid-replay
+    monkeypatch.setattr(SP, "SPAN_SKETCH_MAX_EPOCH_ROWS", 1)
+
+    t_inline = str(tmp_path / "inline")
+    t_sketch = str(tmp_path / "sketch")
+    h_inline = SP.incremental_spandedup_batch_handler(t_inline)
+    h_sketch = SP.incremental_spandedup_sketch_batch_handler(t_sketch)
+    for i, rows in enumerate(epochs):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        h_inline(df, i)
+        h_sketch(df, i)
+
+    a = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in TX.read(spark, t_inline).collect()
+    }
+    b = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in TX.read(spark, t_sketch).collect()
+    }
+    assert a == b
+    assert b[20] == ("now again", 3)  # cross-epoch block survived rebuilds
+    assert b[21] == ("fresh words only in here", 0)
+
+    # ritual evidence: at least one 'full' sketch row landed, and the
+    # exact gram sidecar carries every distinct gram ever seen
+    kinds = [r.kind for r in TX.read(spark, t_sketch + "__sketch").collect()]
+    assert "full" in kinds and "epoch" in kinds
+    n_grams = (
+        TX.read(spark, t_sketch + "__grams").select("_h").distinct().count()
+    )
+    assert n_grams > 0
+
+    # epoch re-delivery: committed no-op on the docs table
+    n_hist = len(TX.history(t_sketch))
+    h_sketch(
+        spark.createDataFrame(epochs[2], "doc_id long, text string"), 2
+    )
+    assert len(TX.history(t_sketch)) == n_hist

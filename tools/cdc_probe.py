@@ -152,6 +152,18 @@ def main() -> None:
                 table, compact_every=compact_every
             ),
         ),
+        # round 9 session 2: the span-CDC SCALE PATH — bloom-sketch
+        # prefilter + point-pruned exact verify over the hash-clustered
+        # gram sidecar. The pair (cdc_span, cdc_span_sketch) is the
+        # design's A/B: inline must read ~linear in index size, sketch
+        # ~flat.
+        "cdc_span_sketch": (
+            docs_base,
+            _doc_batch_shuffled,
+            lambda table: SP.incremental_spandedup_sketch_batch_handler(
+                table, compact_every=compact_every
+            ),
+        ),
     }
     only_lanes = {
         s for s in os.environ.get("CDC_PROBE_LANES", "").split(",") if s

@@ -505,6 +505,59 @@ def pruned_files(
     return out
 
 
+def pruned_files_for_points(
+    table: str, col: str, points, version: int | None = None
+) -> list[str]:
+    """Snapshot files that MAY contain a row whose ``col`` equals ANY of
+    ``points`` — the multi-point generalization of :func:`pruned_files`
+    (round 9 session 2, the span-CDC verify read): a file is kept iff
+    some point falls inside its committed [min, max]. Driver-side,
+    log-only, O(files * log(points)) via bisect over the sorted points.
+    Files without stats are conservatively kept. On a hash-CLUSTERED
+    table (``compact(..., cluster_by=[col])``) with few points this
+    lists a handful of files out of the snapshot — the same file-level
+    I/O shape as the stored-IVF probe."""
+    import bisect
+
+    pts = sorted(points)
+    if not pts:
+        return []
+    out = []
+    for f, st in snapshot_file_stats(table, version).items():
+        mm = st.get(col)
+        if mm is None:
+            out.append(f)
+            continue
+        i = bisect.bisect_left(pts, mm[0])
+        if i < len(pts) and pts[i] <= mm[1]:
+            out.append(f)
+    return out
+
+
+def read_points(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    points,
+    version: int | None = None,
+) -> DataFrame:
+    """File-pruned snapshot read of the rows whose ``col`` may equal any
+    of ``points`` (caller applies the exact membership test — typically
+    a semi-join): only the :func:`pruned_files_for_points` files are
+    listed/scanned. Empty point set -> empty DataFrame with the table's
+    schema."""
+    log = read_log(table)
+    if not log:
+        raise FileNotFoundError(f"no committed table at {table}")
+    files = pruned_files_for_points(table, col, points, version)
+    if not files:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(log[-1].schema_json))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*[os.path.join(table, f) for f in files])
+
+
 def read(
     spark: SparkSession,
     table: str,

@@ -1317,3 +1317,286 @@ def stream_incremental_spandedup_to_txtable(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Span-CDC SCALE PATH (round 9 session 2): the inline handler above is
+# exact but its probe explodes the accumulated gram column every epoch —
+# token-scale index traffic, honest-but-linear (measured in the cdc_span
+# lane). The sketch handler below makes the steady-state epoch cost
+# independent of index size without giving up exactness:
+#
+#   * ``<table>__grams``  — the exact 60-bit gram-hash table (8 bytes/
+#     token), insert-only; the compact cadence CLUSTERS it by ``_h`` so
+#     every file spans a narrow hash range with committed min/max stats.
+#   * ``<table>__sketch`` — bloom bitmaps: one 'epoch' row per commit
+#     (this batch's grams) plus periodic 'full' rows rebuilt from the
+#     gram table; same-(m,k) bitmaps OR together, so the probe merges
+#     the latest full row + epoch rows after it (bounded count).
+#   * probe = numpy bloom test over the batch's DISTINCT gram hashes
+#     (driver-side, batch-bounded — the bounded-broadcast class), then
+#     EXACT verify of the few bloom-positive candidates via a
+#     point-pruned read of the clustered gram table
+#     (``txtable.read_points`` — the stored-IVF file-I/O shape). Bloom
+#     false positives therefore cost a small read, never a wrong scrub.
+#
+# Growth discipline: when the merged bitmap's load passes
+# SPAN_SKETCH_GROW_LOAD the rebuild quadruples ``m`` (a saturated bloom
+# admits everything — the probe would silently degrade to a full
+# verify); when the epoch-row count since the last full row passes
+# SPAN_SKETCH_MAX_EPOCH_ROWS it rebuilds at the same ``m`` to keep the
+# per-epoch sketch read bounded. Rebuilds scan the gram table once —
+# amortized (log-many over the table's lifetime), the same offline-
+# rebuild economics as rebuild_embdedup_index.
+# ---------------------------------------------------------------------------
+
+SPAN_SKETCH_M0 = 1 << 22  # initial bits per generation (512 KiB)
+SPAN_SKETCH_K = 8
+SPAN_SKETCH_GROW_LOAD = 0.30
+SPAN_SKETCH_TARGET_LOAD = 0.08
+SPAN_SKETCH_MAX_EPOCH_ROWS = 64
+
+
+def _bloom_hashes(h, m: int, k: int):
+    """(n, k) bit positions via double hashing — identical arithmetic on
+    the numpy probe side and the Spark rebuild side (pure integer mod)."""
+    import numpy as np
+
+    h = np.asarray(h, dtype=np.int64)
+    h1 = h % m
+    h2 = 1 + (h >> 20) % (m - 1)
+    return (h1[:, None] + np.arange(k, dtype=np.int64) * h2[:, None]) % m
+
+
+def _bloom_build(h, m: int, k: int) -> bytes:
+    import numpy as np
+
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if len(h):
+        pos = np.unique(_bloom_hashes(h, m, k).ravel())
+        bits[pos // 8] |= np.uint8(1) << (pos % 8).astype(np.uint8)
+    return bits.tobytes()
+
+
+def _bloom_maybe(h, bitmap: "bytes | bytearray", m: int, k: int):
+    """Boolean mask: h[i] possibly in the set (all k bits set)."""
+    import numpy as np
+
+    bits = np.frombuffer(bitmap, dtype=np.uint8)
+    pos = _bloom_hashes(h, m, k)
+    got = (bits[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+    return got.all(axis=1)
+
+
+def _bloom_positions_col(h_col, m: int, k: int):
+    """Spark mirror of ``_bloom_hashes`` for the distributed 'full'
+    rebuild: array<bigint> of the k bit positions for a hash column."""
+    h1 = h_col % F.lit(m)
+    h2 = F.lit(1) + F.shiftright(h_col, 20) % F.lit(m - 1)
+    return F.array(*[(h1 + F.lit(i) * h2) % F.lit(m) for i in range(k)])
+
+
+def _span_sketch_state(spark, sketch_table):
+    """(m, k, merged_bitmap, epoch_rows_since_full) from the sketch
+    table — latest 'full' row (if any) OR'd with the 'epoch' rows after
+    it. Returns None when the table doesn't exist yet."""
+    import numpy as np
+
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    if TX.latest_version(sketch_table) < 0:
+        return None
+    rows = TX.read(spark, sketch_table).collect()
+    fulls = [r for r in rows if r.kind == "full"]
+    base_epoch = -1
+    if fulls:
+        latest_full = max(fulls, key=lambda r: (r.epoch_id, r.m))
+        m, k = int(latest_full.m), int(latest_full.k)
+        merged = np.frombuffer(bytes(latest_full.bitmap), dtype=np.uint8).copy()
+        base_epoch = latest_full.epoch_id
+        live = [
+            r for r in rows if r.kind == "epoch" and r.epoch_id > base_epoch
+        ]
+    else:
+        live = [r for r in rows if r.kind == "epoch"]
+        if not live:
+            return None
+        m, k = int(live[0].m), int(live[0].k)
+        merged = np.zeros(m // 8, dtype=np.uint8)
+    n_live = 0
+    for r in live:
+        if int(r.m) != m:  # superseded generation — covered by a full row
+            continue
+        merged |= np.frombuffer(bytes(r.bitmap), dtype=np.uint8)
+        n_live += 1
+    return m, k, merged, n_live
+
+
+def _span_sketch_rebuild(spark, gram_table, sketch_table, epoch_id, epoch):
+    """Write a 'full' sketch row from the exact gram table, growing ``m``
+    until the projected load is under SPAN_SKETCH_TARGET_LOAD. One gram-
+    table scan; bit positions are computed distributed and only the
+    DISTINCT positions (<= load * m of them) come to the driver."""
+    import numpy as np
+
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    grams = TX.read(spark, gram_table).select("_h")
+    n = grams.count()
+    m = SPAN_SKETCH_M0
+    while SPAN_SKETCH_K * max(n, 1) / m > SPAN_SKETCH_TARGET_LOAD:
+        m *= 4
+    pos = (
+        grams.select(
+            F.explode(
+                _bloom_positions_col(F.col("_h"), m, SPAN_SKETCH_K)
+            ).alias("p")
+        )
+        .distinct()
+        .toPandas()["p"]
+        .to_numpy()
+    )
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if len(pos):
+        bits[pos // 8] |= np.uint8(1) << (pos % 8).astype(np.uint8)
+    row = spark.createDataFrame(
+        [(int(epoch_id), "full", int(m), SPAN_SKETCH_K, int(n), bytearray(bits.tobytes()))],
+        "epoch_id bigint, kind string, m bigint, k int, n_grams bigint, bitmap binary",
+    )
+    TX.append(row, sketch_table, app_epoch=f"{epoch}-full")
+
+
+def incremental_spandedup_sketch_batch_handler(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int | None = None,
+    compact_every: int | None = None,
+):
+    """Scale-path span-CDC handler (see the section comment above):
+    same earlier-wins semantics and same scrub output as
+    ``incremental_spandedup_batch_handler`` (parity-tested), but the
+    index probe is bloom-prefiltered + point-pruned-verified instead of
+    an index-wide explode, so the steady-state epoch wall is bounded by
+    BATCH size, not index size.
+
+    Commit order: grams -> sketch -> docs (each epoch-idempotent; the
+    docs table's marker gates re-entry, so a crash between commits is
+    completed by the retry — insert-only appends make the completion
+    exact). Doc rows stay lean (no gram arrays): ``<table>__grams`` is
+    the authoritative gram store and the rebuild source."""
+    import numpy as np
+
+    from webscale_multimodal_datapipeline_spark.functions import text as TXT
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        DUP_SPAN_K,
+        _materialize,
+        _positional_gram_hashes,
+        merge_covered_positions,
+        release_all,
+        scrub_with_spans,
+    )
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    kk = DUP_SPAN_K if k is None else int(k)
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = f"incspansk-epoch-{epoch_id}"
+        if epoch in TX.committed_epochs(table):
+            return
+        gram_t, sketch_t = f"{table}__grams", f"{table}__sketch"
+        res: list = []
+        try:
+            base = _materialize(
+                batch_df.withColumn(
+                    "_grams",
+                    _positional_gram_hashes(TXT.norm_tokens(text_col), kk),
+                ),
+                res,
+            )
+            inst = _materialize(
+                base.select(
+                    id_col, F.posexplode("_grams").alias("pos", "_h")
+                ),
+                res,
+            )
+            bdup = (
+                inst.groupBy("_h")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .select("_h")
+            )
+            covered = inst.join(bdup, "_h", "leftsemi").select(id_col, "pos")
+            # batch-bounded driver collect (the bounded-broadcast class):
+            # the batch's DISTINCT gram hashes, for the numpy bloom test
+            bg = (
+                inst.select("_h").distinct().toPandas()["_h"].to_numpy()
+            )
+            state = _span_sketch_state(spark, sketch_t)
+            if state is not None and len(bg):
+                m, bk, merged, _ = state
+                cand = bg[_bloom_maybe(bg, merged, m, bk)]
+                if len(cand):
+                    cand_df = spark.createDataFrame(
+                        [(int(x),) for x in cand], "_h bigint"
+                    )
+                    verified = (
+                        TX.read_points(
+                            spark, gram_t, "_h", [int(x) for x in cand]
+                        )
+                        .join(F.broadcast(cand_df), "_h", "leftsemi")
+                        .select("_h")
+                        .distinct()
+                    )
+                    covered = covered.unionByName(
+                        inst.join(verified, "_h", "leftsemi").select(
+                            id_col, "pos"
+                        )
+                    ).distinct()
+            spans = merge_covered_positions(covered, id_col, kk)
+            out = scrub_with_spans(base, spans, text_col, id_col)
+            # --- commits: grams, sketch, docs (docs last = epoch gate) ---
+            TX.append(
+                inst.select("_h").distinct(), gram_t, app_epoch=epoch
+            )
+            state_m = state[0] if state is not None else SPAN_SKETCH_M0
+            state_k = state[1] if state is not None else SPAN_SKETCH_K
+            erow = spark.createDataFrame(
+                [
+                    (
+                        int(epoch_id),
+                        "epoch",
+                        int(state_m),
+                        int(state_k),
+                        int(len(bg)),
+                        bytearray(_bloom_build(bg, state_m, state_k)),
+                    )
+                ],
+                "epoch_id bigint, kind string, m bigint, k int, "
+                "n_grams bigint, bitmap binary",
+            )
+            TX.append(erow, sketch_t, app_epoch=epoch)
+            # growth / boundedness ritual AFTER this epoch's rows land
+            new_state = _span_sketch_state(spark, sketch_t)
+            if new_state is not None:
+                m2, _, merged2, n_live = new_state
+                load = float(
+                    np.unpackbits(merged2).sum()
+                ) / m2
+                if (
+                    load > SPAN_SKETCH_GROW_LOAD
+                    or n_live > SPAN_SKETCH_MAX_EPOCH_ROWS
+                ):
+                    _span_sketch_rebuild(
+                        spark, gram_t, sketch_t, epoch_id, epoch
+                    )
+            TX.append(out, table, app_epoch=epoch)
+        finally:
+            release_all(res)
+        _maybe_compact_index(
+            spark, gram_t, epoch_id, compact_every, cluster_by=["_h"]
+        )
+        _maybe_compact_index(spark, table, epoch_id, compact_every)
+
+    return _commit
