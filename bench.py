@@ -215,15 +215,18 @@ def compact_line(
             "contended": int(contended),
             # lane-local contention (r6): short names of lanes whose
             # bracket kernel readings tripped the 0.60 gate — normally []
-            # — discount those lanes' rec_k. Capped at 8 (by descending
-            # deviation) to hold the budget; per-lane cal_ms/cal_dev always
-            # live in the verbose detail line. A genuinely whole-run load
-            # elevates the session base instead and trips `contended`.
+            # — discount those lanes' rec_k. Capped at 3 (by descending
+            # deviation; was 8 until round 9 session 2 — the cap funds the
+            # three new query lanes' budget, and >3 flagged lanes means
+            # session-wide load, which `contended`/`ambient` already
+            # record); per-lane cal_ms/cal_dev always live in the verbose
+            # detail line. A genuinely whole-run load elevates the session
+            # base instead and trips `contended`.
             "lane_flags": [
                 _short_lane(k)
                 for k, _ in sorted(
                     (flags or {}).items(), key=lambda kv: -kv[1]
-                )[:8]
+                )[:3]
             ],
             # session-ambient marker (r7): 1 = the whole run was loaded
             # (start/end loadavg over AMBIENT_LOAD_THRESHOLD) — discount

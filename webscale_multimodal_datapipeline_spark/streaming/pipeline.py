@@ -1249,11 +1249,19 @@ def incremental_spandedup_batch_handler(
             return  # re-delivered epoch: skip even the Spark work
         res: list = []
         try:
+            # _toks MUST be a materialized column, not an inline
+            # expression: the positional-gram HOF's interpreted lambda
+            # re-evaluates its `toks` argument per element_at, so an
+            # inlined norm_tokens re-tokenizes the full text 3*positions
+            # times per row (measured 24.2s of a 28s epoch; 0.6s as a
+            # column — the word_shingles PERF trap in a new disguise).
             base = _materialize(
-                batch_df.withColumn(
+                batch_df.withColumn("_toks", TXT.norm_tokens(text_col))
+                .withColumn(
                     "_grams",
-                    _positional_gram_hashes(TXT.norm_tokens(text_col), kk),
-                ),
+                    _positional_gram_hashes(F.col("_toks"), kk),
+                )
+                .drop("_toks"),
                 res,
             )
             inst = _materialize(
@@ -1508,11 +1516,19 @@ def incremental_spandedup_sketch_batch_handler(
         gram_t, sketch_t = f"{table}__grams", f"{table}__sketch"
         res: list = []
         try:
+            # _toks MUST be a materialized column, not an inline
+            # expression: the positional-gram HOF's interpreted lambda
+            # re-evaluates its `toks` argument per element_at, so an
+            # inlined norm_tokens re-tokenizes the full text 3*positions
+            # times per row (measured 24.2s of a 28s epoch; 0.6s as a
+            # column — the word_shingles PERF trap in a new disguise).
             base = _materialize(
-                batch_df.withColumn(
+                batch_df.withColumn("_toks", TXT.norm_tokens(text_col))
+                .withColumn(
                     "_grams",
-                    _positional_gram_hashes(TXT.norm_tokens(text_col), kk),
-                ),
+                    _positional_gram_hashes(F.col("_toks"), kk),
+                )
+                .drop("_toks"),
                 res,
             )
             inst = _materialize(
