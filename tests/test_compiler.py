@@ -459,3 +459,30 @@ def test_semantic_neardup_centered_yaml_end_to_end(spark, sf_dir):
     assert {r["_rejection_details"]["operator"] for r in res.rejected.collect()} <= {
         "embedding_cosine_dedup",
     }
+
+
+def test_span_scrub_yaml_end_to_end(spark, sf_dir):
+    """The shipped span-scrub example config reaches dup_span_scrub
+    through YAML: rows survive (refiner shape, never dropped), text is
+    the scrubbed remainder, and the accounting column matches the
+    oracle-checked operator called directly on the gated input."""
+    from webscale_multimodal_datapipeline_spark.compiler import compile_pipeline
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        dup_span_scrub,
+    )
+
+    plan = compile_pipeline("/root/repo/examples/span_scrub_pipeline.yaml")
+    res = plan.run(spark, sf_dir, observe_metrics=False)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eff = F.coalesce(F.col("n_chars"), F.length("text"), F.lit(0))
+    gated = docs.filter(eff.between(50, 10000))
+    assert res.output.count() == gated.count()  # refiner: no row drops
+    want = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in dup_span_scrub(gated).collect()
+    }
+    got = {
+        r.doc_id: (r.text, r.span_tokens_removed)
+        for r in res.output.collect()
+    }
+    assert got == want

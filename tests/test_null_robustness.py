@@ -706,6 +706,11 @@ _WAREHOUSE_OMNIBUS = [
     "x_rank_distributions", "x_revenue_share", "x_salted_skew_join",
     "x_segment_intersect", "x_skipping_benefit", "x_weighted_median",
     "x_zorder_key",
+    # round 9 session 2: poisoned embeddings (NULL vectors / NULL
+    # elements / wrong-dim rows excluded identically by both engines)
+    # and poisoned documents through the interleave item builder
+    "v_spherical_kmeans", "v_spherical_kmeans_profile",
+    "m_interleave_pack", "m_interleave_density",
 ]
 
 

@@ -890,12 +890,21 @@ def _interleave_items(d: DataFrame) -> DataFrame:
     """Synthetic interleaved corpus: every doc contributes its text run
     (item 0, BPE-ish token cost) followed by ``doc_id % 3`` images
     (atomic INTERLEAVE_IMG_TOKENS blocks) — the deterministic stand-in
-    for an MMC4-style doc->images mapping."""
+    for an MMC4-style doc->images mapping.
+
+    Null contract (poisoned-fixture parity): a NULL doc_id has no layout
+    identity (no shard, no image count — and Spark/DuckDB order NULL
+    keys differently inside the fold) so those rows are excluded; a NULL
+    text is a zero-cost run (COALESCE — an un-coalesced NULL cost turns
+    the fold's cursor arithmetic NaN)."""
+    d = d.filter(F.col("doc_id").isNotNull())
     text_items = d.select(
         "doc_id",
         F.lit(0).alias("item_idx"),
         F.lit("text").alias("item_type"),
-        bpe_ish_token_count("text").cast("bigint").alias("token_cost"),
+        F.coalesce(
+            bpe_ish_token_count("text").cast("bigint"), F.lit(0)
+        ).alias("token_cost"),
     )
     n_img = (F.col("doc_id") % 3).cast("int")
     img_items = (
@@ -927,12 +936,14 @@ def m_interleave_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 M_INTERLEAVE_PACK_SQL = f"""
 WITH RECURSIVE base AS (
   SELECT doc_id, 0 AS item_idx, 'text' AS item_type,
-         CAST({OQ.sql_bpe_token_count('text')} AS BIGINT) AS token_cost
-  FROM documents
+         COALESCE(CAST({OQ.sql_bpe_token_count('text')} AS BIGINT), 0)
+           AS token_cost
+  FROM documents WHERE doc_id IS NOT NULL
   UNION ALL
   SELECT doc_id, CAST(i AS INT) AS item_idx, 'image' AS item_type,
          CAST({_IVT} AS BIGINT) AS token_cost
-  FROM (SELECT doc_id, unnest(range(1, doc_id % 3 + 1)) AS i FROM documents)
+  FROM (SELECT doc_id, unnest(range(1, doc_id % 3 + 1)) AS i
+        FROM documents WHERE doc_id IS NOT NULL)
 ), sh AS (
   SELECT *, CAST({OQ.sql_md5_long("CAST(doc_id AS VARCHAR)")} % {_IVS} AS INT)
          AS shard
@@ -1000,12 +1011,14 @@ def m_interleave_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 M_INTERLEAVE_DENSITY_SQL = f"""
 WITH RECURSIVE base AS (
   SELECT doc_id, 0 AS item_idx,  'text' AS item_type,
-         CAST({OQ.sql_bpe_token_count('text')} AS BIGINT) AS token_cost
-  FROM documents
+         COALESCE(CAST({OQ.sql_bpe_token_count('text')} AS BIGINT), 0)
+           AS token_cost
+  FROM documents WHERE doc_id IS NOT NULL
   UNION ALL
   SELECT doc_id, CAST(i AS INT), 'image',
          CAST({_IVT} AS BIGINT)
-  FROM (SELECT doc_id, unnest(range(1, doc_id % 3 + 1)) AS i FROM documents)
+  FROM (SELECT doc_id, unnest(range(1, doc_id % 3 + 1)) AS i
+        FROM documents WHERE doc_id IS NOT NULL)
 ), sh AS (
   SELECT *, CAST({OQ.sql_md5_long("CAST(doc_id AS VARCHAR)")} % {_IVS} AS INT)
          AS shard
