@@ -1122,3 +1122,51 @@ def test_sketch_spandedup_parity_and_generation_growth(spark, tmp_path, monkeypa
         spark.createDataFrame(epochs[2], "doc_id long, text string"), 2
     )
     assert len(TX.history(t_sketch)) == n_hist
+
+
+def test_sketch_spandedup_retry_after_partial_commit(spark, tmp_path, monkeypatch):
+    """Crash-retry exactness (round 9 session 2 self-review): the sketch
+    handler commits grams -> sketch -> docs; a crash after the side
+    commits leaves the batch's OWN grams in the index, and an unguarded
+    retry would self-match every position and scrub the whole batch to
+    ''. The epoch-stamped gram rows + strictly-earlier verify filter
+    make the retry compute exactly what the first attempt would have."""
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    t = str(tmp_path / "t")
+    h = SP.incremental_spandedup_sketch_batch_handler(t)
+    h(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "unrelated words entirely here")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    df1 = spark.createDataFrame(
+        [(10, "novel fresh tokens nothing repeated"), (11, "alpha beta gamma tail")],
+        "doc_id long, text string",
+    )
+    orig_append = TX.append
+
+    def flaky(df, table, **kw):
+        if table == t and kw.get("app_epoch") == "incspansk-epoch-1":
+            raise RuntimeError("injected crash before docs commit")
+        return orig_append(df, table, **kw)
+
+    monkeypatch.setattr(TX, "append", flaky)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        h(df1, 1)
+    # side tables committed, docs did not
+    assert TX.latest_version(t + "__grams") >= 1
+    assert "incspansk-epoch-1" not in TX.committed_epochs(t)
+    monkeypatch.setattr(TX, "append", orig_append)
+
+    h(df1, 1)  # retry
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in TX.read(spark, t).collect()
+    }
+    # novel text survives the retry (no self-match)...
+    assert got[10] == ("novel fresh tokens nothing repeated", 0)
+    # ...while the genuinely-earlier epoch-0 run is still blocked
+    assert got[11] == ("tail", 3)

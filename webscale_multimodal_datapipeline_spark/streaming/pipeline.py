@@ -1561,6 +1561,15 @@ def incremental_spandedup_sketch_batch_handler(
                         TX.read_points(
                             spark, gram_t, "_h", [int(x) for x in cand]
                         )
+                        # own-epoch exclusion: a crash AFTER the gram/
+                        # sketch commits but BEFORE the docs commit makes
+                        # the retry probe an index already containing
+                        # THIS batch's grams — without the filter every
+                        # position would self-match and the whole batch
+                        # scrub to ''. Gram rows carry their epoch so the
+                        # verify only accepts strictly-earlier epochs
+                        # (first attempt and retry compute identically).
+                        .filter(F.col("epoch_id") < int(epoch_id))
                         .join(F.broadcast(cand_df), "_h", "leftsemi")
                         .select("_h")
                         .distinct()
@@ -1574,7 +1583,11 @@ def incremental_spandedup_sketch_batch_handler(
             out = scrub_with_spans(base, spans, text_col, id_col)
             # --- commits: grams, sketch, docs (docs last = epoch gate) ---
             TX.append(
-                inst.select("_h").distinct(), gram_t, app_epoch=epoch
+                inst.select("_h")
+                .distinct()
+                .withColumn("epoch_id", F.lit(int(epoch_id)).cast("bigint")),
+                gram_t,
+                app_epoch=epoch,
             )
             state_m = state[0] if state is not None else SPAN_SKETCH_M0
             state_k = state[1] if state is not None else SPAN_SKETCH_K
