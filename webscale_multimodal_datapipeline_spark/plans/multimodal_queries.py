@@ -948,7 +948,7 @@ WITH RECURSIVE base AS (
   SELECT *, CAST({OQ.sql_md5_long("CAST(doc_id AS VARCHAR)")} % {_IVS} AS INT)
          AS shard
   FROM base
-), s AS (
+), s AS MATERIALIZED (
   SELECT *, ROW_NUMBER() OVER (
            PARTITION BY shard ORDER BY doc_id, item_idx
          ) AS rn
@@ -1023,7 +1023,7 @@ WITH RECURSIVE base AS (
   SELECT *, CAST({OQ.sql_md5_long("CAST(doc_id AS VARCHAR)")} % {_IVS} AS INT)
          AS shard
   FROM base
-), s AS (
+), s AS MATERIALIZED (
   SELECT *, ROW_NUMBER() OVER (
            PARTITION BY shard ORDER BY doc_id, item_idx
          ) AS rn

@@ -2228,7 +2228,7 @@ WITH RECURSIVE t AS (
          CAST({OQ.sql_md5_long("CAST(doc_id AS VARCHAR)")} % {OPK.PACK_SHARDS}
               AS INT) AS shard
   FROM documents
-), s AS (
+), s AS MATERIALIZED (
   SELECT shard, doc_id, n_tokens,
          ROW_NUMBER() OVER (
            PARTITION BY shard ORDER BY n_tokens DESC, doc_id ASC
