@@ -244,3 +244,100 @@ def test_winnow_fp_kernel_matches_python_reference(spark, texts):
             mins = [min(sh[i : i + w]) for i in range(nw)]
             want = len(set(mins))
         assert got[d] == want, (d, texts[d] if d < len(texts) else None)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 session-2 properties: span dedup vs a brute-force Python
+# reference, and the interleave fold vs a plain sequential replay.
+# ---------------------------------------------------------------------------
+
+# small-vocabulary corpora so duplicated k-grams actually occur
+_WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_DOCS = st.lists(
+    st.lists(_WORDS, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _py_span_scrub(docs: dict[int, str], k: int = 3) -> dict[int, tuple]:
+    """Brute-force reference: count every positional k-gram, cover the
+    [pos, pos+k) windows of grams with total count > 1, keep the rest."""
+    toks = {i: t.split() for i, t in docs.items()}
+    from collections import Counter
+
+    counts = Counter()
+    for ts in toks.values():
+        for p in range(len(ts) - k + 1):
+            counts[tuple(ts[p : p + k])] += 1
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        for p in range(len(ts) - k + 1):
+            if counts[tuple(ts[p : p + k])] > 1:
+                covered.update(range(p, p + k))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        out[i] = (len(ts), len(kept), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+@given(docs=_DOCS)
+@settings(**_SETTINGS)
+def test_dup_span_scrub_matches_bruteforce(spark, docs):
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        dup_span_scrub,
+    )
+
+    d = {i: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(list(d.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.n_removed, r.clean_text)
+        for r in dup_span_scrub(df).collect()
+    }
+    assert got == _py_span_scrub(d)
+
+
+_ITEMS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),   # doc
+        st.integers(min_value=0, max_value=30),  # cost
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(raw=_ITEMS)
+@settings(**_SETTINGS)
+def test_interleave_pack_matches_sequential_replay(spark, raw):
+    from webscale_multimodal_datapipeline_spark.operators.packing import (
+        interleave_pack,
+    )
+
+    budget = 24
+    items = [
+        (doc, idx, "x", cost)
+        for idx, (doc, cost) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        items, "doc_id long, item_idx int, item_type string, token_cost long"
+    )
+    got = {
+        (r.doc_id, r.item_idx): (r.pack_id, r.pack_offset)
+        for r in interleave_pack(df, budget=budget, n_shards=1).collect()
+    }
+    # plain replay in (doc, idx) order — the discipline's definition
+    want = {}
+    pack, fill, first = 0, 0, True
+    for doc, idx, _t, cost in sorted(items):
+        if first:
+            want[(doc, idx)] = (0, 0)
+            fill, first = cost, False
+        elif fill + cost <= budget:
+            want[(doc, idx)] = (pack, fill)
+            fill += cost
+        else:
+            pack += 1
+            want[(doc, idx)] = (pack, 0)
+            fill = cost
+    assert got == want
