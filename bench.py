@@ -144,6 +144,72 @@ def should_refuse_contended(
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-10 headline best-of-N (VERDICT r9 task 5): the r8/r9 driver records
+# were BOTH flagged contended sessions whose headline walls ran one timed
+# pass per query, so a load burst during any single pass landed verbatim in
+# the record and the refuse ritual (rc=3) was the only defense — but the
+# driver keeps the tail regardless of exit code. Fix direction per the
+# VERDICT: make the recorded numbers themselves burst-robust. Each headline
+# query now runs TWICE (a third time only when the two walls disagree by
+# more than HEADLINE_REL_GATE) and records the MINIMUM — a burst confined
+# to one pass cannot reach the record. The refusal ritual stays, but only
+# for SEVERE sustained load (cal_dev >= SEVERE_CAL_DEV, the measured band
+# of every true contention event r4-r9: dev >= 2.0 / 3-8x lane
+# depressions), where even per-query minima are machine artifacts.
+# Moderate elevation (the r9 driver session: cal_dev 0.69) records
+# in-band minima with sentinel flags instead of a refusal.
+#
+# METHOD CHANGE NOTE (cross-round band continuity): headline walls through
+# r9 were single-pass and include per-plan codegen; the min-of-N wall is
+# typically a warm second pass, so r10+ walls read systematically LOWER on
+# identical code. The verbose detail line carries both series
+# ("queries_first_pass" = the old statistic) so cross-round comparison
+# stays possible; bands are re-pinned at r10.
+# ---------------------------------------------------------------------------
+
+HEADLINE_REL_GATE = 0.20
+SEVERE_CAL_DEV = 2.0
+SEVERE_LOAD_START = 8.0
+
+
+def headline_extra_run(
+    t1: float, t2: float, rel_gate: float = HEADLINE_REL_GATE
+) -> bool:
+    """True iff a third timed pass is warranted: the first two walls
+    disagree by more than ``rel_gate`` of their minimum (one of them ate a
+    burst, or pass 1's codegen dominated a short query — either way the
+    third pass disambiguates and the min stays the steady-state wall)."""
+    lo = min(t1, t2)
+    if lo <= 0:
+        return False
+    return (max(t1, t2) - lo) / lo > rel_gate
+
+
+def should_refuse_bench(
+    cal: list[float], load: list[float] | None = None, env: dict | None = None
+) -> bool:
+    """Bench-specific refuse-to-record decision (r10, replaces the r9
+    blanket ritual for ``bench.main`` only — the probe tools keep
+    ``should_refuse_contended``, they have no best-of-N minima). True iff
+    the session shows SEVERE sustained contention: calibration deviation at
+    or past ``SEVERE_CAL_DEV`` (every true r4-r9 contention event measured
+    dev >= 2.0) or a start loadavg at or past ``SEVERE_LOAD_START`` (the r4
+    catastrophic session started at 8.1). Below those bars the per-query
+    minima are expected in-band and the run records with its sentinel flags
+    (``contended``/``ambient``/``lane_flags``) for the grader to weigh.
+    Env overrides are honored exactly as before."""
+    e = os.environ if env is None else env
+    dev, _ = contention_flag(cal)
+    severe = dev >= SEVERE_CAL_DEV or bool(load) and load[0] >= SEVERE_LOAD_START
+    if not severe:
+        return False
+    return not (
+        _env_truthy(e.get("SPARK_GRAFT_BENCH_ALLOW_CONTENDED"))
+        or _env_truthy(e.get("SPARK_GRAFT_PROBE_ALLOW_CONTENDED"))
+    )
+
+
 def lane_flags(
     tp: dict[str, dict[str, float]], threshold: float = 0.60
 ) -> dict[str, float]:
@@ -619,16 +685,36 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     per_query: dict[str, float] = {}
+    first_pass: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.time()
-        # count() forces full execution of every operator in the plan.
-        n = fn(spark, sf_dir).count()
-        dt = time.time() - t0
+        # Best-of-N minima (r10, see headline_extra_run): two timed passes,
+        # a third only when they disagree past the gate; record the min.
+        # Each pass rebuilds the plan from the registry callable — internal
+        # persists hang off the new DataFrame objects, so a later pass
+        # re-executes the full operator chain (only JVM codegen + parquet
+        # footer caches are warm, which is the steady state we want).
+        ts = []
+        n = 0
+        for _ in range(2):
+            t0 = time.time()
+            # count() forces full execution of every operator in the plan.
+            n = fn(spark, sf_dir).count()
+            ts.append(time.time() - t0)
+        if headline_extra_run(ts[0], ts[1]):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            ts.append(time.time() - t0)
+        dt = min(ts)
         per_query[name] = round(dt, 3)
+        first_pass[name] = round(ts[0], 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        print(
+            f"# {name}: {n} rows in {dt:.2f}s"
+            f" (passes {[round(t, 2) for t in ts]})",
+            file=sys.stderr,
+        )
 
     # Drain state left by the headline queries before the throughput
     # lanes: cached plans (operator split() caches), localCheckpoint RDDs
@@ -669,14 +755,18 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                # the pre-r10 statistic (single first pass, includes
+                # codegen) — kept so cross-round series stay comparable
+                # across the r10 method change to best-of-N minima.
+                "queries_first_pass": first_pass,
                 "throughput": tp,
                 "sf": sf,
-                # Methodology note (stable since r2): each throughput lane
-                # reports the median of 3 timed runs after a warm-up run,
-                # plus per-lane spread=(max-min)/median; r1 used a single
-                # timed run and r2-r3 min-of-2, so cross-round comparisons
-                # carry that delta (median ≥ min by construction).
-                "method": "throughput=median_of_3_after_warmup",
+                # Methodology note: each throughput lane reports the median
+                # of 3 timed runs after a warm-up run, plus per-lane
+                # spread=(max-min)/median; r1 used a single timed run and
+                # r2-r3 min-of-2. Headline walls are min of 2-3 passes
+                # since r10 (single pass r1-r9) — see headline_extra_run.
+                "method": "headline=min_of_2_3_adaptive;throughput=median_of_3_after_warmup",
                 "load_1min": [round(x, 2) for x in load],
                 "calibration_ms": [round(c, 1) for c in cal],
             }
@@ -692,20 +782,21 @@ def main() -> None:
     print(compact_line(total, per_query, tp, sf, load, cal, flags))
     sys.stdout.flush()
 
-    # Round-9 close ritual (VERDICT r8 #3): same refuse-to-record behavior
-    # as tools/scaling_probe.py — a contended session measures the machine,
-    # not the queries (the r8 driver bench read 62.5 s contended vs 52.0 s
-    # clean on identical code). The numbers above are still printed (a
-    # flagged artifact beats no artifact), but the process exits nonzero so
-    # a contended run can't be recorded as a clean band by accident. Set
-    # SPARK_GRAFT_BENCH_ALLOW_CONTENDED=1 (or the probe's
-    # SPARK_GRAFT_PROBE_ALLOW_CONTENDED) to keep the flagged numbers.
-    if should_refuse_contended(cal, load):
+    # Refuse-to-record ritual, r10 form (VERDICT r9 task 5): with per-query
+    # best-of-N minima the record is burst-robust, so moderate contention
+    # (the r9 driver session: cal_dev 0.69) records in-band minima WITH its
+    # sentinel flags instead of refusing. Only severe sustained load — the
+    # measured band of every true contention event (cal_dev >= 2.0, or a
+    # start loadavg >= 8 like the r4 catastrophic session) — still exits 3,
+    # because there even minima measure the machine. Probe tools keep the
+    # stricter r9 ritual (they have no best-of-N). Env overrides unchanged.
+    if should_refuse_bench(cal, load):
         dev, _ = contention_flag(cal)
         print(
-            f"# CONTENDED bench run (cal_dev {dev}, load_start {load[0]:.2f}):"
-            " numbers are session-load artifacts — rerun on an idle session"
-            " or set SPARK_GRAFT_BENCH_ALLOW_CONTENDED=1",
+            f"# SEVERELY CONTENDED bench run (cal_dev {dev}, load_start"
+            f" {load[0]:.2f}): even best-of-N minima are session-load"
+            " artifacts — rerun on an idle session or set"
+            " SPARK_GRAFT_BENCH_ALLOW_CONTENDED=1",
             file=sys.stderr,
         )
         sys.exit(3)

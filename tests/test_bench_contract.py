@@ -256,3 +256,44 @@ def test_allow_contended_zero_means_no():
     assert not bench.should_refuse_contended(
         loaded_cal, hot_load, env={"SPARK_GRAFT_PROBE_ALLOW_CONTENDED": "yes"}
     )
+
+
+def test_headline_extra_run_gate():
+    """r10 best-of-N policy: a third pass fires only when the first two
+    walls disagree by more than HEADLINE_REL_GATE of their minimum."""
+    assert not bench.headline_extra_run(1.00, 1.10)   # 10% — agree
+    assert not bench.headline_extra_run(1.10, 1.00)   # order-free
+    assert bench.headline_extra_run(1.00, 1.30)       # 30% — disagree
+    assert bench.headline_extra_run(2.60, 2.00)       # burst in pass 1
+    # exact gate boundary is NOT over the gate (strict >)
+    assert not bench.headline_extra_run(1.00, 1.20)
+    # degenerate walls never trigger a third pass
+    assert not bench.headline_extra_run(0.0, 5.0)
+    assert not bench.headline_extra_run(-1.0, 1.0)
+
+
+def test_should_refuse_bench_severe_only():
+    """r10 ritual (VERDICT r9 task 5): with best-of-N minima, moderate
+    contention RECORDS (flags in the compact line defend it); only severe
+    sustained load — cal_dev >= 2.0 or start loadavg >= 8 — refuses."""
+    clean_cal = [40.0, 41.0, 42.0, 40.5]        # dev ~0.05
+    moderate_cal = [40.0, 67.0, 42.0, 40.5]     # dev ~0.68 — the r9 shape
+    severe_cal = [40.0, 140.0, 42.0, 40.5]      # dev 2.5 — true event band
+    idle_load = [0.3, 18.0]
+    warm_load = [1.71, 23.28]                   # the r9 driver session
+    cata_load = [8.1, 30.0]                     # the r4 catastrophic start
+
+    assert not bench.should_refuse_bench(clean_cal, idle_load, env={})
+    # the r9 driver session (cal_dev 0.69, load 1.71) now RECORDS
+    assert not bench.should_refuse_bench(moderate_cal, warm_load, env={})
+    assert bench.should_refuse_bench(severe_cal, idle_load, env={})
+    assert bench.should_refuse_bench(clean_cal, cata_load, env={})
+    # overrides still honored, and =0 still means no
+    assert not bench.should_refuse_bench(
+        severe_cal, cata_load, env={"SPARK_GRAFT_BENCH_ALLOW_CONTENDED": "1"}
+    )
+    assert bench.should_refuse_bench(
+        severe_cal, cata_load, env={"SPARK_GRAFT_BENCH_ALLOW_CONTENDED": "0"}
+    )
+    # the probe ritual is unchanged: moderate contention still refuses there
+    assert bench.should_refuse_contended(moderate_cal, idle_load, env={})
