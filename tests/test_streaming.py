@@ -1040,10 +1040,15 @@ def test_stream_incremental_spandedup_matches_batch_and_blocks_recrawl(
     assert got[11] == ("p q r s t u", 0)
     assert got[12] == ("", 5)
 
+    # The wrapper resolves mode=auto; a FRESH table must land on the
+    # sketch layout (r10 default flip — gram sidecar is authoritative).
+    assert TX.latest_version(table + "__grams") >= 0
+
     # A third epoch repeating a run whose epoch-0 copies were BOTH
     # scrubbed (doc 1/2's "alpha beta gamma" never survived) must still
     # be blocked: the index carries ORIGINAL grams, not survivors.
-    handler = SP.incremental_spandedup_batch_handler(table)
+    # span_cdc_batch_handler(auto) continues the sketch layout.
+    handler = SP.span_cdc_batch_handler(table)
     e2 = spark.createDataFrame(
         [(20, "now alpha beta gamma again")], "doc_id long, text string"
     )
@@ -1170,3 +1175,43 @@ def test_sketch_spandedup_retry_after_partial_commit(spark, tmp_path, monkeypatc
     assert got[10] == ("novel fresh tokens nothing repeated", 0)
     # ...while the genuinely-earlier epoch-0 run is still blocked
     assert got[11] == ("tail", 3)
+
+
+def test_span_cdc_auto_mode_layout_gate(spark, tmp_path):
+    """r10 default flip (VERDICT r9 task 3): span_cdc_batch_handler(auto)
+    gives a FRESH table the sketch layout (flat-epoch scale path), but
+    CONTINUES a legacy inline-layout table with the inline handler — the
+    legacy index lives as a `_grams` column on doc rows, invisible to the
+    sketch probe, so flipping mid-table would break earlier-wins."""
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    e0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "other words here now")],
+        "doc_id long, text string",
+    )
+    e1 = spark.createDataFrame(
+        [(10, "tail alpha beta gamma cut")], "doc_id long, text string"
+    )
+
+    # fresh table -> sketch layout (gram sidecar authoritative, lean rows)
+    fresh = str(tmp_path / "fresh")
+    SP.span_cdc_batch_handler(fresh)(e0, 0)
+    assert TX.latest_version(fresh + "__grams") >= 0
+    assert "_grams" not in TX.read(spark, fresh).columns
+
+    # legacy inline table -> auto continues inline (no sidecar appears,
+    # cross-epoch block still enforced via the row-borne gram index)
+    legacy = str(tmp_path / "legacy")
+    SP.incremental_spandedup_batch_handler(legacy)(e0, 0)
+    SP.span_cdc_batch_handler(legacy)(e1, 1)
+    assert TX.latest_version(legacy + "__grams") < 0
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in TX.read(spark, legacy).collect()
+    }
+    assert got[10] == ("tail cut", 3)
+
+    # forced modes still resolve, bad mode refuses loudly
+    assert SP.span_cdc_batch_handler(fresh, mode="sketch") is not None
+    with pytest.raises(ValueError, match="auto|sketch|inline"):
+        SP.span_cdc_batch_handler(fresh, mode="bogus")

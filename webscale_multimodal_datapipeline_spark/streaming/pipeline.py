@@ -1302,6 +1302,53 @@ def incremental_spandedup_batch_handler(
     return _commit
 
 
+def span_cdc_batch_handler(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int | None = None,
+    compact_every: int | None = None,
+    mode: str = "auto",
+):
+    """Span-CDC entry point (round 10, VERDICT r9 task 3): picks the
+    handler implementation for continuous-crawl substring-span dedup.
+
+    The SKETCH path is the DEFAULT for new tables. The r9 A/B probe
+    (``docs/probes/cdc_probe_r9s2_span.jsonl``, extended in r10) measured
+    the inline handler's epoch wall rising with accumulated index size
+    (α 0.111 — its probe explodes the whole stored ``_grams`` column every
+    epoch) while the bloom-sketch + point-pruned-verify handler stays flat
+    (α −0.016) with identical scrub output (parity-tested). At 100-TB
+    crawl scale only the flat lane survives, so defaults follow the
+    evidence.
+
+    ``mode``:
+      * ``"auto"`` (default) — continue a LEGACY inline-layout table with
+        the inline handler (its index lives as a ``_grams`` column on the
+        doc rows; the sketch handler would not see it and earlier-wins
+        would silently break), otherwise use the sketch handler. Layout
+        detection: docs table exists but the ``<table>__grams`` sidecar
+        does not ⇒ legacy inline.
+      * ``"sketch"`` / ``"inline"`` — force the implementation.
+    """
+    if mode not in ("auto", "sketch", "inline"):
+        raise ValueError(f"span CDC mode must be auto|sketch|inline, got {mode!r}")
+    if mode == "auto":
+        from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+        legacy_inline = (
+            TX.latest_version(table) >= 0
+            and TX.latest_version(f"{table}__grams") < 0
+        )
+        mode = "inline" if legacy_inline else "sketch"
+    impl = (
+        incremental_spandedup_batch_handler
+        if mode == "inline"
+        else incremental_spandedup_sketch_batch_handler
+    )
+    return impl(table, text_col, id_col, k, compact_every)
+
+
 def stream_incremental_spandedup_to_txtable(
     docs: DataFrame,
     table: str,
@@ -1309,14 +1356,18 @@ def stream_incremental_spandedup_to_txtable(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int | None = None,
+    mode: str = "auto",
 ) -> None:
     """Drive a docs stream through incremental span dedup into a
     transactional table and block until the source drains (replay
-    harness form, mirrors the other CDC wrappers)."""
+    harness form, mirrors the other CDC wrappers). Since round 10 the
+    handler is resolved by ``span_cdc_batch_handler`` — new tables get
+    the flat-epoch sketch path by default; legacy inline-layout tables
+    keep their inline handler (see its docstring for the evidence)."""
     q = (
         docs.writeStream.outputMode("append")
         .foreachBatch(
-            incremental_spandedup_batch_handler(table, text_col, id_col, k)
+            span_cdc_batch_handler(table, text_col, id_col, k, mode=mode)
         )
         .option("checkpointLocation", checkpoint)
         .start()
