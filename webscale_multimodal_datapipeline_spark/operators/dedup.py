@@ -2318,17 +2318,28 @@ def dup_span_positions(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = DUP_SPAN_K,
+    resources: list | None = None,
 ) -> DataFrame:
     """(id, pos) of every k-gram occurrence whose gram occurs >1 time in
-    the corpus — the raw covered positions, pre-merge."""
-    inst = (
-        df.withColumn("_toks", TX.norm_tokens(text_col))
-        .select(
-            id_col,
-            F.posexplode(_positional_gram_hashes(F.col("_toks"), k)).alias(
-                "pos", "_h"
-            ),
-        )
+    the corpus — the raw covered positions, pre-merge.
+
+    The token array is MATERIALIZED before gram hashing (round 10): the
+    gram HOF's lambda evaluates its ``toks`` argument per ``element_at``,
+    so an inlined ``norm_tokens`` re-tokenizes the full text k times per
+    position (the word_shingles PERF trap; negligible at the k=3 test pin,
+    a measured 3.5x wall at the Lee et al. production k=50 — the CDC
+    handlers hit the same cliff and carry the same fix)."""
+    toks = _materialize(
+        df.withColumn("_toks", TX.norm_tokens(text_col)).select(
+            id_col, "_toks"
+        ),
+        resources,
+    )
+    inst = toks.select(
+        id_col,
+        F.posexplode(_positional_gram_hashes(F.col("_toks"), k)).alias(
+            "pos", "_h"
+        ),
     )
     dup = (
         inst.groupBy("_h")
