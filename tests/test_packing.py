@@ -207,3 +207,34 @@ def test_interleave_zero_cost_text_keeps_cursor(spark):
         for r in out.collect()
     }
     assert got == {(1, 0): (0, 0), (1, 1): (0, 0), (2, 0): (0, 4)}
+
+
+def test_nextfit_default_shards_scan_free(spark):
+    """r10 hygiene (VERDICT r9 #2): n_shards=None must NOT run an eager
+    count — the default derives from defaultParallelism; "scaled" opts
+    into the counted row-bounded sizing. Both produce a legal layout."""
+    rows = [(i, "tok " * (i % 7 + 1)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    counted = {"n": 0}
+    orig = type(df).count
+
+    def spy(self):
+        counted["n"] += 1
+        return orig(self)
+
+    import webscale_multimodal_datapipeline_spark.operators.packing as OPK2
+
+    try:
+        type(df).count = spy
+        plan = OPK2.nextfit_pack(df, budget=16)  # default shards
+        assert counted["n"] == 0, "n_shards=None ran an eager count"
+    finally:
+        type(df).count = orig
+    got = plan.collect()
+    assert len(got) == 100
+    par = spark.sparkContext.defaultParallelism
+    assert max(r.shard for r in got) < max(OPK2.PACK_SHARDS, par * 2)
+
+    scaled = OPK2.nextfit_pack(df, budget=16, n_shards="scaled").collect()
+    assert len(scaled) == 100

@@ -73,8 +73,19 @@ def replicated(spark, sf_dir: str, factor: int):
         )
         .drop("rep")
         .repartition(ncpu * 2)
-        .persist()
     )
+    # SPARK_GRAFT_PROBE_DISK_REPLICA=1: persist the replica DISK_ONLY so
+    # every size point reads its input from the same substrate (round 10,
+    # ARCHITECTURE §46 watch note — at 4M rows the default memory replica
+    # partially evicts, so large points read a mixed memory/recompute
+    # substrate and the lane's alpha measures cache residency, not the
+    # operator).
+    if os.environ.get("SPARK_GRAFT_PROBE_DISK_REPLICA") == "1":
+        from pyspark import StorageLevel
+
+        big = big.persist(StorageLevel.DISK_ONLY)
+    else:
+        big = big.persist()
     n = big.count()
     return big, n
 
