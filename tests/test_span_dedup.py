@@ -96,3 +96,37 @@ def test_wider_k_requires_longer_shared_run(spark):
     # ...but a shared 4-run is.
     rows = [(1, "a x y z w c"), (2, "p x y z w r")]
     assert _spans(spark, rows, k=4) == [(1, 1, 5), (2, 1, 5)]
+
+
+def test_poly_gram_key_agrees_with_md5_key(spark):
+    """r10 polynomial gram key (O(n) hashing): the key recipe must not
+    change the SEMANTICS — spans from the poly key equal spans from the
+    md5-concat key on corpora with known runs, at k=3 and k=5, including
+    self-repetition and the no-span case."""
+    corpora = [
+        [(1, "a b c d e f"), (2, "x b c d y z")],            # shared 3-run
+        [(1, "q w e q w e r t"), (2, "unrelated words here")],  # self-rep
+        [(1, "a b c"), (2, "d e f")],                        # no dups
+        [(1, "p q r s t u v w"), (2, "z p q r s t u y")],    # long run
+    ]
+    for rows in corpora:
+        for k in (3, 5):
+            md5_spans = sorted(
+                (r.doc_id, r.start_tok, r.end_tok)
+                for r in OD.dup_span_spans(
+                    _df(spark, rows), k=k, gram_hash="md5"
+                ).collect()
+            )
+            poly_spans = sorted(
+                (r.doc_id, r.start_tok, r.end_tok)
+                for r in OD.dup_span_spans(
+                    _df(spark, rows), k=k, gram_hash="poly"
+                ).collect()
+            )
+            assert md5_spans == poly_spans, (rows, k)
+
+    # unknown recipe refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="md5|poly"):
+        OD.dup_span_positions(_df(spark, corpora[0]), gram_hash="rot13")

@@ -1215,3 +1215,40 @@ def test_span_cdc_auto_mode_layout_gate(spark, tmp_path):
     assert SP.span_cdc_batch_handler(fresh, mode="sketch") is not None
     with pytest.raises(ValueError, match="auto|sketch|inline"):
         SP.span_cdc_batch_handler(fresh, mode="bogus")
+
+
+def test_sketch_table_truncated_by_rebuild(spark, tmp_path, monkeypatch):
+    """r10 (found by the extended CDC probe): the sketch table must stay
+    BOUNDED — the full-row rebuild overwrites the table (superseded
+    epoch/full rows drop), so the per-epoch state read is 1 full +
+    <= MAX_EPOCH_ROWS epoch rows regardless of stream age. Epoch
+    idempotency must survive the overwrite (markers live in the txlog)."""
+    from webscale_multimodal_datapipeline_spark.sources import txtable as TX
+
+    monkeypatch.setattr(SP, "SPAN_SKETCH_MAX_EPOCH_ROWS", 1)
+    t = str(tmp_path / "t")
+    h = SP.incremental_spandedup_sketch_batch_handler(t)
+    for i in range(6):
+        h(
+            spark.createDataFrame(
+                [(100 * i + j, f"w{i} x{j} unique tokens row {i} {j}")
+                 for j in range(3)],
+                "doc_id long, text string",
+            ),
+            i,
+        )
+    rows = TX.read(spark, t + "__sketch").collect()
+    # bounded: never accumulates one row per epoch (6 epochs, bound 1 ->
+    # at most latest full + a couple of post-rebuild epoch rows)
+    assert len(rows) <= 3, [r.kind for r in rows]
+    assert sum(r.kind == "full" for r in rows) <= 1
+    # idempotency across the overwrite: re-delivering an old epoch is a
+    # no-op on the docs table even though its sketch rows were truncated
+    n_hist = len(TX.history(t))
+    h(
+        spark.createDataFrame(
+            [(1, "whatever text here")], "doc_id long, text string"
+        ),
+        2,
+    )
+    assert len(TX.history(t)) == n_hist

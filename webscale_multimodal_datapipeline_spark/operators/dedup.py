@@ -2313,12 +2313,156 @@ def _positional_gram_hashes(toks: Column, k: int) -> Column:
     return F.when(n >= k, grams).otherwise(F.array().cast("array<bigint>"))
 
 
+# --- polynomial gram keys (round 10): O(n) hashing for production k -------
+#
+# The md5 gram key above hashes the CONCATENATED k-token string per
+# position — at the Lee et al. production k=50 that is ~50x the hashing
+# bytes of the corpus (every token is md5'd inside 50 different gram
+# strings, each ~300 bytes). The polynomial key hashes each token ONCE
+# (md5_long, the cross-engine idiom) and combines k token-hashes per
+# position with a double Rabin-Karp polynomial — integer multiply-adds,
+# ~free next to md5 over strings. Collision stance: two independent
+# ~2^31 moduli paired into one 62-bit key, ~2^62 key space — the same
+# guarded-key class as exact dedup's xxhash64 (and the catalog rows
+# verify VALUES cross-engine, so a collision would surface as a
+# divergence). All arithmetic stays under 2^63: term = (th * B^j) % p
+# with th, B^j < 2^31 so the product < 2^62; the k-term sum < k * 2^31.
+#
+# Measured (10K long docs ~6M tokens, k=50, warm): poly-kernel 3.2-3.9 s
+# vs md5-concat 9.1-10.1 s (~2.7x). The win needs the VECTORIZED combine
+# (_poly_gram_instances, mapInArrow): the same polynomial spelled as a
+# Catalyst HOF (_poly_gram_hashes) measured 13.2 s — interpreted
+# element_at dominates either recipe, the word_shingles lesson again.
+# Default stays "md5" (the k=3 rows' pinned oracle spec); pass
+# gram_hash="poly" at production k.
+
+POLY_P1 = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+POLY_P2 = 2_147_483_629  # largest prime < 2^31 - 17
+POLY_B1 = 1_000_003
+POLY_B2 = 1_000_033
+_POLY_MAX_K = 64
+_POLY_POW1 = [pow(POLY_B1, j, POLY_P1) for j in range(_POLY_MAX_K)]
+_POLY_POW2 = [pow(POLY_B2, j, POLY_P2) for j in range(_POLY_MAX_K)]
+
+
+def _poly_gram_hashes(th1: Column, th2: Column, k: int) -> Column:
+    """array<bigint> positional gram keys from per-token hash arrays
+    ``th1``/``th2`` (values already reduced mod POLY_P1/POLY_P2): key at
+    position i = H1 * POLY_P2 + H2 with Hm = sum_j th_m[i+j] * B_m^j mod
+    p_m. Pass MATERIALIZED columns — an inline transform argument gets
+    re-evaluated per ``element_at`` (the word_shingles trap)."""
+    if k > _POLY_MAX_K:
+        raise ValueError(f"poly gram width {k} exceeds {_POLY_MAX_K}")
+    n = F.size(th1)
+
+    def key(i):
+        s1 = None
+        s2 = None
+        for j in range(k):
+            t1 = (
+                F.element_at(th1, i + F.lit(j) + 1) * F.lit(_POLY_POW1[j])
+            ) % F.lit(POLY_P1)
+            t2 = (
+                F.element_at(th2, i + F.lit(j) + 1) * F.lit(_POLY_POW2[j])
+            ) % F.lit(POLY_P2)
+            s1 = t1 if s1 is None else s1 + t1
+            s2 = t2 if s2 is None else s2 + t2
+        return (s1 % F.lit(POLY_P1)) * F.lit(POLY_P2) + (s2 % F.lit(POLY_P2))
+
+    grams = F.transform(F.sequence(F.lit(0), n - k), key)
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<bigint>"))
+
+
+def _poly_gram_instances(
+    toks: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, _h) gram instances from a materialized ``(id, _th)``
+    table (``_th`` = per-token ``md5_long`` array) — the PRODUCTION form
+    of the polynomial combine: one vectorized numpy pass over the
+    mapInArrow batch's FLAT value buffer (the winnow kernel's segmented
+    trick — compute every window over the concatenation, then mask the
+    windows that straddle a document boundary), instead of an interpreted
+    per-position HOF. Semantics identical to ``_poly_gram_hashes``
+    (parity-tested); k integer ops over N-length arrays, no per-row
+    Python loop."""
+    import numpy as np
+    import pyarrow as pa
+
+    id_field = toks.schema[id_col]
+    pw1 = np.array(_POLY_POW1[:k], dtype=np.int64)
+    pw2 = np.array(_POLY_POW2[:k], dtype=np.int64)
+    p1, p2 = POLY_P1, POLY_P2
+
+    def kernel(batches):
+        for b in batches:
+            ids = b.column(id_col)
+            lst = b.column("_th")
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            out_schema = pa.schema(
+                [
+                    b.schema.field(id_col),
+                    pa.field("pos", pa.int32()),
+                    pa.field("_h", pa.int64()),
+                ]
+            )
+            # value_lengths/flatten (NOT .offsets/.values): they honor a
+            # sliced parent and null slots (null token array = no grams,
+            # matching the md5 path's empty-array contract)
+            lens = np.asarray(lst.value_lengths().fill_null(0), dtype=np.int64)
+            flat_vals = lst.flatten()
+            vals = (
+                np.asarray(flat_vals, dtype=np.int64)
+                if len(flat_vals)
+                else np.zeros(0, dtype=np.int64)
+            )
+            offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            n = len(vals)
+            if n < k or len(lens) == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids.slice(0, 0), pa.array([], pa.int32()), pa.array([], pa.int64())],
+                    schema=out_schema,
+                )
+                continue
+            v1 = vals % p1
+            v2 = vals % p2
+            m = n - k + 1
+            h1 = np.zeros(m, dtype=np.int64)
+            h2 = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                h1 += (v1[j : j + m] * pw1[j]) % p1
+                h2 += (v2[j : j + m] * pw2[j]) % p2
+            h = (h1 % p1) * p2 + (h2 % p2)
+            # window at flat start i is valid iff it stays inside its row:
+            # i - row_start <= row_len - k
+            row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            starts = np.repeat(offs[:-1], lens)
+            flat = np.arange(n, dtype=np.int64)
+            valid = (flat < m) & (flat - starts <= np.repeat(lens, lens) - k)
+            idx = flat[valid]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(row_of[idx])),
+                    pa.array((idx - starts[idx]).astype(np.int32)),
+                    pa.array(h[idx]),
+                ],
+                schema=out_schema,
+            )
+
+    sdl_id = id_field.dataType.simpleString()
+    return toks.mapInArrow(
+        kernel, schema=f"{id_col} {sdl_id}, pos int, _h bigint"
+    )
+
+
 def dup_span_positions(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = DUP_SPAN_K,
     resources: list | None = None,
+    gram_hash: str = "md5",
 ) -> DataFrame:
     """(id, pos) of every k-gram occurrence whose gram occurs >1 time in
     the corpus — the raw covered positions, pre-merge.
@@ -2328,19 +2472,39 @@ def dup_span_positions(
     so an inlined ``norm_tokens`` re-tokenizes the full text k times per
     position (the word_shingles PERF trap; negligible at the k=3 test pin,
     a measured 3.5x wall at the Lee et al. production k=50 — the CDC
-    handlers hit the same cliff and carry the same fix)."""
-    toks = _materialize(
-        df.withColumn("_toks", TX.norm_tokens(text_col)).select(
-            id_col, "_toks"
-        ),
-        resources,
-    )
-    inst = toks.select(
-        id_col,
-        F.posexplode(_positional_gram_hashes(F.col("_toks"), k)).alias(
-            "pos", "_h"
-        ),
-    )
+    handlers hit the same cliff and carry the same fix).
+
+    ``gram_hash``: ``"md5"`` (default — md5 of the concatenated gram
+    string, the original cross-engine spec) or ``"poly"`` (per-token md5
+    ONCE + double-polynomial combine — O(n) hashing bytes instead of
+    O(n*k), the production choice at k=50; see _poly_gram_hashes)."""
+    if gram_hash == "poly":
+        # one JVM md5 pass per TOKEN (not per gram), then the vectorized
+        # numpy polynomial combine — O(n) hashing bytes
+        base = df.withColumn("_toks", TX.norm_tokens(text_col))
+        th = _materialize(
+            base.select(
+                id_col,
+                F.transform(F.col("_toks"), TX.md5_long).alias("_th"),
+            ),
+            resources,
+        )
+        inst = _poly_gram_instances(th, id_col, k)
+    elif gram_hash == "md5":
+        toks = _materialize(
+            df.withColumn("_toks", TX.norm_tokens(text_col)).select(
+                id_col, "_toks"
+            ),
+            resources,
+        )
+        inst = toks.select(
+            id_col,
+            F.posexplode(_positional_gram_hashes(F.col("_toks"), k)).alias(
+                "pos", "_h"
+            ),
+        )
+    else:
+        raise ValueError(f"gram_hash must be md5|poly, got {gram_hash!r}")
     dup = (
         inst.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -2355,6 +2519,7 @@ def dup_span_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = DUP_SPAN_K,
+    gram_hash: str = "md5",
 ) -> DataFrame:
     """Maximal duplicated spans per doc: (id, span_id, start_tok,
     end_tok, span_tokens), ``end_tok`` exclusive, ``span_id`` 1-based in
@@ -2365,7 +2530,7 @@ def dup_span_spans(
     overlap-or-touch iff the gap between their starts is <= k — so the
     island break is a single ``lag`` compare, and the span is the island's
     [min(pos), max(pos)+k)."""
-    pos = dup_span_positions(df, text_col, id_col, k)
+    pos = dup_span_positions(df, text_col, id_col, k, gram_hash=gram_hash)
     return merge_covered_positions(pos, id_col, k)
 
 
@@ -2402,6 +2567,7 @@ def dup_span_scrub(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = DUP_SPAN_K,
+    gram_hash: str = "md5",
 ) -> DataFrame:
     """Cut every duplicated span out of every document (the actual
     Lee et al. removal step): (id, n_tokens, n_kept, n_removed,
@@ -2413,7 +2579,7 @@ def dup_span_scrub(
     same stance as exact dedup's normalize-then-hash). The kept-token
     anti-join is per-doc bounded (doc_id equi-key + position range); the
     rebuild is one sorted-struct aggregation, shuffled by doc_id."""
-    spans = dup_span_spans(df, text_col, id_col, k)
+    spans = dup_span_spans(df, text_col, id_col, k, gram_hash=gram_hash)
     return scrub_with_spans(df, spans, text_col, id_col)
 
 

@@ -2367,3 +2367,87 @@ QUERIES["d_dup_span_detect_k50"] = d_dup_span_detect_k50
 ORACLE["d_dup_span_detect_k50"] = D_DUP_SPAN_DETECT_K50_SQL
 QUERIES["d_dup_span_scrub_k50"] = d_dup_span_scrub_k50
 ORACLE["d_dup_span_scrub_k50"] = D_DUP_SPAN_SCRUB_K50_SQL
+
+
+# ---------------------------------------------------------------------------
+# Polynomial gram keys at k=50 (round 10): the md5 gram key hashes the
+# CONCATENATED 50-token string per position — ~50x the corpus' hashing
+# bytes. The poly variant md5-hashes each token ONCE and combines per
+# position with a double Rabin-Karp polynomial (integer multiply-adds —
+# see operators/dedup.py::_poly_gram_hashes for the collision stance).
+# This row proves the production hashing path cross-engine: the oracle
+# replays the per-token hash, both modular polynomials, the 62-bit key
+# pairing, and the same merge — hash-exact.
+# ---------------------------------------------------------------------------
+
+
+def _span_cte_poly(k: int, src: str) -> str:
+    """Span-detection CTE chain with POLYNOMIAL gram keys over
+    ``src(doc_id, text)`` — mirrors _poly_gram_hashes exactly."""
+    p1, p2 = OD.POLY_P1, OD.POLY_P2
+    pw1, pw2 = OD._POLY_POW1, OD._POLY_POW2
+    s1 = " + ".join(
+        f"((th1[pos + {j + 1}] * {pw1[j]}) % {p1})" for j in range(k)
+    )
+    s2 = " + ".join(
+        f"((th2[pos + {j + 1}] * {pw2[j]}) % {p2})" for j in range(k)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, {OQ.sql_tokens(OQ.sql_norm('text'))} AS t FROM {src}
+), th AS (
+  SELECT doc_id, t,
+         list_transform(t, s -> {OQ.sql_md5_long('s')} % {p1}) AS th1,
+         list_transform(t, s -> {OQ.sql_md5_long('s')} % {p2}) AS th2
+  FROM toks
+), inst AS (
+  SELECT doc_id, CAST(unnest(range(0, len(t) - {k - 1})) AS BIGINT) AS pos,
+         th1, th2
+  FROM th WHERE len(t) >= {k}
+), hashed AS (
+  SELECT doc_id, pos,
+         (({s1}) % {p1}) * {p2} + (({s2}) % {p2}) AS h
+  FROM inst
+), dup AS (
+  SELECT h FROM hashed GROUP BY h HAVING COUNT(*) > 1
+), cov AS (
+  SELECT doc_id, pos FROM hashed JOIN dup USING (h)
+), mrk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(
+                  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {k}, -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM cov
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM mrk
+), spans AS (
+  SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+         CAST(MIN(pos) AS BIGINT) AS start_tok,
+         CAST(MAX(pos) + {k} AS BIGINT) AS end_tok
+  FROM isl GROUP BY doc_id, span_id
+)"""
+
+
+def d_dup_span_detect_k50_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=50 span detection with the O(n)-hashing polynomial gram key —
+    same long-doc corpus and merge as d_dup_span_detect_k50; only the
+    gram key recipe differs (per-token md5 + double polynomial instead
+    of md5 over the 50-token concat)."""
+    return OD.dup_span_spans(
+        _long_docs(spark, sf_dir), "text", "doc_id", k=_SPAN_K50,
+        gram_hash="poly",
+    ).orderBy("doc_id", "span_id")
+
+
+D_DUP_SPAN_DETECT_K50_POLY_SQL = f"""
+WITH {_LD_CTE}, {_span_cte_poly(_SPAN_K50, "long_docs")}
+SELECT doc_id, span_id, start_tok, end_tok,
+       end_tok - start_tok AS span_tokens
+FROM spans ORDER BY doc_id, span_id
+"""
+
+QUERIES["d_dup_span_detect_k50_poly"] = d_dup_span_detect_k50_poly
+ORACLE["d_dup_span_detect_k50_poly"] = D_DUP_SPAN_DETECT_K50_POLY_SQL

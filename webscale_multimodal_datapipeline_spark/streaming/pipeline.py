@@ -1522,7 +1522,18 @@ def _span_sketch_rebuild(spark, gram_table, sketch_table, epoch_id, epoch):
         [(int(epoch_id), "full", int(m), SPAN_SKETCH_K, int(n), bytearray(bits.tobytes()))],
         "epoch_id bigint, kind string, m bigint, k int, n_grams bigint, bitmap binary",
     )
-    TX.append(row, sketch_table, app_epoch=f"{epoch}-full")
+    # OVERWRITE, not append (round 10 — found by the extended probe): an
+    # insert-only sketch table keeps every superseded epoch/full row
+    # forever, and ``_span_sketch_state`` collects the WHOLE table twice
+    # per epoch — the state read grew linearly with epoch count (~0.5-2 MB
+    # per stored bitmap). The full row subsumes everything before it (it
+    # is rebuilt from the gram table, which already holds this epoch's
+    # grams — the grams commit lands first), so the rebuild truncates the
+    # sketch table to exactly one row; the per-epoch state read is then
+    # bounded by 1 full + <= SPAN_SKETCH_MAX_EPOCH_ROWS epoch rows
+    # regardless of stream age. Epoch idempotency is unaffected: the
+    # app_epoch markers live in the txlog, which overwrite preserves.
+    TX.overwrite(row, sketch_table)
 
 
 def incremental_spandedup_sketch_batch_handler(
