@@ -1457,8 +1457,19 @@ def _bloom_positions_col(h_col, m: int, k: int):
 
 def _span_sketch_state(spark, sketch_table):
     """(m, k, merged_bitmap, epoch_rows_since_full) from the sketch
-    table — latest 'full' row (if any) OR'd with the 'epoch' rows after
-    it. Returns None when the table doesn't exist yet."""
+    table — latest 'full' row (if any) plus the 'epoch' rows after it.
+    Returns None when the table doesn't exist yet.
+
+    Epoch rows carry the batch's DISTINCT GRAM HASHES (r10 — packed
+    int64 ``grams`` bytes, ~8 B per distinct gram), not an m-sized
+    bitmap: their bits are PLACED into the merged filter here, at the
+    CURRENT (m, k). Why: an m-sized delta bitmap made every epoch row
+    cost m/8 bytes once the filter grew (8 MB at m=2^26), and this
+    state read collects up to MAX_EPOCH_ROWS of them twice per epoch —
+    the extended probe measured epochs rising 6 s → 58 s from exactly
+    that. Gram-hash rows cost O(batch) regardless of m, and survive
+    generation growth (no superseded-m skip needed). Legacy bitmap
+    epoch rows (pre-r10 tables) still merge via the old OR branch."""
     import numpy as np
 
     from webscale_multimodal_datapipeline_spark.sources import txtable as TX
@@ -1484,7 +1495,15 @@ def _span_sketch_state(spark, sketch_table):
         merged = np.zeros(m // 8, dtype=np.uint8)
     n_live = 0
     for r in live:
-        if int(r.m) != m:  # superseded generation — covered by a full row
+        grams = getattr(r, "grams", None)
+        if grams is not None:
+            g = np.frombuffer(bytes(grams), dtype="<i8")
+            if len(g):
+                pos = np.unique(_bloom_hashes(g, m, k).ravel())
+                merged[pos // 8] |= np.uint8(1) << (pos % 8).astype(np.uint8)
+            n_live += 1
+            continue
+        if int(r.m) != m:  # legacy bitmap row of a superseded generation
             continue
         merged |= np.frombuffer(bytes(r.bitmap), dtype=np.uint8)
         n_live += 1
@@ -1519,8 +1538,19 @@ def _span_sketch_rebuild(spark, gram_table, sketch_table, epoch_id, epoch):
     if len(pos):
         bits[pos // 8] |= np.uint8(1) << (pos % 8).astype(np.uint8)
     row = spark.createDataFrame(
-        [(int(epoch_id), "full", int(m), SPAN_SKETCH_K, int(n), bytearray(bits.tobytes()))],
-        "epoch_id bigint, kind string, m bigint, k int, n_grams bigint, bitmap binary",
+        [
+            (
+                int(epoch_id),
+                "full",
+                int(m),
+                SPAN_SKETCH_K,
+                int(n),
+                bytearray(bits.tobytes()),
+                None,
+            )
+        ],
+        "epoch_id bigint, kind string, m bigint, k int, n_grams bigint, "
+        "bitmap binary, grams binary",
     )
     # OVERWRITE, not append (round 10 — found by the extended probe): an
     # insert-only sketch table keeps every superseded epoch/full row
@@ -1653,6 +1683,10 @@ def incremental_spandedup_sketch_batch_handler(
             )
             state_m = state[0] if state is not None else SPAN_SKETCH_M0
             state_k = state[1] if state is not None else SPAN_SKETCH_K
+            # epoch rows carry the batch's distinct GRAM HASHES, not an
+            # m-sized bitmap — O(batch) bytes however large the filter
+            # has grown; the prober places their bits at read time (see
+            # _span_sketch_state for the measured failure this replaces)
             erow = spark.createDataFrame(
                 [
                     (
@@ -1661,11 +1695,16 @@ def incremental_spandedup_sketch_batch_handler(
                         int(state_m),
                         int(state_k),
                         int(len(bg)),
-                        bytearray(_bloom_build(bg, state_m, state_k)),
+                        None,
+                        bytearray(
+                            np.unique(np.asarray(bg, dtype=np.int64))
+                            .astype("<i8")
+                            .tobytes()
+                        ),
                     )
                 ],
                 "epoch_id bigint, kind string, m bigint, k int, "
-                "n_grams bigint, bitmap binary",
+                "n_grams bigint, bitmap binary, grams binary",
             )
             TX.append(erow, sketch_t, app_epoch=epoch)
             # growth / boundedness ritual AFTER this epoch's rows land
