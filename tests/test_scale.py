@@ -326,7 +326,11 @@ def test_runtime_bloom_filter_injects_on_unbroadcastable_join(spark, sf_dir):
     100-TB condition locally), the optimizer must inject a
     bloom_filter_agg on the build side and an application filter on the
     probe scan — the pruning the engine relies on INSTEAD of forced
-    broadcast hints on scaling tables."""
+    broadcast hints on scaling tables. (The r10 scan-spread is opt-in per
+    query and NOT requested here: its round-robin exchange between the
+    probe scan and the join would — correctly — block probe-side
+    runtime-filter injection, which is one of the measured reasons the
+    relational lanes don't opt in.)"""
     from pyspark.sql import functions as F
 
     from webscale_multimodal_datapipeline_spark.catalog import load_table
@@ -559,3 +563,40 @@ def test_dynamic_partition_pruning_on_fact_join(spark, tmp_path, sf_dir):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:1200]
     assert joined.count() == o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+
+
+def test_scan_spread_is_scale_adaptive(spark, sf_dir):
+    """r10 scan-spread contract (guide §2.5 input skew): an opted-in
+    (``spread=True``) single-file fixture scan gains a round-robin
+    repartition up to ``defaultParallelism``; the default is the raw
+    scan; a source that already has >= that many partitions is returned
+    UNCHANGED (the 100-TB case — no added exchange); the A/B env knob
+    restores the raw scan."""
+    import os
+
+    from webscale_multimodal_datapipeline_spark.catalog import (
+        _spread_scan,
+        load_table,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    saved = os.environ.get("SPARK_GRAFT_NO_SCAN_SPREAD")
+    try:
+        os.environ.pop("SPARK_GRAFT_NO_SCAN_SPREAD", None)
+        # opted-in fixture scan: one split -> spread to defaultParallelism
+        d = load_table(spark, sf_dir, "documents", spread=True)
+        assert d.rdd.getNumPartitions() == n
+        # default: raw single-split scan, no exchange
+        assert load_table(spark, sf_dir, "documents").rdd.getNumPartitions() < n
+        # already-parallel source: no exchange added (identity object)
+        wide = spark.range(0, 1000, 1, n + 3)
+        assert _spread_scan(spark, wide) is wide
+        # env knob restores the raw scan even when opted in
+        os.environ["SPARK_GRAFT_NO_SCAN_SPREAD"] = "1"
+        raw = load_table(spark, sf_dir, "documents", spread=True)
+        assert raw.rdd.getNumPartitions() < n
+    finally:
+        if saved is None:
+            os.environ.pop("SPARK_GRAFT_NO_SCAN_SPREAD", None)
+        else:
+            os.environ["SPARK_GRAFT_NO_SCAN_SPREAD"] = saved

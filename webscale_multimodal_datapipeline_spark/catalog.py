@@ -15,6 +15,8 @@ FileSourceScanExec does natively).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -53,7 +55,45 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor for the local single-file fixtures (r10,
+    guide §2.5/§6: input skew — "one huge unsplittable file ... repartition
+    immediately after the read").
+
+    A 100-TB table arrives as thousands of input splits and the scan
+    parallelizes natively; the local fixture is ONE single-row-group
+    parquet file per table, so every pre-shuffle per-row kernel (shingle
+    md5s, gram hashing, winnow windows) runs on ONE core of the session's
+    N. When — and only when — the planned scan has fewer splits than the
+    session has cores, spread it with a round-robin repartition
+    (deterministic under sort-before-repartition). On a real multi-split
+    table the condition is false and NO exchange is added, so this is
+    scale-adaptive, not a local[32] constant: the repartition width is
+    ``defaultParallelism``, never a hard-coded count.
+
+    OPT-IN per query (``load_table(..., spread=True)``), never blanket:
+    the r10 A/B sweep (tools/ab_spread.py, idle box, min of 3) shows the
+    exchange only pays for itself where an expensive per-row kernel runs
+    BEFORE the first shuffle — shingle/gram/minhash explode pipelines
+    (d_shared_shingle 1.91→1.28, d_minhash_lsh 1.56→1.11, x_countmin
+    1.45→1.14, d_dup_span_detect 2.17→1.42, t_winnowing_fingerprint
+    1.30→0.65) — and consistently LOSES on narrow column-pruned scans
+    whose first exchange is the join/groupBy itself (q1 0.77→1.03,
+    q8 1.00→1.58, d_exact_dedup 0.32→0.57, t_gopher_rules 0.60→0.76,
+    e_attribution 0.52→0.81, g_bfs_hops 2.55→3.00).
+
+    ``SPARK_GRAFT_NO_SCAN_SPREAD=1`` restores the raw scan (A/B knob)."""
+    if os.environ.get("SPARK_GRAFT_NO_SCAN_SPREAD", "") not in ("", "0"):
+        return df
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     if "://" in sf_dir:
         # Remote catalog root (hf://datasets/..., s3://...): enumerate via
         # the fsspec listing hook (sources/files.py, gated on fsspec being
@@ -67,8 +107,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Tolerate either fixture generation (nanos-as-long or micros).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _spread_scan(spark, df) if spread else df
 
 
 def load_tables(

@@ -151,7 +151,7 @@ FROM hs
 
 def d_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash→band→bucket-join→Jaccard-verify dedup; survivors."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return OD.minhash_lsh_dedup(d, jaccard_threshold=0.7).select("doc_id", "source")
 
 
@@ -306,7 +306,7 @@ def d_shared_shingle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup (Lee et al. 2021 simplified): drop docs
     sharing any k-word shingle with an earlier doc; survivors. k=3 here so
     the synthetic corpus actually produces shared spans."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return OD.shared_shingle_dedup(d, k=3).select("doc_id", "source")
 
 
@@ -1355,7 +1355,9 @@ def d_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-parity test pins this — Spark's concat_ws-built bands would
     otherwise collide where DuckDB's propagate NULL).
     """
-    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull()
+    )
     base = (
         d.withColumn("_toks", TX.norm_tokens("text"))
         .withColumn("_shingles", TX.word_shingles("text", k=3, toks=F.col("_toks")))
@@ -1945,7 +1947,7 @@ def d_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     All ratios are int/int double divisions, identical both engines.
     Scale shape: candidates come from the band bucket join (never
     all-pairs); signatures ride the existing row-local pipeline."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     base = (
         d.withColumn("_toks", TX.norm_tokens("text"))
         .withColumn("_shingles", TX.word_shingles("text", k=3, toks=F.col("_toks")))
@@ -2074,7 +2076,7 @@ def d_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram hashes, one map-side-combinable occurrence count, one hash-keyed
     join back, one per-doc window pass for the interval merge. No pair
     join, no suffix array, no global sort."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return OD.dup_span_spans(d, "text", "doc_id", k=_SPAN_K).orderBy(
         "doc_id", "span_id"
     )
@@ -2094,7 +2096,7 @@ def d_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole doc was duplicated mass). Every input doc appears exactly once
     — this is the operator a user points at a corpus, so the contract is
     total."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return OD.dup_span_scrub(d, "text", "doc_id", k=_SPAN_K).orderBy("doc_id")
 
 
@@ -2135,6 +2137,10 @@ def d_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. headline ("% of tokens in duplicated 50-grams") computed from the
     ACTUAL merged spans rather than instance counts (cf. d_ngram_dup_mass,
     which reports instance mass without merging overlaps)."""
+    # no scan-spread here (unlike detect/scrub): the stats row joins the
+    # raw (doc_id, source) projection back against the scrub output, and
+    # the A/B reads 0.78 s raw vs 0.85-1.45 s spread — the extra exchange
+    # on the narrow join side costs more than the kernel gains.
     d = load_table(spark, sf_dir, "documents")
     scrub = OD.dup_span_scrub(d, "text", "doc_id", k=_SPAN_K)
     return (
@@ -2219,6 +2225,10 @@ _LD_BP_IDS = (1, 3, 5, 7)
 def _long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic long-document corpus (see section comment):
     (doc_id, text) with doc_id = the 0..39 group id."""
+    # no scan-spread: the k50 family's gram hashing runs on the 40
+    # POST-aggregation long docs, not on this scan — A/B flips sign run
+    # to run (1.78/1.69, 1.35/1.61), i.e. pure session noise, so the
+    # default (no exchange) stands.
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _LD_MAX_ID
     )

@@ -886,40 +886,45 @@ def x_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes make the sketch itself bit-identical cross-engine, so this
     oracle checks VALUES, not just the ≥ invariant.
 
-    Scale shape: one explode pass feeds BOTH the k·m-bounded sketch
-    aggregate and the exact head (map-side combinable group-bys); the
-    probe joins the 10-row head against the 3·1024-row sketch."""
+    Scale shape (r10 rewrite, guide §2.3 "aggregate before you shuffle"):
+    ONE grouping-sets aggregation computes the exact head grouping
+    (term, b0, b1, b2) AND the three per-seed bucket totals — the gid
+    filter in each consuming branch is pushed into its Expand, so every
+    branch's corpus pass projects exactly the columns that grouping
+    needs (the old spelling ran one full-width head pass plus three
+    separate sketch group-bys over re-derived token streams). The probe
+    then joins the 10-row head against the three ≤1024-row sketch
+    slices. Values identical (collect-compared at sf0.1)."""
     from webscale_multimodal_datapipeline_spark.functions import text as TX
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     toks = d.select(F.explode(TX.norm_tokens("text")).alias("term"))
     buckets = [
         F.pmod(TX.md5_long(F.concat(F.col("term"), F.lit(f"#c{s}"))), F.lit(_CMS_BUCKETS)).alias(f"_b{s}")
         for s in range(_CMS_SEEDS)
     ]
     keyed = toks.select("term", *buckets)
-    sketch_rows = []
-    for s in range(_CMS_SEEDS):
-        sketch_rows.append(
-            keyed.groupBy(F.col(f"_b{s}").alias("_b"))
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .withColumn("_seed", F.lit(s))
-        )
-    sketch = sketch_rows[0]
-    for sr in sketch_rows[1:]:
-        sketch = sketch.unionByName(sr)
+    cols = ["term", *[f"_b{s}" for s in range(_CMS_SEEDS)]]
+    gs = keyed.groupingSets(
+        [cols, *[[f"_b{s}"] for s in range(_CMS_SEEDS)]],
+        *[F.col(c) for c in cols],
+    ).agg(F.count(F.lit(1)).alias("_c"), F.grouping_id().alias("_gid"))
+    # grouping_id bit s+1 set = that column aggregated away; gid 0 keeps
+    # every column (the exact head), gid_s keeps only _bs (sketch row s)
+    all_mask = (1 << len(cols)) - 1
+    gid_s = [all_mask ^ (1 << (len(cols) - 2 - s)) for s in range(_CMS_SEEDS)]
     head = (
-        keyed.groupBy("term", *[F.col(f"_b{s}") for s in range(_CMS_SEEDS)])
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        gs.filter(F.col("_gid") == 0)
+        .select(*cols, F.col("_c").alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), F.asc("term"))
         .limit(10)
     )
     probe = head
     for s in range(_CMS_SEEDS):
-        srow = sketch.filter(F.col("_seed") == s).select(
-            F.col("_b").alias(f"_b{s}"), F.col("_c").alias(f"_c{s}")
+        srow = gs.filter(F.col("_gid") == gid_s[s]).select(
+            F.col(f"_b{s}").alias(f"_k{s}"), F.col("_c").alias(f"_c{s}")
         )
-        probe = probe.join(F.broadcast(srow), f"_b{s}")
+        probe = probe.join(F.broadcast(srow), F.col(f"_b{s}") == F.col(f"_k{s}"))
     est = F.least(*[F.col(f"_c{s}") for s in range(_CMS_SEEDS)])
     return probe.select(
         "term",

@@ -1970,7 +1970,9 @@ def t_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webscale_multimodal_datapipeline_spark.operators import dedup as OD
 
     w = _WINNOW_W
-    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull()
+    )
     base = (
         d.withColumn("_toks", TX.norm_tokens("text"))
         .withColumn("_sh", TX.word_shingle_seq("text", k=3, toks=F.col("_toks")))
