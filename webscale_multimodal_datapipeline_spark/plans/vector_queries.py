@@ -295,11 +295,17 @@ def v_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("scale", mx.cast("double") / F.lit(127.0))
         .filter(F.col("scale") > 0)
         # materialize the codes once and derive the error from them (the
-        # error of the *stored* codes is the semantically right quantity)
+        # error of the *stored* codes is the semantically right quantity).
+        # Both lambdas pair against array_repeat(scale) instead of
+        # capturing F.col("scale"): the capture re-evaluates the inlined
+        # array_max definition per ELEMENT (r10 HOF-capture fix, see
+        # functions.vectors.div_elements) — values bit-identical.
         .withColumn(
             "q",
-            F.transform(
-                "embedding", lambda x: F.round(x / F.col("scale")).cast("int")
+            F.zip_with(
+                "embedding",
+                F.array_repeat(F.col("scale"), F.size("embedding")),
+                lambda x, s: F.round(x / s).cast("int"),
             ),
         )
         # err must be materialized BEFORE the output select: that select
@@ -308,12 +314,20 @@ def v_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the ROUNDED value (name shadowing), skewing the error by up to
         # 5e-7 per code unit.
         .withColumn(
+            "_deq",
+            F.zip_with(
+                "q",
+                F.array_repeat(F.col("scale"), F.size("q")),
+                lambda qi, s: qi.cast("double") * s,
+            ),
+        )
+        .withColumn(
             "_err",
             F.array_max(
                 F.zip_with(
                     "embedding",
-                    "q",
-                    lambda x, qi: F.abs(x - qi.cast("double") * F.col("scale")),
+                    "_deq",
+                    lambda x, d: F.abs(x - d),
                 )
             ),
         )
