@@ -513,3 +513,55 @@ def test_registry_dup_span_scrub_refiner_shape(spark):
     assert out[1].text == "a b c" and out[1].span_tokens_removed == 3
     assert out[2].text == "p q r" and out[2].span_tokens_removed == 3
     assert out[1].source == "s0"  # other columns carried through
+
+
+def test_cc_star_finish_gate_matches_star_loop(spark):
+    """r10 bounded-size finish: the single-task whole-partition union-find
+    that replaces the star loop on small contracted graphs must produce
+    IDENTICAL labels to the star loop itself (gate forced off via env),
+    including on a cross-batch chain (the whole=True accumulation seam:
+    per-batch contraction alone would mislabel a chain that straddles
+    Arrow batch boundaries)."""
+    import os
+    import random
+
+    from webscale_multimodal_datapipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(300), rng.randrange(300)) for _ in range(400)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    # long chain appended so components span many ids
+    pairs += [(1000 + i, 1001 + i) for i in range(60)]
+    edges = spark.createDataFrame(pairs, ["id_l", "id_r"])
+    saved = os.environ.get("SPARK_GRAFT_CC_FINISH_EDGES")
+    try:
+        os.environ["SPARK_GRAFT_CC_FINISH_EDGES"] = str(1 << 20)
+        with_finish = {
+            r["id"]: r["comp"] for r in connected_components_star(edges).collect()
+        }
+        os.environ["SPARK_GRAFT_CC_FINISH_EDGES"] = "0"
+        star_loop = {
+            r["id"]: r["comp"] for r in connected_components_star(edges).collect()
+        }
+    finally:
+        if saved is None:
+            os.environ.pop("SPARK_GRAFT_CC_FINISH_EDGES", None)
+        else:
+            os.environ["SPARK_GRAFT_CC_FINISH_EDGES"] = saved
+    assert with_finish == star_loop
+
+    # whole=True accumulates across Arrow batches: force tiny batches so
+    # the chain crosses batch boundaries inside one partition
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], ["id_l", "id_r"]
+        ).coalesce(1)
+        got = {
+            r["id"]: r["comp"] for r in connected_components_star(chain).collect()
+        }
+        assert got == {i: 0 for i in range(201)}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

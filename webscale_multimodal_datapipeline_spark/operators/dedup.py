@@ -20,6 +20,7 @@ arrival-order nondeterminism (the reference is order-dependent,
 from __future__ import annotations
 
 import functools as _functools
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1821,7 +1822,7 @@ def _star_round(e: DataFrame, large: bool) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
-def _local_contract(e: DataFrame) -> DataFrame:
+def _local_contract(e: DataFrame, whole: bool = False) -> DataFrame:
     """Partition-local union-find contraction — the map-side combine of
     connectivity: per Arrow batch, the batch's edges are replaced by one
     min-rooted star per LOCAL component. Connected components are exactly
@@ -1842,7 +1843,13 @@ def _local_contract(e: DataFrame) -> DataFrame:
     would coerce the whole int64 column to float64 and silently round ids
     above 2^53 — corrupting both the passthrough rows and the contracted
     stars; keeping nulls out of the batch makes the coercion impossible
-    instead of guarded)."""
+    instead of guarded).
+
+    ``whole=True`` (r10) accumulates the union-find across ALL Arrow
+    batches of a partition and emits once at iterator end — the
+    whole-partition form the small-graph finish needs (the default
+    per-batch form contracts only within each ≤10K-row batch). Only used
+    behind the bounded-size gate in ``connected_components_star``."""
     import pandas as pd
 
     fields = e.schema.fields
@@ -1856,37 +1863,17 @@ def _local_contract(e: DataFrame) -> DataFrame:
     null_pred = F.col(sname).isNull() | F.col(dname).isNull()
 
     def gen(batches):
-        for pdf in batches:
-            rows = pdf
-            if not len(rows):
-                continue
-            # the JVM-side split guarantees null-free batches; a null here
-            # means the contract was violated upstream — fail loud, the
-            # column would already have been floated
-            if rows[sname].isna().any() or rows[dname].isna().any():
-                raise ValueError(
-                    "_local_contract received a null endpoint past the "
-                    "JVM-side split"
-                )
-            rows = rows.astype({sname: np_s, dname: np_d})
-            parent: dict = {}
+        parent: dict = {}
 
-            def find(x):
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:  # path compression
-                    parent[x], x = r, parent[x]
-                return r
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
 
-            for a, b in zip(rows[sname].to_numpy(), rows[dname].to_numpy()):
-                ra, rb = find(a), find(b)
-                if ra == rb:
-                    continue
-                if ra < rb:  # min-rooted union: root is the smaller id
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
+        def emit():
             out_s, out_d = [], []
             for u in list(parent):
                 r = find(u)
@@ -1900,6 +1887,33 @@ def _local_contract(e: DataFrame) -> DataFrame:
                         dname: pd.array(out_d, dtype=np_d),
                     }
                 )
+
+        for pdf in batches:
+            rows = pdf
+            if not len(rows):
+                continue
+            # the JVM-side split guarantees null-free batches; a null here
+            # means the contract was violated upstream — fail loud, the
+            # column would already have been floated
+            if rows[sname].isna().any() or rows[dname].isna().any():
+                raise ValueError(
+                    "_local_contract received a null endpoint past the "
+                    "JVM-side split"
+                )
+            rows = rows.astype({sname: np_s, dname: np_d})
+            for a, b in zip(rows[sname].to_numpy(), rows[dname].to_numpy()):
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    continue
+                if ra < rb:  # min-rooted union: root is the smaller id
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+            if not whole:
+                yield from emit()
+                parent = {}
+        if whole:
+            yield from emit()
 
     return e.filter(~null_pred).mapInPandas(gen, ddl).unionByName(
         e.filter(null_pred)
@@ -1962,6 +1976,44 @@ def connected_components_star(
     # edges at sf0.1; the loop's own first round had been 2.1 s of the
     # ~4.4 s wall).
     cur = _local_contract(e)
+    if cur is not e:
+        # Bounded-size single-task finish (r10, guide §1.2 "the
+        # distributed algorithm" / §2.4 "remove shuffles outright"): the
+        # partition-local contraction already shrank the edge set to at
+        # most the per-batch distinct-node count (147K pair rows → ~9K
+        # star edges at sf0.1). When the contracted set is SMALL — below
+        # ``SPARK_GRAFT_CC_FINISH_EDGES`` (default 2^20 rows ≈ a
+        # 16 MB/one-dict union-find, trivially single-task) — the whole
+        # residual component structure is resolved by ONE
+        # whole-partition union-find over a single coalesced partition:
+        # the min-rooted find emits exactly the (node, component-min)
+        # star set the large/small-star loop converges to, so labels are
+        # identical by construction (and pinned by the chain/random-graph
+        # equivalence tests). The measured alternative was 3 star rounds
+        # × 4 exchanges + a convergence action each on a ~6K-edge graph
+        # — pure scheduling latency (2.1 s of the lane's 3.7 s). At
+        # scale the gate simply never fires until the iterative loop (or
+        # a bigger cluster's contraction) has brought the residual under
+        # the bound — the count is of the ALREADY-materialized
+        # checkpoint, so the gate costs one metadata-cheap count.
+        cur = cur.localCheckpoint(eager=True)
+        finish_cap = int(
+            os.environ.get("SPARK_GRAFT_CC_FINISH_EDGES", str(1 << 20))
+        )
+        if cur.count() <= finish_cap:
+            # lazy checkpoint: labels AND the centers anti-join both read
+            # fin — without it the single-task union-find runs twice in
+            # the final job
+            fin = _local_contract(cur.coalesce(1), whole=True).localCheckpoint(
+                eager=False
+            )
+            labels = fin.select(
+                F.col("src").alias("id"), F.col("dst").alias("comp")
+            )
+            centers = nodes.join(
+                fin.select(F.col("src").alias("id")), "id", "left_anti"
+            ).select("id", F.col("id").alias("comp"))
+            return labels.union(centers)
     if cur is not e and second_contract is not False:
         # Second, connectivity-ALIGNED contraction pass (round 8): hash
         # the contracted star edges by their source node so every
