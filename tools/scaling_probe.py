@@ -394,9 +394,9 @@ def main() -> None:
     # growth shape (a real corpus's duplicate-cluster and neighborhood
     # sizes do not grow with corpus size).
     # ------------------------------------------------------------------
+    from webscale_multimodal_datapipeline_spark.catalog import load_table
     from webscale_multimodal_datapipeline_spark.plans.graph_queries import (
-        _edges,
-        bfs_hop_histogram,
+        bipartite_bfs_histogram,
     )
 
     for factor in [1, 2, 4]:
@@ -423,39 +423,39 @@ def main() -> None:
     for factor in [1, 2, 4]:
         if not lane_on("bfs_hops"):
             break
-        e0 = _edges(spark, sf_dir)
-        edges = (
-            e0.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+        # Disjoint relabeled copies on the r10 directed long-keyed pair
+        # table: copy r offsets both node keys by r·10^9 (divisible by 10,
+        # so each copy's seed set `s % 10 == 1` replicates the original's).
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        p0 = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+            .distinct()
+        )
+        off = 1_000_000_000
+        pairs = (
+            p0.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
             .select(
-                F.concat(F.col("src"), F.lit("#"), F.col("rep")).alias("src"),
-                F.concat(F.col("dst"), F.lit("#"), F.col("rep")).alias("dst"),
+                (F.col("c") + F.col("rep") * off).alias("c"),
+                (F.col("s") + F.col("rep") * off).alias("s"),
             )
             .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
             .localCheckpoint(eager=True)
         )
-        n = edges.count()
-        seeds = (
-            edges.select("src")
-            .distinct()
-            .filter(
-                F.col("src").startswith("S")
-                & (
-                    F.split(F.substring("src", 2, 18), "#")[0].cast("long") % 10
-                    == 1
-                )
-            )
-        )
-        # edge table stays pre-checkpointed (the query does the same);
+        n = pairs.count()
+        seeds = pairs.select("s").distinct().filter(F.col("s") % 10 == 1)
+        # pair table stays pre-checkpointed (the query does the same);
         # the BFS loop itself rebuilds per run (its per-round lazy
         # checkpoints otherwise cache the frontiers after run 1)
-        wall = timed_build(lambda: bfs_hop_histogram(edges, seeds))
+        wall = timed_build(lambda: bipartite_bfs_histogram(pairs, seeds))
         results.setdefault("bfs_hops", []).append((n, wall))
         print(
             f"# bfs_hops @ {n} edges: {wall:.2f}s"
             f" ({n / wall / 1000:.0f}K edges/s)",
             file=sys.stderr,
         )
-        edges.unpersist()
+        pairs.unpersist()
         cal.append(calibration_ms())
 
     # ------------------------------------------------------------------

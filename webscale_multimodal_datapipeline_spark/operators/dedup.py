@@ -468,12 +468,21 @@ def shared_shingle_dedup(
     substring-level analog of exact dedup (vs MinHash's whole-doc
     similarity).
 
-    Scale shape: explode (id, shingle-hash) pairs → ``min(id)`` per hash
-    (map-side combinable) → per-doc min over its hashes' owners; a doc
-    survives iff it is the first owner of every span it contains. Two
-    hash-shuffles, no pair join, no state service — the heavy part is the
-    explode, bounded by tokens/doc (use larger ``k`` or a stride at 100 TB
-    to cut the factor).
+    Scale shape: explode (id, shingle-hash) pairs → per-hash ``min(id)``
+    owner as a WINDOW over the hash partition → per-doc min over its
+    hashes' owners; a doc survives iff it is the first owner of every
+    span it contains. Two hash-shuffles, no pair join, no state service —
+    the heavy part is the explode, bounded by tokens/doc (use larger
+    ``k`` or a stride at 100 TB to cut the factor).
+
+    The window spelling (r10, guide §2.3/§2.4) replaces the former
+    ``groupBy(_h).min`` + join-back: that plan evaluated the
+    tokenize/shingle/md5/explode subtree TWICE (once per join side —
+    opaque to ReusedExchange because the aggregate side reduces first)
+    and shuffled three times (owner agg, join, doc agg); the window
+    computes the per-hash owner in place on the single exploded table —
+    one subtree evaluation, two exchanges. Same owner per (id, hash) row
+    by definition, so the surviving set is identical.
     """
     # materialize tokens before shingling (see word_shingles PERF note).
     # No (id, hash) distinct pass: word_shingles is already per-doc
@@ -487,13 +496,13 @@ def shared_shingle_dedup(
             shingle_hashes(TX.word_shingles(text_col, k=k, toks=F.col("_toks")))
         ).alias("_h"),
     )
-    owners = pairs.groupBy("_h").agg(F.min(id_col).alias("_owner"))
-    first_owner = (
-        pairs.join(owners, "_h")
+    keep = (
+        pairs.withColumn("_owner", F.min(id_col).over(Window.partitionBy("_h")))
         .groupBy(id_col)
         .agg(F.min("_owner").alias("_first_owner"))
+        .filter(F.col("_first_owner") == F.col(id_col))
+        .select(id_col)
     )
-    keep = first_owner.filter(F.col("_first_owner") == F.col(id_col)).select(id_col)
     return df.join(keep, id_col, "left_semi")
 
 

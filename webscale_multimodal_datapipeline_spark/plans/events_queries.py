@@ -481,7 +481,10 @@ def e_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     deltas = starts.unionByName(ends)
-    num_parts = 32
+    # scale-adaptive range-partition width (r10): the sweep's offsets
+    # correction is partition-count-invariant, so derive the width from
+    # the session instead of pinning the local core count
+    num_parts = spark.sparkContext.defaultParallelism
     ranged = deltas.repartitionByRange(
         num_parts,
         F.col("event_type").asc(),
@@ -996,10 +999,17 @@ def e_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Conversions with zero preceding touches receive no credit (documented;
     the funnel query counts those)."""
     ev = load_table(spark, sf_dir, "events")
+    # Forward-looking min spelled as a RUNNING min over the reversed order
+    # (r10, guide §1.2 per-task work): Spark executes a (currentRow,
+    # unboundedFollowing) aggregate frame by re-scanning the partition tail
+    # for EVERY row — O(k²) per user — while (unboundedPreceding,
+    # currentRow) is an incremental O(k) fold. (ts, event_id) is a total
+    # order, so the descending ROWS frame covers exactly the same row set
+    # and the value is identical.
     w_fwd = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     annotated = ev.select(
         "user_id",

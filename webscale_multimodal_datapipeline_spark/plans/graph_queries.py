@@ -14,6 +14,8 @@ the fixed-round case.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -325,70 +327,87 @@ def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the recursive-CTE workload class (DuckDB oracle runs a genuine
     ``WITH RECURSIVE``); Spark has no recursive CTE, so the idiomatic
-    form is iterative frontier expansion: each round is ONE node-keyed
-    equi-join frontier⋈edges plus left_anti visited-set exclusion — all
-    hash shuffles on the node key, no driver-side state beyond the loop
-    counter. Two round-5 optimizations (5.35 s → 3.8 s idle at sf0.1,
-    same 4-row answer):
+    form is iterative frontier expansion. Round-10 shape (guide §2.3/§2.4
+    "shuffle fewer bytes / remove shuffles outright"; §3.1 broadcast):
 
-    * **Parity pruning.** The trading graph is bipartite (C↔S), so a
-      node's hop distance has the parity of its side — round ``i`` can
-      only rediscover nodes from frontiers ``i-2, i-4, …``. The
-      anti-join excludes exactly those frontiers instead of the whole
-      accumulated distance table (for depth 4: at most 2 small frontiers
-      instead of a 4-frontier union).
-    * **Lazy checkpoints.** ``localCheckpoint(eager=False)`` still
-      truncates per-round lineage (the shared iterative-algorithm
-      policy, see ``g_pagerank``) but materializes inside the single
-      final job instead of one eager job per round — the per-round job
-      setup was ~40% of the wall at toy scale.
-
-    New frontiers shrink monotonically on expander-ish graphs; the depth
-    bound makes the cost K·(edge shuffle), identical asymptotics to the
-    oracle's fixed-point but expressed as a deterministic unrolled loop."""
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    seeds = (
-        edges.select("src")
-        .distinct()
-        .filter(
-            F.col("src").startswith("S")
-            & (F.substring("src", 2, 18).cast("long") % 10 == 1)
-        )
+    * **Directed long-keyed pairs, not doubled string edges.** The graph
+      is bipartite, so one (custkey, suppkey) LONG pair row encodes both
+      directions — the former representation materialized BOTH directions
+      with concatenated string node names ('C123'/'S45'), i.e. 2× the
+      rows at ~3× the bytes per row, and every BFS round shuffled them.
+      Node identity is a bijection (side + key), so the hop histogram is
+      unchanged.
+    * **Frontier-broadcast rounds under a scale gate.** A BFS round only
+      needs the frontier ON EVERY PAIR PARTITION — when the frontier is
+      small, broadcasting it makes the round a map-side semi-join and the
+      big pairs table is NEVER shuffled (the §8 lesson: move the heavy
+      side once — here, zero times). Frontier size is bounded by the pair
+      count, measured once on the materialized table; under
+      ``SPARK_GRAFT_BFS_BCAST_ROWS`` (default 2^22, env-parameterized for
+      clusters) every frontier/visited set broadcasts, above it the
+      rounds fall back to node-keyed hash joins exactly as before (a
+      100-TB graph takes the fallback automatically — the gate reads the
+      DATA, not the deployment).
+    * **Parity pruning** (round 5, kept): a node's hop distance has the
+      parity of its side, so round ``i`` anti-joins only frontiers
+      ``i-2, i-4, …`` instead of the whole visited set.
+    * **Lazy checkpoints** (round 5, kept): per-round lineage truncation
+      that materializes inside the final job, not one eager job per round.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # NO pair-level distinct (r10, guide §2.4 "a distinct on data that is
+    # already unique"): 97.8% of (custkey, suppkey) pairs are unique at
+    # sf0.1, every BFS round consumes the table through a SEMI join (dup
+    # rows can't change the match set), and each round's frontier is
+    # re-distincted anyway — so the dedup exchange over the whole pair
+    # table bought nothing. A corpus with heavy pair duplication can
+    # reinstate it as a pre-pass; the result is identical either way.
+    pairs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .localCheckpoint(eager=True)
     )
-    return bfs_hop_histogram(edges, seeds)
+    seeds = pairs.select("s").distinct().filter(F.col("s") % 10 == 1)
+    return bipartite_bfs_histogram(pairs, seeds)
 
 
-def bfs_hop_histogram(
-    edges: DataFrame, seeds: DataFrame, depth: int = _BFS_DEPTH
+def bipartite_bfs_histogram(
+    pairs: DataFrame, seeds: DataFrame, depth: int = _BFS_DEPTH
 ) -> DataFrame:
     """Reusable BFS core of ``g_bfs_hops`` (also driven by the scaling
-    probe at replicated sizes): iterative frontier expansion with the
-    bipartite parity pruning and lazy per-round checkpoints documented
-    above. ``seeds`` must expose a ``src`` column; assumes a BIPARTITE
-    edge set (the parity pruning is only sound there)."""
-    f0 = (
-        seeds.select(F.col("src").alias("node"), F.lit(0).alias("d"))
-        .localCheckpoint(eager=False)
-    )
-    frontiers = [f0]
+    probe at replicated sizes) over a DIRECTED bipartite pair table
+    ``(c, s)`` — one row per undirected edge, both columns integral node
+    keys, pre-materialized (``localCheckpoint``/persist) by the caller.
+    ``seeds`` must expose an ``s`` column (seed nodes on the s side).
+
+    Odd rounds expand s→c, even rounds c→s; the frontier (and the
+    same-parity visited sets) broadcast when the pair count is under the
+    ``SPARK_GRAFT_BFS_BCAST_ROWS`` gate, so no round shuffles the pair
+    table — see ``g_bfs_hops`` for the full rationale."""
+    bcast_rows = int(os.environ.get("SPARK_GRAFT_BFS_BCAST_ROWS", str(1 << 22)))
+    # scalar count over the already-materialized RDD — cheap, data-adaptive
+    small = pairs.count() <= bcast_rows
+    hint = F.broadcast if small else (lambda df: df)
+    fronts = [seeds.select(F.col("s").alias("node")).localCheckpoint(eager=False)]
     for i in range(1, depth + 1):
+        src, dst = ("s", "c") if i % 2 == 1 else ("c", "s")
         cand = (
-            frontiers[-1]
-            .join(edges, frontiers[-1].node == edges.src)
-            .select(F.col("dst").alias("node"))
+            pairs.join(
+                hint(fronts[-1].select(F.col("node").alias(src))), src, "left_semi"
+            )
+            .select(F.col(dst).alias("node"))
             .distinct()
         )
         # bipartite parity: only same-parity earlier frontiers can contain
         # a rediscovery — anti-join against those alone
-        for j, f in enumerate(frontiers):
+        for j, f in enumerate(fronts):
             if j % 2 == i % 2:
-                cand = cand.join(f.select("node"), "node", "left_anti")
-        frontiers.append(
-            cand.select("node", F.lit(i).alias("d")).localCheckpoint(eager=False)
-        )
-    dist = frontiers[0]
-    for f in frontiers[1:]:
-        dist = dist.unionByName(f)
+                cand = cand.join(hint(f), "node", "left_anti")
+        fronts.append(cand.localCheckpoint(eager=False))
+    dist = fronts[0].select(F.lit(0).alias("d"))
+    for i, f in enumerate(fronts[1:], start=1):
+        dist = dist.unionByName(f.select(F.lit(i).alias("d")))
     return (
         dist.groupBy("d")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
