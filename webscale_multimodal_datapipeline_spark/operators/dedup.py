@@ -194,7 +194,14 @@ def minhash_lsh_dup_map(
         .withColumn("_shingles", TX.word_shingles(text_col, k=k, toks=F.col("_toks")))
         .withColumn("_hashes", shingle_hashes(F.col("_shingles")))
         .withColumn("_sig", minhash_signature(text_col, k=k, hashes=F.col("_hashes")))
-        .select(F.col(id_col), "_shingles", "_sig")
+        # carry the 60-bit shingle HASHES, not the shingle strings, into
+        # the signature table (r10, guide §2.3 "narrower types"): the
+        # verify joins ship every candidate doc's full shingle set twice,
+        # and an 8-byte long per shingle is less than half the string's
+        # bytes with identical per-doc set cardinality (word_shingles is
+        # per-doc distinct; the md5-60bit map is injective on any
+        # realistic corpus, and the oracle PASS pins value equality).
+        .select(F.col(id_col), "_hashes", "_sig")
     )
     # Materialize the signature table ONCE: the un-checkpointed plan
     # re-derived the md5-shingle pipeline on every reference (banded
@@ -204,7 +211,7 @@ def minhash_lsh_dup_map(
     # production LSH job does anyway; at 100 TB it would be a persisted
     # table, here a localCheckpoint (one narrow scan, read thereafter).
     base = _materialize(base, resources)
-    sh = base.select(F.col(id_col), "_shingles")
+    sh = base.select(F.col(id_col), "_hashes")
     banded = base.select(
         F.col(id_col), F.explode(lsh_bands(F.col("_sig"))).alias("_band")
     )
@@ -223,8 +230,8 @@ def minhash_lsh_dup_map(
         .dropDuplicates(["_lid", "_rid"])
     )
     pairs = (
-        cand.join(sh.select(F.col(id_col).alias("_lid"), F.col("_shingles").alias("_ls")), "_lid")
-        .join(sh.select(F.col(id_col).alias("_rid"), F.col("_shingles").alias("_rs")), "_rid")
+        cand.join(sh.select(F.col(id_col).alias("_lid"), F.col("_hashes").alias("_ls")), "_lid")
+        .join(sh.select(F.col(id_col).alias("_rid"), F.col("_hashes").alias("_rs")), "_rid")
     )
     jac = F.size(F.array_intersect("_ls", "_rs")) / F.size(F.array_union("_ls", "_rs"))
     return (

@@ -711,6 +711,12 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline for transcendental math.
     """
     d = load_table(spark, sf_dir, "documents")
+    # Deliberately TWO evaluations of the tokenize subtree (one per
+    # branch): the r10 shared-exchange rewrite (see t_bigram_logprob) was
+    # A/B-measured SLOWER here (1.34 s vs 1.07 s idle, 4-pass min) —
+    # unigram tokens repeat heavily, so the freq branch's map-side
+    # combine shrinks its exchange to the vocabulary while the shared
+    # raw-stream exchange cannot; tokenization is cheap relative to that.
     toks = d.select(
         "doc_id",
         F.explode(TX.norm_tokens("text")).alias("term"),
@@ -1007,7 +1013,11 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     final mean at integer resolution (the unigram discipline).
     """
     d = load_table(spark, sf_dir, "documents")
-    bigrams = _adjacent_pairs(d)
+    # shared pair-keyed exchange: both the pair-count aggregate and the
+    # scoring join consume the bigram stream partitioned by (a, b) — the
+    # t_unigram_logprob single-pass discipline (guide §2.4); the former
+    # spelling tokenized and zipped the corpus once per branch.
+    bigrams = _adjacent_pairs(d).repartition("term_a", "term_b")
     c_ab = bigrams.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("c_ab"))
     c_a = c_ab.groupBy("term_a").agg(F.sum("c_ab").alias("c_a"))
     lm = c_ab.join(c_a, "term_a").select(

@@ -446,16 +446,25 @@ def v_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         VX.dot(F.col("embedding"), F.col("qe")),
         VX.l2_norm("embedding") * VX.l2_norm("qe"),
     )
-    per_qvec = (
+    # ONE conditional-pivot aggregate (r10, guide §2.4): the former
+    # per-(gid, qid) max + second pivot aggregate was two exchanges for
+    # what is algebraically a single grouped max — max(case qid=i) over
+    # (gid) partitions the same values identically, and the partial
+    # aggregation still folds map-side. One exchange, one stage fewer;
+    # bit-identical scores.
+    piv = (
         c.crossJoin(q)
-        .groupBy("gid", "qid")
-        .agg(F.max(cos).alias("m"))
-    )
-    piv = per_qvec.groupBy("gid").agg(
-        *[
-            F.max(F.when(F.col("qid") == i, F.col("m"))).alias(f"m{i}")
-            for i in range(MAXSIM_GROUP)
-        ]
+        # cosine projected ONCE per (doc, qvec) row — inlining `cos` into
+        # each conditional max would re-evaluate the 64-term fold 4× per
+        # row (no CSE across aggregate buffers)
+        .select("gid", "qid", cos.alias("_cos"))
+        .groupBy("gid")
+        .agg(
+            *[
+                F.max(F.when(F.col("qid") == i, F.col("_cos"))).alias(f"m{i}")
+                for i in range(MAXSIM_GROUP)
+            ]
+        )
     )
     score = F.col("m0")
     for i in range(1, MAXSIM_GROUP):
