@@ -897,32 +897,37 @@ def x_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices. Values identical (collect-compared at sf0.1)."""
     from webscale_multimodal_datapipeline_spark.functions import text as TX
 
-    d = load_table(spark, sf_dir, "documents", spread=True)
+    d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(TX.norm_tokens("text")).alias("term"))
+    # TERM-FIRST aggregation (r10 second rewrite, guide §2.3 "aggregate
+    # before you shuffle" taken one step further): the bucket hashes
+    # depend only on the TERM, so count terms exactly once — a map-side
+    # combinable aggregate whose exchange carries (term, partial count),
+    # no Expand, no per-token md5 — and derive the 3 md5 bucket keys on
+    # the VOCABULARY-sized result. Sketch row s is then a sum of term
+    # counts grouped by bucket (identical totals), and the exact head is
+    # the top-10 of the same table. All four consumers sit on the one
+    # term exchange (AQE stage reuse). The r10s1 groupingSets spelling
+    # Expand-ed the token stream ×4 and hashed every token 3×.
     buckets = [
         F.pmod(TX.md5_long(F.concat(F.col("term"), F.lit(f"#c{s}"))), F.lit(_CMS_BUCKETS)).alias(f"_b{s}")
         for s in range(_CMS_SEEDS)
     ]
-    keyed = toks.select("term", *buckets)
-    cols = ["term", *[f"_b{s}" for s in range(_CMS_SEEDS)]]
-    gs = keyed.groupingSets(
-        [cols, *[[f"_b{s}"] for s in range(_CMS_SEEDS)]],
-        *[F.col(c) for c in cols],
-    ).agg(F.count(F.lit(1)).alias("_c"), F.grouping_id().alias("_gid"))
-    # grouping_id bit s+1 set = that column aggregated away; gid 0 keeps
-    # every column (the exact head), gid_s keeps only _bs (sketch row s)
-    all_mask = (1 << len(cols)) - 1
-    gid_s = [all_mask ^ (1 << (len(cols) - 2 - s)) for s in range(_CMS_SEEDS)]
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_c"))
+    keyed = freq.select("term", "_c", *buckets)
     head = (
-        gs.filter(F.col("_gid") == 0)
-        .select(*cols, F.col("_c").alias("exact_cnt"))
+        keyed.select(
+            "term",
+            *[f"_b{s}" for s in range(_CMS_SEEDS)],
+            F.col("_c").alias("exact_cnt"),
+        )
         .orderBy(F.desc("exact_cnt"), F.asc("term"))
         .limit(10)
     )
     probe = head
     for s in range(_CMS_SEEDS):
-        srow = gs.filter(F.col("_gid") == gid_s[s]).select(
-            F.col(f"_b{s}").alias(f"_k{s}"), F.col("_c").alias(f"_c{s}")
+        srow = keyed.groupBy(F.col(f"_b{s}").alias(f"_k{s}")).agg(
+            F.sum("_c").alias(f"_c{s}")
         )
         probe = probe.join(F.broadcast(srow), F.col(f"_b{s}") == F.col(f"_k{s}"))
     est = F.least(*[F.col(f"_c{s}") for s in range(_CMS_SEEDS)])
