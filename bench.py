@@ -77,6 +77,47 @@ def calibration_ms(samples: int = 3, settle_s: float = 0.25) -> float:
     return best
 
 
+def steal_snapshot() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate ``cpu`` line of
+    ``/proc/stat``; None when unreadable (non-Linux).
+
+    Hypervisor-steal sentinel (r10 session 2, measured event): on the
+    shared-host sandbox one otherwise-idle bench run recorded three late
+    lanes at 10-30x their in-band walls (d_dup_span_stats passes
+    [14.95, 30.32, 50.22] s vs 0.96-1.11 s isolated minutes later on
+    identical code) while BOTH existing sentinels read clean-to-moderate
+    (cal_dev 0.36, start loadavg 0.31): guest loadavg cannot see host
+    contention at all, and the single-threaded calibration kernel
+    under-detects it — a host-level CPU cap crushes 32-thread throughput
+    long before it doubles one thread's latency. Steal time is the one
+    guest-visible signal of that failure mode."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if not parts or parts[0] != "cpu":
+            return None
+        vals = [int(x) for x in parts[1:]]
+        # user nice system idle iowait irq softirq STEAL guest guest_nice
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except (OSError, ValueError):
+        return None
+
+
+def steal_pct(a: tuple[int, int] | None, b: tuple[int, int] | None) -> float:
+    """Percent of elapsed CPU ticks the hypervisor stole between two
+    ``steal_snapshot`` readings; 0.0 on degenerate input (missing
+    snapshot, clock not advancing). Recorded as a sentinel field only —
+    it does not feed the refuse ritual (one observed event is not a
+    calibrated threshold; the field exists so the grader can discount a
+    run the way ``contended``/``ambient`` allow)."""
+    if not a or not b:
+        return 0.0
+    dt = b[1] - a[1]
+    if dt <= 0:
+        return 0.0
+    return round(100.0 * max(0, b[0] - a[0]) / dt, 1)
+
+
 def contention_flag(cal_ms: list[float], threshold: float = 0.60) -> tuple[float, bool]:
     """(deviation, contended): deviation = (max-min)/min over the calibration
     re-timings; contended when it exceeds ``threshold``.
@@ -259,14 +300,19 @@ def compact_line(
     load: list[float],
     cal: list[float],
     flags: dict[str, float] | None = None,
+    steal: float = 0.0,
 ) -> str:
     """The LAST stdout line — must fit the driver's 2,000-char tail buffer.
 
     Budget (VERDICT r4 #1): walls at 2 dp, rec/s as integer THOUSANDS under
     short lane keys (``"url_filter":502`` = 502K rec/s), spreads only in the
-    verbose line, plus the contention sentinel. Asserted < 1900 chars so
+    verbose line, plus the contention sentinel. Asserted < 1920 chars so
     growth fails loudly at build/test time, not in the driver's record
-    (the r2/r4 failure mode: the line silently outgrew the buffer)."""
+    (the r2/r4 failure mode: the line silently outgrew the buffer).
+    Budget history: 1900 through r10 s1; the steal_pct sentinel costs 17
+    chars at worst case (1911 vs the old 1894), so the gate moved to 1920
+    — still 80 under the true 2,000-char tail buffer, and the worst-case
+    test keeps pinning every future addition against it."""
     dev, contended = contention_flag(cal)
     line = json.dumps(
         {
@@ -279,6 +325,10 @@ def compact_line(
             "cal_ms": [int(round(c)) for c in cal],
             "cal_dev": dev,
             "contended": int(contended),
+            # hypervisor steal % across the whole run (r10 s2): the only
+            # guest-visible signal of HOST-side contention — see
+            # steal_snapshot for the measured event that motivates it.
+            "steal_pct": round(steal, 1),
             # lane-local contention (r6): short names of lanes whose
             # bracket kernel readings tripped the 0.60 gate — normally []
             # — discount those lanes' rec_k. Capped at 3 (by descending
@@ -302,11 +352,11 @@ def compact_line(
         },
         separators=(",", ":"),
     )
-    if len(line) >= 1900:
+    if len(line) >= 1920:
         # Explicit raise, not assert (python -O strips asserts — that would
         # silently reintroduce the r2/r4 truncated-tail failure mode).
         raise RuntimeError(
-            f"compact bench line is {len(line)} chars — over the 1900 budget "
+            f"compact bench line is {len(line)} chars — over the 1920 budget "
             "(driver tail buffer is 2000). Trim lanes/precision before adding more."
         )
     return line
@@ -680,6 +730,7 @@ def main() -> None:
 
     load = [os.getloadavg()[0]]
     cal = [calibration_ms()]
+    steal0 = steal_snapshot()
 
     # Warm up the JVM / parquet footer cache with a trivial action.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -738,6 +789,7 @@ def main() -> None:
     tp.update(image_workloads(spark, sf_dir))
     cal.append(calibration_ms())
     load.append(os.getloadavg()[0])
+    steal = steal_pct(steal0, steal_snapshot())
     flags = lane_flags(tp)  # annotates each lane's cal_dev in place
     for name, m in tp.items():
         flag = f" [CONTENDED dev={flags[name]}]" if name in flags else ""
@@ -769,6 +821,7 @@ def main() -> None:
                 "method": "headline=min_of_2_3_adaptive;throughput=median_of_3_after_warmup",
                 "load_1min": [round(x, 2) for x in load],
                 "calibration_ms": [round(c, 1) for c in cal],
+                "steal_pct": steal,
             }
         )
     )
@@ -779,7 +832,7 @@ def main() -> None:
     # in integer thousands + the contention sentinel; per-lane spread and
     # full row/sec detail live in the verbose line above (r5 budget fix —
     # the r4 line outgrew the 2,000-char tail and recorded `parsed: null`).
-    print(compact_line(total, per_query, tp, sf, load, cal, flags))
+    print(compact_line(total, per_query, tp, sf, load, cal, flags, steal=steal))
     sys.stdout.flush()
 
     # Refuse-to-record ritual, r10 form (VERDICT r9 task 5): with per-query

@@ -41,7 +41,7 @@ def test_compact_line_fits_tail_buffer_at_worst_case():
         # worst case: EVERY lane flagged at a 2-digit deviation
         flags={k: 99.99 for k in bench.LANES},
     )
-    assert len(line) < 1900
+    assert len(line) < 1920
     parsed = json.loads(line)
     # The driver contract: metric/value/unit/queries/sf all present.
     assert parsed["metric"] == "headline_queries_total_wall"
@@ -89,7 +89,7 @@ def test_compact_line_overflow_fails_loudly():
         bench.compact_line(1.0, bloated, _worst_case_tp(), 0.1, [1, 1], [50] * 4)
     except RuntimeError as e:
         # RuntimeError, not assert: python -O strips asserts (ADVICE r5)
-        assert "1900" in str(e)
+        assert "1920" in str(e)
     else:
         raise AssertionError("oversized compact line did not raise")
 
@@ -270,6 +270,42 @@ def test_headline_extra_run_gate():
     # degenerate walls never trigger a third pass
     assert not bench.headline_extra_run(0.0, 5.0)
     assert not bench.headline_extra_run(-1.0, 1.0)
+
+
+def test_steal_sentinel():
+    """r10 session 2: hypervisor-steal sentinel. One otherwise-idle run
+    recorded three lanes at 10-30x in-band walls while cal_dev read 0.36
+    and start loadavg 0.31 — host-level contention is invisible to both
+    existing sentinels, steal ticks are its only guest-visible trace."""
+    # arithmetic: 50 stolen of 1000 elapsed ticks = 5%
+    assert bench.steal_pct((100, 10_000), (150, 11_000)) == 5.0
+    # degenerate inputs: missing snapshots, non-advancing clock,
+    # counter-reset (negative delta clamps to 0)
+    assert bench.steal_pct(None, (150, 11_000)) == 0.0
+    assert bench.steal_pct((100, 10_000), None) == 0.0
+    assert bench.steal_pct((100, 10_000), (100, 10_000)) == 0.0
+    assert bench.steal_pct((100, 10_000), (50, 11_000)) == 0.0
+    # live snapshot parses on this platform and is monotone
+    a = bench.steal_snapshot()
+    assert a is not None and a[1] > 0 and 0 <= a[0] <= a[1]
+    b = bench.steal_snapshot()
+    assert b[1] >= a[1] and b[0] >= a[0]
+    # the field lands in the compact line and stays inside the budget
+    line = bench.compact_line(
+        total=9999.99,
+        per_query=_worst_case_walls(),
+        tp=_worst_case_tp(),
+        sf=0.1,
+        load=[99.99, 99.99],
+        cal=[999.9, 999.9, 999.9, 999.9],
+        flags={k: 99.99 for k in bench.LANES},
+        steal=99.9,
+    )
+    assert len(line) < 1920
+    assert json.loads(line)["steal_pct"] == 99.9
+    # default keeps older callers' lines parseable with the field present
+    line = bench.compact_line(1.0, {"q1_pricing_summary": 1.0}, {}, 0.1, [1, 1], [50] * 4)
+    assert json.loads(line)["steal_pct"] == 0.0
 
 
 def test_should_refuse_bench_severe_only():
