@@ -98,7 +98,11 @@ def steal_snapshot() -> tuple[int, int] | None:
             return None
         vals = [int(x) for x in parts[1:]]
         # user nice system idle iowait irq softirq STEAL guest guest_nice
-        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+        # Total = first 8 fields only (ADVICE r10): Linux already folds
+        # guest into user and guest_nice into nice, so summing all 10
+        # double-counts guest ticks and understates steal on guest-running
+        # hosts.
+        return (vals[7] if len(vals) > 7 else 0, sum(vals[:8]))
     except (OSError, ValueError):
         return None
 
@@ -213,6 +217,42 @@ HEADLINE_REL_GATE = 0.20
 SEVERE_CAL_DEV = 2.0
 SEVERE_LOAD_START = 8.0
 
+# ---------------------------------------------------------------------------
+# Round-11 steal ritual (VERDICT r10 task 1): the r10 driver record was
+# machine-contaminated (5.7% run-wide hypervisor steal, 24 untouched lanes
+# regressed 2-8x while the same HEAD ran 2.55x faster at 8 cores) and the
+# steal_pct field was sentinel-only, so the run RECORDED. Measured facts on
+# this host class (r11 session probes): a fully idle guest reads 0.0% and a
+# 7-second 32-process full-core burn still reads 0.0% — steal is NOT a
+# function of self-load here; nonzero steal is genuine host-side contention,
+# arriving in episodes that last seconds to minutes. Defense in two layers:
+#   * RE-RUN: each headline pass is bracketed with steal snapshots; when
+#     EVERY pass of a query saw >= STEAL_PASS_GATE percent steal, extra
+#     passes (up to MAX_STEAL_EXTRA) chase a steal-clean window. Steal only
+#     ever slows a pass, so the recorded min over ALL passes stays valid;
+#     the retries exist to get one untainted pass under the min.
+#     Throughput lanes re-run their whole timed triple once on the same
+#     condition and keep the faster (less contaminated) attempt.
+#   * REFUSE: when run-wide steal is past STEAL_REFUSE_PCT *and* some lane
+#     still has no steal-clean pass after retries (steal_bad > 0), even the
+#     minima measure the host, not the code — exit 3 like the severe
+#     cal_dev/load ritual. A high-steal run whose every lane found a clean
+#     window still records (the minima are demonstrably untainted), which
+#     keeps the gate from discarding good records on hosts where brief
+#     steal bursts are background weather.
+# ---------------------------------------------------------------------------
+
+STEAL_PASS_GATE = 1.0     # % of a pass's elapsed ticks stolen => tainted
+STEAL_REFUSE_PCT = 2.0    # run-wide % past which dirty lanes refuse the run
+MAX_STEAL_EXTRA = 2       # extra chances to find a steal-clean pass
+
+
+def steal_all_tainted(steals: list[float], gate: float = STEAL_PASS_GATE) -> bool:
+    """True iff every recorded pass of a lane saw steal at/past ``gate`` —
+    the retry/flag condition. Empty input (snapshots unreadable, non-Linux)
+    is never tainted: no signal, no retry loop."""
+    return bool(steals) and all(s >= gate for s in steals)
+
 
 def headline_extra_run(
     t1: float, t2: float, rel_gate: float = HEADLINE_REL_GATE
@@ -228,7 +268,11 @@ def headline_extra_run(
 
 
 def should_refuse_bench(
-    cal: list[float], load: list[float] | None = None, env: dict | None = None
+    cal: list[float],
+    load: list[float] | None = None,
+    env: dict | None = None,
+    steal: float = 0.0,
+    steal_bad: int = 0,
 ) -> bool:
     """Bench-specific refuse-to-record decision (r10, replaces the r9
     blanket ritual for ``bench.main`` only — the probe tools keep
@@ -239,10 +283,22 @@ def should_refuse_bench(
     catastrophic session started at 8.1). Below those bars the per-query
     minima are expected in-band and the run records with its sentinel flags
     (``contended``/``ambient``/``lane_flags``) for the grader to weigh.
-    Env overrides are honored exactly as before."""
+    Env overrides are honored exactly as before.
+
+    r11 (VERDICT r10 task 1): hypervisor steal joins the ritual. A run
+    whose run-wide ``steal`` is at/past ``STEAL_REFUSE_PCT`` *and* that
+    still has ``steal_bad`` lanes without one steal-clean pass after the
+    retry ladder refuses — those lanes' minima measure the host (the r10
+    driver record's exact failure: 5.7% steal, sentinel-only, recorded).
+    Steal alone does not refuse: if every lane found a clean window the
+    minima are demonstrably untainted and the record stands."""
     e = os.environ if env is None else env
     dev, _ = contention_flag(cal)
-    severe = dev >= SEVERE_CAL_DEV or bool(load) and load[0] >= SEVERE_LOAD_START
+    severe = (
+        dev >= SEVERE_CAL_DEV
+        or bool(load) and load[0] >= SEVERE_LOAD_START
+        or (steal >= STEAL_REFUSE_PCT and steal_bad > 0)
+    )
     if not severe:
         return False
     return not (
@@ -301,6 +357,7 @@ def compact_line(
     cal: list[float],
     flags: dict[str, float] | None = None,
     steal: float = 0.0,
+    steal_bad: int = 0,
 ) -> str:
     """The LAST stdout line — must fit the driver's 2,000-char tail buffer.
 
@@ -310,9 +367,10 @@ def compact_line(
     growth fails loudly at build/test time, not in the driver's record
     (the r2/r4 failure mode: the line silently outgrew the buffer).
     Budget history: 1900 through r10 s1; the steal_pct sentinel costs 17
-    chars at worst case (1911 vs the old 1894), so the gate moved to 1920
-    — still 80 under the true 2,000-char tail buffer, and the worst-case
-    test keeps pinning every future addition against it."""
+    chars at worst case (1911 vs the old 1894) — gate moved to 1920; the
+    r11 steal_bad counter costs 16 more at worst case (1927) — gate moved
+    to 1950, still 50 under the true 2,000-char tail buffer, and the
+    worst-case test keeps pinning every future addition against it."""
     dev, contended = contention_flag(cal)
     line = json.dumps(
         {
@@ -329,6 +387,11 @@ def compact_line(
             # guest-visible signal of HOST-side contention — see
             # steal_snapshot for the measured event that motivates it.
             "steal_pct": round(steal, 1),
+            # lanes that never saw a steal-clean pass after the r11 retry
+            # ladder (steal_all_tainted over every pass) — their minima
+            # are host-contaminated; names in the verbose line's
+            # steal_flags. 0 on a healthy run.
+            "steal_bad": int(steal_bad),
             # lane-local contention (r6): short names of lanes whose
             # bracket kernel readings tripped the 0.60 gate — normally []
             # — discount those lanes' rec_k. Capped at 3 (by descending
@@ -352,11 +415,11 @@ def compact_line(
         },
         separators=(",", ":"),
     )
-    if len(line) >= 1920:
+    if len(line) >= 1950:
         # Explicit raise, not assert (python -O strips asserts — that would
         # silently reintroduce the r2/r4 truncated-tail failure mode).
         raise RuntimeError(
-            f"compact bench line is {len(line)} chars — over the 1920 budget "
+            f"compact bench line is {len(line)} chars — over the 1950 budget "
             "(driver tail buffer is 2000). Trim lanes/precision before adding more."
         )
     return line
@@ -449,7 +512,7 @@ LANES = (
 )
 
 
-def _measure_into(out: dict, n: int):
+def _measure_into(out: dict, n: int, steal_dirty: list | None = None):
     """Shared lane timer: one warm-up action, then THREE timed runs;
     reports the MEDIAN plus a ``spread`` dispersion field
     ((max-min)/median, rounded) so a regression gate can separate
@@ -457,8 +520,26 @@ def _measure_into(out: dict, n: int):
     3.7x-10x phantom swings (gopher 661K->179K, simhash_arrow 737K->72K)
     that idle re-runs disproved — the median of three is noise-robust in
     BOTH directions (min hides sustained regressions, max hides one-off
-    stalls)."""
+    stalls).
+
+    r11 steal ritual: the timed triple is bracketed with steal snapshots;
+    a triple that ran under >= STEAL_PASS_GATE percent hypervisor steal is
+    host-contaminated (medians have no burst protection) and is re-run
+    ONCE; the faster-median attempt is kept (steal only slows runs). A
+    lane whose every attempt was stolen into lands in ``steal_dirty``."""
     import time as _t
+
+    def _triple(df):
+        s0 = steal_snapshot()
+        df.count()  # warm-up absorbs per-plan codegen + worker spin-up
+        ts = []
+        kept = 0
+        for _ in range(3):
+            t0 = _t.time()
+            kept = df.count()
+            ts.append(_t.time() - t0)
+        ts.sort()
+        return ts, kept, steal_pct(s0, steal_snapshot())
 
     def measure(name, df):
         if name not in LANES:
@@ -470,15 +551,16 @@ def _measure_into(out: dict, n: int):
         # contended=0). Flags are computed post-hoc by ``lane_flags``
         # against the session-wide minimum reading.
         c_before = calibration_ms(samples=2, settle_s=0.15)
-        df.count()  # warm-up absorbs per-plan codegen + worker spin-up
-        ts = []
-        kept = 0
-        for _ in range(3):
-            t0 = _t.time()
-            kept = df.count()
-            ts.append(_t.time() - t0)
+        ts, kept, st = _triple(df)
+        steals = [st]
+        if steal_all_tainted(steals):
+            ts2, kept2, st2 = _triple(df)
+            steals.append(st2)
+            if ts2[1] < ts[1]:
+                ts, kept = ts2, kept2
+        if steal_all_tainted(steals) and steal_dirty is not None:
+            steal_dirty.append(name)
         c_after = calibration_ms(samples=2, settle_s=0.15)
-        ts.sort()
         med = ts[1]
         out[name] = {
             "cal_ms": [round(c_before, 1), round(c_after, 1)],
@@ -490,12 +572,15 @@ def _measure_into(out: dict, n: int):
             # min-based rate: the statistic r2/r3 reported — kept in the
             # verbose detail line so cross-round series stay comparable
             "rec_per_sec_min": round(n / ts[0], 1),
+            "steal": [round(s, 1) for s in steals],
         }
 
     return measure
 
 
-def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+def throughput_workloads(
+    spark, sf_dir: str, steal_dirty: list | None = None
+) -> dict[str, dict[str, float]]:
     """rec/s on ~1M-row text inputs — directly comparable to the
     reference's published operator throughputs (BASELINE.md: URLFilter
     20,362 rec/s, TextLengthFilter 1,976,454 rec/s, exact dedup).
@@ -535,7 +620,7 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     OD.simhash_text_column(big, "text", "sh").count()
 
     out: dict[str, dict[str, float]] = {}
-    measure = _measure_into(out, n)
+    measure = _measure_into(out, n, steal_dirty)
 
     measure("url_filter_1m", url_filter(blocklist=("src1", "src7")).apply(big))
     measure(
@@ -615,7 +700,9 @@ def throughput_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     return out
 
 
-def image_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+def image_workloads(
+    spark, sf_dir: str, steal_dirty: list | None = None
+) -> dict[str, dict[str, float]]:
     """Image-operator rec/s — the BASELINE.md image-pipeline rows
     (metadata 27K, technical-quality 2.5K, quality-filter 4.2M, phash
     1.5K rec/s on 1K LAION records). Payloads here are the 64-byte
@@ -646,7 +733,7 @@ def image_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     MM.image_metadata_refiner().apply(imgs.limit(1000)).count()
 
     out: dict[str, dict[str, float]] = {}
-    measure = _measure_into(out, n)
+    measure = _measure_into(out, n, steal_dirty)
 
     meta = MM.image_metadata_refiner().apply(imgs)
     measure("image_metadata_100k", meta.filter(F.col("image_width") >= 0))
@@ -713,7 +800,7 @@ def image_workloads(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         .repartition(ncpu * 2)
     ).persist()
     n = enriched.count()
-    measure = _measure_into(out, n)  # row count changed: rebind the timer
+    measure = _measure_into(out, n, steal_dirty)  # row count changed: rebind the timer
     measure(
         "image_quality_filter_1m",
         image_quality_filter(64, 64, 1.0, 1.0).apply(enriched),
@@ -737,6 +824,8 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     first_pass: dict[str, float] = {}
+    query_steal: dict[str, list[float]] = {}
+    steal_dirty: list[str] = []
     total = 0.0
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -746,24 +835,43 @@ def main() -> None:
         # persists hang off the new DataFrame objects, so a later pass
         # re-executes the full operator chain (only JVM codegen + parquet
         # footer caches are warm, which is the steady state we want).
-        ts = []
+        # r11: every pass is bracketed with steal snapshots; when ALL
+        # passes were stolen into (>= STEAL_PASS_GATE %), up to
+        # MAX_STEAL_EXTRA extra passes chase a steal-clean window — steal
+        # can only slow a pass, so the min over all passes stays valid and
+        # a clean pass under the min makes it trustworthy.
+        ts: list[float] = []
+        steals: list[float] = []
         n = 0
-        for _ in range(2):
+
+        def _one_pass():
+            nonlocal n
+            s0 = steal_snapshot()
             t0 = time.time()
             # count() forces full execution of every operator in the plan.
             n = fn(spark, sf_dir).count()
             ts.append(time.time() - t0)
+            steals.append(steal_pct(s0, steal_snapshot()))
+
+        for _ in range(2):
+            _one_pass()
         if headline_extra_run(ts[0], ts[1]):
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            ts.append(time.time() - t0)
+            _one_pass()
+        for _ in range(MAX_STEAL_EXTRA):
+            if not steal_all_tainted(steals):
+                break
+            _one_pass()
+        if steal_all_tainted(steals):
+            steal_dirty.append(name)
         dt = min(ts)
         per_query[name] = round(dt, 3)
         first_pass[name] = round(ts[0], 3)
+        query_steal[name] = [round(s, 1) for s in steals]
         total += dt
         print(
             f"# {name}: {n} rows in {dt:.2f}s"
-            f" (passes {[round(t, 2) for t in ts]})",
+            f" (passes {[round(t, 2) for t in ts]},"
+            f" steal {[round(s, 1) for s in steals]})",
             file=sys.stderr,
         )
 
@@ -784,9 +892,9 @@ def main() -> None:
         pass
 
     cal.append(calibration_ms())  # after headline walls, before text lanes
-    tp = throughput_workloads(spark, sf_dir)
+    tp = throughput_workloads(spark, sf_dir, steal_dirty)
     cal.append(calibration_ms())  # between text lanes and image lanes
-    tp.update(image_workloads(spark, sf_dir))
+    tp.update(image_workloads(spark, sf_dir, steal_dirty))
     cal.append(calibration_ms())
     load.append(os.getloadavg()[0])
     steal = steal_pct(steal0, steal_snapshot())
@@ -822,6 +930,11 @@ def main() -> None:
                 "load_1min": [round(x, 2) for x in load],
                 "calibration_ms": [round(c, 1) for c in cal],
                 "steal_pct": steal,
+                # r11 steal ritual detail: per-headline-lane per-pass steal
+                # readings, and the lanes (headline + throughput) that
+                # never saw one steal-clean pass after retries.
+                "queries_steal": query_steal,
+                "steal_flags": steal_dirty,
             }
         )
     )
@@ -832,7 +945,8 @@ def main() -> None:
     # in integer thousands + the contention sentinel; per-lane spread and
     # full row/sec detail live in the verbose line above (r5 budget fix —
     # the r4 line outgrew the 2,000-char tail and recorded `parsed: null`).
-    print(compact_line(total, per_query, tp, sf, load, cal, flags, steal=steal))
+    print(compact_line(total, per_query, tp, sf, load, cal, flags, steal=steal,
+                       steal_bad=len(steal_dirty)))
     sys.stdout.flush()
 
     # Refuse-to-record ritual, r10 form (VERDICT r9 task 5): with per-query
@@ -843,12 +957,13 @@ def main() -> None:
     # start loadavg >= 8 like the r4 catastrophic session) — still exits 3,
     # because there even minima measure the machine. Probe tools keep the
     # stricter r9 ritual (they have no best-of-N). Env overrides unchanged.
-    if should_refuse_bench(cal, load):
+    if should_refuse_bench(cal, load, steal=steal, steal_bad=len(steal_dirty)):
         dev, _ = contention_flag(cal)
         print(
             f"# SEVERELY CONTENDED bench run (cal_dev {dev}, load_start"
-            f" {load[0]:.2f}): even best-of-N minima are session-load"
-            " artifacts — rerun on an idle session or set"
+            f" {load[0]:.2f}, steal {steal}% with {len(steal_dirty)}"
+            f" steal-dirty lanes {steal_dirty}): even best-of-N minima are"
+            " machine artifacts — rerun on an idle session or set"
             " SPARK_GRAFT_BENCH_ALLOW_CONTENDED=1",
             file=sys.stderr,
         )

@@ -40,8 +40,13 @@ def test_compact_line_fits_tail_buffer_at_worst_case():
         cal=[999.9, 999.9, 999.9, 999.9],
         # worst case: EVERY lane flagged at a 2-digit deviation
         flags={k: 99.99 for k in bench.LANES},
+        # worst-case steal fields: 100.0 is steal_pct's true maximum
+        # (one char wider than 99.9 — ADVICE r10), steal_bad at the
+        # full lane count
+        steal=100.0,
+        steal_bad=len(bench.BENCH_QUERIES) + len(bench.LANES),
     )
-    assert len(line) < 1920
+    assert len(line) < 1950
     parsed = json.loads(line)
     # The driver contract: metric/value/unit/queries/sf all present.
     assert parsed["metric"] == "headline_queries_total_wall"
@@ -89,7 +94,7 @@ def test_compact_line_overflow_fails_loudly():
         bench.compact_line(1.0, bloated, _worst_case_tp(), 0.1, [1, 1], [50] * 4)
     except RuntimeError as e:
         # RuntimeError, not assert: python -O strips asserts (ADVICE r5)
-        assert "1920" in str(e)
+        assert "1950" in str(e)
     else:
         raise AssertionError("oversized compact line did not raise")
 
@@ -285,12 +290,19 @@ def test_steal_sentinel():
     assert bench.steal_pct((100, 10_000), None) == 0.0
     assert bench.steal_pct((100, 10_000), (100, 10_000)) == 0.0
     assert bench.steal_pct((100, 10_000), (50, 11_000)) == 0.0
-    # live snapshot parses on this platform and is monotone
+    # live snapshot parses on this platform and is monotone; on non-Linux
+    # platforms steal_snapshot is documented to return None — skip the
+    # live assertions there (ADVICE r10), keep the arithmetic ones above
     a = bench.steal_snapshot()
-    assert a is not None and a[1] > 0 and 0 <= a[0] <= a[1]
+    if a is None:
+        import pytest
+
+        pytest.skip("steal_snapshot unreadable on this platform")
+    assert a[1] > 0 and 0 <= a[0] <= a[1]
     b = bench.steal_snapshot()
     assert b[1] >= a[1] and b[0] >= a[0]
     # the field lands in the compact line and stays inside the budget
+    # (steal=100.0 is the true worst case — one char wider than 99.9)
     line = bench.compact_line(
         total=9999.99,
         per_query=_worst_case_walls(),
@@ -299,13 +311,14 @@ def test_steal_sentinel():
         load=[99.99, 99.99],
         cal=[999.9, 999.9, 999.9, 999.9],
         flags={k: 99.99 for k in bench.LANES},
-        steal=99.9,
+        steal=100.0,
     )
-    assert len(line) < 1920
-    assert json.loads(line)["steal_pct"] == 99.9
+    assert len(line) < 1950
+    assert json.loads(line)["steal_pct"] == 100.0
     # default keeps older callers' lines parseable with the field present
     line = bench.compact_line(1.0, {"q1_pricing_summary": 1.0}, {}, 0.1, [1, 1], [50] * 4)
     assert json.loads(line)["steal_pct"] == 0.0
+    assert json.loads(line)["steal_bad"] == 0
 
 
 def test_should_refuse_bench_severe_only():
@@ -333,3 +346,48 @@ def test_should_refuse_bench_severe_only():
     )
     # the probe ritual is unchanged: moderate contention still refuses there
     assert bench.should_refuse_contended(moderate_cal, idle_load, env={})
+
+
+def test_steal_all_tainted_gate():
+    """r11 retry/flag condition: a lane is steal-dirty only when EVERY
+    pass ran under >= STEAL_PASS_GATE percent hypervisor steal."""
+    assert bench.steal_all_tainted([2.3, 1.5, 4.0])
+    assert not bench.steal_all_tainted([2.3, 0.0, 4.0])  # one clean pass
+    assert not bench.steal_all_tainted([0.0, 0.0])
+    assert not bench.steal_all_tainted([])  # no signal => never tainted
+    # gate is >=, so exactly-at-gate passes count as tainted
+    assert bench.steal_all_tainted([bench.STEAL_PASS_GATE])
+
+
+def test_should_refuse_bench_steal_ritual():
+    """r11 (VERDICT r10 task 1): run-wide steal past STEAL_REFUSE_PCT with
+    lanes that never found a steal-clean pass refuses; high steal with
+    every lane clean still records (minima demonstrably untainted); dirty
+    lanes under the run-wide gate record with the steal_bad flag."""
+    clean_cal = [40.0, 41.0, 42.0, 40.5]
+    idle_load = [0.3, 18.0]
+    # the r10 driver session's shape: 5.7% run-wide steal — refuses ONLY
+    # when lanes stayed dirty after the retry ladder
+    assert bench.should_refuse_bench(
+        clean_cal, idle_load, env={}, steal=5.7, steal_bad=3
+    )
+    assert not bench.should_refuse_bench(
+        clean_cal, idle_load, env={}, steal=5.7, steal_bad=0
+    )
+    # dirty lanes under the run-wide gate: record (flag defends the lanes)
+    assert not bench.should_refuse_bench(
+        clean_cal, idle_load, env={}, steal=1.2, steal_bad=3
+    )
+    # boundary: gate is >=
+    assert bench.should_refuse_bench(
+        clean_cal, idle_load, env={}, steal=bench.STEAL_REFUSE_PCT, steal_bad=1
+    )
+    # override honored, and =0 still means no
+    assert not bench.should_refuse_bench(
+        clean_cal, idle_load, steal=9.0, steal_bad=9,
+        env={"SPARK_GRAFT_BENCH_ALLOW_CONTENDED": "1"},
+    )
+    assert bench.should_refuse_bench(
+        clean_cal, idle_load, steal=9.0, steal_bad=9,
+        env={"SPARK_GRAFT_BENCH_ALLOW_CONTENDED": "0"},
+    )

@@ -21,6 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import steal_pct, steal_snapshot  # noqa: E402
 from webscale_multimodal_datapipeline_spark.plans.registry import QUERIES  # noqa: E402
 from webscale_multimodal_datapipeline_spark.session import get_spark  # noqa: E402
 
@@ -66,8 +67,10 @@ def main() -> None:
                     df._jdf.queryExecution(), "formatted"))
             print(f"# wrote {path}", file=sys.stderr)
         ts = []
+        steals = []
         for i in range(passes + 1):  # pass 0 = warm-up
             spark.sparkContext.setJobDescription(f"{name} pass {i}")
+            s0 = steal_snapshot()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             if use_count:
@@ -78,10 +81,14 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if i > 0:
                 ts.append(dt)
+                # per-pass hypervisor steal (r11): this host's contention
+                # arrives in bursts invisible to loadavg/calibration —
+                # discard stolen passes when reading an A/B.
+                steals.append(steal_pct(s0, steal_snapshot()))
             spark.sparkContext.setJobDescription(None)
         print(
             f"{name}: min {min(ts):.3f}s  passes {[round(t, 3) for t in ts]}"
-            f"  rows {n}"
+            f"  steal {steals}  rows {n}"
         )
         sys.stdout.flush()
 

@@ -262,6 +262,57 @@ _RECORDED_R8 = {
 
 _RECORDED |= _RECORDED_R8
 
+# The 50 names the driver recorded green in round 9's CORRECTNESS_r09.json
+# (round-9 additions: span-dedup, interleave, packing, spherical k-means +
+# vector/graph/sketch re-records).
+_RECORDED_R9 = {
+    'd_dup_span_detect', 'd_dup_span_scrub', 'd_dup_span_stats',
+    'g_bfs_hops', 'g_common_neighbors', 'g_degree_histogram', 'g_pagerank',
+    'g_triangle_count', 'm_interleave_density', 'm_interleave_pack',
+    't_nextfit_pack', 't_pack_summary', 't_sequence_pack',
+    'v_autogate_cone_banded', 'v_binary_quantize_rerank',
+    'v_calibration_curve', 'v_cluster_balanced_sample', 'v_cosine_dedup',
+    'v_cosine_topk', 'v_embedding_drift', 'v_embedding_norms',
+    'v_filtered_ann_topk', 'v_hard_negatives', 'v_hyperplane_recall',
+    'v_ivf_topk', 'v_kmeans_clusters', 'v_knn_classify',
+    'v_lsh_bucket_purity', 'v_lsh_buckets', 'v_lsh_topk',
+    'v_matryoshka_overlap', 'v_maxsim_topk', 'v_mlp_score',
+    'v_mmr_diverse_topk', 'v_multiprobe_recall', 'v_pq_adc_topk',
+    'v_pq_rerank_topk', 'v_quantize_int8', 'v_recall_at_k',
+    'v_spherical_kmeans', 'v_spherical_kmeans_profile',
+    'v_trained_classifier', 'x_approx_percentile_sketch', 'x_bucketed_agg',
+    'x_bucketed_join', 'x_distribution_moments', 'x_hll_merge',
+    'x_kmv_distinct', 'x_kmv_setops', 'x_skipping_benefit',
+}
+
+_RECORDED |= _RECORDED_R9
+
+# The 50 names the driver recorded green in round 10's CORRECTNESS_r10.json
+# (the interrupted-build k50/vit256 rows entered the window front and
+# rotated out exactly 4 round-9 names: v_hyperplane_recall, v_knn_classify,
+# v_lsh_bucket_purity, v_multiprobe_recall — see _RERECORD below).
+_RECORDED_R10 = {
+    'd_dup_span_detect', 'd_dup_span_detect_k50', 'd_dup_span_detect_k50_poly',
+    'd_dup_span_scrub', 'd_dup_span_scrub_k50', 'd_dup_span_stats',
+    'g_bfs_hops', 'g_common_neighbors', 'g_degree_histogram', 'g_pagerank',
+    'g_triangle_count', 'm_interleave_density', 'm_interleave_pack',
+    'm_interleave_pack_vit256', 't_nextfit_pack', 't_pack_summary',
+    't_sequence_pack', 'v_autogate_cone_banded', 'v_binary_quantize_rerank',
+    'v_calibration_curve', 'v_cluster_balanced_sample', 'v_cosine_dedup',
+    'v_cosine_topk', 'v_embedding_drift', 'v_embedding_norms',
+    'v_filtered_ann_topk', 'v_hard_negatives', 'v_ivf_topk',
+    'v_kmeans_clusters', 'v_lsh_buckets', 'v_lsh_topk',
+    'v_matryoshka_overlap', 'v_maxsim_topk', 'v_mlp_score',
+    'v_mmr_diverse_topk', 'v_pq_adc_topk', 'v_pq_rerank_topk',
+    'v_quantize_int8', 'v_recall_at_k', 'v_spherical_kmeans',
+    'v_spherical_kmeans_profile', 'v_trained_classifier',
+    'x_approx_percentile_sketch', 'x_bucketed_agg', 'x_bucketed_join',
+    'x_distribution_moments', 'x_hll_merge', 'x_kmv_distinct',
+    'x_kmv_setops', 'x_skipping_benefit',
+}
+
+_RECORDED |= _RECORDED_R10
+
 # Every query has a green driver row in its latest recorded round
 # (r1-r7, union parsed by the round-7 judge). Never-recorded names
 # (round-8 additions) order FIRST so the round-8 window records them;
@@ -271,11 +322,15 @@ _RECORDED |= _RECORDED_R8
 # Changed-oracle queries that must RE-record under the new oracle even
 # though an older green row exists (latest record wins in the judge's
 # union): round 8 rewired v_cosine_dedup's oracle to replay the auto-gate.
-_RERECORD: set[str] = set()
-# (round 8's rewired oracles — v_cosine_dedup, x_levenshtein_near_names,
-# x_distribution_moments — re-recorded green in CORRECTNESS_r08.json, so
-# the set is empty again; repopulate when an oracle changes under an
-# already-recorded name.)
+# Round 11 (VERDICT r10 #8, recording-window hygiene): the four round-9
+# vector rows that r10's four new catalog entries rotated out of the
+# 50-row window re-enter the front so CORRECTNESS_r11 records them green
+# at HEAD again — their registrations and oracles are unchanged; this is
+# pure window ordering.
+_RERECORD: set[str] = {
+    "v_hyperplane_recall", "v_knn_classify",
+    "v_lsh_bucket_purity", "v_multiprobe_recall",
+}
 
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _RECORDED or k in _RERECORD},
