@@ -29,7 +29,9 @@ from webscale_multimodal_datapipeline_spark.functions import text as TX
 from webscale_multimodal_datapipeline_spark.operators.base import DedupOperator
 
 
-def _materialize(df: DataFrame, resources: list | None = None) -> DataFrame:
+def _materialize(
+    df: DataFrame, resources: list | None = None, eager: bool = True
+) -> DataFrame:
     """Compute-once barrier for a derived table that multiple join sides
     read (the signature-table rule, ARCHITECTURE §26: broadcast joins
     never get a ReusedExchange, so an un-materialized subplan re-runs per
@@ -41,13 +43,22 @@ def _materialize(df: DataFrame, resources: list | None = None) -> DataFrame:
     instead, and the handle is appended so the CALLER releases it
     deterministically (``df.unpersist()``) — the shape a long-running
     streaming loop needs, where per-epoch localCheckpoint blocks otherwise
-    accumulate until a driver GC happens to run."""
+    accumulate until a driver GC happens to run.
+
+    ``eager=False`` (r11, VERDICT r10 #5): mark for materialization but
+    run NO action — the caller's next action over the frame (e.g. the
+    cone-gate's one-row bucket profile) computes and stores the blocks as
+    a side effect, folding the materialization job and the first consumer
+    into ONE driver round trip. Lifetime semantics are unchanged
+    (checkpoint blocks free on driver GC / persist handles on the
+    resources list)."""
     if resources is None:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
+    if eager:
+        df.count()
     resources.append(df)
     return df
 
@@ -215,14 +226,43 @@ def minhash_lsh_dup_map(
     banded = base.select(
         F.col(id_col), F.explode(lsh_bands(F.col("_sig"))).alias("_band")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
+    # Salted band self-join (r11, VERDICT r10 #3 / guide §2.5 skew): the
+    # equi-join key is the band bucket, so ONE degenerate bucket (a band
+    # value shared by B rows — near-identical boilerplate, empty docs)
+    # lands its whole B² candidate explosion in ONE reducer task; AQE's
+    # skew-join split cannot divide a single key. Salting splits it
+    # deterministically: the left row keeps one salt s = pmod(xxhash64(id),
+    # S) and the right side is exploded to all S salts, so each (l, r)
+    # pair meets EXACTLY ONCE — on (band, salt_l) — and a hot bucket's
+    # pair work spreads across S independent reducer keys (B²/S per task).
+    # The pair SET is bit-identical (oracle-pinned); the only cost is S×
+    # the banded table's (id, band) rows through the exchange — metadata,
+    # not payload (§8 lightweight-proxy rule; the shingle hashes join
+    # later, after candidate dedup). NULL ids produce a NULL salt and no
+    # pairs, same as the previous id-comparison join. ``S`` is
+    # env-parameterised with a scale-neutral default; 1 restores the
+    # unsalted join for A/B.
+    salt_n = int(os.environ.get("SPARK_GRAFT_LSH_BAND_SALT", "8"))
+    if salt_n > 1:
+        left = banded.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_n))
+        ).alias("l")
+        right = banded.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+        ).alias("r")
+        join_cond = (
             (F.col("l._band") == F.col("r._band"))
-            & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}")),
+            & (F.col("l._salt") == F.col("r._salt"))
+            & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}"))
         )
+    else:
+        left = banded.alias("l")
+        right = banded.alias("r")
+        join_cond = (F.col("l._band") == F.col("r._band")) & (
+            F.col(f"l.{id_col}") > F.col(f"r.{id_col}")
+        )
+    cand = (
+        left.join(right, join_cond)
         .select(
             F.col(f"l.{id_col}").alias("_lid"),
             F.col(f"r.{id_col}").alias("_rid"),
@@ -1026,7 +1066,7 @@ def embedding_cosine_dup_map(
     # projected table is materialized once (both join sides otherwise
     # recompute the `planes × dim`-term bucket projection from a fresh
     # scan — broadcast join, no ReusedExchange).
-    def _projected(centered: bool) -> DataFrame:
+    def _projected(centered: bool, eager: bool = True) -> DataFrame:
         src = df
         if centered:
             src = src.crossJoin(
@@ -1057,7 +1097,7 @@ def embedding_cosine_dup_map(
                 ).alias("_nn")
             )
             cols.append(F.size(emb_col).alias("_len"))
-        return _materialize(src.select(*cols), resources)
+        return _materialize(src.select(*cols), resources, eager=eager)
 
     if auto:
         # The auto-gate RIDES the materialized projection instead of
@@ -1066,8 +1106,15 @@ def embedding_cosine_dup_map(
         # build the RAW projection, profile its already-computed bucket
         # column (band 0's key IS the raw bucket — offset 0, base 0),
         # and only a tripped gate pays a second (centered) projection.
+        # r11 (VERDICT r10 #5, driver-action collapse): the projection is
+        # materialized LAZILY — the gate's one-row profile aggregate is
+        # the action that computes and stores the blocks, so checkpoint +
+        # profile cost ONE driver round trip instead of two sequential
+        # jobs. The operator's internal actions are now exactly two: the
+        # scaled_planes count (parquet-metadata-cheap at any scale) and
+        # this combined materialize+profile job.
         n_res = len(resources) if resources is not None else 0
-        b = _projected(False)
+        b = _projected(False, eager=False)
         key = (
             F.col("_bucket") if bands <= 1 else F.element_at(F.col("_bk"), 1)
         )
@@ -1981,7 +2028,13 @@ def connected_components_star(
         # simhash_near_pairs) pass edges_distinct=True and skip one full
         # shuffle of the edge set here
         e = e.distinct()
-    e = e.localCheckpoint(eager=True)
+    # LAZY checkpoint (r11, VERDICT r10 #4 — driver-action collapse, §2.4
+    # "remove actions"): the first consumer below (the contraction's
+    # combined materialize+count job, or the first star round) computes
+    # and stores the edge blocks as a side effect, so edge derivation no
+    # longer costs its own sequential driver round trip. `nodes` and every
+    # later reader hit the stored blocks.
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id")))
     ).distinct()
@@ -2010,9 +2063,12 @@ def connected_components_star(
         # — pure scheduling latency (2.1 s of the lane's 3.7 s). At
         # scale the gate simply never fires until the iterative loop (or
         # a bigger cluster's contraction) has brought the residual under
-        # the bound — the count is of the ALREADY-materialized
-        # checkpoint, so the gate costs one metadata-cheap count.
-        cur = cur.localCheckpoint(eager=True)
+        # the bound. r11: the checkpoint is LAZY and the gate's count is
+        # the materializing action, so edge derivation + contraction +
+        # gate cost ONE job instead of three sequential ones (the r10
+        # shape: eager e-checkpoint, eager contract-checkpoint, then a
+        # count over the stored blocks).
+        cur = cur.localCheckpoint(eager=False)
         finish_cap = int(
             os.environ.get("SPARK_GRAFT_CC_FINISH_EDGES", str(1 << 20))
         )

@@ -396,6 +396,16 @@ def d_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected_components`); the DuckDB oracle computes the same closure
     with a recursive CTE, so even this non-single-query op is value-checked
     exactly.
+
+    Scan-spread examined and REJECTED for this lane (r11, VERDICT r10 #4):
+    the simhash pair kernel looks like the §2.5 spread-winning shape, but
+    the steal-clean A/B reads spread 3.28 s vs raw 2.70 s on the star
+    variant — the components lanes are dominated by the iterative phase,
+    and round-robin spreading both adds an exchange of raw text AND
+    scatters the fixture's naturally co-located near-dups across
+    partitions, so the partition-local union-find contracts less per
+    batch and hands the loop a bigger residual graph. Numbers in
+    OPTIMIZATION_r11.md.
     """
     d = load_table(spark, sf_dir, "documents")
     pairs = OD.simhash_near_pairs(d, max_hamming=12)
@@ -445,6 +455,10 @@ def d_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/dedup.py::connected_components_star`). Identical output
     contract, so it shares the recursive-CTE oracle: the two algorithms
     are value-checked against each other through DuckDB.
+
+    Scan-spread examined and REJECTED — same A/B as ``d_dedup_components``
+    above (spread 3.28 s vs raw 2.70 s, steal-clean passes): the iterative
+    phase dominates and spreading hurts the union-find's batch locality.
     """
     d = load_table(spark, sf_dir, "documents")
     pairs = OD.simhash_near_pairs(d, max_hamming=12)

@@ -12,6 +12,8 @@ whole-stage codegen with the filters pushed at the scan; the reference's
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1013,11 +1015,24 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     final mean at integer resolution (the unigram discipline).
     """
     d = load_table(spark, sf_dir, "documents")
-    # shared pair-keyed exchange: both the pair-count aggregate and the
-    # scoring join consume the bigram stream partitioned by (a, b) — the
-    # t_unigram_logprob single-pass discipline (guide §2.4); the former
-    # spelling tokenized and zipped the corpus once per branch.
-    bigrams = _adjacent_pairs(d).repartition("term_a", "term_b")
+    # Two-branch form (r9) is the DEFAULT again (r11, VERDICT r10 #3):
+    # the r10 "shared pair-keyed exchange" (repartition("term_a","term_b")
+    # reused by both the count aggregate and the scoring join) forces the
+    # FULL bigram stream through one exchange; without it the count
+    # branch's exchange carries only map-side-combined (a, b, count) rows
+    # — the token stream repeats heavily, so the partial aggregate shrinks
+    # it to near-vocabulary size — at the price of tokenizing+zipping the
+    # corpus once per branch. Both driver records (r10@32 and @8c) read
+    # the shared exchange WORSE than r9, and this round's steal-clean A/B
+    # agrees: shared 1.43/1.43 s vs two-branch 1.16 s (passes with
+    # per-pass steal 0.0 quoted in OPTIMIZATION_r11.md). At 100 TB the
+    # same logic holds — an aggregate-before-shuffle (guide §2.3) beats a
+    # full-stream exchange whenever keys repeat. Identical result either
+    # way (oracle-pinned); SPARK_GRAFT_BIGRAM_SHARED_EXCHANGE=1 restores
+    # the r10 spelling for A/B.
+    bigrams = _adjacent_pairs(d)
+    if os.environ.get("SPARK_GRAFT_BIGRAM_SHARED_EXCHANGE", "0") not in ("", "0", "false", "no"):
+        bigrams = bigrams.repartition("term_a", "term_b")
     c_ab = bigrams.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("c_ab"))
     c_a = c_ab.groupBy("term_a").agg(F.sum("c_ab").alias("c_a"))
     lm = c_ab.join(c_a, "term_a").select(
